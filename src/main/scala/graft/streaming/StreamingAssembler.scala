@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.core.{ArrayMeta, DeisaArray}
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** Structured-Streaming chunk assembly — the production ingest path.
+  *
+  * A stream of ChunkRows (any source: MemoryStream in tests, files/Kafka in
+  * production) is consumed in micro-batches via foreachBatch. Each batch is
+  * persisted ON THE EXECUTORS; the driver pulls only per-(array, timestep)
+  * chunk COUNTS (a few rows), decides completeness against the catalog, and
+  * hands the executor a lazy DataFrame over the cached batches — chunk data
+  * itself never moves to the driver, so the design holds when a chunk is
+  * 100 MB and there are a million of them.
+  *
+  * This replaces the reference's two-tier SchedulingActor → HeadNodeActor
+  * rendezvous (`scheduling_actor.py:230-320`, `head_node.py:305-395`): in
+  * Spark a single completeness count per (name, t) suffices, and locality
+  * comes from the block cache instead of actor placement.
+  *
+  * Cached source batches are reference-counted: once every (name, t) group a
+  * batch contributed to has been assembled (and the assembled window array
+  * itself persisted), the batch is unpersisted — the memory-release protocol
+  * the reference pins with its zero-spill test.
+  */
+final class StreamingAssembler(
+    executor: WindowedExecutor,
+    arrays: Seq[ArrayMeta]
+) {
+  private val metas: Map[String, ArrayMeta] =
+    (arrays :+ ArrayMeta.SentinelMeta).map(m => m.name -> m).toMap
+
+  private final class BatchRef(val df: DataFrame) {
+    var pendingGroups: Int = 0
+    def release(): Unit = { pendingGroups -= 1; if (pendingGroups <= 0) df.unpersist() }
+  }
+  private final class GroupState {
+    var count: Long = 0L
+    val contributors = mutable.ArrayBuffer.empty[BatchRef]
+  }
+  private val groups = mutable.Map.empty[(String, Long), GroupState]
+
+  def attach(chunkStream: DataFrame, queryName: String = "graft-ingest"): StreamingQuery =
+    chunkStream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .foreachBatch(processBatch _)
+      .start()
+
+  /** One micro-batch: count chunks per (name, t), update completeness,
+    * offer completed arrays to the windowed executor in timestep order. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = cached.groupBy(F.col("name"), F.col("t"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .collect()
+      .sortBy(r => (r.getLong(1), r.getString(0))) // timestep order (D1)
+    if (stats.isEmpty) { cached.unpersist(); return }
+    val ref = new BatchRef(cached)
+    // first pass: register contributions
+    stats.foreach { r =>
+      val name = r.getString(0); val t = r.getLong(1); val n = r.getLong(2)
+      val meta = metas.getOrElse(name, throw new IllegalArgumentException(
+        s"ContractError: array '$name' was not declared"))
+      val g = groups.getOrElseUpdate((name, t), new GroupState)
+      g.count += n
+      g.contributors += ref
+      ref.pendingGroups += 1
+      if (g.count > meta.numChunks)
+        throw new IllegalStateException(
+          s"array '$name' t=$t received ${g.count} chunks, expected ${meta.numChunks}")
+    }
+    // second pass: emit completed groups in timestep order
+    val completed = groups.toSeq
+      .filter { case ((name, _), g) => g.count == metas(name).numChunks }
+      .sortBy { case ((name, t), _) => (t, name) }
+    completed.foreach { case ((name, t), g) =>
+      groups.remove((name, t))
+      val source =
+        if (g.contributors.size == 1) g.contributors.head.df
+        else g.contributors.map(_.df).reduce(_ union _)
+      val arr = DeisaArray.fromChunkRows(source, metas(name), t)
+      executor.offer(arr) // persists into the window before we release sources
+      g.contributors.foreach(_.release())
+    }
+  }
+}

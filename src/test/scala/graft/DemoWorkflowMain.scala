@@ -1,0 +1,68 @@
+package graft
+
+import graft.core._
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+
+/** Executable usage sample: the canonical 2-rank in-situ workflow from the
+  * reference docs, driven through the public API. Run with
+  * `sbt "Test/runMain graft.DemoWorkflowMain"`. */
+object DemoWorkflowMain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // global array [[t, 2t]] from two ranks; sliding window of 2
+    val meta = ArrayMeta("array", Seq(1, 2), Seq(1, 1)).validate()
+    val ex = new WindowedExecutor(spark, Seq(meta))
+    val asm = new LocalAssembler(ex, Seq(meta))
+    ex.registerCallback(Seq(ArrayWindow("array", 2))) { argsMap =>
+      val w = argsMap("array")
+      val newest = w.last
+      val extra = if (w.size == 2)
+        s" crossTdiffSum=${(w(1) - w(0)).sumScalar().compute()}" else ""
+      println(s"[cb] t=${newest.t} window=${w.map(_.t).mkString(",")} " +
+        s"mean=${newest.meanScalar().compute()} sum=${newest.sumScalar().compute()}$extra")
+    }
+    for (t <- 0L to 3L; r <- 0 to 1)
+      asm.push(ChunkRow("array", t, Seq(0, r), Seq(1, 1), Array((t * (r + 1)).toDouble), "float64"))
+    asm.close(4)
+    println(s"[done] terminated=${ex.isTerminated} closingT=${ex.closingTimestep} " +
+      s"liveWindows=${ex.liveWindowArrays.size}")
+    ex.shutdown()
+    println(s"[memory] persistentRDDs after shutdown: ${spark.sparkContext.getPersistentRDDs.size}")
+
+    // probe: ordering violation must fail hard (reference D3 semantics)
+    val ex2 = new WindowedExecutor(spark, Seq(meta))
+    val asm2 = new LocalAssembler(ex2, Seq(meta))
+    ex2.registerCallback(Seq(ArrayWindow("array"))) { _ => () }
+    for (r <- 0 to 1) asm2.push(ChunkRow("array", 2, Seq(0, r), Seq(1, 1), Array(1.0), "f"))
+    try {
+      for (r <- 0 to 1) asm2.push(ChunkRow("array", 1, Seq(0, r), Seq(1, 1), Array(1.0), "f"))
+      println("[probe-ordering] NO ERROR — BAD")
+    } catch {
+      case e: RuntimeException => println(s"[probe-ordering] raised as required: ${e.getMessage}")
+    }
+
+    // probe: undeclared array -> ContractError
+    try {
+      asm2.push(ChunkRow("ghost", 3, Seq(0, 0), Seq(1, 1), Array(1.0), "f"))
+      println("[probe-contract] NO ERROR — BAD")
+    } catch {
+      case e: IllegalArgumentException => println(s"[probe-contract] ${e.getMessage}")
+    }
+
+    // probe: feedback strictly-increasing guard, eviction, miss protocol
+    val fb = new FeedbackService(2)
+    fb.set("foo", "one", 1); fb.set("foo", "two", 2)
+    println(s"[probe-feedback] get(t=1)=${fb.get("foo", 1)} get(t=3)=${fb.get("foo", 3)} all=${fb.getAll("foo")}")
+    try { fb.set("foo", "dup", 2); println("[probe-feedback] dup NO ERROR — BAD") }
+    catch { case e: IllegalArgumentException => println(s"[probe-feedback] dup rejected: ${e.getMessage}") }
+    fb.set("foo", "three", 3)
+    println(s"[probe-feedback] after eviction(size=2): get(t=1)=${fb.get("foo", 1)} (expect None)")
+
+    spark.stop()
+  }
+}
