@@ -131,6 +131,17 @@ final case class DeisaArray(
   def sumScalar(): DeisaScalar =
     DeisaScalar(df.agg(sum(blockFold(0.0, _ + _)).as("value")))
 
+  /** Order-independent exact sum: per-element cast to Decimal(38, scale)
+    * before accumulating, so the result is bit-identical regardless of
+    * partitioning — required when cross-checking float sums against an
+    * external oracle. */
+  def sumScalarExact(scale: Int = 12): DeisaScalar = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, scale)
+    val perBlock = aggregate(col("data"), lit(0).cast(dec),
+      (acc, x) => (acc + x.cast(dec)).cast(dec))
+    DeisaScalar(df.agg(sum(perBlock).cast("double").as("value")))
+  }
+
   def minScalar(): DeisaScalar =
     DeisaScalar(df.agg(min(array_min(col("data"))).cast("double").as("value")))
 

@@ -1,0 +1,90 @@
+package graft.relational
+
+import graft.core.DeisaArray
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Builds chunked [[DeisaArray]]s out of relational parquet tables so the
+  * array-operator surface (SURVEY §2.C) can be conformance-checked against
+  * a SQL oracle: elements are table values in a deterministic total order,
+  * chunked into fixed-size blocks.
+  *
+  * The global row_number is a test-harness convenience (it forces a single
+  * partition for the ranking); production arrays arrive pre-chunked through
+  * the ingest plane, never through this path.
+  */
+object ArrayHarness {
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  private val orderCols = Seq(col("l_orderkey"), col("l_linenumber"))
+
+  /** Indexed element stream: (idx, v) with idx = dense 0-based rank of
+    * (l_orderkey, l_linenumber). */
+  def indexed(spark: SparkSession, dir: String, value: Column): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    lineitem(spark, dir)
+      .select(value.cast("double").as("v"), (row_number().over(w) - 1).as("idx"))
+  }
+
+  /** 1-D array of `value` over all lineitem rows, chunk size `chunk`. */
+  def array1D(spark: SparkSession, dir: String, value: Column,
+      chunk: Int = 8192): DeisaArray = {
+    val idx = indexed(spark, dir, value)
+    val n = idx.count().toInt
+    val blocks = idx
+      .groupBy((col("idx") / chunk).cast("int").as("cid"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("pairs"))
+      .select(
+        array(col("cid") * chunk).as("pos"),
+        array(size(col("pairs"))).as("shape"),
+        transform(col("pairs"), p => p.getField("v")).as("data"))
+    DeisaArray(blocks, Seq(n), 0L, "lineitem1d")
+  }
+
+  /** 2-D (rows × `cols.length`) matrix: row i holds `cols` of the i-th
+    * element in the total order; chunked into `chunkRows`-row blocks.
+    * Row count is truncated to a multiple of nothing (every row kept). */
+  def matrix(spark: SparkSession, dir: String, cols: Seq[Column],
+      chunkRows: Int = 8192): DeisaArray = {
+    val w = Window.orderBy(orderCols: _*)
+    val k = cols.length
+    val idx = lineitem(spark, dir)
+      .select(array(cols.map(_.cast("double")): _*).as("row"),
+        (row_number().over(w) - 1).as("idx"))
+    val n = idx.count().toInt
+    val blocks = idx
+      .groupBy((col("idx") / chunkRows).cast("int").as("cid"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("row")))).as("pairs"))
+      .select(
+        array(col("cid") * chunkRows, lit(0)).as("pos"),
+        array(size(col("pairs")), lit(k)).as("shape"),
+        flatten(transform(col("pairs"), p => p.getField("row"))).as("data"))
+    DeisaArray(blocks, Seq(n, k), 0L, "lineitem2d")
+  }
+
+  /** 2-D reshape of a single column to (n/width) × width (trailing partial
+    * row dropped), chunked into blocks of `chunkRows` rows. */
+  def reshape2D(spark: SparkSession, dir: String, value: Column, width: Int,
+      chunkRows: Int = 256): DeisaArray = {
+    val idx = indexed(spark, dir, value)
+    val n = idx.count().toInt
+    val rows = n / width
+    val keep = idx.filter(col("idx") < rows * width)
+    val blocks = keep
+      .groupBy((col("idx") / (chunkRows.toLong * width)).cast("int").as("cid"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("pairs"))
+      .select(
+        array(col("cid") * chunkRows, lit(0)).as("pos"),
+        array((size(col("pairs")) / width).cast("int"), lit(width)).as("shape"),
+        transform(col("pairs"), p => p.getField("v")).as("data"))
+    DeisaArray(blocks, Seq(rows, width), 0L, "lineitem2d")
+  }
+
+  /** The shared oracle CTE: same total order, same indexing. */
+  def oracleIndexedCte(value: String): String =
+    s"WITH e AS (SELECT CAST($value AS DOUBLE) v, " +
+      "row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx FROM lineitem)"
+}

@@ -1,0 +1,290 @@
+package graft.relational
+
+import graft.pipeline.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings` —
+  * the LLM-data-curation surface (dedup, similarity search, text analysis,
+  * multimodal plumbing), each with a DuckDB oracle where expressible.
+  *
+  * Scale notes (these run on 100 TB, the oracle only checks semantics):
+  *  - exact dedup = hash-groupBy, fully map-side partial-aggregatable;
+  *  - MinHash-LSH avoids all-pairs: candidates come from a band-bucket
+  *    self-equi-join, verification touches candidates only;
+  *  - n-gram Jaccard all-pairs is bounded to same-`source` partitions;
+  *  - ANN brute-force broadcasts the (tiny) query set — one scan, no
+  *    shuffle; the LSH-bucketed variant reduces scanned fraction further;
+  *  - text analysis ops are pure per-row Catalyst expressions (codegen'd),
+  *    so they pipeline inside the scan stage.
+  */
+object PipelineQueries {
+  import QueryHelpers._
+
+  private val ShingleN = 4
+  private val NumPerms = 8
+  private val RowsPerBand = 2
+  private val JaccardThreshold = 0.30
+  private val NgramThreshold = 0.55
+  private val CosineThreshold = 0.35
+  private val SimhashBits = 16
+
+  /** Oracle list-comprehension for distinct char n-grams. */
+  private def oShingles(textExpr: String): String =
+    s"list_distinct([substr($textExpr, i, $ShingleN) for i in range(1, greatest(length($textExpr) - ${ShingleN - 1}, 0) + 1)])"
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    // ---------- deduplication ----------
+
+    CatalogQuery("qd01_exact_dedup", (s, d) => {
+      table(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }, Some("""
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""), headline = true),
+
+    CatalogQuery("qd02_minhash_lsh", (s, d) => {
+      val docs = table(s, d, "documents")
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), TextOps.charShingles(col("text"), ShingleN).as("sh"))
+      val sigs = docs.select(col("doc_id"), col("sh"),
+        TextOps.bandKeys(TextOps.minhashSignature(col("sh"), NumPerms),
+          NumPerms, RowsPerBand).as("bands"))
+      val banded = sigs.select(col("doc_id"), col("sh"), explode(col("bands")).as("band"))
+      val a = banded.select(col("band"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("band"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      cand.select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, ${oShingles("text")} AS sh FROM documents WHERE length(text) >= $ShingleN),
+      sig AS (
+        SELECT doc_id, sh,
+          [list_min([md5(p::VARCHAR || '|' || s) for s in sh]) for p in range($NumPerms)] AS mh
+        FROM sh),
+      banded AS (
+        SELECT doc_id, sh, unnest([md5(mh[2*b+1] || '|' || mh[2*b+2]) for b in range(${NumPerms / RowsPerBand})]) AS band
+        FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        len(list_intersect(x.sh, y.sh))::DOUBLE /
+          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+      FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+      WHERE jaccard >= $JaccardThreshold
+      ORDER BY id_a, id_b"""), headline = true),
+
+    CatalogQuery("qd03_simhash", (s, d) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), TextOps.simhash(col("text"), SimhashBits).as("simhash"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val bitExprs = (0 until SimhashBits).map { j =>
+        s"CASE WHEN list_sum([CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+          [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) for t in list_distinct(regexp_split_to_array(trim(text), '\\s+'))] AS hs
+        FROM documents)
+      SELECT doc_id, CAST($bitExprs AS BIGINT) AS simhash FROM toks ORDER BY doc_id"""
+    }),
+
+    CatalogQuery("qd04_ngram_jaccard", (s, d) => {
+      val docs = table(s, d, "documents")
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), col("source"),
+          TextOps.charShingles(col("text"), ShingleN).as("sh"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b"))
+              - size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+        .filter(col("jaccard") >= NgramThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH sh AS (
+        SELECT doc_id, source, ${oShingles("text")} AS sh
+        FROM documents WHERE length(text) >= $ShingleN)
+      SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $NgramThreshold
+      ORDER BY id_a, id_b""")),
+
+    CatalogQuery("qd05_embedding_neardup", (s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val dot = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
+      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+        .select(col("label"), col("id_a"), col("id_b"),
+          (dot(col("v_a"), col("v_b")) /
+            (sqrt(dot(col("v_a"), col("v_a"))) * sqrt(dot(col("v_b"), col("v_b"))))).as("cosine"))
+        .filter(col("cosine") >= CosineThreshold)
+        .select(col("label"), col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+        round(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $CosineThreshold
+      ORDER BY id_a, id_b""")),
+
+    // ---------- similarity search ----------
+
+    CatalogQuery("qs01_ann_topk", (s, d) => {
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val dot = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+      val scored = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qv"), col("v")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM e CROSS JOIN q WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""), headline = true),
+
+    // ---------- text analysis ----------
+
+    CatalogQuery("qt01_langid", (s, d) => {
+      val scores = TextOps.langScores(col("text"))
+      table(s, d, "documents")
+        .select(Seq(col("doc_id"), col("lang").as("declared_lang"),
+          TextOps.langId(col("text")).as("predicted_lang")) ++
+          scores.map { case (l, c) => c.as(s"score_$l") }: _*)
+        .orderBy(col("doc_id"))
+    }, Some {
+      val scoreExprs = TextOps.langMarkers.map { case (lang, markers) =>
+        val cnt = markers.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) // ${m.length}").mkString(" + ")
+        s"CAST($cnt AS BIGINT) AS score_$lang"
+      }.mkString(", ")
+      // argmax with tie-break by language code asc; all-zero -> 'und'
+      val langsAsc = TextOps.langMarkers.map(_._1)
+      val caseExpr = langsAsc.map { l =>
+        val others = langsAsc.filter(_ != l)
+        val strictlyBeatsEarlier = langsAsc.takeWhile(_ != l).map(o => s"score_$l > score_$o")
+        val atLeastLater = langsAsc.dropWhile(_ != l).drop(1).map(o => s"score_$l >= score_$o")
+        val conds = (Seq(s"score_$l > 0") ++ strictlyBeatsEarlier ++ atLeastLater).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH padded AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+      scored AS (SELECT doc_id, lang, $scoreExprs FROM padded)
+      SELECT doc_id, lang AS declared_lang,
+        CASE $caseExpr ELSE 'und' END AS predicted_lang,
+        ${TextOps.langMarkers.map(m => s"score_${m._1}").mkString(", ")}
+      FROM scored ORDER BY doc_id"""
+    }),
+
+    CatalogQuery("qt02_quality_score", (s, d) => {
+      val txt = col("text")
+      val nTokens = size(TextOps.tokens(txt))
+      val nPunct = length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))
+      val nStop = TextOps.occurrences(concat(lit(" "), txt, lit(" ")), " the ") +
+        TextOps.occurrences(concat(lit(" "), txt, lit(" ")), " a ")
+      table(s, d, "documents")
+        .select(col("doc_id"), nTokens.as("n_tokens"),
+          round(nPunct.cast("double") / length(txt), 6).as("punct_ratio"),
+          round(nStop.cast("double") / nTokens, 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+          length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+          (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+            + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS n_stop,
+          length(text) AS len
+        FROM documents)
+      SELECT doc_id, n_tokens,
+        round(CAST(n_punct AS DOUBLE) / len, 6) AS punct_ratio,
+        round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+      FROM f ORDER BY doc_id""")),
+
+    CatalogQuery("qt03_token_count", (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      table(s, d, "documents")
+        .select(col("doc_id"), size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+      FROM documents ORDER BY doc_id""")),
+
+    CatalogQuery("qt04_fingerprint", (s, d) => {
+      val grams = TextOps.charShingles(col("text"), 8)
+      table(s, d, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"),
+          array_min(transform(grams, g => md5(g))).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        list_min([md5(g) for g in list_distinct([substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 0) + 1)])]) AS fingerprint
+      FROM documents WHERE length(text) >= 8 ORDER BY doc_id""")),
+
+    // ---------- multimodal plumbing ----------
+
+    CatalogQuery("qm01_multimodal_meta", (s, d) => {
+      // documents stand in for opaque binary payloads: byte length, declared
+      // char count, and a derived frame count — the metadata column pattern
+      // for image/audio/video blobs (the decode itself is stubbed; see
+      // graft.pipeline.Multimodal)
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          col("n_chars"),
+          floor(col("n_chars") / 100).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes, n_chars,
+        CAST(floor(n_chars / 100) AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,247 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One declared query: the Spark plan builder and (when SQL-expressible)
+  * the equivalent DuckDB oracle SQL over the same tables. */
+final case class CatalogQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object QueryHelpers {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 only
+    * reads as a long; convert back to a (microsecond) timestamp — DuckDB's
+    * TIMESTAMP is microseconds too, so semantics line up. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Order-independent exact sum of a float expression: per-row cast to
+    * Decimal(38,6) then decimal-sum — bit-identical across engines and
+    * partitionings (float sums would differ in the last ulps depending on
+    * reduce order). Final cast back to double for a stable output type. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Oracle-side twin of [[dsum]]. */
+  def oSum(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  def oDateStr(expr: String): String = s"strftime($expr, '%Y-%m-%d')"
+}
+
+/** Relational surface: scans/filters/projections, joins of every flavor the
+  * checklist asks for (broadcast/shuffle equi, semi, anti, as-of), hash
+  * aggregation, rollup, distinct, window functions, top-k, set ops, and
+  * event-time bucketing. The reference has none of these (SURVEY §2.C
+  * "deliberately absent" table) — they're the relational surface our engine
+  * adds, and every one is a plain Catalyst plan so pushdown/AQE/broadcast
+  * come from the optimizer, not hand-scheduling.
+  */
+object RelationalQueries {
+  import QueryHelpers._
+
+  val all: Seq[CatalogQuery] = Seq(
+
+    CatalogQuery("q01_pricing_summary", (s, d) => {
+      table(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus,
+        ${oSum("l_quantity")} AS sum_qty,
+        ${oSum("l_extendedprice")} AS sum_base_price,
+        ${oSum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+        ${oSum("l_quantity")} / count(*) AS avg_qty,
+        count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""), headline = true),
+
+    CatalogQuery("q02_revenue_by_nation", (s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      val c = table(s, d, "customer")
+      val n = table(s, d, "nation")
+      val r = table(s, d, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }, Some(s"""
+      SELECT r_name, n_name,
+        ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name"""), headline = true),
+
+    CatalogQuery("q03_topk_orders", (s, d) => {
+      val li = table(s, d, "lineitem")
+      val o = table(s, d, "orders")
+      li.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"), dateStr(col("o_orderdate")).as("orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }, Some(s"""
+      SELECT o_orderkey, revenue, ${oDateStr("o_orderdate")} AS orderdate
+      FROM (SELECT l_orderkey, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
+            FROM lineitem GROUP BY l_orderkey) r
+      JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY revenue DESC, o_orderkey LIMIT 10"""), headline = true),
+
+    CatalogQuery("q04_priority_semijoin", (s, d) => {
+      val o = table(s, d, "orders")
+      val li = table(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val oo = o.join(li,
+        o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      oo.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    CatalogQuery("q05_filter_project", (s, d) => {
+      table(s, d, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      FROM lineitem WHERE l_quantity >= 48 AND l_discount > 0.05
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    CatalogQuery("q06_selective_revenue", (s, d) => {
+      table(s, d, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }, Some(s"""
+      SELECT ${oSum("l_extendedprice * l_discount")} AS revenue, count(*) AS n
+      FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+      headline = true),
+
+    CatalogQuery("q07_window_rank", (s, d) => {
+      val o = table(s, d, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+        FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn"""), headline = true),
+
+    CatalogQuery("q08_anti_join", (s, d) => {
+      val c = table(s, d, "customer")
+      val o = table(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
+    CatalogQuery("q09_distinct_agg", (s, d) => {
+      table(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+             count(*) AS n_rows
+      FROM lineitem""")),
+
+    CatalogQuery("q10_rollup", (s, d) => {
+      table(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        ${oSum("l_quantity")} AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    CatalogQuery("q11_events_hourly", (s, d) => {
+      events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }, Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        count(*) AS n, ${oSum("value")} AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""), headline = true),
+
+    CatalogQuery("q12_asof_join", (s, d) => {
+      // as-of: for each event, the latest order of that user at-or-before ts
+      val e = events(s, d)
+      val o = table(s, d, "orders")
+      val joined = e.join(o,
+        e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, asof_orderkey FROM (
+        SELECT event_id, o_orderkey AS asof_orderkey,
+          row_number() OVER (PARTITION BY event_id
+            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) rn
+        FROM events LEFT JOIN orders
+          ON user_id = o_custkey AND o_orderdate <= ts) t
+      WHERE rn = 1 ORDER BY event_id"""), headline = true),
+
+    CatalogQuery("q13_set_ops", (s, d) => {
+      val c = table(s, d, "customer").select(col("c_nationkey").as("k"))
+      val sup = table(s, d, "supplier").select(col("s_nationkey").as("k"))
+      c.except(sup)
+        .withColumnRenamed("k", "nationkey")
+        .orderBy(col("nationkey"))
+    }, Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey"""))
+  )
+}
