@@ -1,24 +1,43 @@
 package graft
+
+import graft.relational.QueryCatalog
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline query subset on SPARK_GRAFT_SF_DIR
+  * and prints one JSON line. Queries run through the same catalog the
+  * correctness gate uses — no bench-only fast paths. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val benched = QueryCatalog.headlines
+    // JIT/VM warmup on the first headline query (not timed)
+    benched.headOption.foreach(q => q.build(spark, sfDir).count())
+
+    val results = benched.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { q.build(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s")
+      spark.catalog.clearCache() // queries may cache intermediates
+      q.name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,130 @@
+package graft.functions.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct 60-bit hashes of all character n-grams of a string.
+  *
+  * Semantically identical to
+  * `array_distinct(transform(charShingles(text, n), g -> conv(substr(md5(g),1,15),16,10)))`
+  * but runs as ONE tight JVM loop per row: no per-gram String, no hex
+  * encoding, no BigInteger parse, no four interpreted higher-order passes.
+  * The 60-bit value is the first 15 hex digits of the gram's MD5 — i.e. the
+  * first 8 digest bytes as an unsigned value shifted right by 4 — matching
+  * the DuckDB oracle's `CAST('0x' || substr(md5(g),1,15) AS BIGINT)` bit
+  * for bit. This is the preference-order case (b) from SURVEY §7.1: a
+  * custom Expression where built-ins exist but measurably can't keep up
+  * (the shingling stage dominates dedup at corpus scale).
+  */
+case class ShingleHash60(child: Expression, n: Int)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val s = v.asInstanceOf[UTF8String]
+    val md = MessageDigest.getInstance("MD5")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (s.numBytes == s.numChars) {
+      // ASCII fast path: grams are byte slices
+      val bytes = s.getBytes
+      var i = 0
+      val last = bytes.length - n
+      while (i <= last) {
+        md.reset()
+        md.update(bytes, i, n)
+        seen.add(prefix60(md.digest()))
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var i = 0
+      val last = str.length - n
+      while (i <= last) {
+        md.reset()
+        md.update(str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        seen.add(prefix60(md.digest()))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** First 15 hex digits of the digest as a number = first 8 bytes as an
+    * unsigned 64-bit value, logically shifted right by 4. */
+  private def prefix60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+/** MinHash signature over a long-array column in a single pass: for each of
+  * `numPerms` affine permutations over the Mersenne field 2^31-1, the
+  * minimum permuted value. Replaces numPerms × (transform + array_min)
+  * interpreted passes with one loop. Constants must match
+  * graft.pipeline.TextOps.minhashA/B (shared with the DuckDB oracle). */
+case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val hm = arr.getLong(i) % p
+      var j = 0
+      while (j < k) {
+        val x = (as(j) * hm + bs(j)) % p
+        if (x < mins(j)) mins(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+object ShingleExpressions {
+  import graft.pipeline.TextOps
+  import org.apache.spark.sql.GraftSqlShim
+
+  def shingleHash60(text: Column, n: Int): Column =
+    GraftSqlShim.column(ShingleHash60(GraftSqlShim.expression(text), n))
+
+  def minhashSig(hashes: Column, numPerms: Int): Column =
+    GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(hashes),
+      (0 until numPerms).map(TextOps.minhashA).toArray,
+      (0 until numPerms).map(TextOps.minhashB).toArray,
+      TextOps.MinhashP))
+}

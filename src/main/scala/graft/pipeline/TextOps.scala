@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Distinct character n-grams of `text` (1-based substr, matching the
-    * oracle's `[substr(text, i, n) for i in range(1, len(text)-n+2)]`). */
+    * oracle's `[substr(text, i, n) for i in range(1, len(text)-n+2)]`).
+    * Guarded for len < n: Spark's sequence(1, 0) counts DOWN (yielding a
+    * bogus truncated gram) where DuckDB's range(1, 0) is empty. */
   def charShingles(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
-      i => text.substr(i, lit(n))))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
 
   /** Whitespace tokens (trimmed; empty text → single empty token, matching
     * regexp_split_to_array semantics in the oracle). */
@@ -32,21 +35,41 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature as `numPerms` md5-string minima over salted shingle
-    * hashes — min over lexicographic md5 strings is a valid permutation
-    * family and is engine-portable (strings compare identically). */
-  def minhashSignature(shingleArr: Column, numPerms: Int): Column =
+  /** Affine MinHash permutations over the Mersenne field p = 2^31 - 1:
+    * perm_p(h) = (A(p) * (h mod p) + B(p)) mod p. Products stay below 2^62
+    * (no 64-bit overflow in either engine) and the final mod genuinely
+    * wraps, so each permutation shuffles the full hash range — a map whose
+    * modulus never engages would degenerate every signature row to an
+    * affine image of the same minimum shingle. Constants are Knuth-style
+    * multiplicative mixes, identical on the oracle side. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashA(p: Int): Long = ((p + 1L) * 2654435761L) % MinhashP
+  def minhashB(p: Int): Long = ((p + 1L) * 40503L * 196613L) % MinhashP
+
+  /** MinHash signature: per permutation, the minimum affine-permuted
+    * shingle hash. One digest per shingle total (hash60); the permutations
+    * themselves are integer ops — what keeps minhash affordable when the
+    * corpus is 100 TB. */
+  def minhashSignature(shingleHashes: Column, numPerms: Int): Column =
     array((0 until numPerms).map { p =>
-      array_min(transform(shingleArr, s => md5(concat(lit(p.toString), lit("|"), s))))
+      array_min(transform(shingleHashes, h =>
+        (lit(minhashA(p)) * (h % MinhashP) + lit(minhashB(p))) % MinhashP))
     }: _*)
 
-  /** LSH band keys from a minhash signature: md5 of the concatenated rows
-    * of each band. */
+  /** Oracle twin of [[minhashSignature]] over a BIGINT list column. */
+  def oracleMinhashSignature(hsExpr: String, numPerms: Int): String =
+    "[" + (0 until numPerms).map { p =>
+      s"list_min([(${minhashA(p)} * (h % $MinhashP) + ${minhashB(p)}) % $MinhashP for h in $hsExpr])"
+    }.mkString(", ") + "]"
+
+  /** LSH band keys from a minhash signature: the concatenated rows of each
+    * band (portable string join). */
   def bandKeys(sig: Column, numPerms: Int, rowsPerBand: Int): Column = {
     val bands = numPerms / rowsPerBand
     array((0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
-      md5(concat_ws("|", parts: _*))
+      val parts = Seq(lit(b.toString)) ++
+        (0 until rowsPerBand).map(r => sig.getItem(b * rowsPerBand + r))
+      concat_ws("|", parts: _*)
     }: _*)
   }
 

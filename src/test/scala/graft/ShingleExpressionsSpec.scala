@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.expressions.ShingleExpressions._
+import graft.pipeline.TextOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom single-pass expressions must be bit-identical to the
+  * composed higher-order-function formulation they replace (which is in
+  * turn oracle-checked against DuckDB). */
+class ShingleExpressionsSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "aaaa", "aaab", "abc", "", "ab",
+    "utf8 check: déjà vu — naïve façade", // multi-byte path
+    "x" * 500
+  ).toDF("text")
+
+  test("ShingleHash60 == array_distinct(transform(shingles, hash60))") {
+    val n = 4
+    val rows = texts.select(
+      shingleHash60(col("text"), n).as("fast"),
+      array_distinct(transform(TextOps.charShingles(col("text"), n),
+        g => TextOps.hash60(g))).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted,
+        s"mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
+
+  test("MinHashSig == per-permutation array_min(transform(...))") {
+    val rows = texts.filter(length(col("text")) >= 4).select(
+      minhashSig(shingleHash60(col("text"), 4), 8).as("fast"),
+      TextOps.minhashSignature(shingleHash60(col("text"), 4), 8).as("ref")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("hash60 matches the documented md5-prefix convention") {
+    // md5('abc') = 900150983cd24fb0d6963f7d28e17f72; first 15 hex digits
+    // as a number = 648541476951500027 (cross-checked against DuckDB)
+    val v = spark.range(1).select(TextOps.hash60(lit("abc"))).first().getLong(0)
+    assert(v == 648541476951500027L)
+    val f = texts.limit(1).select(shingleHash60(lit("abc"), 3)).first().getSeq[Long](0)
+    assert(f == Seq(648541476951500027L))
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.core._
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production ingest path end-to-end: a Structured Streaming source of
+  * ChunkRows (MemoryStream plays the simulation bridges, as SURVEY §2.A
+  * maps them) → micro-batch completeness counting → windowed callbacks. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  private val meta = ArrayMeta("array", Seq(1, 2), Seq(1, 1)).validate()
+
+  test("structured-streaming ingest: full workflow via MemoryStream bridges") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[ChunkRow]
+    val ex = new WindowedExecutor(spark, Seq(meta))
+    val assembler = new StreamingAssembler(ex, Seq(meta))
+    var seen = List.empty[(Long, Double)]
+    ex.registerCallback(Seq(ArrayWindow("array"))) { args =>
+      val a = args("array").last
+      seen ::= (a.t, a.meanScalar().compute())
+    }
+    val query = assembler.attach(stream.toDF(), "graft-test-ingest")
+    try {
+      // ranks send chunk-by-chunk; micro-batch boundaries land arbitrarily
+      for (t <- 0L until 4L) {
+        stream.addData(ChunkRow("array", t, Seq(0, 0), Seq(1, 1), Array(t.toDouble), "int64"))
+        if (t % 2 == 1) query.processAllAvailable() // split timesteps across batches
+        stream.addData(ChunkRow("array", t, Seq(0, 1), Seq(1, 1), Array(2.0 * t), "int64"))
+      }
+      stream.addData(ChunkRow.sentinel(4))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(ex.isTerminated && ex.closingTimestep.contains(4L))
+    assert(seen.reverse == (0L until 4L).map(t => (t, 3.0 * t / 2)).toList)
+    ex.shutdown()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "streaming batches and window members must all be released")
+  }
+
+  test("chunk-count overflow is rejected (duplicate chunk guard)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[ChunkRow]
+    val ex = new WindowedExecutor(spark, Seq(meta), persistWindows = false)
+    val assembler = new StreamingAssembler(ex, Seq(meta))
+    ex.registerCallback(Seq(ArrayWindow("array"))) { _ => () }
+    val query = assembler.attach(stream.toDF(), "graft-test-dup")
+    try {
+      stream.addData(
+        ChunkRow("array", 0, Seq(0, 0), Seq(1, 1), Array(1.0), "int64"),
+        ChunkRow("array", 0, Seq(0, 0), Seq(1, 1), Array(1.0), "int64"),
+        ChunkRow("array", 0, Seq(0, 1), Seq(1, 1), Array(2.0), "int64"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      assert(e.getCause.getMessage.contains("expected"), e.getCause.getMessage)
+    } finally query.stop()
+  }
+}
