@@ -214,6 +214,72 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""), headline = true),
 
+    CatalogQuery("qs02_ann_ivf", (s, d) => {
+      // IVF-bucketed ANN — the 100 TB path: vectors are pre-assigned to
+      // inverted lists (cells); a query probes only its nearest cells, so
+      // the scan touches nprobe/K of the corpus instead of all of it.
+      // Deterministic variant for the oracle: centroids = vectors with
+      // vec_id < K (a k-means fit would slot in here unchanged).
+      val K = 16; val NProbe = 4
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cents)
+      def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+        bc.value.map { case (cid, cv) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+          (math.sqrt(acc), cid)
+        }.sortBy(identity).take(n).map(_._2).toSeq
+      val assigned = e.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
+        .toDF("vec_id", "v", "cell")
+      val queries = e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
+        .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
+        .toDF("query_id", "qv", "cell")
+      val dot = (x: Column, y: Column) =>
+        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+      val scored = assigned.join(broadcast(queries), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (dot(col("qv"), col("v")) /
+            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cosine"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
+
     // ---------- text analysis ----------
 
     CatalogQuery("qt01_langid", (s, d) => {
@@ -274,14 +340,20 @@ object PipelineQueries {
 
     CatalogQuery("qt03_token_count", (s, d) => {
       val toks = TextOps.tokens(col("text"))
+      // BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation
+      // (ASCII classes so Java regex and RE2 agree exactly)
+      val bpeish = regexp_extract_all(col("text"),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
       table(s, d, "documents")
         .select(col("doc_id"), size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct_tokens"))
+          size(array_distinct(toks)).as("n_distinct_tokens"),
+          size(bpeish).as("n_subword_tokens"))
         .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id,
         length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens
+        length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct_tokens,
+        length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subword_tokens
       FROM documents ORDER BY doc_id""")),
 
     CatalogQuery("qt04_fingerprint", (s, d) => {

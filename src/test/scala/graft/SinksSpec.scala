@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core._
+import graft.sinks.{ManifestSink, ZarrSink}
+import graft.streaming._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Port of the persistence round trips (reference
+  * tests/test_saving_dask_arrays.py): write arrays from inside a callback
+  * at the final timestep — single dataset, multi-dataset store, zarr
+  * component, per-timestep datasets — reopen and compare. */
+class SinksSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+
+  private def mkArr(t: Long, scale: Double = 1.0): DeisaArray = {
+    val meta = ArrayMeta("array", Seq(1, 2), Seq(1, 1)).validate()
+    DeisaArray.fromChunks(spark,
+      (0 to 1).map(r => ChunkRow("array", t, Seq(0, r), Seq(1, 1),
+        Array(scale * t * (r + 1)), "float64")), meta, t)
+  }
+
+  test("zarr round trip, incl. append mode with components") {
+    val store = Files.createTempDirectory("graft-zarr").toString
+    val a = mkArr(5)
+    ZarrSink.write(a, store, "data")
+    ZarrSink.write(a * 2.0, store, "data2") // append second component
+    val back = ZarrSink.read(store, "data")
+    assert(back.shape == Seq(1, 2) && back.data.toSeq == Seq(5.0, 10.0))
+    val back2 = ZarrSink.read(store, "data2")
+    assert(back2.data.toSeq == Seq(10.0, 20.0))
+  }
+
+  test("zarr pads partial edge chunks with the fill value") {
+    val meta = ArrayMeta("a", Seq(3), Seq(3)).validate()
+    val arr = DeisaArray.fromChunks(spark,
+      Seq(ChunkRow("a", 0, Seq(0), Seq(3), Array(1.0, 2.0, 3.0), "float64")), meta, 0)
+    // slice to length 2 -> single unaligned-extent block, still offset 0
+    val sliced = arr.slice(Seq((0, 2)))
+    val store = Files.createTempDirectory("graft-zarr-pad").toString
+    ZarrSink.write(sliced, store)
+    val back = ZarrSink.read(store)
+    assert(back.shape == Seq(2) && back.data.toSeq == Seq(1.0, 2.0))
+  }
+
+  test("manifest (VDS-equivalent) round trip: single + multi dataset") {
+    val store = Files.createTempDirectory("graft-manifest").toString
+    val a = mkArr(5)
+    val b = mkArr(5, scale = 3.0)
+    ManifestSink.writeAll(Map("a" -> a, "b" -> b), store)
+    assert(ManifestSink.read(store, "a").data.toSeq == Seq(5.0, 10.0))
+    assert(ManifestSink.read(store, "b").data.toSeq == Seq(15.0, 30.0))
+  }
+
+  test("per-timestep datasets written from the windowed loop (E4)") {
+    val store = Files.createTempDirectory("graft-ts").toString
+    val meta = ArrayMeta("array", Seq(1, 2), Seq(1, 1)).validate()
+    val ex = new WindowedExecutor(spark, Seq(meta))
+    val asm = new LocalAssembler(ex, Seq(meta))
+    ex.registerCallback(Seq(ArrayWindow("array"))) { args =>
+      val arr = args("array").last
+      ManifestSink.write(arr, store, arr.t.toString)
+    }
+    for (t <- 0L until 6L)
+      for (r <- 0 to 1)
+        asm.push(ChunkRow("array", t, Seq(0, r), Seq(1, 1),
+          Array((t * (r + 1)).toDouble), "float64"))
+    asm.close(6)
+    for (t <- 0L until 6L)
+      assert(ManifestSink.read(store, t.toString).data.toSeq == Seq(t.toDouble, 2.0 * t))
+    ex.shutdown()
+  }
+
+  test("missing chunks read back as fill value (VDS fillvalue contract)") {
+    val store = Files.createTempDirectory("graft-fill").toString
+    val meta = ArrayMeta("a", Seq(1, 4), Seq(1, 2)).validate()
+    // only chunk (0,0) present; (0,1) missing
+    val arr = DeisaArray.fromChunks(spark,
+      Seq(ChunkRow("a", 0, Seq(0, 0), Seq(1, 2), Array(7.0, 8.0), "float64")), meta, 0)
+    ManifestSink.write(arr, store, "partial")
+    val back = ManifestSink.read(store, "partial")
+    assert(back.data.toSeq == Seq(7.0, 8.0, -1.0, -1.0))
+  }
+}
