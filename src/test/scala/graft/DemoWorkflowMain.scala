@@ -26,9 +26,12 @@ object DemoWorkflowMain {
       println(s"[cb] t=${newest.t} window=${w.map(_.t).mkString(",")} " +
         s"mean=${newest.meanScalar().compute()} sum=${newest.sumScalar().compute()}$extra")
     }
-    for (t <- 0L to 3L; r <- 0 to 1)
-      asm.push(ChunkRow("array", t, Seq(0, r), Seq(1, 1), Array((t * (r + 1)).toDouble), "float64"))
-    asm.close(4)
+    // two simulation ranks, each with its Bridge handle (reference A-plane)
+    val bridges = (0 to 1).map(r => new GraftBridge(asm, ex.feedback, r,
+      Seq(meta), Map("array" -> Seq(0, r))))
+    for (t <- 0L to 3L; b <- bridges)
+      b.send("array", Array((t * (b.rank + 1)).toDouble), t)
+    bridges.foreach(_.close(4))
     println(s"[done] terminated=${ex.isTerminated} closingT=${ex.closingTimestep} " +
       s"liveWindows=${ex.liveWindowArrays.size}")
     ex.shutdown()
