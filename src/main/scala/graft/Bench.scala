@@ -21,8 +21,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val benched = QueryCatalog.headlines
-    // JIT/VM warmup on the first headline query (not timed)
-    benched.headOption.foreach(q => q.build(spark, sfDir).count())
+    // JIT + codegen (janino) warmup: run every headline plan once at the
+    // smallest scale factor so timings measure steady state, not one-time
+    // bytecode compilation (untimed; falls back to the bench SF dir)
+    val warmDir = {
+      val small = sfDir.replaceAll("sf[0-9.]+$", "sf0.001")
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    benched.foreach { q =>
+      try q.build(spark, warmDir).count()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
 
     val results = benched.map { q =>
       val t0 = System.nanoTime()

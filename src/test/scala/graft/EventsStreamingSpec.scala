@@ -1,0 +1,48 @@
+package graft
+
+import graft.relational.QueryHelpers
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming over the relational plane: the events table played
+  * as a stream must produce the same hourly aggregation the batch engine
+  * (and the DuckDB oracle, via q11) computes. Exercises watermarking +
+  * event-time windows + the memory sink. */
+class EventsStreamingSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed hourly aggregation equals the batch result") {
+    val batchEvents = QueryHelpers.events(spark, dir)
+    val expected = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+
+    // replay the same parquet as a file stream (file sources watch a
+    // directory; maxFilesPerTrigger is the knob a real feed would use)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("hourly_agg")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly_agg")
+      .select(col("window.start").as("hour"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+}
