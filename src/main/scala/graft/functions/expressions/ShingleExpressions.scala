@@ -62,6 +62,9 @@ case class ShingleHash60(child: Expression, n: Int)
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    // sorted output: set semantics are order-free, and downstream
+    // intersections become O(n+m) merges (SortedLongIntersectCount)
+    java.util.Arrays.sort(out)
     new GenericArrayData(out)
   }
 
@@ -115,6 +118,33 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
     copy(child = c.head)
 }
 
+/** |a ∩ b| for two SORTED long arrays as a single merge scan — O(n+m) with
+  * zero allocation, vs array_intersect's per-call hash set build. Both
+  * inputs must be sorted ascending and duplicate-free (ShingleHash60's
+  * output contract). */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ShingleExpressions {
   import graft.pipeline.TextOps
   import org.apache.spark.sql.GraftSqlShim
@@ -127,4 +157,8 @@ object ShingleExpressions {
       (0 until numPerms).map(TextOps.minhashA).toArray,
       (0 until numPerms).map(TextOps.minhashB).toArray,
       TextOps.MinhashP))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlShim.column(SortedLongIntersectCount(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 }

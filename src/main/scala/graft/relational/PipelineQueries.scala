@@ -80,7 +80,7 @@ object PipelineQueries {
       cand
         .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
         .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-        .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
         .select(col("id_a"), col("id_b"),
           (col("inter").cast("double") /
             (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))

@@ -41,6 +41,18 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SortedLongIntersectCount == size(array_intersect) on sorted inputs") {
+    val pairs = texts.as[String].filter(_.length >= 4).collect().flatMap { a =>
+      texts.as[String].filter(_.length >= 4).collect().map(b => (a, b))
+    }.toSeq.toDF("ta", "tb")
+    val rows = pairs.select(
+      sortedIntersectCount(shingleHash60(col("ta"), 4), shingleHash60(col("tb"), 4)).as("fast"),
+      size(array_intersect(shingleHash60(col("ta"), 4), shingleHash60(col("tb"), 4))).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("hash60 matches the documented md5-prefix convention") {
     // md5('abc') = 900150983cd24fb0d6963f7d28e17f72; first 15 hex digits
     // as a number = 648541476951500027 (cross-checked against DuckDB)
