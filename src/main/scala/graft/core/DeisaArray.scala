@@ -75,14 +75,21 @@ final case class DeisaArray(
 
   // ---- C6: elementwise array ⊗ array (equi-join on chunk position) ----
 
+  /** Chunk layouts must align (dask's contract too); a full-outer join
+    * plus raise_error turns a misaligned combine into a runtime failure
+    * instead of silently dropping blocks through an inner join. */
   def combine(other: DeisaArray, f: (Column, Column) => Column): DeisaArray = {
     require(globalShape == other.globalShape,
       s"shape mismatch: $globalShape vs ${other.globalShape}")
     val l = df.select(col("pos"), col("shape"), col("data").as("ldata"))
     val r = other.df.select(col("pos").as("rpos"), col("data").as("rdata"))
-    val joined = l.join(r, l("pos") === r("rpos"))
-    copy(df = joined.select(col("pos"), col("shape"),
-      zip_with(col("ldata"), col("rdata"), f).as("data")))
+    val joined = l.join(r, l("pos") === r("rpos"), "full_outer")
+    val guarded = when(col("ldata").isNull || col("rdata").isNull,
+      raise_error(concat(lit("combine: chunk layouts are not aligned at position "),
+        coalesce(col("pos"), col("rpos")).cast("string"), lit(" — rechunk first"))))
+      .otherwise(zip_with(col("ldata"), col("rdata"), f))
+    copy(df = joined.select(coalesce(col("pos"), col("rpos")).as("pos"),
+      col("shape"), guarded.as("data")))
   }
 
   def *(other: DeisaArray): DeisaArray = combine(other, _ * _)

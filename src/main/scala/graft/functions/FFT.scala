@@ -111,7 +111,8 @@ object FFT {
       val shape = b.shape.toArray
       val n = b.data.length
       val outR = new Array[Double](n); val outI = new Array[Double](n)
-      val stride = graft.core.BlockIndex.strides(b.shape)(ax)
+      val allStrides = graft.core.BlockIndex.strides(b.shape)
+      val stride = allStrides(ax)
       val lineCount = n / axLen
       val lineRe = new Array[Double](axLen); val lineIm = new Array[Double](axLen)
       var line = 0
@@ -119,7 +120,7 @@ object FFT {
         // base index of this line: iterate all positions with axis coord 0
         var rem = line; var base = 0; var d = shape.length - 1
         while (d >= 0) {
-          if (d != ax) { val sz = shape(d); base += (rem % sz) * graft.core.BlockIndex.strides(b.shape)(d); rem /= sz }
+          if (d != ax) { val sz = shape(d); base += (rem % sz) * allStrides(d); rem /= sz }
           d -= 1
         }
         var k = 0

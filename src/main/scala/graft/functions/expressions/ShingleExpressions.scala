@@ -48,12 +48,24 @@ case class ShingleHash60(child: Expression, n: Int)
         i += 1
       }
     } else {
+      // multi-byte path: gram boundaries count CODE POINTS, matching
+      // Spark's substr and DuckDB's substr (UTF-16 code units would split
+      // surrogate pairs and diverge from the pinned oracle semantics)
       val str = s.toString
+      val cpStarts = new Array[Int](str.codePointCount(0, str.length) + 1)
+      var ci = 0; var off = 0
+      while (off < str.length) {
+        cpStarts(ci) = off
+        off += Character.charCount(str.codePointAt(off))
+        ci += 1
+      }
+      cpStarts(ci) = str.length
+      val last = ci - n
       var i = 0
-      val last = str.length - n
       while (i <= last) {
         md.reset()
-        md.update(str.substring(i, i + n).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(str.substring(cpStarts(i), cpStarts(i + n))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         seen.add(prefix60(md.digest()))
         i += 1
       }

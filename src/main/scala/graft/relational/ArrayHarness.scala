@@ -22,11 +22,14 @@ object ArrayHarness {
   private val orderCols = Seq(col("l_orderkey"), col("l_linenumber"))
 
   /** Indexed element stream: (idx, v) with idx = dense 0-based rank of
-    * (l_orderkey, l_linenumber). */
+    * (l_orderkey, l_linenumber). Persisted so the count() the builders
+    * need doesn't re-run the global sort a second time when the blocks
+    * materialize (Verify/Bench clear the cache between queries). */
   def indexed(spark: SparkSession, dir: String, value: Column): DataFrame = {
     val w = Window.orderBy(orderCols: _*)
     lineitem(spark, dir)
       .select(value.cast("double").as("v"), (row_number().over(w) - 1).as("idx"))
+      .persist()
   }
 
   /** 1-D array of `value` over all lineitem rows, chunk size `chunk`. */
@@ -54,6 +57,7 @@ object ArrayHarness {
     val idx = lineitem(spark, dir)
       .select(array(cols.map(_.cast("double")): _*).as("row"),
         (row_number().over(w) - 1).as("idx"))
+      .persist()
     val n = idx.count().toInt
     val blocks = idx
       .groupBy((col("idx") / chunkRows).cast("int").as("cid"))

@@ -22,8 +22,10 @@ object QueryHelpers {
     * TIMESTAMP is microseconds too, so semantics line up. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer division: `/` would go through double and lose sub-µs bits
+    // for epoch-nano values beyond 2^53
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Order-independent exact sum of a float expression: per-row cast to

@@ -36,9 +36,17 @@ object ZarrSink {
       firstShapes.collectFirst { case (p, s) if p(d) == 0 => s(d) }
         .getOrElse(firstShapes.head._2(d))
     }
-    firstShapes.foreach { case (p, _) =>
+    firstShapes.foreach { case (p, sh) =>
       require(p.lazyZip(chunkShape).forall((off, c) => off % c == 0),
         s"block at offset $p is not aligned to chunk grid $chunkShape — rechunk first")
+      // extent check: interior blocks must fill the chunk; only trailing
+      // blocks may be smaller (they get padded) — an oversized block would
+      // otherwise index out of the padded buffer or misplace values
+      gs.indices.foreach { d =>
+        require(sh(d) == chunkShape(d) ||
+          (sh(d) < chunkShape(d) && p(d) + sh(d) == gs(d)),
+          s"block at $p extent ${sh(d)} (dim $d) does not fit chunk ${chunkShape(d)} — rechunk first")
+      }
     }
 
     val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)

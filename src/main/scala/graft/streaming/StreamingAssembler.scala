@@ -39,7 +39,7 @@ final class StreamingAssembler(
     def release(): Unit = { pendingGroups -= 1; if (pendingGroups <= 0) df.unpersist() }
   }
   private final class GroupState {
-    var count: Long = 0L
+    val positions = mutable.Set.empty[List[Int]]
     val contributors = mutable.ArrayBuffer.empty[BatchRef]
   }
   private val groups = mutable.Map.empty[(String, Long), GroupState]
@@ -51,32 +51,37 @@ final class StreamingAssembler(
       .foreachBatch(processBatch _)
       .start()
 
-  /** One micro-batch: count chunks per (name, t), update completeness,
-    * offer completed arrays to the windowed executor in timestep order. */
+  /** One micro-batch: record the arrived chunk POSITIONS per (name, t)
+    * (positions, not counts — a duplicate must never mask a missing
+    * chunk), then offer completed arrays to the windowed executor in
+    * timestep order. Only grid coordinates travel to the driver. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val stats = cached.groupBy(F.col("name"), F.col("t"))
-      .agg(F.count(F.lit(1)).as("n"))
+      .agg(F.collect_list(F.col("pos")).as("positions"))
       .collect()
       .sortBy(r => (r.getLong(1), r.getString(0))) // timestep order (D1)
     if (stats.isEmpty) { cached.unpersist(); return }
     val ref = new BatchRef(cached)
     // first pass: register contributions
     stats.foreach { r =>
-      val name = r.getString(0); val t = r.getLong(1); val n = r.getLong(2)
+      val name = r.getString(0); val t = r.getLong(1)
+      val positions = r.getSeq[scala.collection.Seq[Int]](2).map(_.toList)
       val meta = metas.getOrElse(name, throw new IllegalArgumentException(
         s"ContractError: array '$name' was not declared"))
       val g = groups.getOrElseUpdate((name, t), new GroupState)
-      g.count += n
+      positions.foreach { p =>
+        if (!g.positions.add(p))
+          throw new IllegalStateException(
+            s"array '$name' t=$t received duplicate chunk position $p " +
+              s"(expected ${meta.numChunks} distinct positions)")
+      }
       g.contributors += ref
       ref.pendingGroups += 1
-      if (g.count > meta.numChunks)
-        throw new IllegalStateException(
-          s"array '$name' t=$t received ${g.count} chunks, expected ${meta.numChunks}")
     }
     // second pass: emit completed groups in timestep order
     val completed = groups.toSeq
-      .filter { case ((name, _), g) => g.count == metas(name).numChunks }
+      .filter { case ((name, _), g) => g.positions.size.toLong == metas(name).numChunks }
       .sortBy { case ((name, t), _) => (t, name) }
     completed.foreach { case ((name, t), g) =>
       groups.remove((name, t))

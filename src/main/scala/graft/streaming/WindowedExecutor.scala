@@ -190,9 +190,11 @@ final class LocalAssembler(executor: WindowedExecutor, arrays: Seq[ArrayMeta]) {
     (arrays :+ ArrayMeta.SentinelMeta).map(m => m.name -> m).toMap
   private val pending = mutable.Map.empty[(String, Long), mutable.ArrayBuffer[ChunkRow]]
 
-  /** Push one chunk; assembles + offers the array when its chunk set is
-    * complete. Throws for undeclared arrays (the reference's ContractError,
-    * `scheduling_actor.py:281-287`). */
+  /** Push one chunk; assembles + offers the array when every chunk-grid
+    * POSITION has arrived (a duplicate position is rejected immediately —
+    * counting alone would let a duplicate mask a missing chunk and emit a
+    * silently corrupt array). Throws for undeclared arrays (the
+    * reference's ContractError, `scheduling_actor.py:281-287`). */
   def push(chunk: ChunkRow): Unit = synchronized {
     val meta = metas.getOrElse(chunk.name,
       throw new IllegalArgumentException(
@@ -200,6 +202,9 @@ final class LocalAssembler(executor: WindowedExecutor, arrays: Seq[ArrayMeta]) {
     meta.validatePosition(chunk.pos)
     val key = (chunk.name, chunk.t)
     val buf = pending.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+    if (buf.exists(_.pos == chunk.pos))
+      throw new IllegalStateException(
+        s"duplicate chunk position ${chunk.pos} for array '${chunk.name}' t=${chunk.t}")
     buf += chunk
     if (buf.length.toLong == meta.numChunks) {
       pending.remove(key)

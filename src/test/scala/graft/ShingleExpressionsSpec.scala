@@ -16,6 +16,7 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     "the quick brown fox jumps over the lazy dog",
     "aaaa", "aaab", "abc", "", "ab",
     "utf8 check: déjà vu — naïve façade", // multi-byte path
+    "emoji 😀 and 🤖 split grams", // supplementary plane
     "x" * 500
   ).toDF("text")
 
