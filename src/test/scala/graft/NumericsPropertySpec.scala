@@ -1,0 +1,110 @@
+package graft
+
+import graft.core._
+import graft.functions.FFT
+import graft.linalg.Linalg
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized conformance against naive dense references: multi-chunk
+  * matmul, axis reductions, rechunk/transpose/slice round trips, and the
+  * Bluestein FFT path (non-power-of-two lengths), none of which the
+  * reference's own battery exercises beyond single tiny blocks. */
+class NumericsPropertySpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  private val rng = new Random(42)
+
+  private def mkArray(rows: Int, cols: Int, chunkR: Int, chunkC: Int,
+      name: String): (DeisaArray, Array[Array[Double]]) = {
+    val dense = Array.fill(rows, cols)(rng.nextInt(20).toDouble - 10)
+    val meta = ArrayMeta(name, Seq(rows, cols), Seq(chunkR, chunkC)).validate()
+    val chunks = for (pr <- 0 until rows / chunkR; pc <- 0 until cols / chunkC) yield {
+      val data = new Array[Double](chunkR * chunkC)
+      for (i <- 0 until chunkR; j <- 0 until chunkC)
+        data(i * chunkC + j) = dense(pr * chunkR + i)(pc * chunkC + j)
+      ChunkRow(name, 0, Seq(pr, pc), Seq(chunkR, chunkC), data, "float64")
+    }
+    (DeisaArray.fromChunks(spark, chunks, meta, 0), dense)
+  }
+
+  test("multi-chunk matmul equals dense reference (chunked contraction dim)") {
+    val (a, da) = mkArray(6, 4, 2, 2, "ma") // contraction dim chunked in 2s
+    val (b, db) = mkArray(4, 6, 2, 3, "mb")
+    val got = Linalg.matmul(a, b).compute()
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val expect = (0 until 4).map(k => da(i)(k) * db(k)(j)).sum
+      assert(got(i, j) == expect, s"($i,$j)")
+    }
+  }
+
+  test("reduceAxis across chunk boundaries equals dense reference") {
+    val (a, d) = mkArray(6, 6, 2, 3, "ra")
+    val s0 = a.reduceAxis(0, "sum").compute()
+    for (j <- 0 until 6) assert(s0(j) == (0 until 6).map(d(_)(j)).sum)
+    val m1 = a.reduceAxis(1, "mean").compute()
+    for (i <- 0 until 6) assert(m1(i) == d(i).sum / 6.0)
+    val mx = a.reduceAxis(0, "max").compute()
+    for (j <- 0 until 6) assert(mx(j) == (0 until 6).map(d(_)(j)).max)
+  }
+
+  test("rechunk preserves content for several target shapes") {
+    val (a, d) = mkArray(6, 6, 2, 3, "rc")
+    for (target <- Seq(Seq(3, 2), Seq(6, 6), Seq(1, 1), Seq(2, 2))) {
+      val r = a.rechunk(target).compute()
+      for (i <- 0 until 6; j <- 0 until 6)
+        assert(r(i, j) == d(i)(j), s"rechunk $target at ($i,$j)")
+    }
+  }
+
+  test("transpose + slice compose correctly over chunks") {
+    val (a, d) = mkArray(6, 4, 3, 2, "ts")
+    val t = a.T.compute()
+    for (i <- 0 until 4; j <- 0 until 6) assert(t(i, j) == d(j)(i))
+    val s = a.slice(Seq((1, 5), (1, 3))).compute()
+    assert(s.shape == Seq(4, 2))
+    for (i <- 0 until 4; j <- 0 until 2) assert(s(i, j) == d(i + 1)(j + 1))
+  }
+
+  test("FFT matches naive DFT for non-power-of-two lengths (Bluestein)") {
+    for (n <- Seq(5, 12, 31, 8, 16)) {
+      val re = Array.fill(n)(rng.nextDouble() * 10 - 5)
+      val im = new Array[Double](n)
+      val (fr, fi) = FFT.dft(re, im)
+      for (k <- 0 until n) {
+        var er = 0.0; var ei = 0.0
+        for (t <- 0 until n) {
+          val ang = -2.0 * math.Pi * k * t / n
+          er += re(t) * math.cos(ang)
+          ei += re(t) * math.sin(ang)
+        }
+        assert(math.abs(fr(k) - er) < 1e-8, s"n=$n k=$k re")
+        assert(math.abs(fi(k) - ei) < 1e-8, s"n=$n k=$k im")
+      }
+    }
+  }
+
+  test("distributed FFT along a chunked-then-rechunked axis") {
+    val (a, d) = mkArray(4, 6, 2, 3, "fa") // axis 1 chunked -> rechunk first
+    val (re, im) = FFT.fft(a.rechunk(Seq(2, 6)), axis = 1)
+    val reC = re.compute(); val imC = im.compute()
+    for (i <- 0 until 4; k <- 0 until 6) {
+      var er = 0.0; var ei = 0.0
+      for (t <- 0 until 6) {
+        val ang = -2.0 * math.Pi * k * t / 6
+        er += d(i)(t) * math.cos(ang)
+        ei += d(i)(t) * math.sin(ang)
+      }
+      assert(math.abs(reC(i, k) - er) < 1e-8)
+      assert(math.abs(imC(i, k) - ei) < 1e-8)
+    }
+  }
+
+  test("combine raises on misaligned chunk layouts instead of dropping blocks") {
+    val (a, _) = mkArray(6, 6, 2, 3, "ca")
+    val b = a.rechunk(Seq(3, 2))
+    val e = intercept[Exception] { (a + b).sumScalar().compute() }
+    assert(e.getMessage.contains("not aligned") ||
+      Option(e.getCause).exists(_.getMessage.contains("not aligned")))
+  }
+}
