@@ -162,6 +162,62 @@ class WorkflowSpec extends AnyFunSuite {
     ex.shutdown()
   }
 
+  test("4-rank 2x2 grid workflow: sum == 10t (mpi_full_workflow_runner)") {
+    val m = ArrayMeta("grid", Seq(2, 2), Seq(1, 1)).validate()
+    val ex = new WindowedExecutor(spark, Seq(m), persistWindows = false)
+    val asm = new LocalAssembler(ex, Seq(m))
+    val fb = ex.feedback
+    var sums = List.empty[(Long, Double)]
+    ex.registerCallback(Seq(ArrayWindow("grid"))) { args =>
+      val a = args("grid").last
+      sums ::= (a.t, a.sumScalar().compute())
+    }
+    val bridges = (0 until 4).map(r => new GraftBridge(asm, fb, r, Seq(m),
+      Map("grid" -> Seq(r / 2, r % 2))))
+    for (t <- 1L to 3L; b <- bridges)
+      b.send("grid", Array((t * (b.rank + 1)).toDouble), t)
+    bridges.foreach(_.close(4))
+    assert(sums.reverse == (1L to 3L).map(t => (t, 10.0 * t)).toList)
+    ex.shutdown()
+  }
+
+  test("bridge construction validates metadata and positions (test_bridge_init)") {
+    val ex = new WindowedExecutor(spark, Seq(meta), persistWindows = false)
+    val asm = new LocalAssembler(ex, Seq(meta))
+    // out-of-bounds declared position
+    intercept[IllegalArgumentException] {
+      new GraftBridge(asm, ex.feedback, 0, Seq(meta), Map("array" -> Seq(0, 5)))
+    }
+    // position for an undeclared array
+    intercept[IllegalArgumentException] {
+      new GraftBridge(asm, ex.feedback, 0, Seq(meta), Map("ghost" -> Seq(0, 0)))
+    }
+    // invalid metadata propagates from validate()
+    intercept[IllegalArgumentException] {
+      new GraftBridge(asm, ex.feedback, 0,
+        Seq(ArrayMeta("bad", Seq(3, 2), Seq(2, 1))), Map.empty)
+    }
+    // wrong payload size at send time
+    val b = new GraftBridge(asm, ex.feedback, 0, Seq(meta), Map("array" -> Seq(0, 0)))
+    intercept[IllegalArgumentException] { b.send("array", Array(1.0, 2.0), 0) }
+    // duplicate position for the same timestep is rejected (not masked)
+    b.send("array", Array(1.0), 0)
+    intercept[IllegalStateException] { b.send("array", Array(2.0), 0) }
+    ex.shutdown()
+  }
+
+  test("callback registration rejects unknown arrays (test_callback_registration)") {
+    val ex = new WindowedExecutor(spark, Seq(meta), persistWindows = false)
+    intercept[IllegalArgumentException] {
+      ex.registerCallback(Seq(ArrayWindow("nope"))) { _ => () }
+    }
+    intercept[IllegalArgumentException] {
+      ex.registerCallback(Seq.empty) { _ => () }
+    }
+    intercept[IllegalArgumentException] { ArrayWindow("array", 0) }
+    ex.shutdown()
+  }
+
   test("memory discipline: windows evict + shutdown leaves nothing persisted (test_memory_release)") {
     val big = ArrayMeta("big", Seq(64, 64), Seq(64, 64)).validate()
     val ex = new WindowedExecutor(spark, Seq(big))
