@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -188,21 +188,16 @@ final case class DeisaArray(
       val (d, s) = BlockIndex.reduceAxis(b.data, b.shape.toArray, ax, combOp, init)
       Block(b.pos.indices.filter(_ != ax).map(b.pos), s.toIndexedSeq, d)
     }
-    // Cross-chunk elementwise combine: explode to (pos, idx, v), aggregate,
-    // reassemble ordered by idx. Map-side partial agg comes from Catalyst.
-    val aggFn = op match {
-      case "sum" | "mean" => sum(col("v"))
-      case "min" => min(col("v"))
-      case "max" => max(col("v"))
+    // Cross-chunk elementwise combine: shuffle whole partial VECTORS keyed
+    // by the surviving position and fold them elementwise — never a row
+    // per element (an element-level explode would turn an axis reduction
+    // into a full-data shuffle at scale).
+    val foldFn: (Column, Column) => Column = op match {
+      case "sum" | "mean" => _ + _
+      case "min" => (a, b) => least(a, b)
+      case "max" => (a, b) => greatest(a, b)
     }
-    val exploded = partial.toDF()
-      .select(col("pos"), col("shape"), posexplode(col("data")).as(Seq("idx", "v")))
-    val combined = exploded.groupBy(col("pos"), col("shape"), col("idx"))
-      .agg(aggFn.as("v"))
-      .groupBy(col("pos"), col("shape"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("pairs"))
-      .select(col("pos"), col("shape"),
-        transform(col("pairs"), p => p.getField("v")).as("data"))
+    val combined = DeisaArray.foldBlocks(partial.toDF(), foldFn)
     val newShape = globalShape.indices.filter(_ != ax).map(globalShape)
     val result = DeisaArray(combined, newShape, t, name, dtype)
     if (op == "mean") result / globalShape(ax).toDouble else result
@@ -317,22 +312,27 @@ final case class DeisaArray(
         }
       }
     }.toDF("tpos", "off", "fshape", "fdata")
-    // reassemble: explode fragment elements into target-local linear index
-    val assembled = frags.as[(Seq[Int], Seq[Int], Seq[Int], Array[Double])]
-      .flatMap { case (tpos, off, fshape, fdata) =>
-        fdata.indices.map { i =>
-          val li = BlockIndex.delinearize(i, fshape)
-          val tIdx = li.indices.map(d => li(d) + off(d)).toArray
-          (tpos, BlockIndex.linearize(tIdx, ncs.toIndexedSeq), fdata(i))
-        }
-      }.toDF("tpos", "idx", "v")
+    // reassemble FRAGMENTS per target chunk (the shuffle carries block
+    // fragments, never individual elements) and place them with a local
+    // kernel — the same cost shape as dask's rechunk
+    val assembled = frags
       .groupBy(col("tpos"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("pairs"))
-      .select(
-        zip_with(col("tpos"), lit(ncs), (p, c) => p * c).as("pos"),
-        lit(ncs).as("shape"),
-        transform(col("pairs"), p => p.getField("v")).as("data"))
-    DeisaArray(assembled, globalShape, t, name, dtype)
+      .agg(collect_list(struct(col("off"), col("fshape"), col("fdata"))).as("parts"))
+      .as[(Seq[Int], Seq[(Seq[Int], Seq[Int], Array[Double])])]
+      .map { case (tpos, parts) =>
+        val out = new Array[Double](ncs.product)
+        parts.foreach { case (off, fshape, fdata) =>
+          var i = 0
+          while (i < fdata.length) {
+            val li = BlockIndex.delinearize(i, fshape)
+            val tIdx = li.indices.map(d => li(d) + off(d)).toArray
+            out(BlockIndex.linearize(tIdx, ncs.toIndexedSeq)) = fdata(i)
+            i += 1
+          }
+        }
+        Block(tpos.lazyZip(ncs.toIndexedSeq).map(_ * _), ncs.toIndexedSeq, out)
+      }
+    DeisaArray(assembled.toDF(), globalShape, t, name, dtype)
   }
 
   // ---- C17/C18: persist / compute ----
@@ -368,6 +368,21 @@ final case class DeisaArray(
 }
 
 object DeisaArray {
+  /** Elementwise fold of equal-shape blocks sharing a position: one
+    * shuffle of whole data vectors + a zip_with fold — the block-sum
+    * primitive for matmul partials and axis reductions. */
+  private[graft] def foldBlocks(blocks: DataFrame,
+      f: (Column, Column) => Column): DataFrame =
+    blocks.groupBy(col("pos"), col("shape"))
+      .agg(collect_list(col("data")).as("parts"))
+      .select(col("pos"), col("shape"),
+        // fold from the first vector (identity-free: works for sum AND
+        // min/max without inventing a neutral element)
+        aggregate(
+          slice(col("parts"), lit(2), greatest(size(col("parts")) - 1, lit(0))),
+          element_at(col("parts"), 1),
+          (acc, x) => zip_with(acc, x, f)).as("data"))
+
   /** Build from in-memory chunks (test fixtures; mirrors the reference's
     * closed-form test arrays). */
   def fromChunks(spark: SparkSession, chunks: Seq[ChunkRow],

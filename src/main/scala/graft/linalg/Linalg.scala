@@ -47,14 +47,10 @@ object Linalg {
         }
         (Seq(r0, c0), Seq(br, bc), out)
       }.toDF("pos", "shape", "data")
-    // elementwise sum of partial blocks sharing an output position
-    val summed = partial
-      .select(col("pos"), col("shape"), posexplode(col("data")).as(Seq("idx", "v")))
-      .groupBy(col("pos"), col("shape"), col("idx")).agg(sum(col("v")).as("v"))
-      .groupBy(col("pos"), col("shape"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("v")))).as("pairs"))
-      .select(col("pos"), col("shape"),
-        transform(col("pairs"), p => p.getField("v")).as("data"))
+    // elementwise sum of partial blocks sharing an output position: one
+    // shuffle of whole partial vectors, folded with zip_with (no
+    // element-level explode — that would be a row per output cell)
+    val summed = graft.core.DeisaArray.foldBlocks(partial, _ + _)
     DeisaArray(summed, Seq(a.globalShape(0), b.globalShape(1)), a.t,
       s"${a.name}@${b.name}", a.dtype)
   }
