@@ -21,7 +21,13 @@ final case class NDArray(shape: Seq[Int], data: Array[Double]) {
 
 /** Lazy scalar result of a reduction; `compute()` is the action. */
 final case class DeisaScalar(df: DataFrame) {
-  def compute(): Double = df.first().getDouble(0)
+  def compute(): Double = {
+    val row = df.first()
+    if (row.isNullAt(0))
+      throw new IllegalStateException(
+        "reduction over an empty array (no blocks matched)")
+    row.getDouble(0)
+  }
 }
 
 /** The engine's user-visible distributed array: a lazy DataFrame of blocks
@@ -135,8 +141,9 @@ final case class DeisaArray(
   private def blockFold(init: Double, f: (Column, Column) => Column): Column =
     aggregate(col("data"), lit(init), f)
 
+  /** Empty block sets sum to 0, matching numpy's sum of an empty array. */
   def sumScalar(): DeisaScalar =
-    DeisaScalar(df.agg(sum(blockFold(0.0, _ + _)).as("value")))
+    DeisaScalar(df.agg(coalesce(sum(blockFold(0.0, _ + _)), lit(0.0)).as("value")))
 
   /** Order-independent exact sum: per-element cast to Decimal(38, scale)
     * before accumulating, so the result is bit-identical regardless of
@@ -209,10 +216,12 @@ final case class DeisaArray(
     * non-overlapping chunks are filtered out, overlapping ones trimmed). */
   def slice(ranges: Seq[(Int, Int)]): DeisaArray = {
     require(ranges.length == globalShape.length)
-    val rs = ranges.map { case (a, b) =>
-      (math.max(0, a), math.min(b, Int.MaxValue)) }.toArray
-    val clamped = rs.zipWithIndex.map { case ((a, b), i) =>
-      (a, math.min(b, globalShape(i))) }
+    val clamped = ranges.zipWithIndex.map { case ((a, b), i) =>
+      val lo = math.max(0, a)
+      val hi = math.min(b, globalShape(i))
+      require(lo <= hi, s"slice: inverted/out-of-range range ($a, $b) on dim $i of $globalShape")
+      (lo, hi)
+    }.toArray
     import df.sparkSession.implicits._
     val chunkShapeHint = clamped // captured, serializable
     val sliced = df.as[Block].flatMap { b =>
@@ -373,9 +382,16 @@ object DeisaArray {
     * primitive for matmul partials and axis reductions. */
   private[graft] def foldBlocks(blocks: DataFrame,
       f: (Column, Column) => Column): DataFrame =
-    blocks.groupBy(col("pos"), col("shape"))
-      .agg(collect_list(col("data")).as("parts"))
-      .select(col("pos"), col("shape"),
+    blocks.groupBy(col("pos"))
+      .agg(collect_list(col("shape")).as("shapes"),
+        collect_list(col("data")).as("parts"))
+      .select(col("pos"),
+        // partials at one position must agree on shape — differently
+        // chunked inputs would otherwise overlap silently
+        when(size(array_distinct(col("shapes"))) > 1,
+          raise_error(concat(lit("foldBlocks: mismatched block shapes at position "),
+            col("pos").cast("string"), lit(" — rechunk first"))))
+          .otherwise(element_at(col("shapes"), 1)).as("shape"),
         // fold from the first vector (identity-free: works for sum AND
         // min/max without inventing a neutral element)
         aggregate(
@@ -397,13 +413,23 @@ object DeisaArray {
 
   /** Assemble the per-timestep array from a DataFrame of ChunkRows
     * (the scan: SURVEY §2.B — in Spark a filter on (name, t), already
-    * partitioned by position). Grid coords become element offsets here. */
+    * partitioned by position). Grid coords become element offsets here.
+    * Rows are shape-validated in the plan — on the streaming path no
+    * driver-side code sees individual chunks, so the contract check rides
+    * with the scan (reference `validate.py` semantics). */
   def fromChunkRows(chunkRows: DataFrame, meta: ArrayMeta, t: Long): DeisaArray = {
+    val declaredShape = lit(meta.chunkShape.toArray)
+    val checkedData = when(
+      col("shape") =!= declaredShape ||
+        size(col("data")) =!= lit(meta.chunkShape.product),
+      raise_error(concat(
+        lit(s"ContractError: chunk for '${meta.name}' violates declared shape "),
+        col("shape").cast("string")))).otherwise(col("data"))
     val df = chunkRows
       .filter(col("name") === meta.name && col("t") === t)
       .select(
         zip_with(col("pos"), col("shape"), (p, s) => p * s).as("pos"),
-        col("shape"), col("data"))
+        col("shape"), checkedData.as("data"))
     DeisaArray(df, meta.globalShape, t, meta.name)
   }
 }

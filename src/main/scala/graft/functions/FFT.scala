@@ -96,7 +96,10 @@ object FFT {
   }
 
   /** FFT of a DeisaArray along `axis` (axis must be unchunked). Returns
-    * (real part, imaginary part) as two lazy arrays over one mapped plan. */
+    * (real part, imaginary part) as two lazy views over the same mapped
+    * plan; acting on BOTH runs the kernel twice unless the caller persists
+    * one of them (`re.persist()`) — left to the caller so cache lifetime
+    * stays explicit. */
   def fft(arr: DeisaArray, axis: Int): (DeisaArray, DeisaArray) = {
     val gs = arr.globalShape
     require(axis >= 0 && axis < gs.length)

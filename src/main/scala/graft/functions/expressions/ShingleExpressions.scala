@@ -103,12 +103,15 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = true // null for empty shingle sets
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return null
     val arr = v.asInstanceOf[ArrayData]
+    // no shingles -> no signature (callers must pre-filter short texts;
+    // returning sentinel minima would bucket all empty docs together)
+    if (arr.numElements() == 0) return null
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()

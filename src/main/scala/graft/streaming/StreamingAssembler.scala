@@ -79,10 +79,14 @@ final class StreamingAssembler(
       g.contributors += ref
       ref.pendingGroups += 1
     }
-    // second pass: emit completed groups in timestep order
+    // second pass: emit completed groups in timestep order; the sentinel
+    // must go LAST within its timestep (its name sorts before typical
+    // array names, and offering it first would terminate the executor
+    // before the final timestep's data arrays)
     val completed = groups.toSeq
       .filter { case ((name, _), g) => g.positions.size.toLong == metas(name).numChunks }
-      .sortBy { case ((name, t), _) => (t, name) }
+      .sortBy { case ((name, t), _) =>
+        (t, name == ArrayMeta.LastIterationArray, name) }
     completed.foreach { case ((name, t), g) =>
       groups.remove((name, t))
       val source =
@@ -92,5 +96,14 @@ final class StreamingAssembler(
       executor.offer(arr) // persists into the window before we release sources
       g.contributors.foreach(_.release())
     }
+  }
+
+  /** Release every cached batch still referenced by incomplete groups —
+    * call when tearing down an ingest whose stream ended mid-timestep
+    * (otherwise those batches stay persisted; a failed batch fails the
+    * whole query, matching the engine's hard-fail ordering contract). */
+  def shutdown(): Unit = synchronized {
+    groups.values.flatMap(_.contributors).toSet[BatchRef].foreach(_.df.unpersist())
+    groups.clear()
   }
 }

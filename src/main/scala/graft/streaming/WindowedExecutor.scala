@@ -200,6 +200,10 @@ final class LocalAssembler(executor: WindowedExecutor, arrays: Seq[ArrayMeta]) {
       throw new IllegalArgumentException(
         s"ContractError: array '${chunk.name}' was not declared"))
     meta.validatePosition(chunk.pos)
+    require(chunk.shape == meta.chunkShape,
+      s"chunk shape ${chunk.shape} != declared ${meta.chunkShape} for '${chunk.name}'")
+    require(chunk.data.length == meta.chunkShape.product,
+      s"chunk payload ${chunk.data.length} != declared size ${meta.chunkShape.product}")
     val key = (chunk.name, chunk.t)
     val buf = pending.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
     if (buf.exists(_.pos == chunk.pos))

@@ -100,6 +100,28 @@ class NumericsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("empty slice: sum is 0 (numpy), other reductions raise a clear error") {
+    val (a, _) = mkArray(6, 4, 3, 2, "es")
+    val empty = a.slice(Seq((2, 2), (0, 4)))
+    assert(empty.sumScalar().compute() == 0.0)
+    val e = intercept[IllegalStateException] { empty.minScalar().compute() }
+    assert(e.getMessage.contains("empty"))
+    intercept[IllegalArgumentException] { a.slice(Seq((5, 3), (0, 4))) } // inverted
+  }
+
+  test("foldBlocks raises on mismatched partial shapes (differently chunked inputs)") {
+    val (a, _) = mkArray(6, 6, 2, 3, "fb1")
+    val b = a.rechunk(Seq(2, 2))
+    // concatenating differently chunked arrays then reducing the concat
+    // axis puts unequal-shape partials at one position
+    val e = intercept[Exception] {
+      a.concatenate(Seq(b), axis = 0).reduceAxis(0, "sum").compute()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("mismatched block shapes")))
+  }
+
   test("combine raises on misaligned chunk layouts instead of dropping blocks") {
     val (a, _) = mkArray(6, 6, 2, 3, "ca")
     val b = a.rechunk(Seq(3, 2))

@@ -41,6 +41,32 @@ class StreamingSpec extends AnyFunSuite {
       "streaming batches and window members must all be released")
   }
 
+  test("sentinel arriving in the same micro-batch as final data flushes data first") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[ChunkRow]
+    val ex = new WindowedExecutor(spark, Seq(meta))
+    val assembler = new StreamingAssembler(ex, Seq(meta))
+    var seen = List.empty[Long]
+    ex.registerCallback(Seq(ArrayWindow("array"))) { args =>
+      seen ::= args("array").last.t
+    }
+    val query = assembler.attach(stream.toDF(), "graft-test-sentinel")
+    try {
+      // final timestep's chunks AND the close sentinel land in ONE batch;
+      // the sentinel name sorts lexicographically before "array"
+      stream.addData(
+        ChunkRow("array", 0, Seq(0, 0), Seq(1, 1), Array(1.0), "int64"),
+        ChunkRow("array", 0, Seq(0, 1), Seq(1, 1), Array(2.0), "int64"),
+        ChunkRow.sentinel(1))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(ex.isTerminated)
+    assert(seen == List(0L), "the final timestep's callback must fire before termination")
+    ex.shutdown()
+    assembler.shutdown()
+  }
+
   test("chunk-count overflow is rejected (duplicate chunk guard)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
