@@ -84,7 +84,7 @@ object RelationalQueries {
       val n = table(s, d, "nation")
       val r = table(s, d, "region")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -105,12 +105,16 @@ object RelationalQueries {
     CatalogQuery("q03_topk_orders", (s, d) => {
       val li = table(s, d, "lineitem")
       val o = table(s, d, "orders")
-      li.groupBy(col("l_orderkey"))
+      // top-k FIRST (TakeOrderedAndProject over the aggregate), then join
+      // the 10 surviving keys against orders — the join touches 10 rows
+      // instead of every order
+      val top = li.groupBy(col("l_orderkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+      broadcast(top).join(o, col("l_orderkey") === o("o_orderkey"))
         .select(col("o_orderkey"), col("revenue"), dateStr(col("o_orderdate")).as("orderdate"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
-        .limit(10)
     }, Some(s"""
       SELECT o_orderkey, revenue, ${oDateStr("o_orderdate")} AS orderdate
       FROM (SELECT l_orderkey, ${oSum("l_extendedprice * (1 - l_discount)")} AS revenue
