@@ -238,6 +238,57 @@ object RelationalQueries {
           ON user_id = o_custkey AND o_orderdate <= ts) t
       WHERE rn = 1 ORDER BY event_id"""), headline = true),
 
+    CatalogQuery("q14_cube", (s, d) => {
+      table(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_discount")).as("sum_disc"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        ${oSum("l_discount")} AS sum_disc
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    CatalogQuery("q15_date_functions", (s, d) => {
+      table(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          countDistinct(dayofmonth(col("o_orderdate"))).as("active_days"))
+        .orderBy(col("yr"), col("mo"))
+    }, Some(s"""
+      SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        count(*) AS n_orders, ${oSum("o_totalprice")} AS total,
+        count(DISTINCT day(o_orderdate)) AS active_days
+      FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    CatalogQuery("q16_correlated_subquery", (s, d) => {
+      // orders strictly above their customer's average order value
+      val o = table(s, d, "orders")
+      val avgPer = o.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1))).as("avg_price"))
+      o.join(avgPer, col("o_custkey") === col("ck"))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, o_custkey FROM orders o1
+      WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+      ORDER BY o_orderkey""")),
+
+    CatalogQuery("q17_approx_distinct", (s, d) => {
+      // HLL sketch + exact control: approx value is engine-specific so the
+      // oracle is omitted (driver records the weaker rows-only check); the
+      // exact column is covered by q09's oracle
+      table(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    }, None),
+
     CatalogQuery("q13_set_ops", (s, d) => {
       val c = table(s, d, "customer").select(col("c_nationkey").as("k"))
       val sup = table(s, d, "supplier").select(col("s_nationkey").as("k"))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.relational.QueryCatalog
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape assertions — the 100 TB discipline checks: filters reach the
@@ -51,6 +52,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(Seq("l_quantity", "l_discount", "l_extendedprice").forall(readSchema.contains))
     assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
       s"column pruning failed: $readSchema")
+  }
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    // the 100 TB fact-fact join story: bucket both sides on the join key
+    // and the shuffle disappears entirely
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // a previous JVM's metastore may be gone while the data dir remains
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val p = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (p.exists()) { import scala.reflect.io.Directory; new Directory(p).deleteRecursively() }
+    }
+    graft.relational.QueryHelpers.table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    graft.relational.QueryHelpers.table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+    // force the shuffle-join path (broadcast would win at this toy size
+    // and hide what bucketing buys on a fact-fact join)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("qs01 broadcasts the query vectors (no shuffle of the corpus)") {
