@@ -289,6 +289,41 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
     }, None),
 
+    CatalogQuery("q18_sessionize", (s, d) => {
+      // session windows via gaps-and-islands: a new session starts after
+      // >30 min of inactivity per user; Structured Streaming's
+      // session_window gives the same semantics online, this is the
+      // batch/replay formulation with an exact SQL oracle
+      val e = events(s, d)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sessions = e
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(byUser))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("session_value"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some(s"""
+      WITH marked AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      sessions AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked)
+      SELECT user_id, session_id, count(*) AS n_events,
+        ${oSum("value")} AS session_value,
+        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+      FROM sessions GROUP BY user_id, session_id
+      ORDER BY user_id, session_id"""), headline = true),
+
     CatalogQuery("q13_set_ops", (s, d) => {
       val c = table(s, d, "customer").select(col("c_nationkey").as("k"))
       val sup = table(s, d, "supplier").select(col("s_nationkey").as("k"))
