@@ -44,6 +44,21 @@ class SinksSpec extends AnyFunSuite {
     assert(back.shape == Seq(2) && back.data.toSeq == Seq(1.0, 2.0))
   }
 
+  test("3-D zarr round trip over a multi-block grid") {
+    val meta = ArrayMeta("vol", Seq(4, 4, 2), Seq(2, 2, 2)).validate()
+    val rng = new scala.util.Random(3)
+    val chunks = for (i <- 0 until 2; j <- 0 until 2; k <- 0 until 1) yield
+      ChunkRow("vol", 0, Seq(i, j, k), Seq(2, 2, 2),
+        Array.fill(8)(rng.nextInt(100).toDouble), "float64")
+    val arr = DeisaArray.fromChunks(spark, chunks, meta, 0)
+    val dense = arr.compute()
+    val store = java.nio.file.Files.createTempDirectory("graft-zarr3d").toString
+    ZarrSink.write(arr, store)
+    val back = ZarrSink.read(store)
+    assert(back.shape == Seq(4, 4, 2))
+    assert(back.data.toSeq == dense.data.toSeq)
+  }
+
   test("manifest (VDS-equivalent) round trip: single + multi dataset") {
     val store = Files.createTempDirectory("graft-manifest").toString
     val a = mkArr(5)
