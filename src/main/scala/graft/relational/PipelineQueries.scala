@@ -34,6 +34,34 @@ object PipelineQueries {
   private def oShingles(textExpr: String): String =
     s"list_distinct([substr($textExpr, i, $ShingleN) for i in range(1, greatest(length($textExpr) - ${ShingleN - 1}, 0) + 1)])"
 
+  /** CTE chain reproducing qd02's verified near-dup pairs — shared by the
+    * qd02 oracle and qd06's connected-components oracle. */
+  private def oMinhashPairsCtes: String = {
+    val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
+      val parts = Seq(s"'$bnd'") ++
+        (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
+      parts.mkString(" || '|' || ")
+    }.mkString(", ")
+    s"""sh AS (
+        SELECT doc_id,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                         for g in ${oShingles("text")}]) AS hs
+        FROM documents WHERE length(text) >= $ShingleN),
+      sig AS (
+        SELECT doc_id, ${TextOps.oracleMinhashSignature("hs", NumPerms)} AS mh FROM sh),
+      banded AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT id_a, id_b,
+          len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+        FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
+        WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold)"""
+  }
+
   val all: Seq[CatalogQuery] = Seq(
 
     // ---------- deduplication ----------
@@ -86,32 +114,30 @@ object PipelineQueries {
             (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
         .orderBy(col("id_a"), col("id_b"))
-    }, Some {
-      val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
-        val parts = Seq(s"'$bnd'") ++
-          (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
-        parts.mkString(" || '|' || ")
-      }.mkString(", ")
-      s"""
-      WITH sh AS (
-        SELECT doc_id,
-          list_distinct([CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
-                         for g in ${oShingles("text")}]) AS hs
-        FROM documents WHERE length(text) >= $ShingleN),
-      sig AS (
-        SELECT doc_id, ${TextOps.oracleMinhashSignature("hs", NumPerms)} AS mh FROM sh),
-      banded AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
-      SELECT id_a, id_b,
-        len(list_intersect(x.hs, y.hs))::DOUBLE /
-          (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
-      FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
-      WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
-          (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold
-      ORDER BY id_a, id_b"""
-    }, headline = true),
+    }, Some(s"""
+      WITH $oMinhashPairsCtes
+      SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b"""),
+      headline = true),
+
+    CatalogQuery("qd06_dedup_clusters", (s, d) => {
+      // canonical-document assignment: connected components over the
+      // verified near-dup pairs (pointer-jumping label propagation,
+      // O(log diameter) join rounds)
+      val pairs = QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+        .select(col("id_a"), col("id_b"))
+      graft.pipeline.Dedup.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
+      SELECT id AS doc_id, min(lab) AS canonical_id
+      FROM reach GROUP BY id ORDER BY doc_id""")),
 
     CatalogQuery("qd03_simhash", (s, d) => {
       table(s, d, "documents")
