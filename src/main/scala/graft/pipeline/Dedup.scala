@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** `pairs`: columns (id_a, id_b). Returns (doc_id, canonical_id) for
-    * every id that appears in a pair, canonical = smallest id reachable. */
+    * every id that appears in a pair, canonical = smallest id reachable.
+    * The result is localCheckpoint-backed (lineage truncation is what
+    * makes the iteration feasible) — `unpersist()` it when done. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))

@@ -7,25 +7,35 @@ class DedupSpec extends AnyFunSuite {
   private val spark = GraftTestSpark.spark
   import spark.implicits._
 
+  // the result is localCheckpoint-backed; unpersist after asserting so the
+  // shared test session stays clean for the memory-discipline suites
+  private def withResult(pairs: org.apache.spark.sql.DataFrame)(
+      f: Array[org.apache.spark.sql.Row] => Unit): Unit = {
+    val df = Dedup.connectedComponents(pairs)
+    try f(df.collect()) finally df.unpersist()
+  }
+
   test("connected components assigns the smallest reachable id as canonical") {
     // components: {1,2,3,9}, {4,5}, {7,8} — chain 1-2, 2-3, 3-9 needs
     // multiple propagation rounds
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L), (7L, 8L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
+    withResult(pairs) { rows =>
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+        4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
+    }
   }
 
   test("long chain converges (diameter > a couple of iterations)") {
     val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-    assert(got.length == 31 && got.forall(_.getLong(1) == 0L))
+    withResult(pairs) { rows =>
+      assert(rows.length == 31 && rows.forall(_.getLong(1) == 0L))
+    }
   }
 
   test("no pairs -> empty assignment") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
-    assert(Dedup.connectedComponents(pairs).count() == 0)
+    withResult(pairs)(rows => assert(rows.isEmpty))
   }
 }
