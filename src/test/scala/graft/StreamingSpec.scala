@@ -67,6 +67,36 @@ class StreamingSpec extends AnyFunSuite {
     assembler.shutdown()
   }
 
+  test("long streaming run keeps cached data bounded (zero-spill analogue)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = ArrayMeta("stream", Seq(2, 2), Seq(1, 1)).validate()
+    val stream = MemoryStream[ChunkRow]
+    val ex = new WindowedExecutor(spark, Seq(m))
+    val assembler = new StreamingAssembler(ex, Seq(m))
+    var fired = 0
+    ex.registerCallback(Seq(ArrayWindow("stream"))) { _ => fired += 1 }
+    val query = assembler.attach(stream.toDF(), "graft-test-bounded")
+    try {
+      for (t <- 0L until 40L) {
+        for (r <- 0 until 4)
+          stream.addData(ChunkRow("stream", t, Seq(r / 2, r % 2), Seq(1, 1),
+            Array(t.toDouble), "float64"))
+        query.processAllAvailable()
+        // reference invariant (test_memory_release): a long run must not
+        // accumulate cached state — at most the live window member, the
+        // open batch's array, and the current source batch
+        val cached = spark.sparkContext.getPersistentRDDs.size
+        assert(cached <= 6, s"t=$t: $cached cached RDDs — caches are leaking")
+      }
+      stream.addData(ChunkRow.sentinel(40))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(fired == 40)
+    ex.shutdown(); assembler.shutdown()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("chunk-count overflow is rejected (duplicate chunk guard)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
