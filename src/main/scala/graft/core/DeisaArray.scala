@@ -101,6 +101,7 @@ final case class DeisaArray(
   def *(other: DeisaArray): DeisaArray = combine(other, _ * _)
   def +(other: DeisaArray): DeisaArray = combine(other, _ + _)
   def -(other: DeisaArray): DeisaArray = combine(other, _ - _)
+  def /(other: DeisaArray): DeisaArray = combine(other, _ / _)
 
   /** Numpy-style broadcast combine with a rank-(n-1) array equal to this
     * shape with `axis` removed (e.g. `arr - arr.mean(axis=0)`). The reduced
