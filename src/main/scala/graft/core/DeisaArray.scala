@@ -211,6 +211,14 @@ final case class DeisaArray(
     if (op == "mean") result / globalShape(ax).toDouble else result
   }
 
+  /** Population std along an axis, composed from axis means:
+    * sqrt(E[x²] - E[x]²), numpy ddof=0 semantics. */
+  def stdAxis(axis: Int): DeisaArray = {
+    val m = reduceAxis(axis, "mean")
+    val m2 = powElems(2).reduceAxis(axis, "mean")
+    m2.combine(m, (a, b) => sqrt(greatest(a - b * b, lit(0.0))))
+  }
+
   // ---- C7: slicing ----
 
   /** Sub-array for per-dim [start, stop) ranges (block-level kernel:

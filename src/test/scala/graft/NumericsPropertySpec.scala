@@ -48,6 +48,17 @@ class NumericsPropertySpec extends AnyFunSuite {
     for (j <- 0 until 6) assert(mx(j) == (0 until 6).map(d(_)(j)).max)
   }
 
+  test("stdAxis equals dense population std per axis") {
+    val (a, d) = mkArray(6, 6, 2, 3, "sd")
+    val s0 = a.stdAxis(0).compute()
+    for (j <- 0 until 6) {
+      val colVals = (0 until 6).map(d(_)(j))
+      val mean = colVals.sum / 6.0
+      val expect = math.sqrt(colVals.map(v => (v - mean) * (v - mean)).sum / 6.0)
+      assert(math.abs(s0(j) - expect) < 1e-9, s"col $j")
+    }
+  }
+
   test("rechunk preserves content for several target shapes") {
     val (a, d) = mkArray(6, 6, 2, 3, "rc")
     for (target <- Seq(Seq(3, 2), Seq(6, 6), Seq(1, 1), Seq(2, 2))) {
