@@ -77,7 +77,24 @@ final case class DeisaArray(
   def whereGt(thresh: Double, otherwise: Double): DeisaArray =
     elementwise(x => when(x > lit(thresh), x).otherwise(lit(otherwise)))
 
-  def astype(dt: String): DeisaArray = copy(dtype = dt)
+  /** Dtype cast with VALUE semantics (numpy astype): integer targets
+    * truncate toward zero, float32 rounds through single precision. Block
+    * payloads stay physically float64 (the engine's storage type) — the
+    * cast constrains the values, the `dtype` tag records the logical type
+    * for sinks. In-range values only (numpy's overflow behavior is
+    * implementation-defined anyway). */
+  def astype(dt: String): DeisaArray = {
+    val converted = dt match {
+      case "float64" | "f8" | "double" => this
+      case "float32" | "f4" | "float" => elementwise(_.cast("float").cast("double"))
+      case "int64" | "i8" | "long" => elementwise(_.cast("long").cast("double"))
+      case "int32" | "i4" | "int" => elementwise(_.cast("int").cast("double"))
+      case "int16" | "i2" | "short" => elementwise(_.cast("short").cast("double"))
+      case "int8" | "i1" | "byte" => elementwise(_.cast("byte").cast("double"))
+      case other => throw new IllegalArgumentException(s"astype: unsupported dtype '$other'")
+    }
+    converted.copy(dtype = dt)
+  }
 
   // ---- C6: elementwise array ⊗ array (equi-join on chunk position) ----
 
@@ -104,34 +121,78 @@ final case class DeisaArray(
   def /(other: DeisaArray): DeisaArray = combine(other, _ / _)
 
   /** Numpy-style broadcast combine with a rank-(n-1) array equal to this
-    * shape with `axis` removed (e.g. `arr - arr.mean(axis=0)`). The reduced
-    * operand is by construction small (it lost a dimension), so it is
-    * gathered and broadcast to the executors — the same shape of data
-    * movement a distributed broadcast join would do. */
+    * shape with `axis` removed (e.g. `arr - arr.mean(axis=0)`).
+    *
+    * Two physical paths, chosen by the reduced operand's size (known from
+    * metadata, no action needed):
+    *  - small (fits `broadcastElemLimit` doubles): gather to the driver and
+    *    broadcast — one task-side lookup table, zero shuffle;
+    *  - large (a wide surviving dimension can be GBs at 100 TB — a driver
+    *    gather would bottleneck): distributed equi-join on the surviving
+    *    position dims. The reduced operand's chunk grid is the projection
+    *    of this array's grid (reduceAxis preserves surviving-dim block
+    *    structure), so each block joins exactly its projected counterpart —
+    *    the same alignment contract as [[combine]], enforced with a hard
+    *    failure on mismatch. */
   def combineBroadcast(other: DeisaArray, axis: Int,
-      f: (Double, Double) => Double): DeisaArray = {
+      f: (Double, Double) => Double,
+      broadcastElemLimit: Long = 4L << 20): DeisaArray = {
     val expected = globalShape.indices.filter(_ != axis).map(globalShape)
     require(other.globalShape == expected,
       s"broadcast shape ${other.globalShape} incompatible with $globalShape minus axis $axis")
-    val small = other.compute()
-    val bc = spark.sparkContext.broadcast(small)
     val ax = axis
     import df.sparkSession.implicits._
-    val out = df.as[Block].map { b =>
-      val sm = bc.value
-      val shape = b.shape
-      val data = new Array[Double](b.data.length)
-      var i = 0
-      while (i < data.length) {
-        val li = BlockIndex.delinearize(i, shape)
-        val oIdx = li.indices.filter(_ != ax)
-          .map(d => li(d) + b.pos(d)).toArray
-        data(i) = f(b.data(i), sm.data(BlockIndex.linearize(oIdx, sm.shape)))
-        i += 1
+    if (other.numElements <= broadcastElemLimit) {
+      val small = other.compute()
+      val bc = spark.sparkContext.broadcast(small)
+      val out = df.as[Block].map { b =>
+        val sm = bc.value
+        val shape = b.shape
+        val data = new Array[Double](b.data.length)
+        var i = 0
+        while (i < data.length) {
+          val li = BlockIndex.delinearize(i, shape)
+          val oIdx = li.indices.filter(_ != ax)
+            .map(d => li(d) + b.pos(d)).toArray
+          data(i) = f(b.data(i), sm.data(BlockIndex.linearize(oIdx, sm.shape)))
+          i += 1
+        }
+        Block(b.pos, b.shape, data)
       }
-      Block(b.pos, b.shape, data)
+      copy(df = out.toDF())
+    } else {
+      // distributed path: key = position projected onto the surviving dims.
+      // Blocks stacked along `axis` share a key, so the join replicates each
+      // reduced block once per stacked source block — exactly the data
+      // movement required, shuffled instead of driver-gathered.
+      val l = df.select(col("pos"), col("shape"), col("data"))
+        .withColumn("jkey", filter(col("pos"), (_, i) => i =!= lit(ax)))
+      val r = other.df.select(col("pos").as("jkey"),
+        col("shape").as("oshape"), col("data").as("odata"))
+      val joined = l.join(r, Seq("jkey"), "full_outer")
+        .select(col("pos"), col("shape"), col("data"), col("oshape"), col("odata"))
+        .as[(Seq[Int], Seq[Int], Array[Double], Seq[Int], Array[Double])]
+      val out = joined.map { case (pos, shape, data, oshape, odata) =>
+        if (pos == null || odata == null)
+          throw new IllegalStateException(
+            "combineBroadcast: chunk layouts are not aligned (the reduced " +
+              "operand's grid is not the projection of this array's grid) — rechunk first")
+        val projShape = shape.indices.filter(_ != ax).map(shape)
+        if (oshape != projShape)
+          throw new IllegalStateException(
+            s"combineBroadcast: reduced block shape $oshape != projected $projShape — rechunk first")
+        val out = new Array[Double](data.length)
+        var i = 0
+        while (i < out.length) {
+          val li = BlockIndex.delinearize(i, shape)
+          val oIdx = li.indices.filter(_ != ax).map(li).toArray
+          out(i) = f(data(i), odata(BlockIndex.linearize(oIdx, oshape)))
+          i += 1
+        }
+        Block(pos, shape, out)
+      }
+      copy(df = out.toDF())
     }
-    copy(df = out.toDF())
   }
 
   def minusBroadcast(other: DeisaArray, axis: Int): DeisaArray =

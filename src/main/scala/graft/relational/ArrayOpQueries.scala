@@ -152,6 +152,16 @@ object ArrayOpQueries {
              round(sqrt(greatest((a + c - sqrt((a - c)*(a - c) + 4*b*b)) / 2, 0)), 4) AS sigma2
       FROM g""")),
 
+    // C12b: astype VALUE semantics — sqrt gives fractional values, the
+    // int32 cast truncates them toward zero (numpy astype), and the sum of
+    // the truncated integers is exact in double. Oracle uses trunc()
+    // explicitly: DuckDB's CAST(DOUBLE AS INT) rounds where Spark/numpy
+    // truncate.
+    CatalogQuery("qc17_arr_astype", (s, d) =>
+      qty(s, d).sqrtElems().astype("int32").sumScalar().df
+        .withColumnRenamed("value", "s"),
+      Some("SELECT CAST(sum(CAST(trunc(sqrt(l_quantity)) AS BIGINT)) AS DOUBLE) AS s FROM lineitem")),
+
     // C16: FFT of the first 8 elements (single chunk; DFT closed form)
     CatalogQuery("qc16_arr_fft", (s, d) => {
       val a = qty(s, d).slice(Seq((0, 8)))

@@ -133,6 +133,50 @@ class NumericsPropertySpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("mismatched block shapes")))
   }
 
+  test("combineBroadcast distributed path (multi-block reduced operand) equals dense reference") {
+    val (a, d) = mkArray(6, 6, 2, 3, "cbd") // mean(axis=0) has 2 blocks of 3
+    val mean0 = a.reduceAxis(0, "mean")
+    // limit 0 forces the equi-join path regardless of size
+    val got = a.combineBroadcast(mean0, axis = 0, _ - _, broadcastElemLimit = 0).compute()
+    val viaBroadcast = a.combineBroadcast(mean0, axis = 0, _ - _).compute()
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val colMean = (0 until 6).map(d(_)(j)).sum / 6.0
+      assert(math.abs(got(i, j) - (d(i)(j) - colMean)) < 1e-12, s"($i,$j)")
+      assert(got(i, j) == viaBroadcast(i, j), s"paths diverge at ($i,$j)")
+    }
+    // axis=1: reduced operand blocks along rows
+    val mean1 = a.reduceAxis(1, "mean")
+    val got1 = a.combineBroadcast(mean1, axis = 1, _ - _, broadcastElemLimit = 0).compute()
+    for (i <- 0 until 6; j <- 0 until 6) {
+      val rowMean = d(i).sum / 6.0
+      assert(math.abs(got1(i, j) - (d(i)(j) - rowMean)) < 1e-12, s"axis1 ($i,$j)")
+    }
+  }
+
+  test("combineBroadcast distributed path raises on misprojected reduced grid") {
+    val (a, _) = mkArray(6, 6, 2, 3, "cbm")
+    val mis = a.reduceAxis(0, "mean").rechunk(Seq(2)) // grid no longer the projection
+    val e = intercept[Exception] {
+      a.combineBroadcast(mis, axis = 0, _ - _, broadcastElemLimit = 0).compute()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("rechunk first")))
+  }
+
+  test("astype applies value semantics (int truncation, float32 rounding)") {
+    val (a, d) = mkArray(6, 6, 2, 3, "at")
+    val frac = a / 3.0
+    val asInt = frac.astype("int32").compute()
+    for (i <- 0 until 6; j <- 0 until 6)
+      assert(asInt(i, j) == (d(i)(j) / 3.0).toInt.toDouble, s"($i,$j)")
+    val asF32 = frac.astype("float32").compute()
+    for (i <- 0 until 6; j <- 0 until 6)
+      assert(asF32(i, j) == (d(i)(j) / 3.0).toFloat.toDouble, s"f32 ($i,$j)")
+    assert(frac.astype("int64").dtype == "int64")
+    intercept[IllegalArgumentException] { a.astype("complex128") }
+  }
+
   test("combine raises on misaligned chunk layouts instead of dropping blocks") {
     val (a, _) = mkArray(6, 6, 2, 3, "ca")
     val b = a.rechunk(Seq(3, 2))
