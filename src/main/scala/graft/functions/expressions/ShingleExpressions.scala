@@ -5,7 +5,8 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * for bit. This is the preference-order case (b) from SURVEY §7.1: a
   * custom Expression where built-ins exist but measurably can't keep up
   * (the shingling stage dominates dedup at corpus scale).
+  *
+  * Codegen: `doGenCode` emits a direct call into [[compute]] (via a
+  * reference object), so the expression stays inside whole-stage codegen —
+  * no per-row virtual `eval` dispatch, no fallback-induced pipeline break.
   */
-case class ShingleHash60(child: Expression, n: Int)
-    extends Expression with CodegenFallback {
+case class ShingleHash60(child: Expression, n: Int) extends Expression {
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -32,9 +36,11 @@ case class ShingleHash60(child: Expression, n: Int)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return null
-    val s = v.asInstanceOf[UTF8String]
-    val md = MessageDigest.getInstance("MD5")
+    if (v == null) null else compute(v.asInstanceOf[UTF8String])
+  }
+
+  def compute(s: UTF8String): ArrayData = {
+    val md = ShingleHash60.digest.get()
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (s.numBytes == s.numChars) {
       // ASCII fast path: grams are byte slices
@@ -89,17 +95,37 @@ case class ShingleHash60(child: Expression, n: Int)
     v >>> 4
   }
 
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHash60", this, classOf[ShingleHash60].getName)
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      $arrayCls ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $ref.compute(${childGen.value});
+      }""")
+  }
+
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(child = c.head)
+}
+
+object ShingleHash60 {
+  // MessageDigest is stateful and not thread-safe; one per executor thread
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 /** MinHash signature over a long-array column in a single pass: for each of
   * `numPerms` affine permutations over the Mersenne field 2^31-1, the
   * minimum permuted value. Replaces numPerms × (transform + array_min)
   * interpreted passes with one loop. Constants must match
-  * graft.pipeline.TextOps.minhashA/B (shared with the DuckDB oracle). */
+  * graft.pipeline.TextOps.minhashA/B (shared with the DuckDB oracle).
+  * Codegen'd via a reference-object call, same as [[ShingleHash60]]. */
 case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -107,8 +133,10 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) return null
-    val arr = v.asInstanceOf[ArrayData]
+    if (v == null) null else computeSig(v.asInstanceOf[ArrayData])
+  }
+
+  def computeSig(arr: ArrayData): ArrayData = {
     // no shingles -> no signature (callers must pre-filter short texts;
     // returning sentinel minima would bucket all empty docs together)
     if (arr.numElements() == 0) return null
@@ -129,6 +157,20 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
     new GenericArrayData(mins)
   }
 
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      $arrayCls ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $ref.computeSig(${childGen.value});
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(child = c.head)
 }
@@ -136,15 +178,17 @@ case class MinHashSig(child: Expression, as: Array[Long], bs: Array[Long], p: Lo
 /** |a ∩ b| for two SORTED long arrays as a single merge scan — O(n+m) with
   * zero allocation, vs array_intersect's per-call hash set build. Both
   * inputs must be sorted ascending and duplicate-free (ShingleHash60's
-  * output contract). */
+  * output contract). Codegen'd: the merge runs as a direct call inside the
+  * enclosing whole-stage-generated method. */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    computeCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def computeCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < na && j < nb) {
@@ -154,6 +198,12 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       else j += 1
     }
     c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedIntersect", this,
+      classOf[SortedLongIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.computeCount($a, $b);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

@@ -54,6 +54,26 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("expressions run under whole-stage codegen with fallback disabled") {
+    // spark.sql.codegen.fallback=true (the default) would silently mask a
+    // broken doGenCode by reverting to interpreted eval — disable it so a
+    // codegen compile error fails the test instead
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = texts.filter(length(col("text")) >= 4)
+        .select(col("text"), shingleHash60(col("text"), 4).as("hs"))
+        .select(
+          minhashSig(col("hs"), 8).as("sig"),
+          sortedIntersectCount(col("hs"), col("hs")).as("self"),
+          size(col("hs")).as("n"))
+        .collect()
+      assert(r.nonEmpty)
+      r.foreach(row => assert(row.getInt(1) == row.getInt(2))) // |a ∩ a| == |a|
+      r.foreach(row => assert(row.getSeq[Long](0).length == 8))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("hash60 matches the documented md5-prefix convention") {
     // md5('abc') = 900150983cd24fb0d6963f7d28e17f72; first 15 hex digits
     // as a number = 648541476951500027 (cross-checked against DuckDB)
