@@ -46,12 +46,28 @@ final case class DeisaArray(
     globalShape: Seq[Int],
     t: Long,
     name: String = "array",
-    dtype: String = "float64"
+    dtype: String = "float64",
+    dims: Seq[String] = Seq.empty
 ) {
   import org.apache.spark.sql.Column
 
+  require(dims.isEmpty || dims.length == globalShape.length,
+    s"dims $dims must name every axis of $globalShape")
+
   def spark: SparkSession = df.sparkSession
   def numElements: Long = globalShape.map(_.toLong).product
+
+  /** Name the axes (xarray-style, C20): propagated through shape-preserving
+    * ops, permuted by transpose, dropped by axis reductions, and persisted
+    * by the sinks (manifest `dims`, zarr `.zattrs` `_ARRAY_DIMENSIONS`). */
+  def withDims(names: Seq[String]): DeisaArray = copy(dims = names)
+
+  /** Resolve an axis by its name (requires dims to be set). */
+  def axisOf(dim: String): Int = {
+    val i = dims.indexOf(dim)
+    require(i >= 0, s"unknown dim '$dim' (dims: $dims)")
+    i
+  }
 
   private def withData(f: Column => Column): DeisaArray =
     copy(df = df.select(col("pos"), col("shape"), f(col("data")).as("data")))
@@ -268,7 +284,8 @@ final case class DeisaArray(
     }
     val combined = DeisaArray.foldBlocks(partial.toDF(), foldFn)
     val newShape = globalShape.indices.filter(_ != ax).map(globalShape)
-    val result = DeisaArray(combined, newShape, t, name, dtype)
+    val newDims = if (dims.isEmpty) dims else dims.indices.filter(_ != ax).map(dims)
+    val result = DeisaArray(combined, newShape, t, name, dtype, newDims)
     if (op == "mean") result / globalShape(ax).toDouble else result
   }
 
@@ -305,7 +322,7 @@ final case class DeisaArray(
       }
     }
     val newShape = clamped.map { case (a, b) => b - a }.toIndexedSeq
-    DeisaArray(sliced.toDF(), newShape, t, name, dtype)
+    DeisaArray(sliced.toDF(), newShape, t, name, dtype, dims)
   }
 
   // ---- C8: transpose ----
@@ -318,7 +335,8 @@ final case class DeisaArray(
       val (d, s) = BlockIndex.transposeBlock(b.data, b.shape.toArray, ax)
       Block(ax.map(b.pos).toIndexedSeq, s.toIndexedSeq, d)
     }
-    DeisaArray(out.toDF(), axes.map(globalShape), t, name, dtype)
+    val newDims = if (dims.isEmpty) dims else axes.map(dims)
+    DeisaArray(out.toDF(), axes.map(globalShape), t, name, dtype, newDims)
   }
 
   def T: DeisaArray = transpose(globalShape.indices.reverse)
@@ -346,7 +364,7 @@ final case class DeisaArray(
     val unioned = parts.reduce(_ union _)
     val newShape = globalShape.updated(axis,
       all.map(_.globalShape(axis)).sum)
-    DeisaArray(unioned.toDF(), newShape, t, name, dtype)
+    DeisaArray(unioned.toDF(), newShape, t, name, dtype, dims)
   }
 
   /** Re-chunk to a new regular chunk shape. One shuffle keyed by target
@@ -411,7 +429,7 @@ final case class DeisaArray(
         }
         Block(tpos.lazyZip(ncs.toIndexedSeq).map(_ * _), ncs.toIndexedSeq, out)
       }
-    DeisaArray(assembled.toDF(), globalShape, t, name, dtype)
+    DeisaArray(assembled.toDF(), globalShape, t, name, dtype, dims)
   }
 
   // ---- C17/C18: persist / compute ----

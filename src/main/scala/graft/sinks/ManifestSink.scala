@@ -30,10 +30,14 @@ object ManifestSink {
       Files.write(Paths.get(dirStr, fname), buf.array())
       (b.pos.mkString(","), b.shape.mkString(","), fname)
     }.collect() // tiny: one entry per block
+    val dimsField =
+      if (arr.dims.isEmpty) ""
+      else arr.dims.map(d => "\"" + d + "\"").mkString(",\"dims\":[", ",", "]")
     val manifest = new StringBuilder()
       .append("{\"global_shape\":[").append(arr.globalShape.mkString(","))
       .append("],\"fill_value\":").append(fillValue)
       .append(",\"t\":").append(arr.t)
+      .append(dimsField)
       .append(",\"chunks\":[")
     manifest.append(entries.map { case (pos, shape, f) =>
       s"""{"pos":[$pos],"shape":[$shape],"file":"$f"}"""
@@ -46,6 +50,16 @@ object ManifestSink {
     * `to_hdf5(fname, {name: array})` dict form, `types.py:318-336`). */
   def writeAll(arrays: Map[String, DeisaArray], store: String): Unit =
     arrays.foreach { case (name, arr) => write(arr, store, name) }
+
+  /** Axis names recorded in the manifest (empty when unnamed). */
+  def readDims(store: String, dataset: String): Seq[String] = {
+    val m = Files.readString(Paths.get(store, dataset).resolve("manifest.json"))
+    "\"dims\":\\[([^\\]]*)\\]".r.findFirstMatchIn(m) match {
+      case Some(g) =>
+        "\"([^\"]*)\"".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
+      case None => Seq.empty
+    }
+  }
 
   /** Driver-side reader for round-trip tests. */
   def read(store: String, dataset: String): NDArray = {

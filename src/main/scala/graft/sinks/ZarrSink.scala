@@ -60,6 +60,10 @@ object ZarrSink {
       s""""fill_value":$fillValue,"filters":null,"order":"C",""" +
       s""""shape":[${gs.mkString(",")}],"zarr_format":2}"""
     Files.writeString(dir.resolve(".zarray"), meta)
+    // named dims via the public xarray convention: .zattrs _ARRAY_DIMENSIONS
+    if (arr.dims.nonEmpty)
+      Files.writeString(dir.resolve(".zattrs"),
+        s"""{"_ARRAY_DIMENSIONS":[${arr.dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
 
     val dirStr = dir.toString
     val cs = chunkShape.toArray
@@ -85,6 +89,19 @@ object ZarrSink {
         Files.write(Paths.get(dirStr, gridIdx.mkString(".")), buf.array())
       }
     }
+  }
+
+  /** Axis names from .zattrs `_ARRAY_DIMENSIONS` (empty when unnamed). */
+  def readDims(store: String, component: String = ""): Seq[String] = {
+    val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)
+    val f = dir.resolve(".zattrs")
+    if (!Files.exists(f)) Seq.empty
+    else "\"_ARRAY_DIMENSIONS\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(Files.readString(f)) match {
+        case Some(g) =>
+          "\"([^\"]*)\"".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
+        case None => Seq.empty
+      }
   }
 
   /** Driver-side reader for round-trip tests. */

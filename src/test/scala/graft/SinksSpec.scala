@@ -87,6 +87,29 @@ class SinksSpec extends AnyFunSuite {
     ex.shutdown()
   }
 
+  test("named dims round-trip through both sinks and track ops (C20)") {
+    val named = mkArr(2).withDims(Seq("y", "x"))
+    // propagation: transpose permutes, reduceAxis drops, slice keeps
+    assert(named.T.dims == Seq("x", "y"))
+    assert(named.reduceAxis(0, "sum").dims == Seq("x"))
+    assert(named.slice(Seq((0, 1), (0, 2))).dims == Seq("y", "x"))
+    assert((named * 2.0).dims == Seq("y", "x"))
+    assert(named.axisOf("x") == 1)
+    intercept[IllegalArgumentException] { named.axisOf("z") }
+    intercept[IllegalArgumentException] { mkArr(2).withDims(Seq("only-one")) }
+    // sinks persist the names (zarr: xarray _ARRAY_DIMENSIONS convention)
+    val zs = Files.createTempDirectory("graft-zarr-dims").toString
+    ZarrSink.write(named, zs, "data")
+    assert(ZarrSink.readDims(zs, "data") == Seq("y", "x"))
+    val ms = Files.createTempDirectory("graft-mani-dims").toString
+    ManifestSink.write(named, ms, "data")
+    assert(ManifestSink.readDims(ms, "data") == Seq("y", "x"))
+    // unnamed arrays stay unnamed end to end
+    val zs2 = Files.createTempDirectory("graft-zarr-nodims").toString
+    ZarrSink.write(mkArr(2), zs2, "data")
+    assert(ZarrSink.readDims(zs2, "data").isEmpty)
+  }
+
   test("missing chunks read back as fill value (VDS fillvalue contract)") {
     val store = Files.createTempDirectory("graft-fill").toString
     val meta = ArrayMeta("a", Seq(1, 4), Seq(1, 2)).validate()
