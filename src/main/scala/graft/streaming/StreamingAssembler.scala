@@ -29,7 +29,8 @@ import scala.collection.mutable
   */
 final class StreamingAssembler(
     executor: WindowedExecutor,
-    arrays: Seq[ArrayMeta]
+    arrays: Seq[ArrayMeta],
+    completenessDeadlineMs: Long = 0 // 0 = disabled
 ) {
   private val metas: Map[String, ArrayMeta] =
     (arrays :+ ArrayMeta.SentinelMeta).map(m => m.name -> m).toMap
@@ -41,6 +42,7 @@ final class StreamingAssembler(
   private final class GroupState {
     val positions = mutable.Set.empty[List[Int]]
     val contributors = mutable.ArrayBuffer.empty[BatchRef]
+    val openedAt: Long = System.currentTimeMillis()
   }
   private val groups = mutable.Map.empty[(String, Long), GroupState]
 
@@ -95,6 +97,28 @@ final class StreamingAssembler(
       val arr = DeisaArray.fromChunkRows(source, metas(name), t)
       executor.offer(arr) // persists into the window before we release sources
       g.contributors.foreach(_.release())
+    }
+    checkDeadlines()
+  }
+
+  /** Under-subscription hard-fail (reference startup contract: the engine
+    * refuses to run when fewer ranks join than the declared grid within the
+    * discovery deadline, `utils.py:67-113`, `tests/test_startup_order.py`).
+    * A (name, t) group still incomplete `completenessDeadlineMs` after its
+    * first chunk arrived raises, naming the missing grid positions —
+    * instead of stalling the pipeline forever on a silent gap. Checked at
+    * every micro-batch; callable directly from a watchdog. */
+  def checkDeadlines(): Unit = synchronized {
+    if (completenessDeadlineMs <= 0) return
+    val now = System.currentTimeMillis()
+    groups.foreach { case ((name, t), g) =>
+      if (now - g.openedAt > completenessDeadlineMs) {
+        val meta = metas(name)
+        throw new IllegalStateException(
+          s"array '$name' t=$t is still incomplete after ${completenessDeadlineMs} ms: " +
+            s"${g.positions.size} of ${meta.numChunks} chunks arrived — " +
+            "not enough ranks joined (under-subscribed grid or a dead writer)")
+      }
     }
   }
 

@@ -15,7 +15,12 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private def planOf(name: String): String = {
     val df = QueryCatalog.byName(name).build(spark, dir)
-    df.queryExecution.executedPlan.toString
+    val plan = df.queryExecution.executedPlan.toString
+    // queries may persist() intermediates (same contract as Verify/Bench:
+    // caller clears the cache); the memory-discipline suites assert a
+    // clean slate, so release here
+    spark.catalog.clearCache()
+    plan
   }
 
   test("q05 filter+projection push into the parquet scan") {
@@ -92,5 +97,37 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf("qs01_ann_topk")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       "ANN scan side must join against broadcast queries")
+  }
+
+  test("q12 as-of join is union-merge: one window pass, no join operator") {
+    // the fan-out plan (equi-join + row_number) materializes
+    // |events(u)| x |orders(u)| rows per user; the union-merge plan must
+    // contain NO join at all — a single per-user sort + window
+    val plan = planOf("q12_asof_join")
+    assert(!plan.contains("Join"), s"as-of must not join:\n${plan.take(1500)}")
+    assert(plan.contains("Window"), "as-of needs the prefix-frame window")
+    assert(plan.contains("Union"), "as-of unions the two streams")
+  }
+
+  test("qd04 prefix join ships keys, not payloads, and never goes cartesian") {
+    val plan = planOf("qd04_ngram_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n${plan.take(1500)}")
+    // candidate self-join keyed by (source, tok): the prefix token must be a
+    // join key — that is what makes it sub-quadratic
+    assert(plan.contains("tok"), "prefix token must appear as a join key")
+    // shingle arrays must NOT be carried through the candidate shuffle: the
+    // explode feeding the join projects only (source, doc_id, len, tok)
+    val explodeProjects = "Generate explode.*?\\[(.*?)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(explodeProjects.nonEmpty && explodeProjects.forall(p => !p.contains("sh#")),
+      s"prefix explode must not carry the shingle payload: $explodeProjects")
+  }
+
+  test("qd05 embedding near-dup blocks by IVF cell (no within-label all-pairs)") {
+    val plan = planOf("qd05_embedding_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"must stay an equi-join:\n${plan.take(1500)}")
+    assert(plan.contains("cell"), "candidate join must be keyed by the IVF cell")
   }
 }

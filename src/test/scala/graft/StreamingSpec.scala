@@ -97,6 +97,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("under-subscribed grid hard-fails after the completeness deadline") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val m = ArrayMeta("grid", Seq(1, 3), Seq(1, 1)).validate() // 3 ranks expected
+    val stream = MemoryStream[ChunkRow]
+    val ex = new WindowedExecutor(spark, Seq(m), persistWindows = false)
+    val assembler = new StreamingAssembler(ex, Seq(m), completenessDeadlineMs = 200)
+    ex.registerCallback(Seq(ArrayWindow("grid"))) { _ => () }
+    val query = assembler.attach(stream.toDF(), "graft-test-deadline")
+    try {
+      // only 2 of 3 declared ranks ever send
+      stream.addData(
+        ChunkRow("grid", 0, Seq(0, 0), Seq(1, 1), Array(1.0), "float64"),
+        ChunkRow("grid", 0, Seq(0, 1), Seq(1, 1), Array(2.0), "float64"))
+      query.processAllAvailable()
+      Thread.sleep(300)
+      // next batch (any progress) trips the deadline check
+      stream.addData(ChunkRow("grid", 1, Seq(0, 0), Seq(1, 1), Array(1.0), "float64"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        query.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(s => s.contains("not enough ranks joined") &&
+        s.contains("2 of 3")), msgs(e).mkString(" | "))
+    } finally query.stop()
+    assembler.shutdown()
+  }
+
   test("chunk-count overflow is rejected (duplicate chunk guard)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
