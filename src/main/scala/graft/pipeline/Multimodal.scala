@@ -26,18 +26,50 @@ final case class MediaFeatures(
   * and partitioning story; at 100 TB each partition holds a few thousand
   * blobs and the kernel amortizes model/codec setup per batch).
   *
-  * ==== STUB NOTICE ====
-  * This container ships no image/audio codecs, so [[decodeStub]] is a
-  * clearly-marked DETERMINISTIC FAKE: metadata and features are derived
-  * from the payload bytes. Swap `decodeStub` for a real codec (JavaCV,
-  * TwelveMonkeys, ffmpeg-cli) without touching any of the Spark plumbing —
-  * the signature `(bytes) => (w, h, frames, embedding)` is the real
-  * decode contract.
+  * The decode path is REAL for the formats a JVM can parse without
+  * external libraries (see [[MediaCodecs]]): PGM/PPM images, concatenated-
+  * PPM video streams (ffmpeg `image2pipe` framing), and 16-bit PCM WAV.
+  * Compressed codecs (JPEG/H.264/FLAC/...) genuinely need external
+  * decoders; those payloads fall back to [[decodeStub]], a clearly-marked
+  * DETERMINISTIC FAKE with the same `(bytes) => (w, h, frames, embedding)`
+  * contract — swap in JavaCV/TwelveMonkeys there without touching any of
+  * the Spark plumbing.
   */
 object Multimodal {
 
   val DefaultBatchSize = 64
   val EmbeddingDim = 16
+
+  /** Decode one payload: real codec when the format is recognised
+    * (netpbm image, netpbm stream video, PCM WAV), stub otherwise.
+    * Returns (width, height, n_frames, embedding); for audio the "raster"
+    * slots carry (sampleRate, channels). */
+  def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    if (MediaCodecs.isNetpbm(payload)) {
+      if (kind == "video") {
+        val frames = MediaCodecs.decodeNetpbmStream(payload)
+        val first = frames.head
+        // embedding = mean luminance histogram over ≤4 evenly-sampled frames
+        val sampled =
+          if (frames.length <= 4) frames
+          else (0 until 4).map(i => frames(i * frames.length / 4))
+        val emb = new Array[Float](EmbeddingDim)
+        sampled.foreach { f =>
+          val h = MediaCodecs.lumHistogram(f, EmbeddingDim)
+          var j = 0
+          while (j < EmbeddingDim) { emb(j) += h(j); j += 1 }
+        }
+        (first.width, first.height, frames.length, emb.map(_ / sampled.length))
+      } else {
+        val (img, _) = MediaCodecs.decodeNetpbm(payload)
+        (img.width, img.height, 1, MediaCodecs.lumHistogram(img, EmbeddingDim))
+      }
+    } else if (MediaCodecs.isWav(payload)) {
+      val a = MediaCodecs.decodeWav(payload)
+      val perChannel = a.samples.length / math.max(1, a.channels)
+      val frames = math.max(1, (perChannel + 1023) / 1024) // 1024-sample windows
+      (a.sampleRate, a.channels, frames, MediaCodecs.energyProfile(a, EmbeddingDim))
+    } else decodeStub(kind, payload)
 
   /** DETERMINISTIC FAKE decode: pseudo width/height/frame-count and a
     * 16-dim "embedding" from a rolling hash over the payload. Stands in
@@ -72,7 +104,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup would go here (codec contexts, model session)
         batch.iterator.map { b =>
-          val (w, h, frames, emb) = decodeStub(b.kind, b.payload)
+          val (w, h, frames, emb) = decode(b.kind, b.payload)
           MediaFeatures(b.media_id, b.kind, w, h, frames, emb)
         }
       }

@@ -1,13 +1,69 @@
 package graft
 
-import graft.pipeline.{MediaBlob, Multimodal}
+import graft.pipeline.{MediaBlob, MediaCodecs, Multimodal}
+import graft.pipeline.MediaCodecs.{RawAudio, RawImage}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The multimodal plumbing must be real even though decode is stubbed:
-  * schema, batching shape, partitioning, determinism. */
+/** Multimodal pipeline: real pure-JVM codecs (netpbm images, concatenated-
+  * PPM video, PCM WAV) + the batching/partitioning plumbing; the stub path
+  * remains only for formats that need external decoders. */
 class MultimodalSpec extends AnyFunSuite {
   private val spark = GraftTestSpark.spark
   import spark.implicits._
+
+  private def grayImg(w: Int, h: Int)(f: (Int, Int) => Int): RawImage =
+    RawImage(w, h, 1, Array.tabulate(w * h)(i => f(i % w, i / w).toByte))
+
+  test("netpbm round trip, comments, resize, and histogram") {
+    val img = grayImg(4, 2)((x, y) => 16 * (y * 4 + x))
+    val (back, _) = MediaCodecs.decodeNetpbm(MediaCodecs.encodeNetpbm(img))
+    assert(back.width == 4 && back.height == 2 && back.channels == 1)
+    assert(back.pixels.toSeq == img.pixels.toSeq)
+    // header comments are legal netpbm
+    val withComment = "P5\n# a comment\n2 1\n255\n".getBytes ++ Array[Byte](7, 9)
+    val (c, _) = MediaCodecs.decodeNetpbm(withComment)
+    assert(c.width == 2 && c.pixels.toSeq == Seq[Byte](7, 9))
+    // nearest-neighbour resize doubles each pixel
+    val up = MediaCodecs.resizeNearest(grayImg(2, 1)((x, _) => 100 * (x + 1)), 4, 2)
+    assert(up.pixels.map(_ & 0xff).toSeq == Seq(100, 100, 200, 200, 100, 100, 200, 200))
+    // histogram: half the pixels at 0, half at 255 -> mass in first+last bins
+    val hist = MediaCodecs.lumHistogram(
+      grayImg(2, 1)((x, _) => if (x == 0) 0 else 255), 16)
+    assert(hist(0) == 0.5f && hist(15) == 0.5f && hist.sum == 1.0f)
+  }
+
+  test("wav round trip and energy profile") {
+    val samples = Array.tabulate(2048)(i =>
+      (math.sin(i * 0.1) * (if (i < 1024) 0 else 16384)).toShort)
+    val a = RawAudio(8000, 1, samples)
+    val back = MediaCodecs.decodeWav(MediaCodecs.encodeWav(a))
+    assert(back.sampleRate == 8000 && back.channels == 1)
+    assert(back.samples.toSeq == samples.toSeq)
+    val prof = MediaCodecs.energyProfile(back, 16)
+    // first half silent, second half loud
+    assert(prof.take(8).forall(_ < 0.01f) && prof.drop(8).forall(_ > 0.1f))
+  }
+
+  test("extractFeatures uses the REAL codecs for recognised payloads") {
+    val frame1 = grayImg(8, 4)((x, y) => x + y)
+    val frame2 = grayImg(8, 4)((x, y) => 255 - x)
+    val video = MediaCodecs.encodeNetpbm(frame1) ++ MediaCodecs.encodeNetpbm(frame2) ++
+      MediaCodecs.encodeNetpbm(frame1)
+    val wav = MediaCodecs.encodeWav(RawAudio(16000, 2,
+      Array.tabulate(6000)(i => (i % 100).toShort))) // 3000 per channel
+    val blobs = Seq(
+      MediaBlob(1, "image", MediaCodecs.encodeNetpbm(frame1), "s"),
+      MediaBlob(2, "video", video, "s"),
+      MediaBlob(3, "audio", wav, "s"))
+    val feats = Multimodal.extractFeatures(spark.createDataset(blobs))
+      .collect().sortBy(_.media_id)
+    assert(feats(0).width == 8 && feats(0).height == 4 && feats(0).n_frames == 1)
+    assert(feats(1).width == 8 && feats(1).height == 4 && feats(1).n_frames == 3)
+    assert(feats(2).width == 16000 && feats(2).height == 2) // (sampleRate, channels)
+    assert(feats(2).n_frames == 3) // ceil(3000 / 1024)
+    // image embedding is the exact luminance histogram
+    assert(feats(0).embedding.toSeq == MediaCodecs.lumHistogram(frame1, 16).toSeq)
+  }
 
   test("batched feature extraction: schema, determinism, batch independence") {
     val blobs = (0L until 200L).map { i =>
