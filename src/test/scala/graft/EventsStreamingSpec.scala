@@ -45,4 +45,49 @@ class EventsStreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
     assert(got == expected)
   }
+
+  test("streamed session_window matches the batch gaps-and-islands sessionization") {
+    // q18 computes sessions offline (lag + windowed sum, 30 min gap);
+    // Structured Streaming's session_window is the online formulation —
+    // the two must agree on (user, session_start, n_events)
+    import org.apache.spark.sql.expressions.Window
+    val e = QueryHelpers.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = e
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-session-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("session_agg")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("session_agg")
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
+    assert(got == batch,
+      s"online/offline session divergence: ${(got -- batch).take(3)} vs ${(batch -- got).take(3)}")
+  }
 }
