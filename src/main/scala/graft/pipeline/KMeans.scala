@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Distributed Lloyd's k-means over an embedding corpus — the trained
+  * replacement for the deterministic `vec_id < K` centroids the IVF queries
+  * (qs02 / qd05) pin for their oracles.
+  *
+  * Scale shape (the only one that survives 100 TB):
+  *  - centroids broadcast to executors (K × dim doubles — KBs);
+  *  - assignment + per-cluster partial sums run INSIDE each partition
+  *    (`mapPartitions`, one pass, no per-row shuffle);
+  *  - the shuffle carries at most numPartitions × K partial rows;
+  *  - the driver reduces K rows and rebroadcasts — per iteration the
+  *    corpus never moves.
+  *
+  * Determinism: init = the K lowest vec_ids (sorted), assignment ties
+  * break toward the lowest cluster index; results are partition-order
+  * independent up to float-sum reassociation (asserted ~1e-9 by spec).
+  */
+object KMeans {
+
+  /** Train `k` centroids with `iters` Lloyd iterations.
+    * `e` rows are (vec_id, vector); vectors must share one dimension. */
+  def fit(e: Dataset[(Long, Seq[Double])], k: Int, iters: Int): Array[Array[Double]] = {
+    require(k > 0 && iters >= 0)
+    val spark: SparkSession = e.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = e.filter(_._1 < k).collect()
+      .sortBy(_._1).map(_._2.toArray)
+    require(cents.length == k, s"need vec_ids 0..${k - 1} for deterministic init")
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // one pass per partition: assign + accumulate partial sums locally
+      val partials = e.mapPartitions { it =>
+        val c = bc.value
+        val dim = c(0).length
+        val sums = Array.fill(c.length)(new Array[Double](dim))
+        val counts = new Array[Long](c.length)
+        it.foreach { case (_, v) =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < c.length) {
+            var acc = 0.0
+            var i = 0
+            while (i < dim) { val d = v(i) - c(j)(i); acc += d * d; i += 1 }
+            if (acc < bestD) { bestD = acc; best = j } // strict: lowest j wins ties
+            j += 1
+          }
+          val s = sums(best)
+          var i = 0
+          while (i < dim) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        (0 until c.length).iterator
+          .filter(counts(_) > 0)
+          .map(j => (j, sums(j).toSeq, counts(j)))
+      }
+      // driver-side reduce: at most numPartitions × K tiny rows
+      val reduced = partials.groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, a._2.lazyZip(b._2).map(_ + _), a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+      val next = cents.map(_.clone())
+      reduced.foreach { case (j, s, n) =>
+        next(j) = s.map(_ / n).toArray // empty clusters keep their centroid
+      }
+      cents = next
+      bc.unpersist()
+    }
+    cents
+  }
+
+  /** Index of the nearest centroid (ties toward the lowest index) — the
+    * cell-assignment primitive shared by training and IVF probing. */
+  def nearest(cents: Array[Array[Double]], v: Seq[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      var acc = 0.0
+      var i = 0
+      while (i < cents(j).length) { val d = v(i) - cents(j)(i); acc += d * d; i += 1 }
+      if (acc < bestD) { bestD = acc; best = j }
+      j += 1
+    }
+    best
+  }
+}

@@ -351,6 +351,44 @@ object RelationalQueries {
       FROM sessions GROUP BY user_id, session_id
       ORDER BY user_id, session_id"""), headline = true),
 
+    CatalogQuery("q19_quantiles", (s, d) => {
+      // exact interpolated percentiles (one pass, distributed sort-free
+      // aggregate) + a sketch with a bounded-error contract, q17-style:
+      // the sketch VALUE is engine-specific, the bound is checkable.
+      // round(…, 4) absorbs last-ulp interpolation differences between
+      // engines (values ~1e5, ulp ~1e-11).
+      table(s, d, "lineitem")
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact50"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx50"))
+        .select(col("p50"), col("p90"),
+          (abs(col("approx50") - col("exact50")) / col("exact50") <= 0.01)
+            .as("approx_within_1pct"))
+    }, Some("""
+      SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             TRUE AS approx_within_1pct
+      FROM lineitem""")),
+
+    CatalogQuery("q20_grouping_sets", (s, d) => {
+      // GROUPING SETS — the general form rollup/cube specialize; exercised
+      // through the SQL surface (same Catalyst Expand operator underneath)
+      table(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }, Some(s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        ${oSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     CatalogQuery("q13_set_ops", (s, d) => {
       val c = table(s, d, "customer").select(col("c_nationkey").as("k"))
       val sup = table(s, d, "supplier").select(col("s_nationkey").as("k"))
