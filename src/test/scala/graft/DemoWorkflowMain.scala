@@ -66,6 +66,37 @@ object DemoWorkflowMain {
     fb.set("foo", "three", 3)
     println(s"[probe-feedback] after eviction(size=2): get(t=1)=${fb.get("foo", 1)} (expect None)")
 
+    // probe: r2 surface — named dims, astype value semantics, file ingest
+    val m2 = ArrayMeta("named", Seq(2, 2), Seq(1, 1)).validate()
+    val named = DeisaArray.fromChunks(spark,
+      (for (i <- 0 to 1; j <- 0 to 1)
+        yield ChunkRow("named", 0, Seq(i, j), Seq(1, 1),
+          Array(2.5 * (2 * i + j)), "float64")), m2, 0)
+      .withDims(Seq("y", "x"))
+    println(s"[probe-dims] T.dims=${named.T.dims.mkString(",")} " +
+      s"meanAxis(y).dims=${named.reduceAxis(named.axisOf("y"), "mean").dims.mkString(",")} " +
+      s"astype(int32).sum=${named.astype("int32").sumScalar().compute()}") // trunc(0,2.5,5,7.5)->0+2+5+7
+    val spool = java.nio.file.Files.createTempDirectory("graft-demo-spool")
+    val fileBridges = (0 to 1).map(r => new graft.sources.FileBridge(
+      spool, r, Seq(meta), Map("array" -> Seq(0, r))))
+    val ex3 = new WindowedExecutor(spark, Seq(meta))
+    val asm3 = new StreamingAssembler(ex3, Seq(meta))
+    var fired = 0
+    ex3.registerCallback(Seq(ArrayWindow("array"))) { a =>
+      fired += 1
+      println(s"[probe-ingest] t=${a("array").last.t} mean=${a("array").last.meanScalar().compute()}")
+    }
+    val q = asm3.attach(graft.sources.FileChunkSource.stream(spark, spool.toString),
+      "demo-file-ingest")
+    try {
+      for (t <- 0L to 1L; b <- fileBridges)
+        b.send("array", Array((t * (b.rank + 1)).toDouble), t)
+      fileBridges.foreach(_.close(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    println(s"[probe-ingest] fired=$fired terminated=${ex3.isTerminated} (expect 2, true)")
+    ex3.shutdown(); asm3.shutdown()
+
     spark.stop()
   }
 }
