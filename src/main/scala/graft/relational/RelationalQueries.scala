@@ -352,9 +352,12 @@ object RelationalQueries {
       ORDER BY user_id, session_id"""), headline = true),
 
     CatalogQuery("q19_quantiles", (s, d) => {
-      // exact interpolated percentiles (one pass, distributed sort-free
-      // aggregate) + a sketch with a bounded-error contract, q17-style:
-      // the sketch VALUE is engine-specific, the bound is checkable.
+      // exact interpolated percentiles + a sketch with a bounded-error
+      // contract, q17-style: the sketch VALUE is engine-specific, the bound
+      // is checkable. Scale note: exact percentile holds per-group value
+      // maps in memory — correct here and for the oracle, but the 100 TB
+      // path is percentile_approx (a mergeable, bounded-memory KLL-style
+      // sketch with map-side partials), which is why both appear.
       // round(…, 4) absorbs last-ulp interpolation differences between
       // engines (values ~1e5, ulp ~1e-11).
       table(s, d, "lineitem")
@@ -388,6 +391,34 @@ object RelationalQueries {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    CatalogQuery("q21_range_join", (s, d) => {
+      // pure range join (no equi key): events × events on
+      // |ts_a - ts_b| <= 5 min — "how many other events landed near mine".
+      // Naive is O(n²); the scale plan BINS the range dimension: each right
+      // row posts to the 3 band-width bins its window can touch, left rows
+      // join their own bin (an EQUI-join), the exact predicate filters
+      // inside the bin. Shuffle is keyed; data touched is 4|events|, and
+      // bin width tracks band width so bins stay small. DuckDB's IEJoin
+      // computes the same predicate natively for the oracle.
+      val BandUs = 300000000L // 5 minutes
+      val e = events(s, d).select(col("event_id"), unix_micros(col("ts")).as("eus"))
+      val a = e.withColumn("bin", floor(col("eus") / BandUs))
+      val b = e.select(col("event_id").as("other_id"), col("eus").as("ous"))
+        .withColumn("obin", floor(col("ous") / BandUs))
+        .withColumn("bin", explode(array(col("obin") - 1, col("obin"), col("obin") + 1)))
+        .drop("obin")
+      a.join(b, Seq("bin"))
+        .filter(col("event_id") =!= col("other_id") &&
+          abs(col("eus") - col("ous")) <= BandUs)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_neighbors"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT a.event_id, count(*) AS n_neighbors
+      FROM events a JOIN events b
+        ON a.event_id <> b.event_id
+        AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+      GROUP BY a.event_id ORDER BY a.event_id""")),
 
     CatalogQuery("q13_set_ops", (s, d) => {
       val c = table(s, d, "customer").select(col("c_nationkey").as("k"))
