@@ -110,6 +110,32 @@ class SinksSpec extends AnyFunSuite {
     assert(ZarrSink.readDims(zs2, "data").isEmpty)
   }
 
+  test("distributed zarr read round-trips arrays, edge padding, fill, dims") {
+    import graft.sinks.ZarrSource
+    // 2-D multi-block with a trailing partial chunk on dim 1
+    val meta = ArrayMeta("z", Seq(4, 5), Seq(2, 5)).validate()
+    val src = DeisaArray.fromChunks(spark,
+      (0 to 1).map(r => ChunkRow("z", 3, Seq(r, 0), Seq(2, 5),
+        Array.tabulate(10)(i => (r * 10 + i).toDouble), "float64")), meta, 3)
+      .withDims(Seq("row", "col"))
+    val store = Files.createTempDirectory("graft-zarr-rt").toString
+    ZarrSink.write(src.slice(Seq((0, 4), (0, 3))), store, "data") // 4x3: edge chunks padded
+    val back = ZarrSource.read(spark, store, "data", t = 7, name = "z2")
+    assert(back.globalShape == Seq(4, 3) && back.t == 7 && back.dims == Seq("row", "col"))
+    val nd = back.compute()
+    val expect = src.slice(Seq((0, 4), (0, 3))).compute()
+    assert(nd.shape == expect.shape && nd.data.toSeq == expect.data.toSeq)
+    // distributed ops run directly over the re-read array
+    assert(back.sumScalar().compute() == expect.data.sum)
+    // missing chunk -> fill value (delete one chunk file)
+    val store2 = Files.createTempDirectory("graft-zarr-miss").toString
+    ZarrSink.write(src, store2, "data", fillValue = -7.0)
+    Files.delete(java.nio.file.Paths.get(store2, "data", "1.0"))
+    val sparse = ZarrSource.read(spark, store2, "data").compute()
+    assert((0 until 10).forall(i => sparse.data(i) == i.toDouble))
+    assert((10 until 20).forall(i => sparse.data(i) == -7.0))
+  }
+
   test("missing chunks read back as fill value (VDS fillvalue contract)") {
     val store = Files.createTempDirectory("graft-fill").toString
     val meta = ArrayMeta("a", Seq(1, 4), Seq(1, 2)).validate()
