@@ -124,6 +124,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"prefix explode must not carry the shingle payload: $explodeProjects")
   }
 
+  test("q21 range join compiles to a binned equi-join, not a cartesian band") {
+    val plan = planOf("q21_range_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"the band predicate must ride an equi-join on the bin:\n${plan.take(1500)}")
+    assert(plan.contains("bin"), "bin must be the join key")
+  }
+
   test("qd05 embedding near-dup blocks by IVF cell (no within-label all-pairs)") {
     val plan = planOf("qd05_embedding_neardup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
