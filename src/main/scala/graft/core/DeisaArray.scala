@@ -505,7 +505,8 @@ object DeisaArray {
     * Rows are shape-validated in the plan — on the streaming path no
     * driver-side code sees individual chunks, so the contract check rides
     * with the scan (reference `validate.py` semantics). */
-  def fromChunkRows(chunkRows: DataFrame, meta: ArrayMeta, t: Long): DeisaArray = {
+  def fromChunkRows(chunkRows: DataFrame, meta: ArrayMeta, t: Long,
+      dtype: String = "float64"): DeisaArray = {
     val declaredShape = lit(meta.chunkShape.toArray)
     val checkedData = when(
       col("shape") =!= declaredShape ||
@@ -518,6 +519,6 @@ object DeisaArray {
       .select(
         zip_with(col("pos"), col("shape"), (p, s) => p * s).as("pos"),
         col("shape"), checkedData.as("data"))
-    DeisaArray(df, meta.globalShape, t, meta.name)
+    DeisaArray(df, meta.globalShape, t, meta.name, dtype)
   }
 }

@@ -43,6 +43,7 @@ final class StreamingAssembler(
     val positions = mutable.Set.empty[List[Int]]
     val contributors = mutable.ArrayBuffer.empty[BatchRef]
     val openedAt: Long = System.currentTimeMillis()
+    var dtype: String = "float64"
   }
   private val groups = mutable.Map.empty[(String, Long), GroupState]
 
@@ -60,11 +61,28 @@ final class StreamingAssembler(
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val stats = cached.groupBy(F.col("name"), F.col("t"))
-      .agg(F.collect_list(F.col("pos")).as("positions"))
+      .agg(F.collect_list(F.col("pos")).as("positions"),
+        // per-timestep dtype rides with the chunks (reference allows the
+        // dtype to change between timesteps, types.py:654-673); chunks of
+        // one (name, t) share it, so first() is exact
+        F.first(F.col("dtype")).as("dtype"))
       .collect()
       .sortBy(r => (r.getLong(1), r.getString(0))) // timestep order (D1)
     if (stats.isEmpty) { cached.unpersist(); return }
     val ref = new BatchRef(cached)
+    try processStats(stats, ref)
+    catch {
+      case e: Throwable =>
+        // a failed batch fails the whole query (hard-fail contract); its
+        // cache must not outlive it — unpersist is idempotent, so releasing
+        // here is safe even if some groups already emitted and released
+        cached.unpersist()
+        throw e
+    }
+  }
+
+  private def processStats(stats: Array[org.apache.spark.sql.Row],
+      ref: BatchRef): Unit = {
     // first pass: register contributions
     stats.foreach { r =>
       val name = r.getString(0); val t = r.getLong(1)
@@ -72,6 +90,7 @@ final class StreamingAssembler(
       val meta = metas.getOrElse(name, throw new IllegalArgumentException(
         s"ContractError: array '$name' was not declared"))
       val g = groups.getOrElseUpdate((name, t), new GroupState)
+      g.dtype = r.getString(3)
       positions.foreach { p =>
         if (!g.positions.add(p))
           throw new IllegalStateException(
@@ -94,7 +113,7 @@ final class StreamingAssembler(
       val source =
         if (g.contributors.size == 1) g.contributors.head.df
         else g.contributors.map(_.df).reduce(_ union _)
-      val arr = DeisaArray.fromChunkRows(source, metas(name), t)
+      val arr = DeisaArray.fromChunkRows(source, metas(name), t, g.dtype)
       executor.offer(arr) // persists into the window before we release sources
       g.contributors.foreach(_.release())
     }

@@ -21,6 +21,7 @@ class StreamingSpec extends AnyFunSuite {
     var seen = List.empty[(Long, Double)]
     ex.registerCallback(Seq(ArrayWindow("array"))) { args =>
       val a = args("array").last
+      assert(a.dtype == "int64", "per-timestep chunk dtype must ride through assembly")
       seen ::= (a.t, a.meanScalar().compute())
     }
     val query = assembler.attach(stream.toDF(), "graft-test-ingest")
@@ -143,6 +144,11 @@ class StreamingSpec extends AnyFunSuite {
         query.processAllAvailable()
       }
       assert(e.getCause.getMessage.contains("expected"), e.getCause.getMessage)
-    } finally query.stop()
+    } finally {
+      query.stop()
+      // the failed batch's cache is still referenced by the poisoned group;
+      // teardown must release it (the API contract for a failed ingest)
+      assembler.shutdown()
+    }
   }
 }
