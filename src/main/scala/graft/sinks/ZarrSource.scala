@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions.col
   *
   * Scale shape: chunk PAYLOADS are read on the executors via Spark's
   * `binaryFile` source (one task per group of chunk files, data never
-  * visits the driver); the driver reads only the tiny `.zarray` metadata
-  * and the file-name listing needed to synthesize fill-value blocks for
-  * missing chunks (zarr's sparse-store contract — same fill semantics the
-  * VDS/manifest layout pins).
+  * visits the driver); the driver reads only the tiny `.zarray` metadata.
+  * Fill-value blocks for chunks missing from the store (zarr's
+  * sparse-store contract — same fill semantics the VDS/manifest layout
+  * pins) are synthesized DISTRIBUTED: the expected chunk grid is a
+  * DataFrame (cross product of per-dim ranges), anti-joined against the
+  * present file names, and the fill payloads are allocated in executor
+  * tasks — the driver never materializes the grid (a 100 TB array at
+  * 4 MiB chunks is ~25M grid entries).
   */
 object ZarrSource {
 
@@ -69,41 +73,32 @@ object ZarrSource {
         }
       }
 
-    // fill-value blocks for chunks missing from the store (driver sees
-    // names only; at scale this is the same listing any reader performs)
-    val existing: Set[Seq[Int]] = {
-      val s = Files.list(dir)
-      try s.iterator().asScala // scalastyle:ignore
-        .map(_.getFileName.toString)
-        .filter(_.matches("[0-9]+(\\.[0-9]+)*"))
-        .map(_.split('.').map(_.toInt).toSeq)
-        .toSet
-      finally s.close()
+    // missing-chunk synthesis, fully distributed: expected grid = cross
+    // product of per-dim ranges (driver holds only the per-dim COUNTS),
+    // anti-joined against the present chunk file names (content column
+    // pruned away, so this second binaryFile pass lists names without
+    // re-reading payload bytes); fill payloads allocate on executors
+    import org.apache.spark.sql.functions.{array, concat_ws, substring_index}
+    val expected = gridArr.indices.foldLeft(
+      spark.range(gridArr(0).toLong).select(col("id").cast("int").as("g0"))) {
+      case (df, 0) => df
+      case (df, d) =>
+        df.crossJoin(spark.range(gridArr(d).toLong).select(col("id").cast("int").as(s"g$d")))
     }
-    def walk(idx: List[Int], ds: List[Int]): Seq[List[Int]] = ds match {
-      case Nil => Seq(idx.reverse)
-      case h :: tl => (0 until h).flatMap(i => walk(i :: idx, tl))
-    }
-    val missing = walk(Nil, gridArr.toList).filterNot(existing.contains)
-    val blocks =
-      if (missing.isEmpty) present
-      else {
-        val fillBlocks = spark.createDataset(missing.map { gi =>
-          val pos = gi.indices.map(d => gi(d) * chunkArr(d))
-          val extent = gi.indices.map(d => math.min(chunkArr(d), shapeArr(d) - pos(d)))
-          (pos, extent)
-        }).map { case (pos, extent) =>
-          Block(pos, extent, Array.fill(extent.product)(fill))
-        }
-        present.union(fillBlocks)
+    val giCols = gridArr.indices.map(d => col(s"g$d"))
+    val presentNames = spark.read.format("binaryFile").load(dir.toString)
+      .select(substring_index(col("path"), "/", -1).as("fname"))
+      .where(col("fname").rlike("^[0-9]+(\\.[0-9]+)*$"))
+    val fillBlocks = expected
+      .withColumn("fname", concat_ws(".", giCols.map(_.cast("string")): _*))
+      .join(presentNames, Seq("fname"), "left_anti")
+      .select(array(giCols: _*).as("gi"))
+      .as[Seq[Int]]
+      .map { gi =>
+        val pos = gi.indices.map(d => gi(d) * chunkArr(d))
+        val extent = gi.indices.map(d => math.min(chunkArr(d), shapeArr(d) - pos(d)))
+        Block(pos, extent, Array.fill(extent.product)(fill))
       }
-    DeisaArray(blocks.toDF(), shapeArr, t, name, "float64", dims)
-  }
-
-  private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext: Boolean = it.hasNext
-      def next(): A = it.next()
-    }
+    DeisaArray(present.union(fillBlocks).toDF(), shapeArr, t, name, "float64", dims)
   }
 }
