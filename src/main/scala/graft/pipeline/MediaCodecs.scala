@@ -7,12 +7,15 @@ package graft.pipeline
   *    `ffmpeg -f image2pipe -c:v ppm` emits;
   *  - concatenated PPM stream: the `image2pipe` video framing (one P6
   *    image per frame, back to back);
-  *  - WAV: RIFF/WAVE container with 16-bit PCM samples.
+  *  - WAV: RIFF/WAVE container with 16-bit PCM samples;
+  *  - JPEG / PNG / BMP / GIF (incl. multi-frame GIF): decoded by the JDK's
+  *    built-in `javax.imageio` readers — no external dependency, so the
+  *    dominant real-corpus image formats take the REAL path too.
   *
-  * Compressed codecs (JPEG/H.264/FLAC/...) genuinely require external
-  * decoders and stay behind [[Multimodal.decodeStub]] — but everything
-  * here parses actual bytes, so the pipeline's decode path is exercised
-  * for real, not just its plumbing.
+  * Only compressed AUDIO/VIDEO codecs (MP3/FLAC/H.264/...) need external
+  * decoders and stay behind [[Multimodal.decodeStub]] — everything here
+  * parses actual bytes, so the pipeline's decode path is exercised for
+  * real, not just its plumbing.
   */
 object MediaCodecs {
 
@@ -124,6 +127,93 @@ object MediaCodecs {
     while (i < n) { hist(math.min(bins - 1, img.lumAt(i) * bins / 256)) += 1f; i += 1 }
     if (n > 0) { var j = 0; while (j < bins) { hist(j) /= n; j += 1 } }
     hist
+  }
+
+  // ---------- JPEG / PNG / BMP / GIF (JDK-builtin javax.imageio) ----------
+
+  /** Magic bytes of the formats the JDK's bundled ImageIO readers handle. */
+  def isImageIo(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) || // JPEG
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||  // PNG
+      (b(0) == 'B' && b(1) == 'M') ||                                        // BMP
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'))            // GIF
+
+  /** Decode every frame (GIF may carry several; JPEG/PNG/BMP carry one)
+    * into the same [[RawImage]] raster the netpbm path produces. */
+  def decodeImageIo(b: Array[Byte]): Seq[RawImage] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader recognises this payload")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val n = math.max(1, reader.getNumImages(true))
+        (0 until n).map(k => fromBuffered(reader.read(k)))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Encode through ImageIO (`format` ∈ png/jpg/bmp/gif) — the test-side
+    * inverse of [[decodeImageIo]]. */
+  def encodeImageIo(img: RawImage, format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(toBuffered(img), format, baos),
+      s"no ImageIO writer for format $format")
+    baos.toByteArray
+  }
+
+  def toBuffered(img: RawImage): java.awt.image.BufferedImage = {
+    import java.awt.image.BufferedImage
+    val bi = new BufferedImage(img.width, img.height,
+      if (img.channels == 1) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val i = y * img.width + x
+        if (img.channels == 1) bi.getRaster.setSample(x, y, 0, img.pixels(i) & 0xff)
+        else bi.setRGB(x, y,
+          ((img.pixels(3 * i) & 0xff) << 16) | ((img.pixels(3 * i + 1) & 0xff) << 8) |
+            (img.pixels(3 * i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    bi
+  }
+
+  private def fromBuffered(bi: java.awt.image.BufferedImage): RawImage = {
+    val w = bi.getWidth; val h = bi.getHeight
+    if (bi.getColorModel.getNumComponents == 1) {
+      val out = new Array[Byte](w * h)
+      val raster = bi.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+        y += 1
+      }
+      RawImage(w, h, 1, out)
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = bi.getRGB(x, y)
+          val o = (y * w + x) * 3
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      RawImage(w, h, 3, out)
+    }
   }
 
   // ---------- WAV (RIFF, 16-bit PCM) ----------

@@ -26,14 +26,15 @@ final case class MediaFeatures(
   * and partitioning story; at 100 TB each partition holds a few thousand
   * blobs and the kernel amortizes model/codec setup per batch).
   *
-  * The decode path is REAL for the formats a JVM can parse without
-  * external libraries (see [[MediaCodecs]]): PGM/PPM images, concatenated-
-  * PPM video streams (ffmpeg `image2pipe` framing), and 16-bit PCM WAV.
-  * Compressed codecs (JPEG/H.264/FLAC/...) genuinely need external
-  * decoders; those payloads fall back to [[decodeStub]], a clearly-marked
-  * DETERMINISTIC FAKE with the same `(bytes) => (w, h, frames, embedding)`
-  * contract — swap in JavaCV/TwelveMonkeys there without touching any of
-  * the Spark plumbing.
+  * The decode path is REAL for every format a JVM can parse without
+  * external libraries (see [[MediaCodecs]]): JPEG/PNG/BMP/GIF via the
+  * JDK-builtin `javax.imageio` (multi-frame GIF decodes as video), PGM/PPM
+  * images, concatenated-PPM video streams (ffmpeg `image2pipe` framing),
+  * and 16-bit PCM WAV. Only compressed AUDIO/VIDEO codecs (MP3/FLAC/
+  * H.264/...) need external decoders; those payloads fall back to
+  * [[decodeStub]], a clearly-marked DETERMINISTIC FAKE with the same
+  * `(bytes) => (w, h, frames, embedding)` contract — swap in JavaCV/ffmpeg
+  * there without touching any of the Spark plumbing.
   */
 object Multimodal {
 
@@ -41,28 +42,21 @@ object Multimodal {
   val EmbeddingDim = 16
 
   /** Decode one payload: real codec when the format is recognised
-    * (netpbm image, netpbm stream video, PCM WAV), stub otherwise.
-    * Returns (width, height, n_frames, embedding); for audio the "raster"
-    * slots carry (sampleRate, channels). */
+    * (JPEG/PNG/BMP/GIF via ImageIO, netpbm image, netpbm stream video,
+    * PCM WAV), stub otherwise. Returns (width, height, n_frames,
+    * embedding); for audio the "raster" slots carry (sampleRate,
+    * channels). */
   def decode(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
     if (MediaCodecs.isNetpbm(payload)) {
-      if (kind == "video") {
-        val frames = MediaCodecs.decodeNetpbmStream(payload)
-        val first = frames.head
-        // embedding = mean luminance histogram over ≤4 evenly-sampled frames
-        val sampled =
-          if (frames.length <= 4) frames
-          else (0 until 4).map(i => frames(i * frames.length / 4))
-        val emb = new Array[Float](EmbeddingDim)
-        sampled.foreach { f =>
-          val h = MediaCodecs.lumHistogram(f, EmbeddingDim)
-          var j = 0
-          while (j < EmbeddingDim) { emb(j) += h(j); j += 1 }
-        }
-        (first.width, first.height, frames.length, emb.map(_ / sampled.length))
-      } else {
+      if (kind == "video") frameFeatures(MediaCodecs.decodeNetpbmStream(payload))
+      else {
         val (img, _) = MediaCodecs.decodeNetpbm(payload)
         (img.width, img.height, 1, MediaCodecs.lumHistogram(img, EmbeddingDim))
+      }
+    } else if (MediaCodecs.isImageIo(payload)) {
+      MediaCodecs.decodeImageIo(payload) match {
+        case Seq(img) => (img.width, img.height, 1, MediaCodecs.lumHistogram(img, EmbeddingDim))
+        case frames => frameFeatures(frames) // animated GIF = video
       }
     } else if (MediaCodecs.isWav(payload)) {
       val a = MediaCodecs.decodeWav(payload)
@@ -71,9 +65,27 @@ object Multimodal {
       (a.sampleRate, a.channels, frames, MediaCodecs.energyProfile(a, EmbeddingDim))
     } else decodeStub(kind, payload)
 
-  /** DETERMINISTIC FAKE decode: pseudo width/height/frame-count and a
-    * 16-dim "embedding" from a rolling hash over the payload. Stands in
-    * for image decode + model inference. */
+  /** Video features: first frame's raster dims, frame count, and the mean
+    * luminance histogram over ≤4 evenly-sampled frames. */
+  private def frameFeatures(
+      frames: Seq[MediaCodecs.RawImage]): (Int, Int, Int, Array[Float]) = {
+    val first = frames.head
+    val sampled =
+      if (frames.length <= 4) frames
+      else (0 until 4).map(i => frames(i * frames.length / 4))
+    val emb = new Array[Float](EmbeddingDim)
+    sampled.foreach { f =>
+      val h = MediaCodecs.lumHistogram(f, EmbeddingDim)
+      var j = 0
+      while (j < EmbeddingDim) { emb(j) += h(j); j += 1 }
+    }
+    (first.width, first.height, frames.length, emb.map(_ / sampled.length))
+  }
+
+  /** DETERMINISTIC FAKE decode for formats that DO need an external
+    * decoder (compressed audio/video: MP3/FLAC/H.264/...): pseudo
+    * width/height/frame-count and a 16-dim "embedding" from a rolling
+    * hash over the payload. Stands in for codec + model inference. */
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     var h = 1125899906842597L
     val emb = new Array[Float](EmbeddingDim)

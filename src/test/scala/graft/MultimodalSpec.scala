@@ -32,6 +32,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hist(0) == 0.5f && hist(15) == 0.5f && hist.sum == 1.0f)
   }
 
+  test("ImageIO path: PNG/BMP exact, JPEG lossy, animated GIF as video") {
+    val gray = grayImg(16, 8)((x, y) => 16 * x + y)
+    val rgb = RawImage(4, 3, 3, Array.tabulate(4 * 3 * 3)(i => (i * 17 % 256).toByte))
+    // PNG and BMP are lossless -> bit-exact raster round trip
+    for (fmt <- Seq("png", "bmp")) {
+      val enc = MediaCodecs.encodeImageIo(rgb, fmt)
+      assert(MediaCodecs.isImageIo(enc) && !MediaCodecs.isNetpbm(enc))
+      val Seq(back) = MediaCodecs.decodeImageIo(enc)
+      assert(back.width == 4 && back.height == 3 && back.channels == 3)
+      assert(back.pixels.toSeq == rgb.pixels.toSeq, fmt)
+    }
+    val png = MediaCodecs.encodeImageIo(gray, "png")
+    val Seq(backGray) = MediaCodecs.decodeImageIo(png)
+    assert(backGray.channels == 1 && backGray.pixels.toSeq == gray.pixels.toSeq)
+    // JPEG is lossy: dims exact, luminance close
+    val jpg = MediaCodecs.encodeImageIo(gray, "jpg")
+    assert(jpg(0) == 0xFF.toByte && jpg(1) == 0xD8.toByte) // real JFIF bytes
+    val Seq(backJpg) = MediaCodecs.decodeImageIo(jpg)
+    assert(backJpg.width == 16 && backJpg.height == 8)
+    val lumDiff = (0 until 16 * 8).map(i => math.abs(backJpg.lumAt(i) - gray.lumAt(i)))
+    assert(lumDiff.max <= 16, s"jpeg luminance drift ${lumDiff.max}")
+    // animated GIF: all frames decode -> video features
+    val frames = Seq(grayImg(8, 4)((x, y) => x + y), grayImg(8, 4)((x, _) => 255 - 8 * x))
+    val gif = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach(f => w.writeToSequence(
+        new javax.imageio.IIOImage(MediaCodecs.toBuffered(f), null, null),
+        w.getDefaultWriteParam))
+      w.endWriteSequence(); w.dispose(); ios.close()
+      baos.toByteArray
+    }
+    assert(MediaCodecs.decodeImageIo(gif).length == 2)
+    val (vw, vh, nf, _) = Multimodal.decode("video", gif)
+    assert(vw == 8 && vh == 4 && nf == 2)
+  }
+
+  test("extractFeatures routes ImageIO payloads through the real decoder") {
+    val img = grayImg(32, 16)((x, y) => (x * y) % 256)
+    val blobs = Seq(MediaBlob(1, "image", MediaCodecs.encodeImageIo(img, "png"), "s"))
+    val Array(f) = Multimodal.extractFeatures(spark.createDataset(blobs)).collect()
+    assert(f.width == 32 && f.height == 16 && f.n_frames == 1)
+    // embedding is the exact decoded-luminance histogram, not the stub hash
+    assert(f.embedding.toSeq == MediaCodecs.lumHistogram(img, 16).toSeq)
+  }
+
   test("wav round trip and energy profile") {
     val samples = Array.tabulate(2048)(i =>
       (math.sin(i * 0.1) * (if (i < 1024) 0 else 16384)).toShort)
