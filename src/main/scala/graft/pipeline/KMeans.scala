@@ -74,6 +74,20 @@ object KMeans {
     cents
   }
 
+  /** Indices of the `n` nearest centroids, ascending by (distance, index) —
+    * the probe-list primitive for IVF queries (`nearestK(c, v, 1).head` ==
+    * [[nearest]]; ties resolve identically because the sort is stable on
+    * (distance, index)). */
+  def nearestK(cents: Array[Array[Double]], v: Seq[Double], n: Int): Seq[Int] = {
+    val scored = cents.indices.map { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < cents(j).length) { val d = v(i) - cents(j)(i); acc += d * d; i += 1 }
+      (acc, j)
+    }
+    scored.sorted.take(n).map(_._2)
+  }
+
   /** Index of the nearest centroid (ties toward the lowest index) — the
     * cell-assignment primitive shared by training and IVF probing. */
   def nearest(cents: Array[Array[Double]], v: Seq[Double]): Int = {

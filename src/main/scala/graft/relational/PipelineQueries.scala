@@ -1,8 +1,7 @@
 package graft.relational
 
-import graft.pipeline.TextOps
+import graft.pipeline.{KMeans, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
@@ -29,6 +28,31 @@ object PipelineQueries {
   private val NgramThreshold = 0.55
   private val CosineThreshold = 0.35
   private val SimhashBits = 16
+
+  private val AnnTopK = 10
+
+  private def vdot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+
+  private def cosineCol(q: Column, v: Column): Column =
+    vdot(q, v) / (sqrt(vdot(q, q)) * sqrt(vdot(v, v)))
+
+  /** Final ANN ranking WITHOUT a per-query window sort: a bounded top-k
+    * [[graft.functions.TopKByScore]] aggregation (map-side partials hold ≤k
+    * rows per query per partition, the shuffle carries ≤ partitions × k
+    * rows) replaces `row_number() OVER (PARTITION BY query_id)` — which
+    * would sort EVERY surviving candidate of a query in one task (at 100 TB
+    * with few queries, a single-task sort of ~nprobe/K of the corpus).
+    * Rank order (cosine DESC, vec_id ASC) is identical to the window
+    * formulation, so the oracle SQL keeps its row_number form. */
+  private def topkRanked(scored: DataFrame): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(AnnTopK)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.vec_id").as("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** Oracle list-comprehension for distinct char n-grams. */
   private def oShingles(textExpr: String): String =
@@ -290,19 +314,11 @@ object PipelineQueries {
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val dot = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
       val scored = e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          (dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("vec_id"))
-        .orderBy(col("query_id"), col("rank"))
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      topkRanked(scored)
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -343,19 +359,11 @@ object PipelineQueries {
       val queries = e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
         .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
         .toDF("query_id", "qv", "cell")
-      val dot = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
       val scored = assigned.join(broadcast(queries), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          (dot(col("qv"), col("v")) /
-            (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("v"), col("v"))))).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("vec_id"))
-        .orderBy(col("query_id"), col("rank"))
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      topkRanked(scored)
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
@@ -382,6 +390,57 @@ object PipelineQueries {
         FROM scored)
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank""")),
+
+    CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
+      // The TRAINED IVF path with a gated recall contract: centroids come
+      // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K
+      // init) instead of qs02's pinned vec_id<K cells, and the query
+      // measures its own recall against the brute-force truth (qs01's
+      // exact plan) IN SPARK. Trained centroids are engine-specific floats
+      // (the oracle can't reproduce Lloyd iterations bit-for-bit), so the
+      // checkable output is the q17/q19-style bounded contract:
+      // (n_queries, recall_ge_090) — the oracle emits the exact query
+      // count and literal TRUE. Scale shape: training moves only
+      // partitions×K partial rows per iteration (corpus stationary,
+      // centroids broadcast); probing is the same keyed-by-cell join as
+      // qs02; the recall join touches 2 × n_queries × k rows.
+      // NProbe=8 of K=16 cells: these synthetic embeddings are near-random
+      // (little cluster structure), so half the cells must be probed for a
+      // comfortable margin over the 0.90 contract (measured avg recall
+      // 0.94-0.98 across SFs; nprobe=4 sits at 0.86, nprobe=6 exactly at
+      // 0.90). On a real corpus with cluster structure the same query
+      // shape runs at far smaller nprobe/K scan fractions.
+      val K = 16; val NProbe = 8; val NQueries = 5; val Iters = 5
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // training passes + cell posting + truth scan reuse it
+      val cents = KMeans.fit(e.as[(Long, Seq[Double])], K, Iters)
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = e.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v, KMeans.nearest(bc.value, v).toLong) }
+        .toDF("vec_id", "v", "cell")
+      val queries = e.filter(col("vec_id") < NQueries).as[(Long, Seq[Double])]
+        .flatMap { case (id, v) =>
+          KMeans.nearestK(bc.value, v, NProbe).map(c => (id, v, c.toLong)) }
+        .toDF("query_id", "qv", "cell")
+      val scored = assigned.join(broadcast(queries), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      val ivf = topkRanked(scored).select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(ivf.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
     // ---------- text analysis ----------
 

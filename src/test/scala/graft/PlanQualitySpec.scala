@@ -99,6 +99,31 @@ class PlanQualitySpec extends AnyFunSuite {
       "ANN scan side must join against broadcast queries")
   }
 
+  test("ANN final ranking is a bounded top-k aggregation, not a per-query window sort") {
+    // row_number() over (partition by query_id) sorts EVERY surviving
+    // candidate of a query in one task — at 100 TB with few queries that is
+    // a single-task sort of ~nprobe/K of the corpus. The TopKByScore
+    // aggregator must appear as partial+final ObjectHashAggregate instead
+    // (map-side partials bound memory and the shuffle to partitions × k).
+    for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall")) {
+      val plan = planOf(q)
+      assert(!plan.contains("Window"), s"$q must not window-sort candidates:\n${plan.take(1500)}")
+      assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+        s"$q needs partial + final top-k aggregation:\n${plan.take(1500)}")
+    }
+  }
+
+  test("qs03 trained-IVF probe join stays keyed by cell (no cartesian fallback)") {
+    val plan = planOf("qs03_ann_ivf_recall")
+    assert(plan.contains("cell"), "probe join must be keyed by the trained IVF cell")
+    // the only BroadcastNestedLoopJoin allowed is qs01's truth sub-plan
+    // (exact brute force against 5 broadcast queries); the probe side must
+    // never go cartesian, so at most that one may appear
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1,
+      s"IVF probe must stay an equi-join on cell:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q12 as-of join is union-merge: one window pass, no join operator") {
     // the fan-out plan (equi-join + row_number) materializes
     // |events(u)| x |orders(u)| rows per user; the union-merge plan must
