@@ -60,6 +60,26 @@ final class FileBridge(
   def close(timestep: Long): Unit =
     if (rank == 0) spool(ChunkRow.sentinel(timestep))
 
+  /** A4: feedback read-back across the process boundary (reference
+    * `bridge.py:525-584`): the value analytics published for (key, t), or
+    * None when nothing was published — None is the "found=false" arm of the
+    * reference's (found, value) protocol, so callers supply their own
+    * default. Non-blocking, exactly like the reference's `get`: feedback
+    * timing is asynchronous by design (analytics runs one timestep behind),
+    * so simulation code reacts when a signal becomes visible rather than
+    * waiting on it. In the reference, rank 0 reads the head actor and
+    * `comm.bcast`s the result; here the shared feedback directory plays
+    * both roles — every rank reads the same atomically-published files, so
+    * all ranks observe identical values with no communicator needed. */
+  def get(key: String, t: Long): Option[Any] =
+    FileBridge.readFeedback(spoolDir)
+      .collectFirst { case (`key`, `t`, v) => v }
+
+  /** A4: the whole retained feedback queue for a key, oldest→newest —
+    * the reference's `get(key, timestep=None)` form. */
+  def getAll(key: String): Seq[(Long, Any)] =
+    FileBridge.readFeedback(spoolDir).collect { case (`key`, t, v) => (t, v) }
+
   private def spool(c: ChunkRow): Unit = {
     val n = seq.getAndIncrement()
     val tmp = spoolDir.resolve(s".inprogress-r$rank-$n.json")
@@ -71,6 +91,77 @@ final class FileBridge(
 }
 
 object FileBridge {
+  /** Feedback files live under `<spool>/_feedback` — the underscore prefix
+    * keeps Spark's chunk file source from ever treating them as data. */
+  val FeedbackDirName = "_feedback"
+
+  /** One published feedback value as a JSON line. Values are JSON scalars:
+    * null, booleans, integers (read back as Long), floats (read back as
+    * Double, `Double.toString` round-trips the bits), and strings — the
+    * cross-process subset of the in-process FeedbackService's `Any`. */
+  private[sources] def feedbackJson(key: String, value: Any, t: Long): String = {
+    val v = value match {
+      case null | None => "null"
+      case b: Boolean => b.toString
+      case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+      case f: Float => f.toDouble.toString
+      case d: Double => d.toString
+      case s: String => jstr(s)
+      case other => throw new IllegalArgumentException(
+        s"cross-process feedback values must be JSON scalars, got ${other.getClass.getName}")
+    }
+    s"""{"key":${jstr(key)},"t":$t,"value":$v}\n"""
+  }
+
+  private val FeedbackLine =
+    """\{"key":(".*?(?<!\\)"),"t":(-?\d+),"value":(.*)\}\s*""".r
+
+  private def unescape(quoted: String): String = {
+    val s = quoted.substring(1, quoted.length - 1)
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' =>
+          s.charAt(i + 1) match {
+            case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c => sb.append(c); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private def parseScalar(v: String): Any = v match {
+    case "null" => null
+    case "true" => true
+    case "false" => false
+    case q if q.startsWith("\"") => unescape(q)
+    case n if n.exists(c => c == '.' || c == 'e' || c == 'E') => n.toDouble
+    case n => n.toLong
+  }
+
+  /** All published feedback, publication order (file sequence number):
+    * (key, timestep, value) triples. A partially-written file can never be
+    * observed (same dot-temp + ATOMIC_MOVE protocol as the chunk spool). */
+  private[sources] def readFeedback(spoolDir: Path): Seq[(String, Long, Any)] = {
+    val dir = spoolDir.resolve(FeedbackDirName)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("fb-\\d+\\.json"))
+      .toSeq
+      .sortBy(p => p.getFileName.toString.stripPrefix("fb-").stripSuffix(".json").toLong)
+      .map { p =>
+        Files.readString(p) match {
+          case FeedbackLine(k, t, v) => (unescape(k), t.toLong, parseScalar(v))
+          case bad => throw new IllegalStateException(
+            s"malformed feedback file $p: $bad") // loud, like FAILFAST chunks
+        }
+      }
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -97,6 +188,48 @@ object FileBridge {
     }
     sb.append("],\"dtype\":").append(jstr(c.dtype)).append("}\n")
     sb.toString
+  }
+}
+
+/** Analytics→simulation side of the cross-process feedback channel: the
+  * file-spool twin of [[graft.streaming.FeedbackService]], closing the loop
+  * the reference steers simulations with (`bridge.py:525-584` read side,
+  * `head_node.py:213-303` write side). Analytics callbacks `set` values
+  * here; simulation ranks read them back with [[FileBridge.get]].
+  *
+  * Same contract as the in-process service: timesteps strictly increase per
+  * key (duplicates/regressions rejected), retention is bounded (oldest
+  * spooled entry deleted beyond `queueSize`, so a slow simulation reads a
+  * bounded directory, not an unbounded log). Same durability protocol as
+  * the chunk spool: dot-temp write + ATOMIC_MOVE, so readers never observe
+  * a partial value. One publisher owns the channel (the reference likewise
+  * funnels feedback through the single head actor). */
+final class FileFeedbackPublisher(spoolDir: Path, queueSize: Int = 1024) {
+  require(queueSize > 0, "feedback queue size must be positive")
+  private val dir = spoolDir.resolve(FileBridge.FeedbackDirName)
+  Files.createDirectories(dir)
+  private val seq = new AtomicLong(0)
+  private val lastT = scala.collection.mutable.Map.empty[String, Long]
+  private val spooled =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayDeque[Path]]
+
+  /** D7 across the process boundary: publish `value` for (key, t). */
+  def set(key: String, value: Any, t: Long): Unit = synchronized {
+    lastT.get(key).foreach { lt =>
+      if (t <= lt) throw new IllegalArgumentException(
+        s"feedback timestep $t for key $key must be strictly greater than $lt")
+    }
+    val line = FileBridge.feedbackJson(key, value, t) // validate BEFORE spooling
+    val n = seq.getAndIncrement()
+    val tmp = dir.resolve(s".inprogress-fb-$n.json")
+    val fin = dir.resolve(s"fb-$n.json")
+    Files.write(tmp, line.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    lastT(key) = t
+    val q = spooled.getOrElseUpdate(key, scala.collection.mutable.ArrayDeque.empty)
+    q.append(fin)
+    while (q.size > queueSize) Files.deleteIfExists(q.removeHead())
   }
 }
 

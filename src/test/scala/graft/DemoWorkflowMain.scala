@@ -97,6 +97,14 @@ object DemoWorkflowMain {
     println(s"[probe-ingest] fired=$fired terminated=${ex3.isTerminated} (expect 2, true)")
     ex3.shutdown(); asm3.shutdown()
 
+    // cross-process feedback: analytics publishes, any sim rank reads back
+    val pub = new graft.sources.FileFeedbackPublisher(spool)
+    pub.set("steer", 0.25, 0L)
+    pub.set("steer", 0.75, 1L)
+    println(s"[probe-feedback-file] rank0 get(t=1)=${fileBridges.head.get("steer", 1L)} " +
+      s"rank1 all=${fileBridges.last.getAll("steer")} missing=${fileBridges.head.get("steer", 9L)} " +
+      "(expect Some(0.75), List((0,0.25), (1,0.75)), None)")
+
     spark.stop()
   }
 }

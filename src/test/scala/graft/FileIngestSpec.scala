@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.core._
-import graft.sources.{FileBridge, FileChunkSource}
+import graft.sources.{FileBridge, FileChunkSource, FileFeedbackPublisher}
 import graft.streaming._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -30,10 +30,15 @@ class FileIngestSpec extends AnyFunSuite {
     }
     val ex = new WindowedExecutor(spark, Seq(meta))
     val assembler = new StreamingAssembler(ex, Seq(meta))
+    // analytics publishes each timestep's mean as cross-process feedback —
+    // the reverse channel the simulation steers on (reference feedback loop)
+    val feedback = new FileFeedbackPublisher(spool)
     var seen = List.empty[(Long, Double)]
     ex.registerCallback(Seq(ArrayWindow("array"))) { args =>
       val a = args("array").last
-      seen ::= (a.t, a.meanScalar().compute())
+      val m = a.meanScalar().compute()
+      seen ::= (a.t, m)
+      feedback.set("mean", m, a.t)
     }
     val query = assembler.attach(
       FileChunkSource.stream(spark, spool.toString), "graft-file-ingest")
@@ -52,9 +57,47 @@ class FileIngestSpec extends AnyFunSuite {
     } finally query.stop()
     assert(ex.isTerminated && ex.closingTimestep.contains(4L))
     assert(seen.reverse == (0L until 4L).map(t => (t, 3.0 * t / 2)).toList)
+    // the writer process reads analytics' feedback back: callbacks run one
+    // timestep behind, so while the sim is at t it steers on t-1 (here:
+    // everything through the final processed timestep is visible, and both
+    // ranks observe identical values — the spool dir is the bcast medium)
+    assert(bridge0.get("mean", 2L).contains(3.0))
+    assert(bridge1.get("mean", 2L).contains(3.0))
+    assert(bridge0.get("mean", 9L).isEmpty) // never published -> found=false
+    assert(bridge0.getAll("mean") == (0L until 4L).map(t => (t, 3.0 * t / 2)))
     ex.shutdown(); assembler.shutdown()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "spooled batches and window members must all be released")
+  }
+
+  test("feedback protocol: scalar round-trips, guards, bounded retention") {
+    val spool = Files.createTempDirectory("graft-spool-fb")
+    val b = new FileBridge(spool, 0, Seq(meta), Map("array" -> Seq(0, 0)))
+    assert(b.get("steer", 0L).isEmpty) // channel not even created yet
+    val pub = new FileFeedbackPublisher(spool)
+    // every supported scalar type round-trips with its type class
+    pub.set("steer", 0.5, 0L)
+    pub.set("steer", 3L, 1L)
+    pub.set("note", "cool \"down\"\n", 1L)
+    pub.set("flag", true, 1L)
+    pub.set("none", null, 1L)
+    assert(b.get("steer", 0L).contains(0.5))
+    assert(b.get("steer", 1L).contains(3L))
+    assert(b.get("note", 1L).contains("cool \"down\"\n"))
+    assert(b.get("flag", 1L).contains(true))
+    assert(b.get("none", 1L).contains(null)) // found=true, value=null is legal
+    assert(b.get("steer", 2L).isEmpty && b.get("ghost", 0L).isEmpty)
+    // strictly-increasing timesteps per key, same as the in-process service
+    intercept[IllegalArgumentException] { pub.set("steer", 9.9, 1L) }
+    // non-scalar values rejected before anything is spooled
+    intercept[IllegalArgumentException] { pub.set("steer", Seq(1, 2), 5L) }
+    // bounded retention: oldest entries beyond queueSize are deleted
+    val spool2 = Files.createTempDirectory("graft-spool-fb2")
+    val small = new FileFeedbackPublisher(spool2, queueSize = 2)
+    val b2 = new FileBridge(spool2, 0, Seq(meta), Map("array" -> Seq(0, 0)))
+    for (t <- 0L until 5L) small.set("k", t.toDouble, t)
+    assert(b2.get("k", 0L).isEmpty, "evicted")
+    assert(b2.getAll("k") == Seq((3L, 3.0), (4L, 4.0)))
   }
 
   test("json line round-trips exact double bits and contract validation holds") {
