@@ -354,10 +354,11 @@ object RelationalQueries {
     CatalogQuery("q19_quantiles", (s, d) => {
       // exact interpolated percentiles + a sketch with a bounded-error
       // contract, q17-style: the sketch VALUE is engine-specific, the bound
-      // is checkable. Scale note: exact percentile holds per-group value
-      // maps in memory — correct here and for the oracle, but the 100 TB
-      // path is percentile_approx (a mergeable, bounded-memory KLL-style
-      // sketch with map-side partials), which is why both appear.
+      // is checkable. Scale note: exact percentile materializes each
+      // group's value multiset in the aggregation buffer — this query is
+      // the GATE-SF CONTROL only; q19b below is the 100 TB quantile path
+      // (bounded-memory sketch, contract checked without ever computing
+      // the exact percentile).
       // round(…, 4) absorbs last-ulp interpolation differences between
       // engines (values ~1e5, ulp ~1e-11).
       table(s, d, "lineitem")
@@ -374,6 +375,38 @@ object RelationalQueries {
              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
              TRUE AS approx_within_1pct
       FROM lineitem""")),
+
+    CatalogQuery("q19b_grouped_quantiles", (s, d) => {
+      // The 100 TB quantile path: GROUPED percentile_approx — a mergeable
+      // bounded-memory sketch (Greenwald-Khanna-style summary of at most
+      // `accuracy` tuples per group) with map-side partials, where q19's
+      // exact percentile holds each group's whole value multiset in one
+      // aggregation buffer (one hot group over 100 TB OOMs the executor).
+      // The contract is checked WITHOUT ever computing the exact
+      // percentile: percentile_approx(accuracy=10000) guarantees the
+      // returned value's rank is within n/10000 of the n/2 target, so a
+      // second distributive aggregation counts values strictly below /
+      // at-or-below the sketch's answer and asserts the target rank lies
+      // inside that window (±0.5% slack ≫ the 0.01% guarantee). Every
+      // aggregation buffer in the plan is O(accuracy) or O(1); the oracle
+      // emits the exact group geometry + literal TRUE (q17 pattern).
+      val Eps = 0.005
+      val li = table(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val sketch = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(sketch), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n_rows"),
+          sum(when(col("l_extendedprice") < col("a50"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("l_extendedprice") <= col("a50"), 1L).otherwise(0L)).as("n_le"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("n_lt") <= (lit(0.5) + Eps) * col("n_rows") &&
+            col("n_le") >= (lit(0.5) - Eps) * col("n_rows")).as("p50_rank_within_eps"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, count(*) AS n_rows, TRUE AS p50_rank_within_eps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     CatalogQuery("q20_grouping_sets", (s, d) => {
       // GROUPING SETS — the general form rollup/cube specialize; exercised

@@ -124,6 +124,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q19b grouped quantiles keep every aggregation buffer bounded") {
+    // q19's exact percentile materializes each group's value multiset in
+    // one buffer (a hot group at 100 TB OOMs); the scale path may only use
+    // the bounded percentile_approx sketch plus distributive counts
+    val plan = planOf("q19b_grouped_quantiles")
+    assert(!plan.contains("percentile("),
+      s"no exact percentile aggregate in the scale path:\n${plan.take(1500)}")
+    assert(plan.contains("percentile_approx"), "the sketch must be in-plan")
+    val hashAggs = "HashAggregate".r.findAllIn(plan).length
+    assert(hashAggs >= 2, "sketch + rank-count aggregations need map-side partials")
+  }
+
   test("q12 as-of join is union-merge: one window pass, no join operator") {
     // the fan-out plan (equi-join + row_number) materializes
     // |events(u)| x |orders(u)| rows per user; the union-merge plan must
