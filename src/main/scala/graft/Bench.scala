@@ -34,14 +34,22 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // median of 3 timed runs per query: a single noisy reading (GC pause,
+    // page-cache miss, JIT deopt) must not masquerade as a plan regression
+    // round over round
     val results = benched.map { q =>
-      val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s")
-      spark.catalog.clearCache() // queries may cache intermediates
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.build(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // queries may cache intermediates
+        sec
+      }
+      val sec = times.sorted.apply(1)
+      System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s (runs: ${
+        times.map(t => f"$t%.3f").mkString(" ")})")
       q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
