@@ -54,9 +54,15 @@ object Multimodal {
         (img.width, img.height, 1, MediaCodecs.lumHistogram(img, EmbeddingDim))
       }
     } else if (MediaCodecs.isImageIo(payload)) {
-      MediaCodecs.decodeImageIo(payload) match {
-        case Seq(img) => (img.width, img.height, 1, MediaCodecs.lumHistogram(img, EmbeddingDim))
-        case frames => frameFeatures(frames) // animated GIF = video
+      // real corpora contain truncated/corrupt images: a payload whose
+      // magic bytes promise JPEG/PNG/BMP/GIF but whose body ImageIO cannot
+      // decode must not fail the whole job from inside an executor — it
+      // degrades to the deterministic stub, like any other undecodable blob
+      scala.util.Try(MediaCodecs.decodeImageIo(payload)).toOption match {
+        case Some(Seq(img)) =>
+          (img.width, img.height, 1, MediaCodecs.lumHistogram(img, EmbeddingDim))
+        case Some(frames) if frames.nonEmpty => frameFeatures(frames) // animated GIF = video
+        case _ => decodeStub(kind, payload)
       }
     } else if (MediaCodecs.isWav(payload)) {
       val a = MediaCodecs.decodeWav(payload)

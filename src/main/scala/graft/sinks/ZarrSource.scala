@@ -43,42 +43,46 @@ object ZarrSource {
     val chunkArr = chunks.toIndexedSeq
     val shapeArr = shape.toIndexedSeq
 
-    // executor-side payload read: every non-dot file in the store dir is a
-    // chunk named i.j.k; binaryFile hands each task its files' bytes
+    // ONE binaryFile DataFrame backs both passes below (payload decode +
+    // names-only anti-join side): sharing the relation means a single
+    // directory listing — on an object store, one LIST instead of two —
+    // while the names-only projection still prunes the content column at
+    // its scan, so payload bytes are read exactly once. One predicate
+    // classifies chunk files for both passes: a numeric name with EXACTLY
+    // the array's arity (i.j.k for 3-d) — the two passes can never
+    // disagree on what counts as a chunk.
     import spark.implicits._
-    val present = spark.read.format("binaryFile")
-      .load(dir.toString)
-      .select(col("path"), col("content"))
+    import org.apache.spark.sql.functions.{array, concat_ws, substring_index}
+    val chunkNamePattern = "^[0-9]+(\\.[0-9]+){" + (chunkArr.length - 1) + "}$"
+    val files = spark.read.format("binaryFile").load(dir.toString)
+      .withColumn("fname", substring_index(col("path"), "/", -1))
+      .where(col("fname").rlike(chunkNamePattern))
+    val present = files
+      .select(col("fname"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val fname = path.substring(path.lastIndexOf('/') + 1)
-        if (!fname.matches("[0-9]+(\\.[0-9]+)*")) None
-        else {
-          val gi = fname.split('.').map(_.toInt)
-          require(gi.length == chunkArr.length, s"bad chunk name $fname")
-          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          val full = new Array[Double](chunkArr.product)
-          var i = 0
-          while (i < full.length) { full(i) = buf.getDouble; i += 1 }
-          // trim the zarr padding on trailing chunks back off
-          val pos = gi.indices.map(d => gi(d) * chunkArr(d))
-          val extent = gi.indices.map(d => math.min(chunkArr(d), shapeArr(d) - pos(d)))
-          val data =
-            if (extent == chunkArr) full
-            else {
-              val ranges = extent.map(e => (0, e)).toArray
-              BlockIndex.extract(full, chunkArr.toArray, ranges)._1
-            }
-          Some(Block(pos, extent, data))
-        }
+      .map { case (fname, bytes) =>
+        val gi = fname.split('.').map(_.toInt)
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val full = new Array[Double](chunkArr.product)
+        var i = 0
+        while (i < full.length) { full(i) = buf.getDouble; i += 1 }
+        // trim the zarr padding on trailing chunks back off
+        val pos = gi.indices.map(d => gi(d) * chunkArr(d))
+        val extent = gi.indices.map(d => math.min(chunkArr(d), shapeArr(d) - pos(d)))
+        val data =
+          if (extent == chunkArr) full
+          else {
+            val ranges = extent.map(e => (0, e)).toArray
+            BlockIndex.extract(full, chunkArr.toArray, ranges)._1
+          }
+        Block(pos, extent, data)
       }
 
     // missing-chunk synthesis, fully distributed: expected grid = cross
     // product of per-dim ranges (driver holds only the per-dim COUNTS),
-    // anti-joined against the present chunk file names (content column
-    // pruned away, so this second binaryFile pass lists names without
-    // re-reading payload bytes); fill payloads allocate on executors
-    import org.apache.spark.sql.functions.{array, concat_ws, substring_index}
+    // anti-joined against the present chunk file names (same `files`
+    // relation, content pruned at the scan); fill payloads allocate on
+    // executors
     val expected = gridArr.indices.foldLeft(
       spark.range(gridArr(0).toLong).select(col("id").cast("int").as("g0"))) {
       case (df, 0) => df
@@ -86,9 +90,7 @@ object ZarrSource {
         df.crossJoin(spark.range(gridArr(d).toLong).select(col("id").cast("int").as(s"g$d")))
     }
     val giCols = gridArr.indices.map(d => col(s"g$d"))
-    val presentNames = spark.read.format("binaryFile").load(dir.toString)
-      .select(substring_index(col("path"), "/", -1).as("fname"))
-      .where(col("fname").rlike("^[0-9]+(\\.[0-9]+)*$"))
+    val presentNames = files.select(col("fname"))
     val fillBlocks = expected
       .withColumn("fname", concat_ws(".", giCols.map(_.cast("string")): _*))
       .join(presentNames, Seq("fname"), "left_anti")

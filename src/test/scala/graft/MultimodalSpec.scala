@@ -72,6 +72,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vw == 8 && vh == 4 && nf == 2)
   }
 
+  test("corrupt image payloads degrade to the stub instead of failing the job") {
+    // valid PNG magic, truncated body — real corpora contain these; the
+    // batch kernel must emit the deterministic stub features, not throw
+    // from inside an executor task
+    val img = grayImg(8, 8)((x, y) => x ^ y)
+    val truncated = MediaCodecs.encodeImageIo(img, "png").take(24)
+    assert(MediaCodecs.isImageIo(truncated), "fixture must still look like a PNG")
+    val (w, h, nf, emb) = Multimodal.decode("image", truncated)
+    val (sw, sh, snf, semb) = Multimodal.decodeStub("image", truncated)
+    assert((w, h, nf, emb.toSeq) == (sw, sh, snf, semb.toSeq))
+    // and through the batched kernel end to end
+    val blobs = Seq(MediaBlob(1, "image", truncated, "s"))
+    val Array(f) = Multimodal.extractFeatures(spark.createDataset(blobs)).collect()
+    assert(f.embedding.toSeq == Multimodal.decodeStub("image", truncated)._4.toSeq)
+  }
+
   test("extractFeatures routes ImageIO payloads through the real decoder") {
     val img = grayImg(32, 16)((x, y) => (x * y) % 256)
     val blobs = Seq(MediaBlob(1, "image", MediaCodecs.encodeImageIo(img, "png"), "s"))
