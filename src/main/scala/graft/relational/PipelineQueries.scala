@@ -2,6 +2,7 @@ package graft.relational
 
 import graft.pipeline.{KMeans, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings` —
@@ -529,6 +530,115 @@ object PipelineQueries {
       SELECT doc_id,
         list_min([md5(g) for g in list_distinct([substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 0) + 1)])]) AS fingerprint
       FROM documents WHERE length(text) >= 8 ORDER BY doc_id""")),
+
+    // ---------- corpus curation / training prep ----------
+
+    CatalogQuery("qp01_split_sample", (s, d) => {
+      // Reproducible train/val/test splitting: the split is a pure
+      // function of the stable document identity (60-bit md5-prefix hash
+      // of doc_id, mod 100) — identical across runs, engines,
+      // partitionings, and corpus appends, with no sampling state or RNG
+      // seed to ship. That determinism is the property a 100 TB split
+      // must have: any pipeline stage re-derives membership locally, so
+      // the "split" is never materialized or joined. 90/5/5; pure
+      // per-row codegen'd expressions, pipelines inside the scan.
+      val bucket = pmod(TextOps.hash60(col("doc_id").cast("string")), lit(100))
+      table(s, d, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH b AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""")),
+
+    CatalogQuery("qp02_source_quota", (s, d) => {
+      // Per-domain quota capping: keep the top-5 docs per source by token
+      // count (doc_id tie-break) — the "no domain dominates the corpus"
+      // curation step. Reuses the bounded TopKByScore aggregator
+      // generically as (score, id): a hot domain at 100 TB would make a
+      // per-source row_number window sort all of that domain's docs in
+      // one task, where the aggregator's map-side partials keep every
+      // buffer at ≤5 rows and the shuffle at partitions × 5 per source.
+      val topk = graft.functions.TopKAggregator.topK(5)
+      table(s, d, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("double").as("score"),
+          col("doc_id"))
+        .groupBy(col("source"))
+        .agg(topk(col("score"), col("doc_id")).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("doc_id"),
+          col("col.cosine").cast("long").as("n_tokens"))
+        .orderBy(col("source"), col("rank"))
+    }, Some("""
+      SELECT source, rank, doc_id, n_tokens FROM (
+        SELECT source, doc_id, n_tokens,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id) AS rank
+        FROM (SELECT source, doc_id,
+          length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+          FROM documents) t) r
+      WHERE rank <= 5 ORDER BY source, rank""")),
+
+    CatalogQuery("qp03_doc_frequency", (s, d) => {
+      // Corpus vocabulary statistics (stopword mining / tokenizer vocab
+      // seeding): document frequency per token, top-20. Each doc emits
+      // its DISTINCT token set (array_distinct before the explode), so
+      // the aggregation input is bounded by per-doc vocabulary, not the
+      // token stream; df counting is a plain hash-groupBy with map-side
+      // partials and the top-20 compiles to TakeOrderedAndProject (no
+      // global sort of the vocabulary).
+      table(s, d, "documents")
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("token"))
+        .limit(20)
+    }, Some("""
+      SELECT token, count(*) AS df FROM (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+        FROM documents) t
+      GROUP BY token ORDER BY df DESC, token LIMIT 20""")),
+
+    CatalogQuery("qp04_sequence_pack", (s, d) => {
+      // Context-window packing (concat-and-split, the standard streaming
+      // pack for pretraining shards): per source shard, docs concatenate
+      // in doc_id order and split into 256-token windows; each doc
+      // records the pack it starts in and its offset there. Pure integer
+      // math over a per-shard exclusive running sum — one window pass
+      // PARTITIONED BY the shard key, so no global sort and each task
+      // sorts one shard (the packing order is inherently sequential per
+      // shard; shards are the unit of parallelism, exactly like
+      // production webdataset/arrow shard writers).
+      val C = 256
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("prev_tokens", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          floor(col("prev_tokens") / C).cast("long").as("pack_id"),
+          pmod(col("prev_tokens"), lit(C.toLong)).as("pack_offset"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT source, doc_id,
+        CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (SELECT source, doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev_tokens
+        FROM t)
+      SELECT source, doc_id, n_tokens,
+        prev_tokens // 256 AS pack_id, prev_tokens % 256 AS pack_offset
+      FROM p ORDER BY doc_id""")),
 
     // ---------- multimodal plumbing ----------
 

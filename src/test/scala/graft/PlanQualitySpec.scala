@@ -124,6 +124,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("qp02 per-source quota uses the bounded top-k aggregator, not a window") {
+    // a hot domain would make a per-source row_number window sort all of
+    // that domain's docs in one task; the quota must aggregate instead
+    val plan = planOf("qp02_source_quota")
+    assert(!plan.contains("Window"), s"no per-source window sort:\n${plan.take(1500)}")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      "quota needs partial + final top-k aggregation")
+  }
+
+  test("qp03 top-20 vocabulary compiles to TakeOrderedAndProject") {
+    val plan = planOf("qp03_doc_frequency")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"df top-20 must not globally sort the vocabulary:\n${plan.take(1500)}")
+  }
+
   test("q19b grouped quantiles keep every aggregation buffer bounded") {
     // q19's exact percentile materializes each group's value multiset in
     // one buffer (a hot group at 100 TB OOMs); the scale path may only use
