@@ -21,32 +21,68 @@ import org.apache.spark.sql.functions.col
   * Edge chunks are padded to the full chunk shape with `fillValue`,
   * as zarr v2 requires; uncompressed (`compressor: null`).
   */
+/** Zarr v2 dtype codecs shared by sink and source: the engine stores block
+  * payloads as doubles (value semantics — `astype` constrains the values,
+  * the `dtype` tag records the logical type); the codec maps them to the
+  * on-disk element type, so a store written from an `astype(int32)` array
+  * is a real `<i4` zarr any consumer (xarray, zarr-python) reads natively. */
+private[sinks] object ZarrDtype {
+  final case class Codec(name: String, zname: String, width: Int, integral: Boolean,
+      put: (ByteBuffer, Double) => Unit, get: ByteBuffer => Double)
+
+  private val codecs: Seq[Codec] = Seq(
+    Codec("float64", "<f8", 8, integral = false, (b, v) => b.putDouble(v), _.getDouble),
+    Codec("float32", "<f4", 4, integral = false,
+      (b, v) => b.putFloat(v.toFloat), _.getFloat.toDouble),
+    Codec("int64", "<i8", 8, integral = true,
+      (b, v) => b.putLong(v.toLong), _.getLong.toDouble),
+    Codec("int32", "<i4", 4, integral = true,
+      (b, v) => b.putInt(v.toInt), _.getInt.toDouble),
+    Codec("int16", "<i2", 2, integral = true,
+      (b, v) => b.putShort(v.toShort), _.getShort.toDouble),
+    Codec("int8", "|i1", 1, integral = true,
+      (b, v) => b.put(v.toByte), _.get.toDouble))
+
+  private val aliases = Map(
+    "f8" -> "float64", "double" -> "float64", "f4" -> "float32", "float" -> "float32",
+    "i8" -> "int64", "long" -> "int64", "i4" -> "int32", "int" -> "int32",
+    "i2" -> "int16", "short" -> "int16", "i1" -> "int8", "byte" -> "int8")
+
+  def forDtype(dt: String): Codec = {
+    val canonical = aliases.getOrElse(dt, dt)
+    codecs.find(_.name == canonical).getOrElse(
+      throw new IllegalArgumentException(s"zarr: unsupported dtype '$dt'"))
+  }
+
+  def forZarr(zname: String): Codec =
+    codecs.find(_.zname == zname).getOrElse(
+      throw new IllegalArgumentException(s"zarr: unsupported on-disk dtype '$zname'"))
+}
+
 object ZarrSink {
 
   def write(arr: DeisaArray, store: String, component: String = "",
       fillValue: Double = -1.0): Unit = {
     val gs = arr.globalShape
-    // chunk shape: the extent of the block at offset 0 per dim (regular
-    // decomposition; trailing blocks may be partial and get padded)
-    val firstShapes = arr.df
-      .select(col("pos"), col("shape")).collect()
-      .map(r => (r.getSeq[Int](0), r.getSeq[Int](1)))
-    require(firstShapes.nonEmpty, "cannot write an empty array")
-    val chunkShape: Seq[Int] = gs.indices.map { d =>
-      firstShapes.collectFirst { case (p, s) if p(d) == 0 => s(d) }
-        .getOrElse(firstShapes.head._2(d))
-    }
-    firstShapes.foreach { case (p, sh) =>
-      require(p.lazyZip(chunkShape).forall((off, c) => off % c == 0),
-        s"block at offset $p is not aligned to chunk grid $chunkShape — rechunk first")
-      // extent check: interior blocks must fill the chunk; only trailing
-      // blocks may be smaller (they get padded) — an oversized block would
-      // otherwise index out of the padded buffer or misplace values
-      gs.indices.foreach { d =>
-        require(sh(d) == chunkShape(d) ||
-          (sh(d) < chunkShape(d) && p(d) + sh(d) == gs(d)),
-          s"block at $p extent ${sh(d)} (dim $d) does not fit chunk ${chunkShape(d)} — rechunk first")
-      }
+    val nd = gs.length
+    val codec = ZarrDtype.forDtype(arr.dtype)
+    // chunk-shape inference runs DISTRIBUTED: the driver receives ONE row
+    // of per-dim aggregates, never the block catalog (a 100 TB array is
+    // ~25M blocks — this was the sinks' last O(#chunks) driver-side path).
+    // Regular decomposition means every block with offset 0 in dim d
+    // carries the canonical chunk extent for d (possibly partial when the
+    // grid has a single chunk in d); irregular blocks fail loudly in the
+    // write tasks below.
+    import org.apache.spark.sql.functions.{count => fcount, element_at, lit, max, min, when}
+    val aggCols = (0 until nd).flatMap { d =>
+      Seq(max(when(element_at(col("pos"), d + 1) === 0,
+            element_at(col("shape"), d + 1))).as(s"c$d"),
+        min(element_at(col("shape"), d + 1)).as(s"m$d"))
+    } :+ fcount(lit(1)).as("n")
+    val row = arr.df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    require(row.getAs[Long]("n") > 0L, "cannot write an empty array")
+    val chunkShape: Seq[Int] = (0 until nd).map { d =>
+      Option(row.getAs[Any](s"c$d")).fold(row.getAs[Int](s"m$d"))(_.asInstanceOf[Int])
     }
 
     val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)
@@ -55,9 +91,11 @@ object ZarrSink {
       val zgroup = Paths.get(store, ".zgroup")
       if (!Files.exists(zgroup)) Files.writeString(zgroup, """{"zarr_format":2}""")
     }
+    // integral dtypes get an integral fill_value literal, per zarr v2
+    val fillJson = if (codec.integral) fillValue.toLong.toString else fillValue.toString
     val meta =
-      s"""{"chunks":[${chunkShape.mkString(",")}],"compressor":null,"dtype":"<f8",""" +
-      s""""fill_value":$fillValue,"filters":null,"order":"C",""" +
+      s"""{"chunks":[${chunkShape.mkString(",")}],"compressor":null,"dtype":"${codec.zname}",""" +
+      s""""fill_value":$fillJson,"filters":null,"order":"C",""" +
       s""""shape":[${gs.mkString(",")}],"zarr_format":2}"""
     Files.writeString(dir.resolve(".zarray"), meta)
     // named dims via the public xarray convention: .zattrs _ARRAY_DIMENSIONS
@@ -67,10 +105,28 @@ object ZarrSink {
 
     val dirStr = dir.toString
     val cs = chunkShape.toArray
+    val gsArr = gs.toArray
     import arr.df.sparkSession.implicits._
-    // executor-side chunk writes
+    // executor-side chunk writes; grid-alignment validation happens here
+    // too, per block on the executors (an invalid block fails the job with
+    // the same "rechunk first" contract message — the driver still never
+    // enumerates the grid)
     arr.df.as[Block].foreachPartition { (it: Iterator[Block]) =>
       it.foreach { b =>
+        b.pos.lazyZip(cs).foreach { (off, c) =>
+          require(off % c == 0,
+            s"block at offset ${b.pos} is not aligned to chunk grid ${cs.toSeq} — rechunk first")
+        }
+        // extent check: interior blocks must fill the chunk; only trailing
+        // blocks may be smaller (they get padded) — an oversized block
+        // would otherwise index out of the padded buffer or misplace values
+        var d = 0
+        while (d < gsArr.length) {
+          require(b.shape(d) == cs(d) ||
+            (b.shape(d) < cs(d) && b.pos(d) + b.shape(d) == gsArr(d)),
+            s"block at ${b.pos} extent ${b.shape(d)} (dim $d) does not fit chunk ${cs(d)} — rechunk first")
+          d += 1
+        }
         val gridIdx = b.pos.toArray.lazyZip(cs).map(_ / _)
         val padded =
           if (b.shape.sameElements(cs)) b.data
@@ -84,8 +140,9 @@ object ZarrSink {
             }
             out
           }
-        val buf = ByteBuffer.allocate(padded.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-        padded.foreach(buf.putDouble)
+        val buf = ByteBuffer.allocate(padded.length * codec.width)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        padded.foreach(v => codec.put(buf, v))
         Files.write(Paths.get(dirStr, gridIdx.mkString(".")), buf.array())
       }
     }
@@ -114,6 +171,8 @@ object ZarrSink {
     }
     val shape = intList("shape")
     val chunks = intList("chunks")
+    val codec = ZarrDtype.forZarr(
+      "\"dtype\":\"([^\"]+)\"".r.findFirstMatchIn(metaStr).get.group(1))
     val out = new Array[Double](shape.product)
     val grid = shape.lazyZip(chunks).map((g, c) => (g + c - 1) / c)
     def walk(idx: List[Int], dims: List[Int]): Seq[List[Int]] = dims match {
@@ -125,7 +184,7 @@ object ZarrSink {
       if (f.exists()) {
         val bytes = Files.readAllBytes(f.toPath)
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        val data = Array.fill(chunks.product)(buf.getDouble)
+        val data = Array.fill(chunks.product)(codec.get(buf))
         var i = 0
         while (i < data.length) {
           val li = BlockIndex.delinearize(i, chunks)

@@ -35,6 +35,11 @@ object ZarrSource {
     }
     val shape = intList("shape")
     val chunks = intList("chunks")
+    // on-disk element type: decoded per the .zarray dtype (the codec is a
+    // tiny serializable struct broadcast inside the task closures), and
+    // the logical dtype rides back onto the DeisaArray
+    val codec = ZarrDtype.forZarr(
+      "\"dtype\":\"([^\"]+)\"".r.findFirstMatchIn(metaStr).get.group(1))
     val fill = "\"fill_value\":([-0-9.eE]+)".r.findFirstMatchIn(metaStr)
       .map(_.group(1).toDouble).getOrElse(0.0)
     val dims = ZarrSink.readDims(store, component)
@@ -65,7 +70,7 @@ object ZarrSource {
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         val full = new Array[Double](chunkArr.product)
         var i = 0
-        while (i < full.length) { full(i) = buf.getDouble; i += 1 }
+        while (i < full.length) { full(i) = codec.get(buf); i += 1 }
         // trim the zarr padding on trailing chunks back off
         val pos = gi.indices.map(d => gi(d) * chunkArr(d))
         val extent = gi.indices.map(d => math.min(chunkArr(d), shapeArr(d) - pos(d)))
@@ -101,6 +106,6 @@ object ZarrSource {
         val extent = gi.indices.map(d => math.min(chunkArr(d), shapeArr(d) - pos(d)))
         Block(pos, extent, Array.fill(extent.product)(fill))
       }
-    DeisaArray(present.union(fillBlocks).toDF(), shapeArr, t, name, "float64", dims)
+    DeisaArray(present.union(fillBlocks).toDF(), shapeArr, t, name, codec.name, dims)
   }
 }

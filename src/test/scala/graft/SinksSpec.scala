@@ -136,6 +136,50 @@ class SinksSpec extends AnyFunSuite {
     assert((10 until 20).forall(i => sparse.data(i) == -7.0))
   }
 
+  test("zarr persists logical dtypes: int32/float32 stores round-trip") {
+    import graft.sinks.ZarrSource
+    val meta = ArrayMeta("d", Seq(2, 2), Seq(1, 2)).validate()
+    val src = DeisaArray.fromChunks(spark,
+      (0 to 1).map(r => ChunkRow("d", 0, Seq(r, 0), Seq(1, 2),
+        Array(r * 10 + 1.75, -(r * 10 + 2.5)), "float64")), meta, 0)
+    // int32: astype truncates values toward zero; the store must be a real
+    // <i4 zarr (4-byte elements, integral fill), read back with the dtype
+    val i32 = src.astype("int32")
+    val store = Files.createTempDirectory("graft-zarr-i4").toString
+    ZarrSink.write(i32, store, "data", fillValue = -1.0)
+    val zarray = Files.readString(java.nio.file.Paths.get(store, "data", ".zarray"))
+    assert(zarray.contains("\"dtype\":\"<i4\"") && zarray.contains("\"fill_value\":-1"))
+    assert(Files.size(java.nio.file.Paths.get(store, "data", "0.0")) == 2 * 4) // 4B/elem
+    assert(ZarrSink.read(store, "data").data.toSeq == Seq(1.0, -2.0, 11.0, -12.0))
+    val back = ZarrSource.read(spark, store, "data")
+    assert(back.dtype == "int32")
+    assert(back.compute().data.toSeq == Seq(1.0, -2.0, 11.0, -12.0))
+    // float32: values round through single precision on disk
+    val f32 = src.astype("float32")
+    val store2 = Files.createTempDirectory("graft-zarr-f4").toString
+    ZarrSink.write(f32, store2, "data")
+    val back2 = ZarrSource.read(spark, store2, "data")
+    assert(back2.dtype == "float32")
+    assert(back2.compute().data.toSeq ==
+      Seq(1.75f, -2.5f, 11.75f, -12.5f).map(_.toDouble))
+  }
+
+  test("zarr write rejects misaligned blocks from the write tasks") {
+    // element offset 1 is not a multiple of the inferred chunk extent 2 on
+    // dim 1 (raw Block DF — ingest paths can't produce this, a buggy
+    // transform could): the executor-side validation must fail the job
+    // with the contract message (the driver never enumerates the grid)
+    import spark.implicits._
+    val blocks = Seq(Block(Seq(0, 0), Seq(1, 2), Array(1.0, 2.0)),
+      Block(Seq(0, 1), Seq(1, 2), Array(9.0, 9.0)))
+    val arr = DeisaArray(spark.createDataset(blocks).toDF(), Seq(1, 3), 0, "m")
+    val store = Files.createTempDirectory("graft-zarr-bad").toString
+    val e = intercept[Exception] { ZarrSink.write(arr, store) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("rechunk first")), messages(e).mkString("; "))
+  }
+
   test("missing chunks read back as fill value (VDS fillvalue contract)") {
     val store = Files.createTempDirectory("graft-fill").toString
     val meta = ArrayMeta("a", Seq(1, 4), Seq(1, 2)).validate()
