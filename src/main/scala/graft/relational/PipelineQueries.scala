@@ -104,9 +104,12 @@ object PipelineQueries {
     CatalogQuery("qd02_minhash_lsh", (s, d) => {
       // shingles are 60-bit hashes from the start: one digest per shingle
       // (the affine permutations are integer ops), long arrays instead of
-      // string arrays everywhere downstream. repartition spreads the
-      // digest-dense stage across cores (one small parquet split otherwise
-      // serializes it; at production scale the scan's splits do this).
+      // string arrays everywhere downstream. The repartition is
+      // CONDITIONAL: it exists to spread the digest-dense stage across
+      // cores when the scan yields fewer splits than the cluster has
+      // slots (one small parquet file at test SFs); at production scale
+      // the scan's own splits already parallelize and an unconditional
+      // repartition would shuffle the whole corpus for nothing.
       // persisted: the band self-join and both verification joins reuse the
       // hashed-shingle table — without the cache each branch re-shingles
       // the corpus (4 scans). ~4 KB/doc, so the cache scales fine.
@@ -114,8 +117,12 @@ object PipelineQueries {
       // graft.functions.expressions) — semantically identical to the
       // higher-order-function formulation, ~5x cheaper per row.
       import graft.functions.expressions.ShingleExpressions._
-      val docs = table(s, d, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val raw = table(s, d, "documents")
+      val spread =
+        if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+          raw.repartition(s.sparkContext.defaultParallelism)
+        else raw
+      val docs = spread
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
         .persist()
