@@ -55,6 +55,20 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** qp01/qp05's deterministic split assignment: hash-bucket of the stable
+    * doc identity (shared so the audit query can never drift from the
+    * split it audits). */
+  private def splitBucket: Column =
+    pmod(TextOps.hash60(col("doc_id").cast("string")), lit(100))
+  private def splitLabel(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  private val oSplitCte: String =
+    """sp AS (SELECT doc_id,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents)"""
+
   /** Oracle list-comprehension for distinct char n-grams. */
   private def oShingles(textExpr: String): String =
     s"list_distinct([substr($textExpr, i, $ShingleN) for i in range(1, greatest(length($textExpr) - ${ShingleN - 1}, 0) + 1)])"
@@ -549,11 +563,9 @@ object PipelineQueries {
       // must have: any pipeline stage re-derives membership locally, so
       // the "split" is never materialized or joined. 90/5/5; pure
       // per-row codegen'd expressions, pipelines inside the scan.
-      val bucket = pmod(TextOps.hash60(col("doc_id").cast("string")), lit(100))
       table(s, d, "documents")
-        .select(col("doc_id"), bucket.as("bucket"),
-          when(bucket < 90, "train").when(bucket < 95, "val")
-            .otherwise("test").as("split"))
+        .select(col("doc_id"), splitBucket.as("bucket"),
+          splitLabel(splitBucket).as("split"))
         .orderBy(col("doc_id"))
     }, Some("""
       WITH b AS (SELECT doc_id,
@@ -563,6 +575,35 @@ object PipelineQueries {
         CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
              ELSE 'test' END AS split
       FROM b ORDER BY doc_id""")),
+
+    CatalogQuery("qp05_split_leakage", (s, d) => {
+      // Decontamination audit: verified near-duplicate pairs (qd02's LSH
+      // output) that CROSS the qp01 split boundary — a test/val doc with
+      // a train near-duplicate leaks evaluation signal into training.
+      // Composes two gated operators through their public catalog entries,
+      // so the audit can never drift from the dedup or split definitions
+      // it audits. Scale shape: the pair set is the (small) dedup output;
+      // split labels are re-derived per row (stateless hash — no
+      // membership table to join at corpus scale), so the only joins here
+      // touch pairs × 2.
+      val pairs = QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+        .select(col("id_a"), col("id_b"))
+      val split = table(s, d, "documents")
+        .select(col("doc_id"), splitLabel(splitBucket).as("split"))
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $oMinhashPairsCtes,
+      $oSplitCte
+      SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+      FROM pairs p
+      JOIN sp sa ON p.id_a = sa.doc_id
+      JOIN sp sb ON p.id_b = sb.doc_id
+      WHERE sa.split <> sb.split ORDER BY p.id_a, p.id_b""")),
 
     CatalogQuery("qp02_source_quota", (s, d) => {
       // Per-domain quota capping: keep the top-5 docs per source by token
