@@ -46,6 +46,36 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streamed exact dedup drops cross-micro-batch duplicates (qd01 online)") {
+    // qd01 computes exact dedup offline (hash-groupBy); the online form is
+    // dropDuplicates over the content hash with dedup STATE carried across
+    // micro-batches. The corpus is replayed twice in separate micro-batches
+    // (maxFilesPerTrigger=1), so every second-pass row is a duplicate that
+    // only cross-batch state can drop; the survivors must be exactly the
+    // batch-distinct hash set. (Production note: bound the state with
+    // dropDuplicatesWithinWatermark when arrival skew is bounded.)
+    val src = s"$dir/documents.parquet"
+    val batchHashes = spark.read.parquet(src)
+      .select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), streamDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), streamDir.resolve("b.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .dropDuplicates("h")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.table("dedup_stream")
+    assert(kept.count() == batchHashes.size,
+      s"replaying the corpus twice must keep each hash once")
+    assert(kept.select("h").collect().map(_.getString(0)).toSet == batchHashes)
+  }
+
   test("streamed session_window matches the batch gaps-and-islands sessionization") {
     // q18 computes sessions offline (lag + windowed sum, 30 min gap);
     // Structured Streaming's session_window is the online formulation —
