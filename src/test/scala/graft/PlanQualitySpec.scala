@@ -139,6 +139,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"df top-20 must not globally sort the vocabulary:\n${plan.take(1500)}")
   }
 
+  test("qp04 packing window is shard-partitioned, never global") {
+    // the running sum must partition by the source shard: an empty window
+    // partition spec would funnel the whole corpus through one task
+    val plan = planOf("qp04_sequence_pack")
+    assert("windowspecdefinition\\(source".r.findFirstIn(plan).isDefined,
+      s"pack prefix-sum must partition by source:\n${plan.take(1500)}")
+  }
+
   test("q19b grouped quantiles keep every aggregation buffer bounded") {
     // q19's exact percentile materializes each group's value multiset in
     // one buffer (a hot group at 100 TB OOMs); the scale path may only use
