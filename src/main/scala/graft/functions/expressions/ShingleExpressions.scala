@@ -40,50 +40,70 @@ case class ShingleHash60(child: Expression, n: Int) extends Expression {
   }
 
   def compute(s: UTF8String): ArrayData = {
+    // zero-allocation hot loop: the digest writes into a reused 16-byte
+    // buffer (MessageDigest.digest(buf,...) resets the digest, so no
+    // per-gram array), and hashes collect into a primitive long[] that is
+    // sorted then deduped in place — no boxed Longs, no hash-set build
+    // (set semantics are order-free and the output is sorted anyway)
     val md = ShingleHash60.digest.get()
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (s.numBytes == s.numChars) {
-      // ASCII fast path: grams are byte slices
-      val bytes = s.getBytes
-      var i = 0
-      val last = bytes.length - n
-      while (i <= last) {
-        md.reset()
-        md.update(bytes, i, n)
-        seen.add(prefix60(md.digest()))
-        i += 1
+    val buf = ShingleHash60.digestBuf.get()
+    val hashes: Array[Long] =
+      if (s.numBytes == s.numChars) {
+        // ASCII fast path: grams are byte slices
+        val bytes = s.getBytes
+        val cnt = bytes.length - n + 1
+        if (cnt <= 0) Array.emptyLongArray
+        else {
+          val all = new Array[Long](cnt)
+          var i = 0
+          while (i < cnt) {
+            md.update(bytes, i, n)
+            md.digest(buf, 0, 16)
+            all(i) = prefix60(buf)
+            i += 1
+          }
+          all
+        }
+      } else {
+        // multi-byte path: gram boundaries count CODE POINTS, matching
+        // Spark's substr and DuckDB's substr (UTF-16 code units would split
+        // surrogate pairs and diverge from the pinned oracle semantics)
+        val str = s.toString
+        val cpStarts = new Array[Int](str.codePointCount(0, str.length) + 1)
+        var ci = 0; var off = 0
+        while (off < str.length) {
+          cpStarts(ci) = off
+          off += Character.charCount(str.codePointAt(off))
+          ci += 1
+        }
+        cpStarts(ci) = str.length
+        val cnt = ci - n + 1
+        if (cnt <= 0) Array.emptyLongArray
+        else {
+          val all = new Array[Long](cnt)
+          var i = 0
+          while (i < cnt) {
+            md.update(str.substring(cpStarts(i), cpStarts(i + n))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            md.digest(buf, 0, 16)
+            all(i) = prefix60(buf)
+            i += 1
+          }
+          all
+        }
       }
-    } else {
-      // multi-byte path: gram boundaries count CODE POINTS, matching
-      // Spark's substr and DuckDB's substr (UTF-16 code units would split
-      // surrogate pairs and diverge from the pinned oracle semantics)
-      val str = s.toString
-      val cpStarts = new Array[Int](str.codePointCount(0, str.length) + 1)
-      var ci = 0; var off = 0
-      while (off < str.length) {
-        cpStarts(ci) = off
-        off += Character.charCount(str.codePointAt(off))
-        ci += 1
-      }
-      cpStarts(ci) = str.length
-      val last = ci - n
-      var i = 0
-      while (i <= last) {
-        md.reset()
-        md.update(str.substring(cpStarts(i), cpStarts(i + n))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        seen.add(prefix60(md.digest()))
-        i += 1
-      }
-    }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
+    // sorted output: downstream intersections become O(n+m) merges
+    // (SortedLongIntersectCount); dedup is a linear sweep after the sort
+    java.util.Arrays.sort(hashes)
     var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    // sorted output: set semantics are order-free, and downstream
-    // intersections become O(n+m) merges (SortedLongIntersectCount)
-    java.util.Arrays.sort(out)
-    new GenericArrayData(out)
+    var i = 1
+    while (i < hashes.length) {
+      if (hashes(i) != hashes(j)) { j += 1; hashes(j) = hashes(i) }
+      i += 1
+    }
+    val size = if (hashes.isEmpty) 0 else j + 1
+    new GenericArrayData(
+      if (size == hashes.length) hashes else java.util.Arrays.copyOf(hashes, size))
   }
 
   /** First 15 hex digits of the digest as a number = first 8 bytes as an
@@ -113,9 +133,12 @@ case class ShingleHash60(child: Expression, n: Int) extends Expression {
 }
 
 object ShingleHash60 {
-  // MessageDigest is stateful and not thread-safe; one per executor thread
+  // MessageDigest is stateful and not thread-safe; one per executor thread,
+  // plus a reused 16-byte output buffer so the hot loop never allocates
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private val digestBuf: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
 }
 
 /** MinHash signature over a long-array column in a single pass: for each of
