@@ -124,6 +124,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // the 100 TB fact-dim join lever beyond broadcast: when the dim side is
+    // selective but too big to broadcast, Catalyst injects a runtime bloom
+    // filter on the fact side's join key so the scan drops non-matching
+    // rows before the shuffle. Thresholds are scaled to fixture size; the
+    // pin is that the optimizer CAN inject it on our join shape (a plain
+    // declarative equi-join — no hand-scheduling required).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = graft.relational.QueryHelpers.table(spark, dir, "lineitem")
+      val o = graft.relational.QueryHelpers.table(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected a runtime bloom filter on l_orderkey:\n${plan.take(1500)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("qp02 per-source quota uses the bounded top-k aggregator, not a window") {
     // a hot domain would make a per-source row_number window sort all of
     // that domain's docs in one task; the quota must aggregate instead
