@@ -76,6 +76,43 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(kept.select("h").collect().map(_.getString(0)).toSet == batchHashes)
   }
 
+  test("flatMapGroupsWithState running stats carry state across micro-batches") {
+    // custom keyed state: the events table replayed in three micro-batches
+    // must leave each user's accumulator equal to the batch groupBy —
+    // regardless of how the micro-batch boundaries split a user's events
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    val batchEvents = QueryHelpers.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+    val expected = batchEvents.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("t_us")).as("last_us"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+
+    // split the corpus into 3 files -> 3 micro-batches at one file/trigger
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-state-stream")
+    batchEvents.repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = batchEvents.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .as[(Long, Long, Double)]
+    val q = StatefulOps.runningUserStats(stream).toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_stats").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the LAST emission per user is the final accumulator state
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    val got = spark.table("running_stats")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (n, lastUs)) =>
+      assert((n, lastUs) == expected(u), s"user $u diverged")
+    }
+  }
+
   test("streamed session_window matches the batch gaps-and-islands sessionization") {
     // q18 computes sessions offline (lag + windowed sum, 30 min gap);
     // Structured Streaming's session_window is the online formulation —
