@@ -413,6 +413,74 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank""")),
 
+    CatalogQuery("qs04_ann_batch", (s, d) => {
+      // Many-query batch ANN (offline inference over the whole corpus:
+      // "top-3 neighbors for EVERY vector"): with a large query set the
+      // broadcast strategy of qs01/qs02 flips — queries are posted to
+      // their nprobe nearest cells and joined to the cell-assigned corpus
+      // by an ordinary KEYED equi-join (both sides shuffle on cell, no
+      // broadcast), then the bounded top-k aggregator ranks per query.
+      // Same deterministic vec_id<K blocking as qs02 so the oracle
+      // mirrors the pruning exactly; candidate work is ~nprobe/K of the
+      // n² all-pairs score matrix.
+      val K = 16; val NProbe = 4; val TopK = 3
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // centroid collect + corpus assignment + query posting
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cents)
+      def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+        bc.value.map { case (cid, cv) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+          (math.sqrt(acc), cid)
+        }.sortBy(identity).take(n).map(_._2).toSeq
+      val assigned = e.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
+        .toDF("vec_id", "v", "cell")
+      val queries = e.as[(Long, Seq[Double])]
+        .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
+        .toDF("query_id", "qv", "cell")
+      val scored = assigned.join(queries, Seq("cell")) // keyed, NOT broadcast
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      val topk = graft.functions.TopKAggregator.topK(TopK)
+      scored.groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.vec_id").as("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

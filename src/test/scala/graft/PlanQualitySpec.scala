@@ -105,7 +105,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // a single-task sort of ~nprobe/K of the corpus. The TopKByScore
     // aggregator must appear as partial+final ObjectHashAggregate instead
     // (map-side partials bound memory and the shuffle to partitions × k).
-    for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall")) {
+    for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall", "qs04_ann_batch")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q must not window-sort candidates:\n${plan.take(1500)}")
       assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
@@ -147,6 +147,17 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(plan.contains("might_contain"),
         s"expected a runtime bloom filter on l_orderkey:\n${plan.take(1500)}")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
+  test("qs04 batch ANN candidates come from a cell equi-join, never cartesian") {
+    // every vector queries the index: the query set is corpus-sized, so
+    // candidate generation must be a keyed join on the IVF cell (AQE may
+    // still broadcast at toy SFs — the pin is the join KEY, not the
+    // physical strategy, which is size-dependent by design)
+    val plan = planOf("qs04_ann_batch")
+    assert(plan.contains("cell"), "candidate join must be keyed by cell")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch ANN must never go cartesian:\n${plan.take(1500)}")
   }
 
   test("qp02 per-source quota uses the bounded top-k aggregator, not a window") {
