@@ -28,6 +28,31 @@ class NumericsPropertySpec extends AnyFunSuite {
     (DeisaArray.fromChunks(spark, chunks, meta, 0), dense)
   }
 
+  test("TopKByScore is partition-split invariant (merge order never changes the result)") {
+    // the ANN/quota ranking contract: for ANY way the scored rows split
+    // into partitions and ANY merge order of the partial buffers, the
+    // result equals global sort-take-k. The oracle only ever checks one
+    // partitioning — this property is what makes the others safe.
+    import graft.functions.{ScoredHit, TopKByScore}
+    val rng = new scala.util.Random(11)
+    for (trial <- 0 until 200) {
+      val k = 1 + rng.nextInt(6)
+      val agg = new TopKByScore(k)
+      val n = rng.nextInt(40)
+      // duplicate scores (and whole duplicate rows) on purpose: the
+      // vec_id tie-break must hold, and identical rows keep multiset
+      // semantics exactly like the row_number window they replaced
+      val rows = Seq.fill(n)(ScoredHit(rng.nextInt(6).toDouble, rng.nextInt(30).toLong))
+      val expected = rows.sortBy(h => (-h.cosine, h.vec_id)).take(k)
+      // random split into partial buffers, random merge order
+      val parts = rows.grouped(1 + rng.nextInt(5)).toSeq
+      val buffers = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rng.shuffle(buffers).foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expected,
+        s"trial $trial k=$k: got ${agg.finish(merged)}, expected $expected from $rows")
+    }
+  }
+
   test("multi-chunk matmul equals dense reference (chunked contraction dim)") {
     val (a, da) = mkArray(6, 4, 2, 2, "ma") // contraction dim chunked in 2s
     val (b, db) = mkArray(4, 6, 2, 3, "mb")
