@@ -608,6 +608,26 @@ object PipelineQueries {
         length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subword_tokens
       FROM documents ORDER BY doc_id""")),
 
+    CatalogQuery("qt05_normalize", (s, d) => {
+      // Canonical text normalization — the preprocessing step every text
+      // dedup pipeline runs first: Unicode NFC (custom codegen'd
+      // Expression; decomposed "e"+U+0301 and precomposed "é" must hash
+      // identically or near-dup detection silently misses pairs) +
+      // casefold + whitespace collapse. Pure per-row expressions that
+      // pipeline inside the scan; output is the normalized hash, the
+      // stable identity downstream dedup keys on. DuckDB's nfc_normalize
+      // implements the same Unicode normal form, making the oracle exact.
+      import graft.functions.expressions.NfcNormalize.nfc
+      val norm = regexp_replace(lower(nfc(col("text"))), "\\s+", " ")
+      table(s, d, "documents")
+        .select(col("doc_id"), length(norm).as("norm_len"), md5(norm).as("norm_hash"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        length(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_len,
+        md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS norm_hash
+      FROM documents ORDER BY doc_id""")),
+
     CatalogQuery("qt04_fingerprint", (s, d) => {
       val grams = TextOps.charShingles(col("text"), 8)
       table(s, d, "documents")

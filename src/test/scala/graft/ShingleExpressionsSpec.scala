@@ -74,6 +74,28 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("NfcNormalize composes decomposed sequences; ASCII passes through (codegen)") {
+    import graft.functions.expressions.NfcNormalize.nfc
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // "e" + combining acute U+0301 (decomposed) vs precomposed \u00e9 --
+      // explicit escapes so the source encoding can't blur the fixture
+      val rows = Seq("e\u0301clair", "plain ascii", "caf\u00e9", "")
+        .toDF("s").select(nfc(col("s")).as("n"), length(nfc(col("s"))).as("len"))
+        .collect()
+      assert(rows(0).getString(0) == "\u00e9clair" && rows(0).getInt(1) == 6,
+        "decomposed e + combining acute must compose to \u00e9")
+      assert(rows(1).getString(0) == "plain ascii") // ASCII fast path
+      assert(rows(2).getString(0) == "caf\u00e9") // already NFC
+      assert(rows(3).getString(0) == "")
+      // normalized identity: both spellings hash to the same dedup key
+      val hashes = Seq("cafe\u0301", "caf\u00e9").toDF("s")
+        .select(md5(nfc(col("s")))).collect().map(_.getString(0))
+      assert(hashes(0) == hashes(1), "NFC must unify the two spellings")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("hash60 matches the documented md5-prefix convention") {
     // md5('abc') = 900150983cd24fb0d6963f7d28e17f72; first 15 hex digits
     // as a number = 648541476951500027 (cross-checked against DuckDB)
