@@ -38,6 +38,18 @@ object PipelineQueries {
   private def cosineCol(q: Column, v: Column): Column =
     vdot(q, v) / (sqrt(vdot(q, q)) * sqrt(vdot(v, v)))
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127, so values
+    * land in [-127, 127]. Cosine is scale-invariant, so the quantized
+    * cosine needs no de-scaling — it is the cosine of the int vectors. */
+  private def int8Quantize(v: Column): Column = {
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-30)) / lit(127.0)
+    transform(v, x => round(x / scale).cast("int"))
+  }
+
+  /** Integer dot product (products fit an int at ±127²; accumulated long). */
+  private def idot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => (a * b).cast("long")), lit(0L), _ + _)
+
   /** Final ANN ranking WITHOUT a per-query window sort: a bounded top-k
     * [[graft.functions.TopKByScore]] aggregation (map-side partials hold ≤k
     * rows per query per partition, the shuffle carries ≤ partitions × k
@@ -532,6 +544,135 @@ object PipelineQueries {
       SELECT count(*) AS n_queries, TRUE AS recall_ge_090
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs05_ann_int8_rerank", (s, d) => {
+      // Quantized-prefilter + exact-rerank ANN — the memory path for a
+      // 100 TB vector corpus: the full scan touches only int8 vectors
+      // (4× smaller than fp32, integer dot products), and exact fp
+      // cosine is computed ONLY for the ≤ queries × 4k candidates the
+      // cheap stage survives. Cosine is scale-invariant, so per-vector
+      // symmetric quantization (scale = max|x|/127) needs no scale
+      // bookkeeping at score time. Like qs03, quantization error makes
+      // the oracle non-mirrorable, so the gate is the bounded recall
+      // contract vs the exact brute-force truth (qs01's plan):
+      // top-10-after-rerank must recover ≥95% of the true top-10
+      // (measured 1.0 across SFs — the 4× candidate margin absorbs the
+      // int8 angle noise). Both stages rank with the bounded TopKByScore
+      // aggregator (no per-query window sort — same pin as qs01-qs04).
+      val NQueries = 5; val CandK = 4 * AnnTopK
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val qe = e.select(col("vec_id"), int8Quantize(col("v")).as("qv"))
+      val quantQueries = qe.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+      val qscored = qe.crossJoin(broadcast(quantQueries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (idot(col("qq"), col("qv")).cast("double") /
+            (sqrt(greatest(idot(col("qq"), col("qq")), lit(1L)).cast("double")) *
+             sqrt(greatest(idot(col("qv"), col("qv")), lit(1L)).cast("double")))).as("cosine"))
+      val candTopK = graft.functions.TopKAggregator.topK(CandK)
+      val cand = qscored.groupBy(col("query_id"))
+        .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      val exactQueries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val rescored = e.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(exactQueries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      val reranked = topkRanked(rescored).select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(reranked.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.95).as("recall_ge_095"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_095
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qe01_pca_energy", (s, d) => {
+      // Distributed PCA over the embedding corpus — the compression /
+      // whitening step before storing or indexing 100 TB of vectors.
+      // Pass 1 streams the corpus once into per-partition (count, Σv,
+      // Σvvᵀ) partials — d=64, so each partial is one 64×64 matrix and
+      // the corpus never shuffles; the covariance eigenproblem is solved
+      // on the driver (Jacobi, O(d³) on a 64×64 — microseconds) exactly
+      // like Linalg.svd's tall-skinny path. Pass 2 broadcasts the top-M
+      // components and verifies the projection DISTRIBUTEDLY via the
+      // Pythagorean identity: Σ‖(v−μ) − PPᵀ(v−μ)‖² must equal
+      // n·Σ_{i>M} λᵢ. The gate is the qs03-style bounded contract —
+      // (n_vecs, n_components, trace_ok, recon_ok): trace_ok ties the
+      // eigensolve to the data's total variance, recon_ok ties the
+      // broadcast projection pass to the eigenvalues; both are real
+      // numeric identities, not tautologies, checked to 1e-6 relative.
+      val M = 8
+      import s.implicits._
+      val ds = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .as[(Long, Seq[Double])]
+      val partials = ds.mapPartitions { it =>
+        var n = 0L; var dim = 0
+        var sums: Array[Double] = null; var mom: Array[Double] = null
+        it.foreach { case (_, sv) =>
+          val v = sv.toArray
+          if (sums == null) { dim = v.length; sums = new Array[Double](dim); mom = new Array[Double](dim * dim) }
+          n += 1
+          var i = 0
+          while (i < dim) {
+            val vi = v(i); sums(i) += vi
+            var j = 0
+            while (j < dim) { mom(i * dim + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((n, sums.toSeq, mom.toSeq))
+      }.collect()
+      val n = partials.map(_._1).sum
+      val dim = partials.head._2.length
+      val sums = new Array[Double](dim); val mom = new Array[Double](dim * dim)
+      partials.foreach { case (_, sv, mv) =>
+        var i = 0; while (i < dim) { sums(i) += sv(i); i += 1 }
+        var k = 0; while (k < dim * dim) { mom(k) += mv(k); k += 1 }
+      }
+      val mean = sums.map(_ / n)
+      val cov = Array.tabulate(dim, dim)((i, j) => mom(i * dim + j) / n - mean(i) * mean(j))
+      val trace = (0 until dim).map(i => cov(i)(i)).sum
+      val (evals, evecs) = graft.linalg.Linalg.eigSym(cov)
+      val order = evals.indices.sortBy(i => -evals(i))
+      val sortedEvals = order.map(evals(_)).toArray
+      val comps = order.take(M).map(i => evecs.map(_(i))).toArray // M×d rows
+      val traceOk = math.abs(sortedEvals.sum - trace) <= 1e-6 * math.abs(trace)
+      val tailEnergy = sortedEvals.drop(M).sum * n
+      val bcMean = s.sparkContext.broadcast(mean)
+      val bcComps = s.sparkContext.broadcast(comps)
+      val residual = ds.map { case (_, sv) =>
+        val mu = bcMean.value; val p = bcComps.value
+        val c = new Array[Double](sv.length)
+        var i = 0; while (i < sv.length) { c(i) = sv(i) - mu(i); i += 1 }
+        var res = 0.0; var m = 0
+        while (m < p.length) {
+          var dot = 0.0; var k = 0
+          while (k < c.length) { dot += p(m)(k) * c(k); k += 1 }
+          res += dot * dot; m += 1
+        }
+        var norm2 = 0.0; var k = 0
+        while (k < c.length) { norm2 += c(k) * c(k); k += 1 }
+        norm2 - res // ‖c‖² − ‖Pᵀc‖² = reconstruction error of this row
+      }.toDF("err").agg(sum(col("err"))).first().getDouble(0)
+      val reconOk = math.abs(residual - tailEnergy) <= 1e-6 * math.max(tailEnergy, 1e-12)
+      val one = s.range(1)
+      one.select(lit(n).as("n_vecs"), lit(M).as("n_components"),
+        lit(traceOk).as("trace_ok"), lit(reconOk).as("recon_ok"))
+    }, Some("""
+      SELECT count(*) AS n_vecs, 8 AS n_components,
+        TRUE AS trace_ok, TRUE AS recon_ok
+      FROM embeddings""")),
+
     // ---------- text analysis ----------
 
     CatalogQuery("qt01_langid", (s, d) => {
@@ -639,6 +780,54 @@ object PipelineQueries {
       SELECT doc_id,
         list_min([md5(g) for g in list_distinct([substr(text, i, 8) for i in range(1, greatest(length(text) - 7, 0) + 1)])]) AS fingerprint
       FROM documents WHERE length(text) >= 8 ORDER BY doc_id""")),
+
+    CatalogQuery("qt06_repetition", (s, d) => {
+      // Gopher-style repetition quality filters: the fraction of repeated
+      // tokens and the share of the document covered by its single most
+      // frequent word bigram — the standard signals for dropping
+      // boilerplate / degenerate generations from a training corpus.
+      // The dup-token ratio is a pure per-row expression. The top-bigram
+      // count deliberately does NOT use a per-row O(distinct × n)
+      // expression scan (quadratic in document length — fatal on
+      // 10k-token web docs): bigrams explode to (doc_id, bigram) rows and
+      // reduce through two hash aggregations, both with map-side partials
+      // keyed by doc_id — linear work, bounded buffers, scales to any
+      // document length.
+      val toks = TextOps.tokens(col("text"))
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"),
+          size(toks).as("n_tokens"), size(array_distinct(toks)).as("n_distinct"))
+      val nBigrams = greatest(size(col("toks")) - 1, lit(0))
+      val bigrams = base.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), nBigrams),
+          slice(col("toks"), lit(2), nBigrams),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val topBigram = bigrams
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_count"))
+      base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+        .join(topBigram, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          round((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"), 6)
+            .as("dup_token_ratio"),
+          coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+          round((coalesce(col("top_bigram_count"), lit(0L)) * 2).cast("double")
+            / col("n_tokens"), 6).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id,
+              unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bg
+            FROM t),
+      c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+      m AS (SELECT doc_id, max(c) AS top_bigram_count FROM c GROUP BY doc_id)
+      SELECT t.doc_id, len(toks) AS n_tokens,
+        round((len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks), 6) AS dup_token_ratio,
+        coalesce(m.top_bigram_count, 0) AS top_bigram_count,
+        round((coalesce(m.top_bigram_count, 0) * 2)::DOUBLE / len(toks), 6) AS top_bigram_frac
+      FROM t LEFT JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""")),
 
     // ---------- corpus curation / training prep ----------
 

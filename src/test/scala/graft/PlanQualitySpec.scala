@@ -105,7 +105,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // a single-task sort of ~nprobe/K of the corpus. The TopKByScore
     // aggregator must appear as partial+final ObjectHashAggregate instead
     // (map-side partials bound memory and the shuffle to partitions × k).
-    for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall", "qs04_ann_batch")) {
+    for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall", "qs04_ann_batch",
+                  "qs05_ann_int8_rerank")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q must not window-sort candidates:\n${plan.take(1500)}")
       assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
@@ -158,6 +159,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("cell"), "candidate join must be keyed by cell")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"batch ANN must never go cartesian:\n${plan.take(1500)}")
+  }
+
+  test("qt06 top-bigram statistic is hash aggregations, never a per-doc scan or window") {
+    // the tempting formulations are quadratic (a per-row O(distinct × n)
+    // expression over the token array) or a per-doc window sort of bigram
+    // counts — both die on 10k-token web documents. The pin: bigrams
+    // explode to rows and reduce through partial+final hash aggregation,
+    // with no Window anywhere in the plan.
+    val plan = planOf("qt06_repetition")
+    assert(!plan.contains("Window"), s"qt06 must not window-sort bigrams:\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"qt06 needs partial+final aggregation for count and max:\n${plan.take(1500)}")
   }
 
   test("qp02 per-source quota uses the bounded top-k aggregator, not a window") {
