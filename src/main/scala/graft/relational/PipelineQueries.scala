@@ -1,5 +1,6 @@
 package graft.relational
 
+import graft.functions.MisraGries
 import graft.pipeline.{KMeans, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -829,6 +830,100 @@ object PipelineQueries {
         round((coalesce(m.top_bigram_count, 0) * 2)::DOUBLE / len(toks), 6) AS top_bigram_frac
       FROM t LEFT JOIN m ON t.doc_id = m.doc_id ORDER BY t.doc_id""")),
 
+    CatalogQuery("qt07_tfidf_topterms", (s, d) => {
+      // Characteristic-term extraction: top-3 terms per document by
+      // tf·idf (idf = ln(N/df)) — keyword tagging / topic hints for
+      // corpus triage. One explode of the token stream feeds BOTH
+      // aggregates: tf = count per (doc, token); df = row count of the
+      // tf table per token (each (doc, token) appears once there — no
+      // second corpus pass, no count-distinct shuffle of raw tokens).
+      // The per-doc ranking window partitions by doc_id, whose partition
+      // size is bounded by per-doc vocabulary — never a hot partition,
+      // unlike per-source/per-query windows (qp02/qs01 notes).
+      // Determinism: ties rank on the 6-decimal ROUNDED score (then
+      // token) on both sides, so a last-ulp libm difference in ln —
+      // e.g. 2·ln(10) vs ln(100), algebraically equal, 1 ulp apart as
+      // doubles — can never reorder rows across engines.
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = table(s, d, "documents").agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+          col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      nn AS (SELECT count(*) AS n FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               round(tf.tf * ln(n::DOUBLE / df.df), 6) AS tfidf
+             FROM tf JOIN df USING (token), nn),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token) AS rank FROM sc)
+      SELECT doc_id, rank, token, tf, df, tfidf
+      FROM r WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    CatalogQuery("qt08_heavy_hitters", (s, d) => {
+      // Dominant-token detection with a FIXED-size sketch: a mergeable
+      // Misra-Gries summary (k = 32 counters) over the token stream —
+      // the bounded-memory answer when the consumer needs only the
+      // heavy tokens (stopword mining, corpus-skew alarms) and a full
+      // vocabulary aggregation would be waste. Every aggregation buffer
+      // holds ≤ k entries regardless of corpus or vocabulary size, so
+      // the summary costs O(k) memory per task and the shuffle carries
+      // ≤ partitions × k rows — the q17/q19b sketch discipline applied
+      // to frequencies. Like qs03, the sketch output itself is not
+      // oracle-mirrorable, so the gate is the sketch's PROVABLE
+      // guarantee, verified distributively against exact counts computed
+      // in the same plan: every token with true count > n/(k+1) must be
+      // in the summary, and every estimate must undercount by ≤ n/(k+1)
+      // and never overcount (Misra-Gries 1982; merge per Agarwal et al.
+      // 2012). Both hold for ANY partitioning — MisraGriesSpec
+      // property-tests that invariance.
+      val K = 32
+      val toks = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val summ = toks.agg(MisraGries.summary(K)(col("token")).as("s"))
+        .select(explode(col("s")).as("h"))
+        .select(col("h.token").as("token"), col("h.count").as("est"))
+        .persist()
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      val tot = toks.agg(count(lit(1)).as("n_tokens"))
+      val thresh = col("n_tokens").cast("double") / (K + 1)
+      val errorBounded = broadcast(summ).join(exact, Seq("token"))
+        .crossJoin(broadcast(tot))
+        .select(((col("est") <= col("exact")) &&
+          ((col("exact") - col("est")).cast("double") <= thresh)).cast("int").as("ok"))
+        .agg(coalesce(min(col("ok")), lit(1)).as("eb"))
+      val containsAll = exact.crossJoin(broadcast(tot))
+        .filter(col("exact").cast("double") > thresh)
+        .join(broadcast(summ.select(col("token"), lit(1).as("present"))),
+          Seq("token"), "left")
+        .select(coalesce(col("present"), lit(0)).as("ok"))
+        .agg(coalesce(min(col("ok")), lit(1)).as("ca"))
+      tot.crossJoin(containsAll).crossJoin(errorBounded)
+        .select(col("n_tokens"), lit(K).as("k"),
+          (col("ca") === 1).as("contains_all_hh"),
+          (col("eb") === 1).as("error_bounded"))
+    }, Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents)
+      SELECT CAST(count(*) AS BIGINT) AS n_tokens, 32 AS k,
+        TRUE AS contains_all_hh, TRUE AS error_bounded
+      FROM toks""")),
+
     // ---------- corpus curation / training prep ----------
 
     CatalogQuery("qp01_split_sample", (s, d) => {
@@ -964,6 +1059,56 @@ object PipelineQueries {
       SELECT source, doc_id, n_tokens,
         prev_tokens // 256 AS pack_id, prev_tokens % 256 AS pack_offset
       FROM p ORDER BY doc_id""")),
+
+    CatalogQuery("qp06_lang_rebalance", (s, d) => {
+      // Temperature-based language rebalancing (the mT5/XLM-R corpus-
+      // mixing step, α = 0.5): sampling weight w_s ∝ n_s^α damps the
+      // dominant language and keeps rare ones (here en ≈ 44% of docs is
+      // downsampled to its temperature share; the rest cap at keep-all —
+      // downsampling only, no row duplication). Weights are INTEGER-quantized
+      // (floor of the IEEE-correctly-rounded sqrt), so every derived
+      // quantity — total weight, per-source target, ppm keep threshold —
+      // is exact integer/dyadic arithmetic identical here and in the
+      // oracle: no decimal-summation order or libm last-ulp drift can
+      // flip a row. Selection is the stateless hash-Bernoulli (shared
+      // 60-bit md5-prefix convention, mod 1e6 vs the per-language ppm
+      // threshold): at 100 TB this is ONE corpus scan filtered against a
+      // broadcast #languages-row threshold map — the corpus itself never
+      // shuffles, there is no sampling state or RNG seed to ship, and
+      // membership is append/partition/engine invariant (same property
+      // as qp01's splits).
+      val docs = table(s, d, "documents").select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_s"),
+          floor(sqrt(count(lit(1)))).cast("long").as("w_s"))
+      val tot = counts.agg(sum(col("n_s")).cast("long").as("n_total"),
+        sum(col("w_s")).cast("long").as("w_total"))
+      val thr = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(1000000L),
+            round(lit(1e6) *
+              round(col("n_total") * col("w_s") / col("w_total")) / col("n_s"))
+              .cast("long")).as("thr_ppm"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .filter(pmod(TextOps.hash60(col("doc_id").cast("string")), lit(1000000L))
+          < col("thr_ppm"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH n AS (SELECT lang, count(*) AS n_s,
+                   CAST(floor(sqrt(count(*))) AS BIGINT) AS w_s
+                 FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                     CAST(sum(w_s) AS BIGINT) AS w_total FROM n),
+      thr AS (SELECT lang,
+                least(1000000, CAST(round(1e6 *
+                  round((n_total * w_s) / w_total) / n_s) AS BIGINT)) AS thr_ppm
+              FROM n, tot)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN thr USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 < thr_ppm
+      ORDER BY d.doc_id""")),
 
     // ---------- multimodal plumbing ----------
 

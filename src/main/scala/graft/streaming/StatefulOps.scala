@@ -3,6 +3,14 @@ package graft.streaming
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** One LSH-banded document posted to a bucket: `bucket` is the band key
+  * (band index ‖ band minhash values), `shingles` the doc's sorted 60-bit
+  * shingle hashes (what exact-Jaccard verification needs). */
+final case class BandedDoc(bucket: String, doc_id: Long, shingles: Array[Long])
+
+/** A verified near-duplicate pair (id_a < id_b, exact Jaccard ≥ threshold). */
+final case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
 /** Running per-user statistics, updated incrementally per event. */
 final case class UserStats(
     user_id: Long,
@@ -44,5 +52,67 @@ object StatefulOps {
           state.update(s)
           Iterator.single(s)
       }
+  }
+
+  /** Online MinHash-LSH near-duplicate detection — qd02's streaming form:
+    * as documents arrive, each is posted to its LSH band buckets (the same
+    * banding as the batch path — compute bands upstream with the qd02
+    * expressions and explode to [[BandedDoc]]); per-bucket keyed state
+    * holds the shingle sets of every document seen in that bucket, and a
+    * new arrival is exact-Jaccard-verified against exactly its bucket
+    * cohabitants — never the corpus.
+    *
+    * Contract: each qualifying pair is emitted AT LEAST once (a pair
+    * sharing b bands emits up to b times, with identical jaccard — the
+    * batch plan's `distinct` has no cross-bucket streaming equivalent);
+    * compose with streamed exact dedup on (id_a, id_b) downstream (the
+    * qd01-online pattern) when exactly-once is required. The DISTINCT set
+    * of emitted pairs equals the batch qd02 output on the same corpus —
+    * pinned by `EventsStreamingSpec`.
+    *
+    * Scale shape: state is the corpus's shingle sets hash-partitioned by
+    * bucket across executors' state stores; each micro-batch touches only
+    * the buckets it posts to. A production feed would bound state with an
+    * event-time timeout + watermark (dedup horizon); the spec keeps state
+    * total so batch parity is exact. */
+  def onlineNearDupPairs(
+      banded: Dataset[BandedDoc], threshold: Double): Dataset[NearDupPair] = {
+    import banded.sparkSession.implicits._
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          // doc_id order within the micro-batch: emission is deterministic
+          // however the batch boundaries split the feed
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!members.exists(_._1 == r.doc_id)) {
+              members.foreach { case (oid, ohs) =>
+                val inter = sortedIntersectCount(ohs, r.shingles)
+                val j = inter.toDouble / (ohs.length + r.shingles.length - inter)
+                if (j >= threshold)
+                  out += (if (oid < r.doc_id) NearDupPair(oid, r.doc_id, j)
+                          else NearDupPair(r.doc_id, oid, j))
+              }
+              members = (r.doc_id, r.shingles) :: members
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
+  /** Sorted-merge intersection size — the Scala twin of the
+    * `SortedLongIntersectCount` expression (same integer arithmetic, so
+    * streamed jaccard values are bit-identical to the batch plan's). */
+  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
   }
 }

@@ -113,6 +113,52 @@ class EventsStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed MinHash-LSH near-dup pairs match the batch qd02 output (online dedup)") {
+    // qd02 finds verified near-dup pairs offline (band self-join + exact
+    // Jaccard). The online form posts each arriving doc to its band
+    // buckets and verifies against per-bucket keyed state. Contract: the
+    // DISTINCT emitted pair set equals the batch output, however the
+    // micro-batch boundaries split the corpus (here: 3 files, 1/trigger),
+    // with bit-identical jaccard values (same integer arithmetic).
+    import graft.functions.expressions.ShingleExpressions._
+    import graft.pipeline.TextOps
+    import graft.streaming.{BandedDoc, StatefulOps}
+    import spark.implicits._
+    // constants mirror qd02: 4-char shingles, 8 perms, 2 bands of 4, t=0.80
+    val (shingleN, numPerms, rowsPerBand, threshold) = (4, 8, 4, 0.80)
+
+    val batch = graft.relational.QueryCatalog.byName("qd02_minhash_lsh")
+      .build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    spark.catalog.clearCache() // qd02 persists its shingle table
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs")
+
+    val src = s"$dir/documents.parquet"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-lsh-stream")
+    spark.read.parquet(src).select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val banded = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .filter(length(col("text")) >= shingleN)
+      .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), numPerms),
+          numPerms, rowsPerBand)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("hs").as("shingles"))
+      .as[BandedDoc]
+    val q = StatefulOps.onlineNearDupPairs(banded, threshold).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("lsh_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch,
+      s"online/offline near-dup divergence: +${(got -- batch).take(3)} -${(batch -- got).take(3)}")
+  }
+
   test("streamed session_window matches the batch gaps-and-islands sessionization") {
     // q18 computes sessions offline (lag + windowed sum, 30 min gap);
     // Structured Streaming's session_window is the online formulation —

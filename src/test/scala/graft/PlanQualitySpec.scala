@@ -173,6 +173,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"qt06 needs partial+final aggregation for count and max:\n${plan.take(1500)}")
   }
 
+  test("qp06 rebalance filters the corpus against a broadcast threshold map") {
+    // temperature sampling must be one stateless scan: the corpus joins a
+    // #languages-row broadcast of ppm thresholds and filters in place —
+    // never a per-language window, sample(), or shuffle of the documents
+    val plan = planOf("qp06_lang_rebalance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold map must broadcast onto the corpus scan:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"no window in the sampling path:\n${plan.take(1500)}")
+  }
+
+  test("qt08 heavy-hitter sketch aggregates with bounded partials, no window") {
+    val plan = planOf("qt08_heavy_hitters")
+    assert(!plan.contains("Window"), s"sketch path must not sort:\n${plan.take(1500)}")
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"Misra-Gries needs partial + final object aggregation:\n${plan.take(1500)}")
+  }
+
   test("qp02 per-source quota uses the bounded top-k aggregator, not a window") {
     // a hot domain would make a per-source row_number window sort all of
     // that domain's docs in one task; the quota must aggregate instead
