@@ -595,6 +595,53 @@ object PipelineQueries {
       SELECT count(*) AS n_queries, TRUE AS recall_ge_095
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs06_hard_negatives", (s, d) => {
+      // Contrastive pair mining for representation training: for each
+      // query vector, the top-5 most-similar SAME-label vectors
+      // (positives) and top-5 most-similar DIFFERENT-label vectors (hard
+      // negatives — the pairs that do the work in a contrastive loss).
+      // One broadcast of the query set, one corpus scan; the label match
+      // is a per-row expression, and ranking per (query, kind) goes
+      // through the bounded TopKByScore aggregator — same no-window pin
+      // as qs01–qs05, so a popular kind never becomes a one-task sort.
+      val PairK = 5
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"),
+          when(col("label") === col("qlabel"), "pos").otherwise("neg").as("kind"),
+          col("vec_id"), cosineCol(col("qv"), col("v")).as("cosine"))
+      val topk = graft.functions.TopKAggregator.topK(PairK)
+      scored.groupBy(col("query_id"), col("kind"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), col("kind"), posexplode(col("top")))
+        .select(col("query_id"), col("kind"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("vec_id"), round(col("col.cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("kind"), col("rank"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id,
+          CASE WHEN label = qlabel THEN 'pos' ELSE 'neg' END AS kind,
+          vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM e CROSS JOIN q WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, kind, vec_id, cosine,
+          row_number() OVER (PARTITION BY query_id, kind
+            ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, kind, rank, vec_id, round(cosine, 6) AS cosine
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, kind, rank""")),
+
     CatalogQuery("qe01_pca_energy", (s, d) => {
       // Distributed PCA over the embedding corpus — the compression /
       // whitening step before storing or indexing 100 TB of vectors.
@@ -673,6 +720,43 @@ object PipelineQueries {
       SELECT count(*) AS n_vecs, 8 AS n_components,
         TRUE AS trace_ok, TRUE AS recon_ok
       FROM embeddings""")),
+
+    CatalogQuery("qe02_label_centroids", (s, d) => {
+      // Per-class embedding audit: centroid and per-dimension variance for
+      // every (label, dim) — the drift/separability check run before
+      // trusting labels or embeddings for curation (a collapsed class
+      // shows near-zero variance; a drifted one, a shifted centroid).
+      // Scale shape: the explode multiplies rows by d=64, but each output
+      // row is (label, dim, x) and the groupBy aggregates with map-side
+      // partials, so the shuffle carries ≤ labels × dims × partitions
+      // partial rows — never the exploded corpus. Float sums follow the
+      // repo's oracle-determinism rule: per-row cast to Decimal(38,6),
+      // decimal partials (order-independent, engine-exact), final double
+      // division; variance = E[x²] − mean² in plain double ops mirrored
+      // verbatim in the oracle.
+      val e = table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("x"))
+      e.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (dsum(col("x")) / count(lit(1))).as("mean"),
+          (dsum(col("x") * col("x")) / count(lit(1))).as("sumsq_over_n"))
+        .select(col("label"), col("dim"), col("n_vecs"), col("mean"),
+          (col("sumsq_over_n") - col("mean") * col("mean")).as("variance"))
+        .orderBy(col("label"), col("dim"))
+    }, Some(s"""
+      WITH e AS (SELECT label,
+          unnest([{'dim': i, 'x': embedding[i]::DOUBLE}
+                  for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings),
+      g AS (SELECT label, u.dim AS dim, count(*) AS n_vecs,
+              ${oSum("u.x")} / count(*) AS mean,
+              ${oSum("u.x * u.x")} / count(*) AS sumsq_over_n
+            FROM e GROUP BY label, u.dim)
+      SELECT label, dim, n_vecs, mean,
+        sumsq_over_n - mean * mean AS variance
+      FROM g ORDER BY label, dim""")),
 
     // ---------- text analysis ----------
 
