@@ -164,6 +164,46 @@ class SinksSpec extends AnyFunSuite {
       Seq(1.75f, -2.5f, 11.75f, -12.5f).map(_.toDouble))
   }
 
+  test("shard export: deterministic membership, bounded files, exact round trip") {
+    import graft.sinks.ShardSink
+    import org.apache.spark.sql.functions._
+    val spark = GraftTestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 8
+    ShardSink.write(docs, col("doc_id"), n, dir, col("doc_id"),
+      maxRecordsPerFile = 40)
+
+    // layout: shard=K directories, every parquet file within bounds
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(shardDirs.nonEmpty && shardDirs.forall(_.matches("shard=\\d+")))
+    val back = spark.read.parquet(dir)
+    val fileRows = back.groupBy(input_file_name()).count()
+      .collect().map(_.getLong(1))
+    assert(fileRows.forall(_ <= 40), s"file over maxRecordsPerFile: ${fileRows.max}")
+
+    // exact round trip (shard column added, everything else preserved)
+    assert(back.count() == docs.count())
+    val origIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == origIds)
+
+    // membership is the stateless hash convention, independent of layout:
+    // recompute from doc_id alone and compare; re-export under a different
+    // partitioning must give identical membership
+    val expected = ShardSink.assignShards(docs.select("doc_id"), col("doc_id"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = back.select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    ShardSink.write(docs.repartition(13), col("doc_id"), n, dir2, col("doc_id"))
+    val again = spark.read.parquet(dir2)
+      .select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == expected, "membership must be layout-invariant")
+  }
+
   test("zarr write rejects misaligned blocks from the write tasks") {
     // element offset 1 is not a multiple of the inferred chunk extent 2 on
     // dim 1 (raw Block DF — ingest paths can't produce this, a buggy
