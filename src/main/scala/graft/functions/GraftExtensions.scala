@@ -1,8 +1,10 @@
 package graft.functions
 
-import graft.functions.expressions.{ShingleHash60, SortedLongIntersectCount}
+import graft.functions.expressions.{MinHashSig, NfcNormalize, ShingleHash60, SortedLongIntersectCount}
+import graft.pipeline.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Size}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, Expression, ExpressionInfo, Literal, Size}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -28,10 +30,68 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   }
 }
 
-/** Session-extension entry point: register the graft optimizer rules at
-  * session build time (`.config("spark.sql.extensions",
-  * "graft.functions.GraftExtensions")` or `builder.withExtensions`). */
+/** Session-extension entry point: register the graft optimizer rules AND
+  * the custom expressions as SQL functions at session build time
+  * (`.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `builder.withExtensions`) — a SQL-only user gets the same codegen'd
+  * expressions the Scala API uses:
+  *
+  * {{{
+  *   SELECT doc_id, shingle_hash60(text, 4)          -- sorted 60-bit shingle set
+  *   SELECT minhash_sig(hs, 8)                       -- affine-perm minhash signature
+  *   SELECT sorted_intersect_count(a, b)             -- O(n+m) set intersection size
+  *   SELECT nfc_normalize(s)                         -- Unicode NFC (ASCII fast path)
+  * }}}
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GraftOptimizations)
+    GraftExtensions.sqlFunctions.foreach(ext.injectFunction)
+  }
+}
+
+object GraftExtensions {
+  /** The SQL function surface, one descriptor per custom expression —
+    * shared by the extension injection and by live-session registration
+    * (`spark.sessionState.functionRegistry.registerFunction`), so tests
+    * exercise exactly what a configured session gets. */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("shingle_hash60"),
+      info(classOf[ShingleHash60].getName, "shingle_hash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hash60(text, n) takes 2 arguments")
+        ShingleHash60(args.head, intLiteral(args(1), "shingle_hash60 n"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(hashes, num_perms) takes 2 arguments")
+        val p = intLiteral(args(1), "minhash_sig num_perms")
+        MinHashSig(args.head, (0 until p).map(TextOps.minhashA).toArray,
+          (0 until p).map(TextOps.minhashB).toArray, TextOps.MinhashP)
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info(classOf[SortedLongIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b) takes 2 arguments")
+        SortedLongIntersectCount(args.head, args(1))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(s) takes 1 argument")
+        NfcNormalize(args.head)
+      }))
+
+  private def info(className: String, name: String) =
+    new ExpressionInfo(className, name)
+
+  /** The arity-style parameters (shingle width, permutation count) must be
+    * literals — they size codegen'd loops, not per-row data. */
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 }

@@ -642,6 +642,92 @@ object PipelineQueries {
       SELECT query_id, kind, rank, vec_id, round(cosine, 6) AS cosine
       FROM ranked WHERE rank <= 5 ORDER BY query_id, kind, rank""")),
 
+    CatalogQuery("qs07_ann_pq_rerank", (s, d) => {
+      // Product-quantization ANN — THE standard memory path for a 100 TB
+      // vector corpus (beyond qs05's int8): vectors L2-NORMALIZE first
+      // (cosine ≡ dot product on the unit sphere, so quantization has no
+      // norm term to approximate), then d=64 splits into S=8 subspaces,
+      // each with its own 256-centroid codebook — a vector stores as 8
+      // one-byte codes (32× smaller than fp32) and query scoring is S
+      // table lookups per vector (asymmetric distance: the query stays
+      // full-precision, dot(q̂, v̂) ≈ Σ_s table_q[s][code_s]). Codebooks
+      // train with the distributed KMeans on a DETERMINISTIC ~14%
+      // id-sample of the corpus (stable-id discipline — production
+      // trains on a sample, assigns everything in one broadcast pass);
+      // both stages rank through the bounded TopKByScore aggregator.
+      // Quantization error makes the oracle non-mirrorable, so the gate
+      // is the qs03/qs05 recall contract: top-10 after exact rerank of
+      // the 16×k PQ survivors (0.3% of the sf0.1 corpus) must recover
+      // ≥90% of qs01's brute-force truth per query on average (measured
+      // 1.0/1.0/0.98 across SFs; the norm-free formulation and 8-bit
+      // codebooks make the margin — an un-normalized variant with
+      // approximated ‖v‖ and 4-bit codebooks measured 0.48 at sf0.1 —
+      // don't shrink SubK/CandK without re-measuring).
+      val S = 8; val SubK = 256; val CandK = 16 * AnnTopK; val NQ = 5
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .as[(Long, Seq[Double])]
+        .persist() // rerank + truth sub-plan read the exact vectors
+      val unit = e.map { case (id, v) =>
+        val n = math.sqrt(math.max(v.map(x => x * x).sum, 1e-30))
+        (id, v.map(_ / n))
+      }.persist() // codebook training passes + code assignment
+      val queries: Array[(Long, Seq[Double])] =
+        unit.filter(_._1 < NQ).collect().sortBy(_._1) // NQ rows
+      val dim = queries.head._2.length; val subDim = dim / S
+      val sample = unit.filter(r => r._1 < SubK || r._1 % 7 == 0)
+      val codebooks: Array[Array[Array[Double]]] = (0 until S).map { sub =>
+        KMeans.fit(sample.map { case (id, v) =>
+          (id, v.slice(sub * subDim, (sub + 1) * subDim)) }, SubK, iters = 4)
+      }.toArray
+      val bcCb = s.sparkContext.broadcast(codebooks)
+      // per-query ADC lookup tables: S × SubK doubles each — KBs
+      val qTables = queries.map { case (qid, qv) =>
+        val dots = Array.tabulate(S, SubK) { (sub, j) =>
+          val c = codebooks(sub)(j)
+          var acc = 0.0; var i = 0
+          while (i < subDim) { acc += qv(sub * subDim + i) * c(i); i += 1 }
+          acc
+        }
+        (qid, dots)
+      }
+      val bcTables = s.sparkContext.broadcast(qTables)
+      // one corpus pass: assign codes, score every query from the tables
+      val scored = unit.flatMap { case (id, v) =>
+        val cb = bcCb.value
+        val codes = Array.tabulate(S)(sub =>
+          KMeans.nearest(cb(sub), v.slice(sub * subDim, (sub + 1) * subDim)))
+        bcTables.value.iterator.filter(_._1 != id).map { case (qid, dots) =>
+          var dot = 0.0; var t = 0
+          while (t < S) { dot += dots(t)(codes(t)); t += 1 }
+          (qid, id, dot)
+        }
+      }.toDF("query_id", "vec_id", "cosine")
+      val candTopK = graft.functions.TopKAggregator.topK(CandK)
+      val cand = scored.groupBy(col("query_id"))
+        .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      val exactQueries = e.toDF("vec_id", "v").filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val rescored = e.toDF("vec_id", "v").join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(exactQueries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      val reranked = topkRanked(rescored).select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(reranked.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qe01_pca_energy", (s, d) => {
       // Distributed PCA over the embedding corpus — the compression /
       // whitening step before storing or indexing 100 TB of vectors.

@@ -40,6 +40,41 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("SQL functions: custom expressions reachable from plain SQL") {
+    // a SQL-only user on a session configured with GraftExtensions gets
+    // the same codegen'd expressions the Scala API uses; register the
+    // shared descriptors on the live session and drive them through SQL
+    import graft.functions.GraftExtensions
+    GraftExtensions.sqlFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    texts.createOrReplaceTempView("ext_texts")
+    val rows = spark.sql("""
+      SELECT shingle_hash60(text, 4) AS hs,
+             minhash_sig(shingle_hash60(text, 4), 8) AS sig,
+             sorted_intersect_count(shingle_hash60(text, 4),
+                                    shingle_hash60(text, 4)) AS self_n,
+             nfc_normalize(text) AS norm
+      FROM ext_texts""").collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](0)
+      assert(hs == hs.sorted && hs == hs.distinct)
+      assert(r.getSeq[Long](1).length == 8)
+      assert(r.getInt(2) == hs.length)
+    }
+    // SQL and Scala-API forms must agree exactly
+    val viaSql = spark.sql("SELECT shingle_hash60(text, 4) AS hs FROM ext_texts")
+      .collect().map(_.getSeq[Long](0).toVector).toSet
+    val viaApi = texts.select(shingleHash60(col("text"), 4).as("hs"))
+      .collect().map(_.getSeq[Long](0).toVector).toSet
+    assert(viaSql == viaApi)
+    // arity-style args must be literals (they size codegen'd loops)
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hash60(text, length(text)) FROM ext_texts").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("rule is inert for distinct over other arrays and differing operands") {
     spark.experimental.extraOptimizations = Seq(GraftOptimizations)
     try {
