@@ -1018,6 +1018,8 @@ object PipelineQueries {
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+        .persist() // df derives from tf — without the cache the join's df
+                   // branch re-explodes the whole corpus a second time
       val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = table(s, d, "documents").agg(count(lit(1)).as("n"))
       val scored = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
