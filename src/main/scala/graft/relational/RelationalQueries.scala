@@ -453,6 +453,29 @@ object RelationalQueries {
         AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
       GROUP BY a.event_id ORDER BY a.event_id""")),
 
+    CatalogQuery("q22_pivot", (s, d) => {
+      // PIVOT — wide reshaping with an EXPLICIT value list: with the pivot
+      // values declared, Spark plans a single hash aggregation whose
+      // buffer holds one slot per (value × agg) — no second pass to
+      // discover values (the two-phase `pivot(col)` overload would scan
+      // once just to enumerate them — never acceptable over 100 TB) and
+      // no Expand blow-up. Decimal partials keep the float sums
+      // engine-exact; the oracle mirrors the pivot as CASE aggregation
+      // (semantically identical, column names aligned).
+      table(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_linestatus"), col("A").as("qty_a"),
+          col("N").as("qty_n"), col("R").as("qty_r"))
+        .orderBy(col("l_linestatus"))
+    }, Some(s"""
+      SELECT l_linestatus,
+        ${oSum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+        ${oSum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+        ${oSum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
     CatalogQuery("q13_set_ops", (s, d) => {
       val c = table(s, d, "customer").select(col("c_nationkey").as("k"))
       val sup = table(s, d, "supplier").select(col("s_nationkey").as("k"))

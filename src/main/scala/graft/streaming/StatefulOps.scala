@@ -103,6 +103,35 @@ object StatefulOps {
       }
   }
 
+  /** Streaming bounded top-k per key — the online form of the batch
+    * [[graft.functions.TopKByScore]] aggregation, and the state kernel of
+    * a continuously-maintained ANN result set: stream scored candidates
+    * (e.g. arriving vectors posted to the queries whose IVF probe lists
+    * cover their cell), and each key's state holds ≤ k [[ScoredHit]]s —
+    * O(k) memory per key forever, however long the stream runs. Every
+    * micro-batch emits the updated top-k per touched key
+    * (OutputMode.Update; the LAST emission per key equals the batch
+    * aggregation over everything seen — `EventsStreamingSpec` pins exact
+    * parity with qs02's IVF top-k). Reuses the batch aggregator's own
+    * reduce/finish, so streamed and batch rank order can never diverge. */
+  def runningTopK(
+      scored: Dataset[(Long, Double, Long)], k: Int): Dataset[(Long, Seq[graft.functions.ScoredHit])] = {
+    import graft.functions.{ScoredHit, TopKByScore}
+    import scored.sparkSession.implicits._
+    val agg = new TopKByScore(k)
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[List[ScoredHit], (Long, Seq[ScoredHit])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach { case (_, score, id) =>
+            buf = agg.reduce(buf, ScoredHit(score, id))
+          }
+          state.update(buf)
+          Iterator.single((key, agg.finish(buf)))
+      }
+  }
+
   /** Sorted-merge intersection size — the Scala twin of the
     * `SortedLongIntersectCount` expression (same integer arithmetic, so
     * streamed jaccard values are bit-identical to the batch plan's). */

@@ -159,6 +159,77 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"online/offline near-dup divergence: +${(got -- batch).take(3)} -${(batch -- got).take(3)}")
   }
 
+  test("streamed IVF top-k maintains the exact batch qs02 ANN result as vectors arrive") {
+    // continuous index maintenance: vectors stream in, each is assigned
+    // its IVF cell and posted (with its exact cosine) to the queries
+    // whose probe lists cover that cell; per-query keyed state holds a
+    // bounded top-k. After the stream drains, the LAST emission per query
+    // must equal batch qs02's (query_id, rank, vec_id) rows exactly —
+    // same centroids (vec_id < 16), NProbe=4, k=10, and the same IEEE
+    // double cosine (sequential dot, sqrt, divide), so parity is exact.
+    import graft.streaming.StatefulOps
+    import spark.implicits._
+    val (kCents, nProbe, topK) = (16, 4, 10)
+    val batch = graft.relational.QueryCatalog.byName("qs02_ann_ivf")
+      .build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+
+    val src = s"$dir/embeddings.parquet"
+    val all = spark.read.parquet(src)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .as[(Long, Seq[Double])]
+    val cents = all.filter(_._1 < kCents).collect().sortBy(_._1)
+      .map(_._2.toArray) // the index's codebook exists before the stream
+    val queries = all.filter(_._1 < 5).collect().sortBy(_._1)
+    val probeOf = queries.map { case (qid, qv) =>
+      qid -> graft.pipeline.KMeans.nearestK(cents, qv, nProbe).toSet
+    }
+    val bc = spark.sparkContext.broadcast((cents, queries, probeOf))
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ann-stream")
+    all.toDF("vec_id", "v").repartition(3).write.mode("overwrite")
+      .parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val scored = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val (cs, qs, probes) = bc.value
+        val cell = graft.pipeline.KMeans.nearest(cs, v)
+        qs.iterator.filter { case (qid, _) =>
+          qid != id && probes.find(_._1 == qid).get._2.contains(cell)
+        }.map { case (qid, qv) =>
+          var dot = 0.0; var qq = 0.0; var vv = 0.0
+          var i = 0
+          while (i < v.length) {
+            dot += qv(i) * v(i); qq += qv(i) * qv(i); vv += v(i) * v(i); i += 1
+          }
+          (qid, dot / (math.sqrt(qq) * math.sqrt(vv)), id)
+        }
+      }
+    val q = StatefulOps.runningTopK(scored, topK).toDF("query_id", "hits")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ann_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // last emission per query = most hits... emissions grow monotonically
+    // in batch order; take each query's final row via the largest hit set
+    // won't do — replay order matters, so rank emissions by arrival:
+    // memory sink preserves append order within a query's updates
+    val emissions = spark.table("ann_stream").collect()
+      .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(h => (h.getDouble(0), h.getLong(1)))))
+    val finalPerQuery = emissions.zipWithIndex.groupBy(_._1._1)
+      .map { case (qid, es) => qid -> es.maxBy(_._2)._1._2 }
+    val got = finalPerQuery.toSeq.flatMap { case (qid, hits) =>
+      hits.zipWithIndex.map { case ((_, vid), i) => (qid, i + 1, vid) }
+    }.toSet
+    assert(got == batch,
+      s"online/offline ANN divergence: +${(got -- batch).take(3)} -${(batch -- got).take(3)}")
+  }
+
   test("streamed session_window matches the batch gaps-and-islands sessionization") {
     // q18 computes sessions offline (lag + windowed sum, 30 min gap);
     // Structured Streaming's session_window is the online formulation —
