@@ -68,6 +68,45 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One-pass distributed moment gather over a vector column: each
+    * partition reduces to a single (count, Σv, Σvvᵀ) partial — one d×d
+    * matrix, so the driver gathers ≤ partitions × (d²+d+1) doubles no
+    * matter the corpus size (the Linalg.svd tall-skinny discipline) —
+    * and returns (n, mean, population covariance). Shared by qe01 (PCA)
+    * and qe03 (whitening verification, over the M-dim whitened rows). */
+  private def moments(vs: org.apache.spark.sql.Dataset[Seq[Double]])
+      : (Long, Array[Double], Array[Array[Double]]) = {
+    val partials = vs.mapPartitions { it =>
+      var n = 0L; var dim = 0
+      var sums: Array[Double] = null; var mom: Array[Double] = null
+      it.foreach { sv =>
+        val v = sv.toArray
+        if (sums == null) { dim = v.length; sums = new Array[Double](dim); mom = new Array[Double](dim * dim) }
+        n += 1
+        var i = 0
+        while (i < dim) {
+          val vi = v(i); sums(i) += vi
+          var j = 0
+          while (j < dim) { mom(i * dim + j) += vi * v(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, sums.toSeq, mom.toSeq))
+    }(org.apache.spark.sql.Encoders.product[(Long, Seq[Double], Seq[Double])])
+      .collect()
+    val n = partials.map(_._1).sum
+    val dim = partials.head._2.length
+    val sums = new Array[Double](dim); val mom = new Array[Double](dim * dim)
+    partials.foreach { case (_, sv, mv) =>
+      var i = 0; while (i < dim) { sums(i) += sv(i); i += 1 }
+      var k = 0; while (k < dim * dim) { mom(k) += mv(k); k += 1 }
+    }
+    val mean = sums.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) => mom(i * dim + j) / n - mean(i) * mean(j))
+    (n, mean, cov)
+  }
+
   /** qp01/qp05's deterministic split assignment: hash-bucket of the stable
     * doc identity (shared so the audit query can never drift from the
     * split it audits). */
@@ -748,33 +787,8 @@ object PipelineQueries {
       val ds = table(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .as[(Long, Seq[Double])]
-      val partials = ds.mapPartitions { it =>
-        var n = 0L; var dim = 0
-        var sums: Array[Double] = null; var mom: Array[Double] = null
-        it.foreach { case (_, sv) =>
-          val v = sv.toArray
-          if (sums == null) { dim = v.length; sums = new Array[Double](dim); mom = new Array[Double](dim * dim) }
-          n += 1
-          var i = 0
-          while (i < dim) {
-            val vi = v(i); sums(i) += vi
-            var j = 0
-            while (j < dim) { mom(i * dim + j) += vi * v(j); j += 1 }
-            i += 1
-          }
-        }
-        if (n == 0) Iterator.empty
-        else Iterator.single((n, sums.toSeq, mom.toSeq))
-      }.collect()
-      val n = partials.map(_._1).sum
-      val dim = partials.head._2.length
-      val sums = new Array[Double](dim); val mom = new Array[Double](dim * dim)
-      partials.foreach { case (_, sv, mv) =>
-        var i = 0; while (i < dim) { sums(i) += sv(i); i += 1 }
-        var k = 0; while (k < dim * dim) { mom(k) += mv(k); k += 1 }
-      }
-      val mean = sums.map(_ / n)
-      val cov = Array.tabulate(dim, dim)((i, j) => mom(i * dim + j) / n - mean(i) * mean(j))
+      val (n, mean, cov) = moments(ds.map(_._2))
+      val dim = mean.length
       val trace = (0 until dim).map(i => cov(i)(i)).sum
       val (evals, evecs) = graft.linalg.Linalg.eigSym(cov)
       val order = evals.indices.sortBy(i => -evals(i))
@@ -805,6 +819,57 @@ object PipelineQueries {
     }, Some("""
       SELECT count(*) AS n_vecs, 8 AS n_components,
         TRUE AS trace_ok, TRUE AS recon_ok
+      FROM embeddings""")),
+
+    CatalogQuery("qe03_whitening", (s, d) => {
+      // PCA whitening APPLIED distributively — the transform qe01's
+      // eigensolve exists to feed: every row maps to
+      // y = Λ^{-1/2} Pᵀ (v − μ) with μ/P/Λ broadcast (KBs), one pass,
+      // corpus never shuffles. The gate verifies the DEFINING property
+      // on the output itself: the whitened rows' second-moment pass
+      // (same bounded-partial gather, now M×M) must show a vanishing
+      // mean and an identity covariance to 1e-6 — a real numeric
+      // identity tying the broadcast transform, the eigensolve, and
+      // both moment passes together (any sign/order/scale slip in the
+      // components breaks it).
+      val M = 8
+      import s.implicits._
+      val ds = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .as[(Long, Seq[Double])]
+      val (n, mean, cov) = moments(ds.map(_._2))
+      val (evals, evecs) = graft.linalg.Linalg.eigSym(cov)
+      val order = evals.indices.sortBy(i => -evals(i))
+      val comps = order.take(M).map(i => evecs.map(_(i))).toArray // M×d rows
+      val scale = order.take(M).map(i =>
+        1.0 / math.sqrt(math.max(evals(i), 1e-300))).toArray
+      val bcMean = s.sparkContext.broadcast(mean)
+      val bcComps = s.sparkContext.broadcast(comps)
+      val bcScale = s.sparkContext.broadcast(scale)
+      val whitened = ds.map { case (_, sv) =>
+        val mu = bcMean.value; val p = bcComps.value; val sc = bcScale.value
+        val c = new Array[Double](sv.length)
+        var i = 0; while (i < sv.length) { c(i) = sv(i) - mu(i); i += 1 }
+        val y = new Array[Double](p.length)
+        var m = 0
+        while (m < p.length) {
+          var dot = 0.0; var k = 0
+          while (k < c.length) { dot += p(m)(k) * c(k); k += 1 }
+          y(m) = dot * sc(m); m += 1
+        }
+        y.toSeq
+      }
+      val (wn, wMean, wCov) = moments(whitened)
+      val meanOk = wMean.forall(x => math.abs(x) <= 1e-6)
+      val covOk = (0 until M).forall(i => (0 until M).forall { j =>
+        val target = if (i == j) 1.0 else 0.0
+        math.abs(wCov(i)(j) - target) <= 1e-6
+      })
+      s.range(1).select(lit(wn).as("n_vecs"), lit(M).as("n_components"),
+        lit(meanOk).as("whitened_mean_ok"), lit(covOk).as("whitened_cov_ok"))
+    }, Some("""
+      SELECT count(*) AS n_vecs, 8 AS n_components,
+        TRUE AS whitened_mean_ok, TRUE AS whitened_cov_ok
       FROM embeddings""")),
 
     CatalogQuery("qe02_label_centroids", (s, d) => {
