@@ -27,6 +27,7 @@ object PipelineQueries {
   private val NumPerms = 8
   private val RowsPerBand = 4 // 2 bands of 4 rows: P(candidate | j) = 1-(1-j^4)^2
   private val JaccardThreshold = 0.80
+  private val ContainmentThreshold = 0.90
   private val NgramThreshold = 0.55
   private val CosineThreshold = 0.35
   private val SimhashBits = 16
@@ -236,6 +237,48 @@ object PipelineQueries {
         SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
       SELECT id AS doc_id, min(lab) AS canonical_id
       FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    CatalogQuery("qd07_containment", (s, d) => {
+      // Asymmetric containment dedup: |A∩B| / min(|A|, |B|) ≥ 0.90 over
+      // the LSH candidate pairs — the signal Jaccard MISSES when one doc
+      // quotes or wholly contains a much bigger one (|A| ≪ |B| caps
+      // jaccard at |A|/|B| but containment at 1), which is how boilerplate
+      // and quote-chains show up in web corpora. Same scale shape as
+      // qd02: band-bucket candidates (keys-only shuffle), verification
+      // touches candidate pairs only, one-pass codegen'd shingle/minhash
+      // expressions; the oracle mirrors the banding through the shared
+      // CTE chain so the blocking can never drift from qd02's.
+      import graft.functions.expressions.ShingleExpressions._
+      val docs = table(s, d, "documents")
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
+        .persist()
+      val banded = docs.select(col("doc_id"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
+          NumPerms, RowsPerBand)).as("band"))
+      val a = banded.select(col("band"), col("doc_id").as("id_a"))
+      val b = banded.select(col("band"), col("doc_id").as("id_b"))
+      val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            least(size(col("hs_a")), size(col("hs_b")))).as("containment"))
+        .filter(col("containment") >= ContainmentThreshold)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $oMinhashPairsCtes
+      SELECT id_a, id_b, round(containment, 6) AS containment FROM (
+        SELECT id_a, id_b,
+          len(list_intersect(x.hs, y.hs))::DOUBLE /
+            least(len(x.hs), len(y.hs)) AS containment
+        FROM cand JOIN sh x ON cand.id_a = x.doc_id
+                  JOIN sh y ON cand.id_b = y.doc_id) t
+      WHERE containment >= $ContainmentThreshold ORDER BY id_a, id_b""")),
 
     CatalogQuery("qd03_simhash", (s, d) => {
       table(s, d, "documents")
