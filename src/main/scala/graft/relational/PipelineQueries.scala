@@ -33,6 +33,7 @@ object PipelineQueries {
   private val SimhashBits = 16
 
   private val AnnTopK = 10
+  private val DupSpanW = 8 // qd08: duplicated-span window, in tokens
 
   private def vdot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
@@ -423,6 +424,66 @@ object PipelineQueries {
       WHERE list_dot_product(x.v, y.v) /
           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $CosineThreshold
       ORDER BY id_a, id_b""")),
+
+    CatalogQuery("qd08_dup_spans", (s, d) => {
+      // Substring-level exact dedup (the ExactSubstr shape from
+      // "Deduplicating Training Data Makes Language Models Better",
+      // Lee et al. 2022): a span of DupSpanW consecutive tokens that
+      // occurs in more than one document is boilerplate/quotation — per
+      // doc we report how many of its spans (and how many distinct span
+      // values) are duplicated corpus-wide. Doc-level dedup (qd01-qd07)
+      // misses these partial overlaps entirely.
+      //
+      // Scale shape: spans never materialize as strings past the hash —
+      // each position contributes one (doc_id, hash60) pair, the same
+      // keys-only row class qd02 shuffles. The duplicate-set aggregation
+      // and the position⋈duplicate join both key by the hash: with a
+      // small duplicate set AQE broadcasts it (pos is never shuffled at
+      // all); with a large one both sides shuffle by h. Either way the
+      // corpus contributes only hashed pairs, never an all-pairs form.
+      val W = DupSpanW
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      // sequence(1, n) counts DOWN when n < 1 (CLAUDE.md gotcha) — guard
+      // short docs to an empty span list explicitly
+      val pos = toks.select(col("doc_id"),
+        explode(when(size(col("w")) >= W,
+          transform(sequence(lit(1), size(col("w")) - (W - 1)),
+            i => TextOps.hash60(concat_ws(" ", slice(col("w"), i, lit(W))))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+      val dup = pos.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"))
+      val perDoc = pos.join(dup, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          countDistinct(col("h")).as("n_dup_grams"))
+      val base = toks.select(col("doc_id"),
+        greatest(size(col("w")) - (W - 1), lit(0)).cast("long").as("n_spans"))
+      base.join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+      pos AS (SELECT t.doc_id,
+          CAST(('0x' || substr(md5(array_to_string(w[u.i : u.i + ${DupSpanW - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(w) - ${DupSpanW - 1}, 0))) AS i) u),
+      dup AS (SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      pd AS (SELECT doc_id, count(*) AS n_dup_spans,
+               count(DISTINCT h) AS n_dup_grams
+             FROM pos JOIN dup USING (h) GROUP BY doc_id),
+      base AS (SELECT doc_id,
+          greatest(len(regexp_split_to_array(trim(text), '\\s+')) - ${DupSpanW - 1}, 0) AS n_spans
+        FROM documents)
+      SELECT base.doc_id, base.n_spans,
+        coalesce(pd.n_dup_spans, 0) AS n_dup_spans,
+        coalesce(pd.n_dup_grams, 0) AS n_dup_grams
+      FROM base LEFT JOIN pd USING (doc_id)
+      ORDER BY doc_id""")),
 
     // ---------- similarity search ----------
 
@@ -1204,6 +1265,53 @@ object PipelineQueries {
         TRUE AS contains_all_hh, TRUE AS error_bounded
       FROM toks""")),
 
+    CatalogQuery("qt09_unigram_logprob", (s, d) => {
+      // Model-based quality scoring, the perplexity-filter shape
+      // (CCNet/KenLM style): train a unigram LM on the corpus (one
+      // aggregation), then score every document by its total token
+      // log-probability in the same engine — the train-then-apply loop
+      // the reference's analytics feedback exists for. Outlier docs
+      // (unusually improbable token mix) rank lowest.
+      //
+      // Scale shape: the raw token stream is aggregated ONCE into the
+      // per-(doc, token) tf table; the LM (vocab counts) and the total
+      // derive from tf, and scoring joins tf — not the stream — against
+      // the model, so the join input is bounded by Σ per-doc vocabulary.
+      // Determinism: log-probs are 6-decimal-quantized decimals (qt07's
+      // rounding convention), so the per-doc sum is exact decimal
+      // arithmetic on both engines — never an order-dependent float sum.
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // cnt + the scoring join both derive from tf
+      val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n_total"))
+      val lp = cnt.crossJoin(broadcast(tot))
+        .select(col("token"),
+          round(log(col("c").cast("double") / col("n_total")), 6)
+            .cast("decimal(20,6)").as("lp"))
+      tf.join(lp, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("lp")).cast("double").as("sum_logprob"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM toks GROUP BY doc_id, token),
+      cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY token),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+      lp AS (SELECT token,
+               CAST(round(ln(c::DOUBLE / n_total), 6) AS DECIMAL(20,6)) AS lp
+             FROM cnt, tot)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        CAST(sum(tf.tf * lp.lp) AS DOUBLE) AS sum_logprob
+      FROM tf JOIN lp USING (token)
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
     // ---------- corpus curation / training prep ----------
 
     CatalogQuery("qp01_split_sample", (s, d) => {
@@ -1389,6 +1497,57 @@ object PipelineQueries {
       WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 < thr_ppm
       ORDER BY d.doc_id""")),
+
+    CatalogQuery("qp07_source_kl", (s, d) => {
+      // Domain-shift audit for source mixing: KL(p_source ‖ p_corpus)
+      // over unigram distributions, per source — the quantity behind
+      // domain-weight tuning (how far each source's token mix sits from
+      // the blend it feeds). Complements qp06's rebalance: qp06 moves
+      // the weights, this measures the divergence the weights act on.
+      //
+      // Scale shape: everything derives from the (source, token) count
+      // table — corpus tokens are aggregated once; per-source totals are
+      // a tiny broadcast; the only real shuffle joins source-term counts
+      // with corpus-term counts keyed by token. Determinism: the ln
+      // factor is 6-decimal-quantized, each KL summand is then 12-decimal
+      // quantized, and the per-source sum is exact decimal arithmetic
+      // (qt07/qt09 convention) — never an order-dependent float sum.
+      val toks = table(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      val st = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c_st"))
+        .persist() // ct, ns and the term join all derive from st
+      val ct = st.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+      val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+      val n = ct.agg(sum(col("c_t")).as("n"))
+      val term = st.join(ct, Seq("token"))
+        .join(broadcast(ns), Seq("source")).crossJoin(broadcast(n))
+        .select(col("source"),
+          round((col("c_st").cast("double") / col("n_s")) *
+            round(log((col("c_st").cast("double") / col("n_s")) /
+              (col("c_t").cast("double") / col("n"))), 6), 12)
+            .cast("decimal(38,12)").as("term"))
+      term.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("term")).cast("double").as("kl"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH toks AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      st AS (SELECT source, token, count(*) AS c_st
+             FROM toks GROUP BY source, token),
+      ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY token),
+      ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+      n AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+      term AS (SELECT st.source,
+          CAST(round((st.c_st::DOUBLE / ns.n_s) *
+            round(ln((st.c_st::DOUBLE / ns.n_s) / (ct.c_t::DOUBLE / n.n)), 6), 12)
+            AS DECIMAL(38,12)) AS term
+        FROM st JOIN ct USING (token) JOIN ns USING (source), n)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(term) AS DOUBLE) AS kl
+      FROM term GROUP BY source ORDER BY source""")),
 
     // ---------- multimodal plumbing ----------
 

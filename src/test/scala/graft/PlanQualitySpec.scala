@@ -173,6 +173,48 @@ class PlanQualitySpec extends AnyFunSuite {
       s"qt06 needs partial+final aggregation for count and max:\n${plan.take(1500)}")
   }
 
+  test("qd08 span dedup keys everything by span hash — never cartesian, never a window") {
+    // span-level exact dedup must stay in the qd02 row class: positions
+    // become (doc_id, hash60) pairs via explode, the duplicate set is a
+    // hash aggregation over h, and the join back is keyed by h (broadcast
+    // when small, shuffle when not) — never an all-pairs/cartesian form
+    // and never a per-doc window over positions
+    val plan = planOf("qd08_dup_spans")
+    assert(!plan.contains("CartesianProduct"),
+      s"qd08 must never go cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"qd08 must not window positions:\n${plan.take(1500)}")
+    assert(plan.contains("Generate"),
+      s"spans must explode to hashed rows (Generate):\n${plan.take(1500)}")
+  }
+
+  test("qt09 LM training and scoring both read the cached tf table — one corpus explode") {
+    // the token stream is aggregated ONCE into tf; the unigram model
+    // (vocab counts, total) and the scoring join all derive from tf. The
+    // pin: exactly one Generate in the plan (the explode feeding tf,
+    // inside the cached relation) and the cache is actually hit.
+    // (each InMemoryTableScan reference re-prints the cached child plan,
+    // so counting Generate occurrences in the string is meaningless — the
+    // cache pin itself is what proves the stream explodes once)
+    val plan = planOf("qt09_unigram_logprob")
+    assert(plan.contains("InMemoryTableScan"),
+      s"qt09 must score from the cached tf table:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"no window in qt09:\n${plan.take(1500)}")
+  }
+
+  test("qp07 KL joins source terms to corpus terms by token; totals broadcast") {
+    // the only big shuffle joins (source, token) counts with per-token
+    // corpus counts; per-source totals and the grand total ride in as
+    // broadcasts (the single-row total may plan as a broadcast nested
+    // loop — that is a 1-row side, not a cartesian of data)
+    val plan = planOf("qp07_source_kl")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"qp07 must never go cartesian:\n${plan.take(1500)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"qp07 must derive everything from the cached st table:\n${plan.take(1500)}")
+  }
+
   test("qp06 rebalance filters the corpus against a broadcast threshold map") {
     // temperature sampling must be one stateless scan: the corpus joins a
     // #languages-row broadcast of ppm thresholds and filters in place —
