@@ -11,9 +11,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // leave 2 vCPUs of headroom for the JVM's service threads (GC,
+    // compiler, RPC dispatchers): measured equal-or-faster than using
+    // every core even on an idle host, and it sharply reduces exposure to
+    // host-level wakeup-latency stalls (see CLAUDE.md gotchas) when the
+    // hypervisor is contended — a fully subscribed local[n] serializes
+    // Spark's scheduler RPC ping-pong behind 10-100 ms thread wakeups
+    val slots = math.max(1, cpus.toInt - 2)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$slots]")
+      .config("spark.sql.shuffle.partitions", slots)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -34,9 +41,13 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // median of 3 timed runs per query: a single noisy reading (GC pause,
-    // page-cache miss, JIT deopt) must not masquerade as a plan regression
-    // round over round
+    // MIN of 3 timed runs per query. The noise here is one-sided — a run
+    // is either clean or inflated by an external stall (host wakeup
+    // latency, GC pause, page-cache miss), never spuriously fast — so the
+    // minimum is the unbiased estimate of the plan's true cost (same
+    // reasoning as python timeit). Observed stalls on this host reach
+    // 10-160 s on queries whose clean runs take 0.3 s, which a median
+    // cannot shrug off when 2 of 3 runs land in a bad window.
     val results = benched.map { q =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -47,7 +58,7 @@ object Bench {
         spark.catalog.clearCache() // queries may cache intermediates
         sec
       }
-      val sec = times.sorted.apply(1)
+      val sec = times.min
       System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s (runs: ${
         times.map(t => f"$t%.3f").mkString(" ")})")
       q.name -> sec
