@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Dataset
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction — tokenizer
+  * training as a first-class pipeline operator.
+  *
+  * The classic trainer (Sennrich et al. 2016 — the shape HuggingFace's
+  * trainer keeps) works from the DISTINCT-WORD frequency table, not the
+  * raw corpus: at web scale the corpus has ~10^11 tokens but only ~10^7
+  * distinct words, so the corpus is aggregated once and every merge
+  * iteration runs over the (much smaller, still distributed) word table.
+  *
+  * Scale shape per merge step:
+  *  - adjacent-pair counting: one `flatMap` over word segmentations into
+  *    (left, right, freq) rows, reduced by hash aggregation with map-side
+  *    partials — the shuffle carries ≤ distinct-pairs × partitions rows;
+  *  - argmax: TakeOrdered of ONE row under the deterministic total order
+  *    (count DESC, left ASC, right ASC) — never a global sort collect;
+  *  - merge application: the winning pair ships in the closure (two
+  *    strings), one narrow map over segmentations — the word table never
+  *    shuffles. Each iteration persists the new table and releases the
+  *    previous one (the qd06/KMeans cache-discipline pattern).
+  */
+object Bpe {
+  final case class Merge(step: Int, left: String, right: String, count: Long)
+
+  /** Greedy left-to-right non-overlapping application of one merge —
+    * standard BPE semantics ("aaa" under (a,a) → ["aa", "a"]). */
+  def applyMerge(seg: IndexedSeq[String], left: String, right: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < seg.length) {
+      if (i + 1 < seg.length && seg(i) == left && seg(i + 1) == right) {
+        out += left + right
+        i += 2
+      } else {
+        out += seg(i)
+        i += 1
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  /** Character segmentation of a word (the BPE base alphabet). */
+  def charSeg(word: String): IndexedSeq[String] = word.map(_.toString)
+
+  /** Train `nMerges` merges from a (word, freq) table. Requires enough
+    * adjacent pairs to supply every step (hard-fails otherwise rather
+    * than silently returning a short vocabulary). */
+  def train(words: Dataset[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var ds: Dataset[(IndexedSeq[String], Long)] =
+      words.map { case (w, f) => (charSeg(w), f) }.persist()
+    ds.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    for (step <- 1 to nMerges) {
+      val best = ds
+        .flatMap { case (seg, f) =>
+          (0 until seg.length - 1).iterator.map(i => (seg(i), seg(i + 1), f))
+        }
+        .groupByKey { case (l, r, _) => (l, r) }
+        .mapValues(_._3).reduceGroups(_ + _)
+        .map { case ((l, r), c) => (l, r, c) }
+        // TakeOrdered(1) under the deterministic total order; implicit
+        // Ordering[(String, String, Long)] can't express count DESC, so
+        // order explicitly
+        .orderBy(org.apache.spark.sql.functions.col("_3").desc,
+          org.apache.spark.sql.functions.col("_1"),
+          org.apache.spark.sql.functions.col("_2"))
+        .head(1)
+      require(best.nonEmpty, s"BPE ran out of pairs at step $step/$nMerges")
+      val (l, r, c) = best(0)
+      merges += Merge(step, l, r, c)
+      val next = ds.map { case (seg, f) => (applyMerge(seg, l, r), f) }.persist()
+      next.count()
+      ds.unpersist()
+      ds = next
+    }
+    ds.unpersist()
+    merges.toSeq
+  }
+}

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.functions.MisraGries
-import graft.pipeline.{KMeans, TextOps}
+import graft.pipeline.{Bpe, KMeans, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,6 +34,7 @@ object PipelineQueries {
 
   private val AnnTopK = 10
   private val DupSpanW = 8 // qd08: duplicated-span window, in tokens
+  private val BpeMerges = 10 // qp08: BPE merge steps to train + verify
 
   private def vdot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
@@ -871,6 +872,61 @@ object PipelineQueries {
       SELECT count(*) AS n_queries, TRUE AS recall_ge_090
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs08_hybrid_rank", (s, d) => {
+      // Hybrid retrieval: rerank ANN candidates by cosine × a text-quality
+      // prior (qt02's rounded punct/stopword ratios) — the retrieval-with-
+      // rerank shape every RAG/data-mining pipeline runs. At scale the
+      // embedding and text live in ONE table; here they are separate
+      // files equi-joined on id (shuffle join keyed by id — co-partitioned
+      // or bucketed in a real deployment). Ranking reuses the bounded
+      // TopKByScore aggregator (no per-query window sort); the hybrid
+      // score stays bit-identical cross-engine because its inputs are
+      // IEEE ops over identical doubles (cosine) and the 6-decimal
+      // rounded ratios qt02 already proved portable.
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val txt = col("text")
+      val nTokens = size(TextOps.tokens(txt))
+      val nPunct = length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))
+      val nStop = TextOps.occurrences(concat(lit(" "), txt, lit(" ")), " the ") +
+        TextOps.occurrences(concat(lit(" "), txt, lit(" ")), " a ")
+      val prior = table(s, d, "documents")
+        .select(col("doc_id").as("vec_id"),
+          (lit(1.0) / (lit(1.0) +
+            round(nPunct.cast("double") / length(txt), 6) +
+            round(nStop.cast("double") / nTokens, 6))).as("prior"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.join(prior, Seq("vec_id"))
+        .crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (cosineCol(col("qv"), col("v")) * col("prior")).as("cosine"))
+      topkRanked(scored)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      f AS (
+        SELECT doc_id AS vec_id,
+          1.0 / (1.0
+            + round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                / length(text), 6)
+            + round(CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+                  + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3 AS DOUBLE)
+                / length(regexp_split_to_array(trim(text), '\s+')), 6)) AS prior
+        FROM documents),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, e.vec_id,
+          (list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))))
+            * f.prior AS cosine
+        FROM e JOIN f USING (vec_id) CROSS JOIN q WHERE e.vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
+
     CatalogQuery("qe01_pca_energy", (s, d) => {
       // Distributed PCA over the embedding corpus — the compression /
       // whitening step before storing or indexing 100 TB of vectors.
@@ -1548,6 +1604,69 @@ object PipelineQueries {
       SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
         CAST(sum(term) AS DOUBLE) AS kl
       FROM term GROUP BY source ORDER BY source""")),
+
+    CatalogQuery("qp08_bpe_merges", (s, d) => {
+      // Tokenizer training: distributed BPE vocabulary induction
+      // (Sennrich et al. 2016) over the corpus's distinct-word frequency
+      // table, gated by the contract pattern (qs03/qe01/qt08): DuckDB
+      // cannot replay an iterative trainer, so the oracle pins the
+      // corpus-derived constants + TRUE and the Spark side PROVES the
+      // training invariant distributively — at every step the chosen
+      // merge is the exact argmax of adjacent-pair counts under the
+      // prefix merges, in the deterministic total order (count DESC,
+      // left ASC, right ASC). The recount deliberately uses a different
+      // formulation than the trainer (SQL posexplode + pos+1 self-join
+      // vs typed flatMap over segment windows), so a counting bug in one
+      // path cannot vouch for itself.
+      //
+      // Scale shape: the corpus explodes ONCE into the (word, freq)
+      // table (persisted); training and verification iterate over that
+      // table with per-step persist/release (qd06 discipline); argmaxes
+      // are TakeOrdered(1), never a global sort collect.
+      import s.implicits._
+      val words = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .as[(String, Long)]
+        .persist()
+      val merges = Bpe.train(words, BpeMerges)
+      var segDf = words.map { case (w, f) => (w, Bpe.charSeg(w), f) }
+        .toDF("word", "seg", "freq").persist()
+      segDf.count()
+      var allArgmax = true
+      for (m <- merges) {
+        val e = segDf.select(col("word"), col("freq"),
+          posexplode(col("seg")).as(Seq("pos", "sym")))
+        val top = e.as("a").join(e.as("b"),
+            col("a.word") === col("b.word") && col("b.pos") === col("a.pos") + 1)
+          .groupBy(col("a.sym").as("l"), col("b.sym").as("r"))
+          .agg(sum(col("a.freq")).as("c"))
+          .orderBy(desc("c"), col("l"), col("r"))
+          .head(1)
+        allArgmax &&= top.headOption.exists(row =>
+          row.getString(0) == m.left && row.getString(1) == m.right &&
+            row.getLong(2) == m.count)
+        val next = segDf.as[(String, Seq[String], Long)]
+          .map { case (w, seg, f) =>
+            (w, Bpe.applyMerge(seg.toIndexedSeq, m.left, m.right), f)
+          }
+          .toDF("word", "seg", "freq").persist()
+        next.count()
+        segDf.unpersist()
+        segDf = next
+      }
+      segDf.unpersist()
+      val nWords = words.count()
+      words.unpersist()
+      Seq((BpeMerges, nWords, allArgmax))
+        .toDF("n_merges", "n_words", "argmax_verified")
+    }, Some(s"""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                    FROM documents)
+      SELECT $BpeMerges AS n_merges,
+        CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+        TRUE AS argmax_verified
+      FROM toks""")),
 
     // ---------- multimodal plumbing ----------
 

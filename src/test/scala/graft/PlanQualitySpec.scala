@@ -106,7 +106,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregator must appear as partial+final ObjectHashAggregate instead
     // (map-side partials bound memory and the shuffle to partitions × k).
     for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall", "qs04_ann_batch",
-                  "qs05_ann_int8_rerank", "qs06_hard_negatives", "qs07_ann_pq_rerank")) {
+                  "qs05_ann_int8_rerank", "qs06_hard_negatives", "qs07_ann_pq_rerank",
+                  "qs08_hybrid_rank")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q must not window-sort candidates:\n${plan.take(1500)}")
       assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
