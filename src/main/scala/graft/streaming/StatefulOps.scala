@@ -11,6 +11,14 @@ final case class BandedDoc(bucket: String, doc_id: Long, shingles: Array[Long])
 /** A verified near-duplicate pair (id_a < id_b, exact Jaccard ≥ threshold). */
 final case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
 
+/** One document's postings to a span hash: `cnt` occurrences of the
+  * 8-token span whose hash60 is `h` (pre-aggregated per (h, doc)). */
+final case class SpanPost(h: Long, doc_id: Long, cnt: Long)
+
+/** An emission that doc `doc_id`'s `cnt` spans at hash `h` are duplicated
+  * corpus-wide (some other document also contains the span). */
+final case class DupSpan(h: Long, doc_id: Long, cnt: Long)
+
 /** Running per-user statistics, updated incrementally per event. */
 final case class UserStats(
     user_id: Long,
@@ -114,6 +122,45 @@ object StatefulOps {
     * aggregation over everything seen — `EventsStreamingSpec` pins exact
     * parity with qs02's IVF top-k). Reuses the batch aggregator's own
     * reduce/finish, so streamed and batch rank order can never diverge. */
+  /** Online substring-level exact dedup (the streaming form of qd08):
+    * each arriving document posts one [[SpanPost]] per distinct 8-token
+    * span hash it contains; per-hash keyed state holds the (doc_id, cnt)
+    * postings seen so far. When a hash's distinct-doc count crosses 1→2,
+    * every stored posting (including the retroactively-duplicated first
+    * doc's) is emitted; while it stays ≥ 2, each new posting emits
+    * immediately. The emitted set therefore equals batch qd08's
+    * positions⋈duplicate-set join exactly, however micro-batch boundaries
+    * split the feed (EventsStreamingSpec pins the parity).
+    *
+    * Scale shape: state is keyed by span hash in the executors' state
+    * store (hash-partitioned with the shuffle); each entry holds only the
+    * docs sharing that span — the same cohabitant bound as the LSH band
+    * buckets above. A production variant expires state with an event-time
+    * watermark once a span can no longer recur. */
+  def onlineDupSpans(posts: Dataset[SpanPost]): Dataset[DupSpan] = {
+    import posts.sparkSession.implicits._
+    posts.groupByKey(_.h)
+      .flatMapGroupsWithState[List[(Long, Long)], DupSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h, rows, state) =>
+          var members = state.getOption.getOrElse(Nil) // (doc_id, cnt)
+          val out = List.newBuilder[DupSpan]
+          // doc_id order within the micro-batch keeps emission
+          // deterministic however the batch boundaries fall
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (!members.exists(_._1 == r.doc_id)) { // feed is per-(h,doc) distinct
+              members = (r.doc_id, r.cnt) :: members
+              if (members.lengthCompare(2) == 0)
+                members.foreach { case (id, c) => out += DupSpan(h, id, c) }
+              else if (members.lengthCompare(2) > 0)
+                out += DupSpan(h, r.doc_id, r.cnt)
+            }
+          }
+          state.update(members)
+          out.result().iterator
+      }
+  }
+
   def runningTopK(
       scored: Dataset[(Long, Double, Long)], k: Int): Dataset[(Long, Seq[graft.functions.ScoredHit])] = {
     import graft.functions.{ScoredHit, TopKByScore}

@@ -159,6 +159,60 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"online/offline near-dup divergence: +${(got -- batch).take(3)} -${(batch -- got).take(3)}")
   }
 
+  test("streamed span dedup matches the batch qd08 per-doc dup counts (online ExactSubstr)") {
+    // qd08 finds duplicated 8-token spans offline (span-hash aggregation +
+    // join back). The online form posts each arriving doc's distinct span
+    // hashes to per-hash keyed state; a hash crossing 1→2 distinct docs
+    // retroactively emits the first doc's postings too. Contract: summing
+    // the emissions per doc reproduces batch qd08's (n_dup_spans,
+    // n_dup_grams) EXACTLY, however the micro-batch boundaries split the
+    // corpus (3 files, 1/trigger).
+    import graft.pipeline.TextOps
+    import graft.streaming.{SpanPost, StatefulOps}
+    import spark.implicits._
+    val W = 8 // mirrors qd08's DupSpanW
+
+    val batch = graft.relational.QueryCatalog.byName("qd08_dup_spans")
+      .build(spark, dir).collect()
+      .filter(_.getLong(2) > 0)
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    assert(batch.nonEmpty, "fixture must contain duplicated spans")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-span-stream")
+    spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    // per-doc distinct span hashes with occurrence counts, built row-local
+    // (array expressions only — no streaming pre-aggregation needed);
+    // the O(spans²) filter-per-distinct-hash is test plumbing, a real feed
+    // would post pre-aggregated (h, doc, cnt) rows
+    val hs = when(size(TextOps.tokens(col("text"))) >= W,
+      transform(sequence(lit(1), size(TextOps.tokens(col("text"))) - (W - 1)),
+        i => TextOps.hash60(concat_ws(" ", slice(TextOps.tokens(col("text")), i, lit(W))))))
+      .otherwise(array().cast("array<bigint>"))
+    val posts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"), explode(
+        transform(array_distinct(col("hs")),
+          h => struct(h.as("h"), size(filter(col("hs"), x => x === h)).cast("long").as("cnt")))).as("p"))
+      .select(col("p.h"), col("doc_id"), col("p.cnt"))
+      .as[SpanPost]
+    val q = StatefulOps.onlineDupSpans(posts).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("span_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("span_stream")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_dup_spans"), count(lit(1)).as("n_dup_grams"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == batch,
+      s"online/offline span-dedup divergence: +${(got.toSet -- batch.toSet).take(3)} -${(batch.toSet -- got.toSet).take(3)}")
+  }
+
   test("streamed IVF top-k maintains the exact batch qs02 ANN result as vectors arrive") {
     // continuous index maintenance: vectors stream in, each is assigned
     // its IVF cell and posted (with its exact cosine) to the queries
