@@ -41,15 +41,18 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    // MIN of 3 timed runs per query. The noise here is one-sided — a run
+    // MIN of >=3 timed runs per query. The noise here is one-sided — a run
     // is either clean or inflated by an external stall (host wakeup
     // latency, GC pause, page-cache miss), never spuriously fast — so the
     // minimum is the unbiased estimate of the plan's true cost (same
     // reasoning as python timeit). Observed stalls on this host reach
-    // 10-160 s on queries whose clean runs take 0.3 s, which a median
-    // cannot shrug off when 2 of 3 runs land in a bad window.
+    // 10-600 s on queries whose clean runs take 0.3 s. Round 4 showed 3
+    // fixed runs can ALL land in one bad window (qs01: 373/206/20.5 s vs
+    // ~1 s clean), so the loop now extends adaptively: until the two
+    // fastest runs agree within 1.5x (i.e. the minimum is corroborated,
+    // not a lone lucky/unlucky reading), up to 6 runs.
     val results = benched.map { q =>
-      val times = (1 to 3).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try { q.build(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -58,6 +61,10 @@ object Bench {
         spark.catalog.clearCache() // queries may cache intermediates
         sec
       }
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (times.length < 3 ||
+        (times.length < 6 && { val s = times.sorted; s(1) > s(0) * 1.5 }))
+        times += timed()
       val sec = times.min
       System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s (runs: ${
         times.map(t => f"$t%.3f").mkString(" ")})")

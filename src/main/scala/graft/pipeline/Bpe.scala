@@ -45,6 +45,33 @@ object Bpe {
   /** Character segmentation of a word (the BPE base alphabet). */
   def charSeg(word: String): IndexedSeq[String] = word.map(_.toString)
 
+  /** Encode one word with a trained merge table (pair → rank): repeatedly
+    * apply the LOWEST-RANK merge whose pair is present until no learned
+    * pair remains — the standard BPE inference loop (HuggingFace
+    * tokenizers' shape). The fixpoint guarantees canonicality: the output
+    * contains no adjacent pair that is itself a learned merge, and
+    * concatenating the output always reproduces the word (each merge
+    * preserves content). O(len × merges) worst case; words are short and
+    * the merge table ships once per task as a broadcast. */
+  def encode(word: String, ranks: Map[(String, String), Int]): IndexedSeq[String] = {
+    var seg = charSeg(word)
+    var done = false
+    while (!done && seg.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < seg.length - 1) {
+        ranks.get((seg(i), seg(i + 1))).foreach { r =>
+          if (r < bestRank) { bestRank = r; best = i }
+        }
+        i += 1
+      }
+      if (best < 0) done = true
+      else seg = applyMerge(seg, seg(best), seg(best + 1))
+    }
+    seg
+  }
+
   /** Train `nMerges` merges from a (word, freq) table. Requires enough
     * adjacent pairs to supply every step (hard-fails otherwise rather
     * than silently returning a short vocabulary). */

@@ -39,6 +39,14 @@ object PipelineQueries {
   private val ClfIters = 30
   private val ClfLr = 1.0
   private val ClfLabelThreshold = 0.06 // stopword-ratio heuristic label
+  private val ClfTrainBuckets = 80 // qp09: md5 buckets < 80 train, ≥ 80 holdout
+  private val BloomBits = 1 << 21 // qd10: 256 KB filter (size to the eval corpus)
+  private val BloomK = 4 // qd10: probes per key
+  private val HllRsd = 0.05 // qt10: approx_count_distinct relative std dev
+  private val CmsDepth = 4 // qt11: Count-Min rows (min over d estimates)
+  private val CmsWidth = 1 << 16 // qt11: counters per row (2 MB grid total)
+  private val PackSeqLen = 64 // qp11: training-sequence length, in tokens
+  private val PackBuckets = 32 // qp11: prefix-sum parallelism (≈ cluster tasks)
 
   private def vdot(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
@@ -489,6 +497,140 @@ object PipelineQueries {
         coalesce(pd.n_dup_grams, 0) AS n_dup_grams
       FROM base LEFT JOIN pd USING (doc_id)
       ORDER BY doc_id""")),
+
+    CatalogQuery("qd09_block_dedup", (s, d) => {
+      // C4-style boilerplate REMOVAL at block granularity (Raffel et al.
+      // 2020 dropped any 3-sentence span occurring more than once; this
+      // corpus has no sentence marks, so the unit is the non-overlapping
+      // 8-token block): a block whose hash occurs in >1 distinct document
+      // is boilerplate and is dropped from every document carrying it.
+      // Where qd08 REPORTS overlapping duplicated spans, this op emits the
+      // cleaned-corpus accounting a filtering pipeline acts on: blocks
+      // kept/removed and surviving token count per document.
+      //
+      // Scale shape: identical row class to qd08 — each doc contributes
+      // ceil(n/W) hashed (doc_id, block#, h, len) rows, never the block
+      // strings; the boilerplate set is a hash aggregation and the
+      // join back is keyed by h (AQE broadcasts a small set). Removal
+      // accounting is a per-doc re-aggregation of the already-hashed rows
+      // — the corpus text is scanned exactly once.
+      val W = DupSpanW
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      // block index i covers tokens [i*W+1, i*W+W] (last block may be
+      // short); ceil-division block count is >= 1 since docs are nonempty
+      val blocks = toks.select(col("doc_id"),
+          explode(transform(sequence(lit(0L), (ceil(size(col("w")) / lit(W.toDouble))).cast("long") - 1),
+            i => struct(
+              TextOps.hash60(concat_ws(" ", slice(col("w"), (i * W + 1).cast("int"), lit(W)))).as("h"),
+              size(slice(col("w"), (i * W + 1).cast("int"), lit(W))).cast("long").as("blen")))).as("b"))
+        .select(col("doc_id"), col("b.h").as("h"), col("b.blen").as("blen"))
+      val boiler = blocks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"), lit(1).as("dup"))
+      blocks.join(boiler, Seq("h"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("dup").isNull, col("blen")).otherwise(0L)).as("n_tokens_kept"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+      blk AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(array_to_string(w[u.i * $DupSpanW + 1 : u.i * $DupSpanW + $DupSpanW], ' ')), 1, 15)) AS BIGINT) AS h,
+          len(w[u.i * $DupSpanW + 1 : u.i * $DupSpanW + $DupSpanW]) AS blen
+        FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(w) / $DupSpanW.0) AS BIGINT))) AS i) u),
+      boiler AS (SELECT h FROM blk GROUP BY h HAVING count(DISTINCT doc_id) > 1)
+      SELECT blk.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        CAST(sum(CASE WHEN boiler.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        CAST(sum(CASE WHEN boiler.h IS NULL THEN blk.blen ELSE 0 END) AS BIGINT) AS n_tokens_kept
+      FROM blk LEFT JOIN boiler ON blk.h = boiler.h
+      GROUP BY blk.doc_id
+      ORDER BY blk.doc_id""")),
+
+    CatalogQuery("qd10_bloom_decontam", (s, d) => {
+      // Benchmark decontamination with a Bloom prefilter — the GPT-3-style
+      // n-gram overlap check (Brown et al. 2020 removed training docs
+      // sharing 13-grams with benchmarks; window here is the corpus's
+      // qd08 span unit): the eval split's distinct span hashes build a
+      // mergeable Bloom filter (functions.Bloom — fixed m/8-byte summary,
+      // independent of corpus size), which broadcasts to a single scan of
+      // the train split; only bloom-positive postings reach the exact
+      // verify join. Contracts proven DISTRIBUTIVELY, oracle pins exact
+      // counts + TRUE (qs03 pattern):
+      //  - no_false_negatives: every exactly-contaminated posting is
+      //    bloom-positive (Bloom's defining one-sided-error guarantee);
+      //  - fp_bounded: bloom-positive-but-clean postings stay under
+      //    3x the analytic (1-e^(-kn/m))^k expectation — the filter is
+      //    sized (m=2^21, k=4), not accidentally degenerate.
+      //
+      // Scale shape: the eval/benchmark side is small by nature — its
+      // filter is 256 KB regardless of train-corpus size; the 100 TB side
+      // is scanned once with a stateless per-row probe and only candidate
+      // postings (exact hits + a bounded fp trickle) enter the join. The
+      // at-gate-SF full exact join exists ONLY to prove the contracts.
+      import graft.functions.Bloom
+      val W = DupSpanW
+      val spans = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"),
+          splitBucket.as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          explode(when(size(col("w")) >= W,
+            transform(sequence(lit(1), size(col("w")) - (W - 1)),
+              i => TextOps.hash60(concat_ws(" ", slice(col("w"), i, lit(W))))))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+        .persist() // three derivations below; released before returning
+      val evalSpans = spans.filter(col("bucket") >= 90)
+        .select(col("h")).distinct().persist()
+      val nEval = evalSpans.count()
+      val bits = evalSpans.agg(Bloom.bloomBuild(BloomBits, BloomK)(col("h")))
+        .head().getSeq[Long](0).toArray
+      evalSpans.unpersist()
+      val bcBits = s.sparkContext.broadcast(bits)
+      val bloomHit = udf((h: Long) => Bloom.mightContain(bcBits.value, h, BloomK))
+      val trainPos = spans.filter(col("bucket") < 90)
+        .select(col("doc_id"), col("h")).distinct()
+        .withColumn("hit", bloomHit(col("h")))
+        .persist()
+      val exact = trainPos.join(
+        spans.filter(col("bucket") >= 90).select(col("h")).distinct(),
+        Seq("h"), "left_semi").persist()
+      val nTrainPos = trainPos.count()
+      val nCandidates = trainPos.filter(col("hit")).count()
+      val exactAgg = exact.agg(
+        count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+        sum(when(col("hit"), 0L).otherwise(1L)).as("fn")).head()
+      val (nExact, nContamDocs) = (exactAgg.getLong(0), exactAgg.getLong(1))
+      val falseNegs = if (nExact == 0) 0L else exactAgg.getLong(2)
+      trainPos.unpersist()
+      exact.unpersist()
+      spans.unpersist()
+      bcBits.unpersist()
+      val fpBound = 3.0 * Bloom.expectedFpp(BloomBits, BloomK, nEval) * nTrainPos
+      System.err.println(s"[qd10] eval_spans=$nEval train_postings=$nTrainPos " +
+        s"candidates=$nCandidates exact=$nExact fp=${nCandidates - nExact} " +
+        f"fp_bound=$fpBound%.2f")
+      import s.implicits._
+      Seq((nContamDocs, nExact, falseNegs == 0L,
+        (nCandidates - nExact).toDouble <= fpBound))
+        .toDF("n_contam_docs", "n_contam_postings", "no_false_negatives", "fp_bounded")
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      pos AS (SELECT DISTINCT t.doc_id, t.bucket,
+          CAST(('0x' || substr(md5(array_to_string(w[u.i : u.i + ${DupSpanW - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(w) - ${DupSpanW - 1}, 0))) AS i) u),
+      ev AS (SELECT DISTINCT h FROM pos WHERE bucket >= 90),
+      contam AS (SELECT pos.doc_id, pos.h FROM pos JOIN ev USING (h)
+                 WHERE pos.bucket < 90)
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contam_docs,
+        CAST(count(*) AS BIGINT) AS n_contam_postings,
+        TRUE AS no_false_negatives,
+        TRUE AS fp_bounded
+      FROM contam""")),
 
     // ---------- similarity search ----------
 
@@ -1073,6 +1215,63 @@ object PipelineQueries {
         sumsq_over_n - mean * mean AS variance
       FROM g ORDER BY label, dim""")),
 
+    CatalogQuery("qe04_embedding_shift", (s, d) => {
+      // Distribution-shift audit over the embedding space: linear-kernel
+      // MMD² between each class and the whole corpus — ‖μ_label − μ‖²,
+      // the first-moment half of the drift check every curation loop runs
+      // before mixing a new source/class into training data (a shifted
+      // class shows a large distance; a well-mixed one sits near zero).
+      // Scale shape: everything reduces to per-(label, dim) decimal sums
+      // with map-side partials (qe02's discipline) — the shuffle carries
+      // ≤ labels × dims × partitions partial rows and the corpus is read
+      // once; the global mean derives from the SAME aggregated table
+      // (labels × dims rows), never a second scan, and the final
+      // per-label distance sums 64 bounded rows per label.
+      // Determinism: means are dsum/count (decimal partials, one double
+      // division); the squared-diff summands are 12-decimal-quantized
+      // (qp07's convention) so the per-label sum is exact decimal
+      // arithmetic on both engines.
+      val e = table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("x"))
+      val perLabel = e.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sx"))
+        .persist() // global mean derives from this table, not a re-scan
+      val global = perLabel.groupBy(col("dim"))
+        .agg((sum(col("sx")).cast("double") / sum(col("n_vecs"))).as("gmean"))
+      val diffs = perLabel
+        .select(col("label"), col("dim"), col("n_vecs"),
+          (col("sx").cast("double") / col("n_vecs")).as("lmean"))
+        .join(broadcast(global), Seq("dim"))
+        .select(col("label"), col("n_vecs"),
+          round((col("lmean") - col("gmean")) * (col("lmean") - col("gmean")), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("sq"))
+      diffs.groupBy(col("label"))
+        .agg(max(col("n_vecs")).as("n_vecs"),
+          sum(col("sq")).cast("double").as("mmd_sq"))
+        .orderBy(col("label"))
+    }, Some(s"""
+      WITH e AS (SELECT label,
+          unnest([{'dim': i, 'x': embedding[i]::DOUBLE}
+                  for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings),
+      pl AS (SELECT label, u.dim AS dim, count(*) AS n_vecs,
+               sum(CAST(u.x AS DECIMAL(38,6))) AS sx
+             FROM e GROUP BY label, u.dim),
+      g AS (SELECT dim,
+              CAST(sum(sx) AS DOUBLE) / sum(n_vecs) AS gmean
+            FROM pl GROUP BY dim),
+      df AS (SELECT pl.label, pl.n_vecs,
+               CAST(round((CAST(pl.sx AS DOUBLE) / pl.n_vecs - g.gmean)
+                 * (CAST(pl.sx AS DOUBLE) / pl.n_vecs - g.gmean), 12)
+                 AS DECIMAL(38,12)) AS sq
+             FROM pl JOIN g USING (dim))
+      SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+        CAST(sum(sq) AS DOUBLE) AS mmd_sq
+      FROM df GROUP BY label ORDER BY label""")),
+
     // ---------- text analysis ----------
 
     CatalogQuery("qt01_langid", (s, d) => {
@@ -1371,6 +1570,161 @@ object PipelineQueries {
         CAST(sum(tf.tf * lp.lp) AS DOUBLE) AS sum_logprob
       FROM tf JOIN lp USING (token)
       GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
+    CatalogQuery("qt10_hll_distinct", (s, d) => {
+      // Sketched cardinality — the vocabulary/URL/user-count shape every
+      // corpus audit runs first: per-source distinct-token counts via
+      // HyperLogLog++ (`approx_count_distinct`, rsd=0.05). The sketch is
+      // mergeable constant-size state (map-side partials, the shuffle
+      // carries one ~kB sketch per source per partition), where exact
+      // count(DISTINCT) shuffles every distinct value — at 100 TB the
+      // sketch is the only viable plan, and THAT plan is what must be
+      // certified. Gate = contract (q19b pattern): the oracle pins the
+      // exact corpus constants + TRUE; Spark runs BOTH the sketch and the
+      // exact aggregation at gate SF and proves every source's sketched
+      // estimate lands within 3x the configured rsd of its exact
+      // cardinality (HLL++ error is ~N(0, rsd) — 3 sigma; measured
+      // margin across SFs is comfortable, re-measure before tightening).
+      val toks = table(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .persist()
+      val srcRow = toks.groupBy(col("source"))
+        .agg(countDistinct(col("token")).as("exact"),
+          approx_count_distinct(col("token"), HllRsd).as("approx"))
+        .agg(count(lit(1)).as("n_sources"),
+          min(when(abs(col("approx") - col("exact")) <= col("exact") * (3 * HllRsd), 1)
+            .otherwise(0)).as("all_ok"))
+        .head()
+      val nGlobal = toks.agg(countDistinct(col("token"))).head().getLong(0)
+      toks.unpersist()
+      System.err.println(s"[qt10] n_sources=${srcRow.getLong(0)} " +
+        s"global_distinct=$nGlobal all_within_3rsd=${srcRow.getInt(1) == 1}")
+      import s.implicits._
+      Seq((srcRow.getLong(0), nGlobal, srcRow.getInt(1) == 1))
+        .toDF("n_sources", "n_distinct_global", "all_within_3rsd")
+    }, Some("""
+      WITH toks AS (SELECT source,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents)
+      SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_global,
+        TRUE AS all_within_3rsd
+      FROM toks""")),
+
+    CatalogQuery("qt11_cms_counts", (s, d) => {
+      // Point-frequency sketch — Count-Min (Cormode & Muthukrishnan 2005)
+      // over every token occurrence: the "how often does THIS key occur"
+      // complement to qt08's heavy-hitter summary (which keys dominate)
+      // and qt10's HLL (how many distinct keys). The sketch is a fixed
+      // d×w counter grid built by a mergeable aggregator (map-side
+      // partials; the shuffle carries one 2 MB grid per partition,
+      // independent of corpus and vocabulary size) — at 100 TB the exact
+      // per-key table is vocabulary-sized state the consumer may not
+      // want, the grid always fits. Gate = contract (qt08/qt10 pattern):
+      // oracle pins the exact top-20 token counts + TRUE; Spark builds
+      // the sketch AND the exact aggregation and proves, per token,
+      //  - no_undercount: estimate >= exact (deterministic one-sided
+      //    error — every occurrence increments every probed cell);
+      //  - within_bound: overcount <= 3x the analytic e*N/w scale.
+      // The 20-row finish is a bounded TakeOrdered + driver lookup over
+      // the collected grid; the heavy work (token explode, exact hash
+      // aggregation, grid build) is fully distributed.
+      import graft.functions.CountMin
+      val toks = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .persist()
+      val n = toks.count()
+      val grid = toks.select(TextOps.hash60(col("token")).as("h"))
+        .agg(CountMin.cmsBuild(CmsDepth, CmsWidth)(col("h")))
+        .head().getSeq[Long](0).toArray
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("token")).limit(20).collect() // bounded: 20 rows
+      toks.unpersist()
+      val bound = 3.0 * CountMin.expectedOvercount(CmsWidth, n)
+      val rows = top.toSeq.map { r =>
+        val (t, c) = (r.getString(0), r.getLong(1))
+        val est = CountMin.estimate(grid, CountMin.hash60(t), CmsDepth, CmsWidth)
+        (t, c, est >= c, (est - c).toDouble <= bound)
+      }
+      System.err.println(f"[qt11] n_tokens=$n over_bound=$bound%.1f max_over=${
+        rows.map { case (t, c, _, _) =>
+          CountMin.estimate(grid, CountMin.hash60(t), CmsDepth, CmsWidth) - c }.max}")
+      import s.implicits._
+      rows.toDF("token", "n_exact", "no_undercount", "within_bound")
+    }, Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents)
+      SELECT token, CAST(count(*) AS BIGINT) AS n_exact,
+        TRUE AS no_undercount, TRUE AS within_bound
+      FROM toks GROUP BY token
+      ORDER BY n_exact DESC, token LIMIT 20""")),
+
+    CatalogQuery("qt12_bm25", (s, d) => {
+      // Lexical retrieval scoring — Okapi BM25 (Robertson et al. 1994,
+      // the +1 idf variant Lucene uses so idf stays positive) of a fixed
+      // query against the corpus: the sparse half of a hybrid retrieval
+      // stack (qs08 fuses ranks; this is where the lexical rank COMES
+      // from) and the standard "find training docs about X" triage tool.
+      // Scale shape: query terms filter the token stream INSIDE the scan
+      // stage (codegen'd isin over a 3-literal set), so the tf shuffle
+      // carries ≤ docs × |query| rows — never the full token stream; dl
+      // rides along functionally dependent on doc_id (no second scan or
+      // doc-length join); df and the corpus stats are bounded aggregates
+      // of tf / documents; the finish is a global top-10 =
+      // TakeOrderedAndProject (distributed per-partition heads, no full
+      // sort). Determinism: per-term scores are 6-decimal-quantized
+      // decimals, so the per-doc sum is exact decimal arithmetic and the
+      // (score DESC, doc_id) cutoff can never drift across engines.
+      val terms = Seq("spark", "join", "window")
+      val toksAll = TextOps.tokens(col("text"))
+      val tf = table(s, d, "documents")
+        .select(col("doc_id"), size(toksAll).as("dl"),
+          explode(toksAll).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = table(s, d, "documents")
+        .agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl"))
+      val avgdl = col("sumdl").cast("double") / col("n")
+      val idf = log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      // k1 = 1.2, b = 0.75; constants pre-folded (2.2 = k1+1, 0.25 = 1−b)
+      // and the op ORDER mirrored exactly in the oracle so every
+      // intermediate is the same IEEE double on both engines
+      val norm = col("tf") +
+        lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)
+      val scored = tf.join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(((idf * col("tf")) * lit(2.2)) / norm, 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("sc"))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("sc")).cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(AnnTopK)
+    }, Some("""
+      WITH f AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
+             WHERE token IN ('spark', 'join', 'window')
+             GROUP BY doc_id, dl, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
+        FROM documents),
+      sc AS (SELECT tf.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
+            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tf JOIN df USING (token), stats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        CAST(sum(sc) AS DOUBLE) AS score
+      FROM sc GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10""")),
 
     // ---------- corpus curation / training prep ----------
 
@@ -1685,65 +2039,260 @@ object PipelineQueries {
       // raw ones). Gate = contract (qs03 pattern): the oracle pins
       // corpus-derived counts + TRUE; Spark proves distributively that
       // the trained model beats the best CONSTANT predictor (majority
-      // class) by ≥ 15 accuracy points. The label threshold sits at the
-      // density peak of a smooth ratio, so absolute accuracy plateaus
-      // ~0.83 (boundary mass, measured 0.81-0.85 across SFs) while the
-      // majority baseline is ~0.51-0.55 — the margin contract has
-      // ~2x headroom and is layout-drift immune.
+      // class of the eval set) by ≥ 15 accuracy points — measured on a
+      // deterministic hash-bucket HOLDOUT (qp01's stateless md5 bucket,
+      // buckets ≥ 80 = 20% the trainer never sees), so the margin
+      // certifies generalization, not memorization of the hashed
+      // features. Standardization moments come from the train split only
+      // (the holdout must not leak into preprocessing either). The label
+      // threshold sits at the density peak of a smooth ratio, so holdout
+      // accuracy plateaus ~0.83 while the majority baseline is
+      // ~0.51-0.58 — the margin contract keeps ~2x headroom and is
+      // layout-drift immune.
       import s.implicits._
       val D = ClfDim
       val toks = TextOps.tokens(col("text"))
       val nStop = size(filter(toks, t => t === "the" || t === "a"))
       val ratio = round(nStop.cast("double") / size(toks), 6)
       val raw = table(s, d, "documents")
-        .select(col("text"), when(ratio >= ClfLabelThreshold, 1.0).otherwise(0.0).as("y"))
-        .as[(String, Double)]
-        .map { case (t, y) => (LogReg.featurize(t, D).toSeq, y) }
+        .select(col("text"),
+          when(ratio >= ClfLabelThreshold, 1.0).otherwise(0.0).as("y"),
+          (splitBucket < ClfTrainBuckets).as("is_train"))
+        .as[(String, Double, Boolean)]
+        .map { case (t, y, tr) => (LogReg.featurize(t, D).toSeq, y, tr) }
         .persist()
-      val (mu, sd) = LogReg.standardize(raw, D)
+      val trainRaw = raw.filter(_._3).map { case (x, y, _) => (x, y) }
+      val (mu, sd) = LogReg.standardize(trainRaw, D)
       val bcStat = s.sparkContext.broadcast((mu, sd))
-      val data = raw.map { case (x, y) =>
-        val (m, sdv) = bcStat.value
-        (x.indices.map(i => (x(i) - m(i)) / sdv(i)): Seq[Double], y)
-      }.persist()
-      data.count()
-      raw.unpersist()
-      val (wgt, bias) = LogReg.fit(data, D, ClfIters, ClfLr)
-      val bcW = s.sparkContext.broadcast((wgt, bias))
-      val (correct, pos, total) = data.mapPartitions { it =>
-        val (cw, cb) = bcW.value
-        var ok = 0L
-        var np = 0L
-        var n = 0L
-        it.foreach { case (x, y) =>
-          var z = cb
-          var i = 0
-          while (i < cw.length) { z += cw(i) * x(i); i += 1 }
-          if ((if (z > 0) 1.0 else 0.0) == y) ok += 1
-          if (y == 1.0) np += 1
-          n += 1
+      def standardized(part: org.apache.spark.sql.Dataset[(Seq[Double], Double, Boolean)]) =
+        part.map { case (x, y, _) =>
+          val (m, sdv) = bcStat.value
+          (x.indices.map(i => (x(i) - m(i)) / sdv(i)): Seq[Double], y)
         }
-        Iterator.single((ok, np, n))
-      }.collect().foldLeft((0L, 0L, 0L)) {
-        case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
-      }
-      data.unpersist()
+      val train = standardized(raw.filter(_._3)).persist()
+      val nTrain = train.count()
+      val (wgt, bias) = LogReg.fit(train, D, ClfIters, ClfLr)
+      val bcW = s.sparkContext.broadcast((wgt, bias))
+      def score(ds: org.apache.spark.sql.Dataset[(Seq[Double], Double)]): (Long, Long, Long) =
+        ds.mapPartitions { it =>
+          val (cw, cb) = bcW.value
+          var ok = 0L
+          var np = 0L
+          var n = 0L
+          it.foreach { case (x, y) =>
+            var z = cb
+            var i = 0
+            while (i < cw.length) { z += cw(i) * x(i); i += 1 }
+            if ((if (z > 0) 1.0 else 0.0) == y) ok += 1
+            if (y == 1.0) np += 1
+            n += 1
+          }
+          Iterator.single((ok, np, n))
+        }.collect().foldLeft((0L, 0L, 0L)) {
+          case ((a, b, c), (x, y, z)) => (a + x, b + y, c + z)
+        }
+      val (correct, pos, total) = score(standardized(raw.filter(r => !r._3)))
+      raw.unpersist()
+      train.unpersist()
       bcW.unpersist()
       bcStat.unpersist()
       val acc = correct.toDouble / total
       val majority = math.max(pos, total - pos).toDouble / total
-      Seq((total, pos, acc >= majority + 0.15))
-        .toDF("n_docs", "n_pos", "beats_majority_by_15pts")
+      System.err.println(f"[qp09] holdout acc=$acc%.4f majority=$majority%.4f " +
+        f"margin=${acc - majority}%.4f (gate 0.15) n_train=$nTrain n_holdout=$total")
+      Seq((nTrain, total, pos, acc >= majority + 0.15))
+        .toDF("n_train", "n_holdout", "n_pos_holdout", "beats_majority_by_15pts")
     }, Some(s"""
       WITH f AS (SELECT
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
             t -> t IN ('the', 'a'))) AS DOUBLE)
           / len(regexp_split_to_array(trim(text), '\\s+')) AS r
         FROM documents)
-      SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        CAST(sum(CASE WHEN round(r, 6) >= $ClfLabelThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      SELECT CAST(sum(CASE WHEN bucket < $ClfTrainBuckets THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(sum(CASE WHEN bucket >= $ClfTrainBuckets THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+        CAST(sum(CASE WHEN bucket >= $ClfTrainBuckets AND round(r, 6) >= $ClfLabelThreshold
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_holdout,
         TRUE AS beats_majority_by_15pts
       FROM f""")),
+
+    CatalogQuery("qp10_bpe_encode", (s, d) => {
+      // Tokenizer APPLY — the other half of qp08's training story: encode
+      // the corpus with the trained merge table, the per-shard step every
+      // training pipeline runs after tokenizer induction. The merge table
+      // (10 pairs) broadcasts in the task closure; encoding is one narrow
+      // map over the distinct-word frequency table (the corpus's words
+      // re-derive their token count by lookup, so the full text is never
+      // re-segmented — same word-table economics as training).
+      //
+      // Gate = contract (qp08 pattern; DuckDB cannot replay the trained
+      // merges, so the oracle pins corpus constants + TRUE while Spark
+      // proves the defining identities of a correct encoder
+      // DISTRIBUTIVELY, over EVERY distinct word):
+      //  - round_trip_ok: concat(encode(w)) == w (lossless);
+      //  - canonical_ok: no adjacent token pair in the output is itself a
+      //    learned merge (the encoder reached its fixpoint — the property
+      //    greedy-but-stale encoders violate);
+      //  - vocab_ok: every emitted token is a base character or a learned
+      //    merge product (nothing outside the trained vocabulary).
+      import s.implicits._
+      val words = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .as[(String, Long)]
+        .persist()
+      val merges = Bpe.train(words, BpeMerges)
+      val ranks = merges.map(m => (m.left, m.right) -> m.step).toMap
+      val vocabProducts = merges.map(m => m.left + m.right).toSet
+      val bc = s.sparkContext.broadcast((ranks, vocabProducts))
+      val checked = words.map { case (w, f) =>
+        val (rk, vp) = bc.value
+        val enc = Bpe.encode(w, rk)
+        val roundTrip = enc.mkString == w
+        val canonical = enc.indices.dropRight(1)
+          .forall(i => !rk.contains((enc(i), enc(i + 1))))
+        val inVocab = enc.forall(t => t.length == 1 || vp.contains(t))
+        (f, roundTrip, canonical, inVocab)
+      }.persist()
+      checked.count()
+      words.unpersist()
+      val agg = checked.toDF("freq", "rt", "cn", "vc")
+        .agg(count(lit(1)).as("n_words"),
+          min(when(col("rt"), 1).otherwise(0)).as("rt"),
+          min(when(col("cn"), 1).otherwise(0)).as("cn"),
+          min(when(col("vc"), 1).otherwise(0)).as("vc"))
+        .head()
+      checked.unpersist()
+      bc.unpersist()
+      Seq((BpeMerges, agg.getLong(0),
+        agg.getInt(1) == 1, agg.getInt(2) == 1, agg.getInt(3) == 1))
+        .toDF("n_merges", "n_words", "round_trip_ok", "canonical_ok", "vocab_ok")
+    }, Some(s"""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                    FROM documents)
+      SELECT $BpeMerges AS n_merges,
+        CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+        TRUE AS round_trip_ok, TRUE AS canonical_ok, TRUE AS vocab_ok
+      FROM toks""")),
+
+    CatalogQuery("qp11_pack_sequences", (s, d) => {
+      // Sequence PACKING — the last step before tensors: concatenate every
+      // document's token stream in doc_id order and chunk the stream into
+      // fixed-length training sequences (GPT-style concat-and-chunk; L =
+      // 64 here). Each doc's placement needs its GLOBAL token offset — a
+      // prefix sum over the corpus order. The naive formulation is
+      // `sum(n) OVER (ORDER BY doc_id)`: an unpartitioned window, i.e. one
+      // task sorting and scanning every row — the canonical 100 TB
+      // scale-killer. Instead, the classic two-phase distributed scan:
+      //   1. rows land in B deterministic doc_id range buckets (width from
+      //      one bounded min/max agg — two longs to the driver);
+      //   2. per-bucket token totals (B-row hash agg) cumulate into
+      //      per-bucket BASE offsets, rejoined via a broadcast of B rows;
+      //   3. the within-bucket running sum is a window PARTITIONED BY
+      //      bucket — B parallel bounded tasks, never a global sort.
+      // global_offset = base(bucket) + within_offset; seq_first/seq_last
+      // are integer divisions. B scales with the cluster (here 32); the
+      // plan pin asserts the window stays bucket-partitioned.
+      val L = PackSeqLen
+      val counts = table(s, d, "documents")
+        .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val mm = counts.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = math.max(1L, (hi - lo) / PackBuckets + 1) // ceil-ish; buckets ∈ [0, B)
+      // integer div, NOT `/` (Spark's / on longs is double division)
+      val bucketed = counts.withColumn("bucket", expr(s"(doc_id - ${lo}L) div ${width}L"))
+      import s.implicits._
+      val bases = bucketed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+        .orderBy(col("bucket")).collect().toSeq // ≤ B rows
+        .scanLeft((-1L, 0L)) { case ((_, acc), r) => (r.getLong(0), acc + r.getLong(1)) }
+        .sliding(2).map { case Seq((_, prev), (b, _)) => (b, prev) }.toSeq
+      val baseDf = bases.toDF("bucket", "base")
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed
+        .join(broadcast(baseDf), Seq("bucket"))
+        .withColumn("start_off", col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          expr(s"start_off div $L").as("seq_first"),
+          expr(s"(start_off + n_tokens - 1) div $L").as("seq_last"),
+          expr(s"(start_off + n_tokens - 1) div $L - start_off div $L + 1").as("n_seqs"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+          COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        FROM t)
+      SELECT doc_id, n_tokens, start_off,
+        start_off // $PackSeqLen AS seq_first,
+        (start_off + n_tokens - 1) // $PackSeqLen AS seq_last,
+        (start_off + n_tokens - 1) // $PackSeqLen - start_off // $PackSeqLen + 1 AS n_seqs
+      FROM o ORDER BY doc_id""")),
+
+    CatalogQuery("qp12_dsir", (s, d) => {
+      // Data selection via importance resampling (DSIR, Xie et al. 2023):
+      // score every document by how much more likely its tokens are under
+      // the TARGET distribution (here: the English subcorpus) than under
+      // the raw corpus — the principled "pick pretraining data that looks
+      // like the target domain" weight, log w(d) = Σ_tokens
+      // ln(p̂_target[feat] / p̂_raw[feat]) over HASHED unigram features
+      // with add-1 smoothing. Hashing is the point at 100 TB: both
+      // distributions live in a FIXED B-bucket table (B = 4096) whatever
+      // the vocabulary, so the model is one bounded aggregate, broadcast
+      // back — the corpus never moves. Scale shape: one explode feeds the
+      // per-(doc, bucket) tf table (qt09's discipline — scoring joins tf,
+      // not the token stream, so join input is bounded by Σ per-doc
+      // distinct buckets); bucket stats + totals derive from tf; the
+      // B-row ratio table broadcasts. Determinism: log-ratios are
+      // 6-decimal-quantized decimals (exact per-doc decimal sums); both
+      // smoothed probabilities are formed with the same explicit
+      // double casts so every intermediate matches bit-for-bit.
+      val B = 4096
+      val tf = table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("lang"),
+          pmod(TextOps.hash60(col("token")), lit(B)).as("bucket"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // bucket stats AND the scoring join derive from tf
+      val bs = tf.groupBy(col("bucket"))
+        .agg(sum(when(col("lang") === "en", col("tf")).otherwise(0L)).as("ct"),
+          sum(col("tf")).as("cr"))
+      val tot = bs.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+      val lr = bs.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          round(log(((col("ct") + 1).cast("double") / (col("nt") + B)) /
+            ((col("cr") + 1).cast("double") / (col("nr") + B))), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lr"))
+      tf.join(broadcast(lr), Seq("bucket"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("lr")).cast("double").as("logw"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH toks AS (SELECT doc_id, lang,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, lang,
+          CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 4096 AS bucket,
+          count(*) AS tf
+        FROM toks GROUP BY doc_id, lang, bucket),
+      bs AS (SELECT bucket,
+          CAST(sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+          CAST(sum(tf) AS BIGINT) AS cr
+        FROM tf GROUP BY bucket),
+      tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                     CAST(sum(cr) AS BIGINT) AS nr FROM bs),
+      lr AS (SELECT bucket,
+          CAST(round(ln(((ct + 1)::DOUBLE / (nt + 4096)) /
+            ((cr + 1)::DOUBLE / (nr + 4096))), 6) AS DECIMAL(20,6)) AS lr
+        FROM bs, tot)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        CAST(sum(tf.tf * lr.lr) AS DOUBLE) AS logw
+      FROM tf JOIN lr USING (bucket)
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
 
     // ---------- multimodal plumbing ----------
 

@@ -135,30 +135,63 @@ object StatefulOps {
     * Scale shape: state is keyed by span hash in the executors' state
     * store (hash-partitioned with the shuffle); each entry holds only the
     * docs sharing that span — the same cohabitant bound as the LSH band
-    * buckets above. A production variant expires state with an event-time
-    * watermark once a span can no longer recur. */
+    * buckets above, and membership is a hash map so a hot boilerplate
+    * span (the key this op concentrates load on) costs O(1) per posting,
+    * not a linear member scan. A production variant expires state with an
+    * event-time watermark once a span can no longer recur. */
   def onlineDupSpans(posts: Dataset[SpanPost]): Dataset[DupSpan] = {
     import posts.sparkSession.implicits._
     posts.groupByKey(_.h)
-      .flatMapGroupsWithState[List[(Long, Long)], DupSpan](
+      .flatMapGroupsWithState[Map[Long, Long], DupSpan](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (h, rows, state) =>
-          var members = state.getOption.getOrElse(Nil) // (doc_id, cnt)
+          var members = state.getOption.getOrElse(Map.empty[Long, Long]) // doc_id → cnt
           val out = List.newBuilder[DupSpan]
           // doc_id order within the micro-batch keeps emission
           // deterministic however the batch boundaries fall
           rows.toSeq.sortBy(_.doc_id).foreach { r =>
-            if (!members.exists(_._1 == r.doc_id)) { // feed is per-(h,doc) distinct
-              members = (r.doc_id, r.cnt) :: members
-              if (members.lengthCompare(2) == 0)
-                members.foreach { case (id, c) => out += DupSpan(h, id, c) }
-              else if (members.lengthCompare(2) > 0)
+            if (!members.contains(r.doc_id)) { // feed is per-(h,doc) distinct
+              members = members.updated(r.doc_id, r.cnt)
+              if (members.size == 2)
+                // retroactive emission of BOTH postings, doc_id ASC
+                members.toSeq.sortBy(_._1)
+                  .foreach { case (id, c) => out += DupSpan(h, id, c) }
+              else if (members.size > 2)
                 out += DupSpan(h, r.doc_id, r.cnt)
             }
           }
           state.update(members)
           out.result().iterator
       }
+  }
+
+  /** Online benchmark decontamination — qd10's ingestion-time form: train
+    * documents stream in, each posting its distinct span hashes; every
+    * posting probes a broadcast Bloom filter built ONCE from the (static,
+    * small) eval corpus, and only bloom-POSITIVE postings reach the exact
+    * stream-static semi-join against the eval span table. Stateless — no
+    * keyed state at all — so with a per-(doc, h) distinct feed each
+    * contaminated posting is emitted EXACTLY once, and the emitted set
+    * equals batch qd10's exact-contamination join (EventsStreamingSpec
+    * pins the parity).
+    *
+    * Scale shape: the Bloom summary is m/8 bytes regardless of train-
+    * corpus size and ships once per executor; bloom-negative postings
+    * (the overwhelming majority of a clean corpus) die inside the
+    * stream's own scan stage and never reach the join. The eval side of
+    * the exact join is small by nature (a benchmark suite), so it
+    * broadcasts; the streaming side never shuffles. */
+  def onlineContamPostings(
+      posts: Dataset[SpanPost],
+      bloomBits: Array[Long],
+      bloomK: Int,
+      evalSpans: Dataset[Long]): Dataset[SpanPost] = {
+    import posts.sparkSession.implicits._
+    val bc = posts.sparkSession.sparkContext.broadcast(bloomBits)
+    posts.filter(p => graft.functions.Bloom.mightContain(bc.value, p.h, bloomK))
+      .join(org.apache.spark.sql.functions.broadcast(evalSpans.toDF("h")),
+        Seq("h"), "left_semi")
+      .as[SpanPost]
   }
 
   def runningTopK(

@@ -213,6 +213,106 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"online/offline span-dedup divergence: +${(got.toSet -- batch.toSet).take(3)} -${(batch.toSet -- got.toSet).take(3)}")
   }
 
+  test("streamed Bloom decontamination emits exactly the batch contaminated postings (qd10 online)") {
+    // qd10 decontaminates offline (eval span hashes → Bloom → probe the
+    // train scan → exact verify join). The online form runs the same
+    // probe + stream-static semi-join as train docs ARRIVE. Contracts:
+    // the emitted (h, doc_id) set equals the batch exact-contamination
+    // join, and — stateless op, distinct per-doc feed — every posting is
+    // emitted exactly once (list size == set size), however the
+    // micro-batch boundaries split the corpus (3 files, 1/trigger).
+    import graft.functions.Bloom
+    import graft.pipeline.TextOps
+    import graft.streaming.{SpanPost, StatefulOps}
+    import spark.implicits._
+    val W = 8 // qd08/qd10's span unit
+    val (mBits, k) = (1 << 21, 4) // qd10's filter parameters
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // qp01's deterministic split convention (mirrors qd10): md5 bucket of
+    // the stable doc identity; >= 90 is the eval split
+    val bucket = pmod(TextOps.hash60(col("doc_id").cast("string")), lit(100))
+    val hs = when(size(TextOps.tokens(col("text"))) >= W,
+      transform(sequence(lit(1), size(TextOps.tokens(col("text"))) - (W - 1)),
+        i => TextOps.hash60(concat_ws(" ", slice(TextOps.tokens(col("text")), i, lit(W))))))
+      .otherwise(array().cast("array<bigint>"))
+    val spans = docs.select(col("doc_id"), bucket.as("bucket"),
+      array_distinct(hs).as("hs"))
+    val evalSpans = spans.filter(col("bucket") >= 90)
+      .select(explode(col("hs")).as("h")).distinct().as[Long]
+    val bits = evalSpans.toDF("h").agg(Bloom.bloomBuild(mBits, k)(col("h")))
+      .head().getSeq[Long](0).toArray
+
+    val batch = spans.filter(col("bucket") < 90)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(evalSpans.toDF("h"), Seq("h"), "left_semi")
+      .select(col("h"), col("doc_id")) // using-join moves h to the front; pin order
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture must contain cross-split contamination")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-contam-stream")
+    docs.filter(bucket < 90).select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val posts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), explode(array_distinct(hs)).as("h"))
+      .select(col("h"), col("doc_id"), lit(1L).as("cnt"))
+      .as[SpanPost]
+    val q = StatefulOps.onlineContamPostings(posts, bits, k, evalSpans).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("contam_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size, "stateless op must emit exactly once per posting")
+    assert(rows.toSet == batch,
+      s"online/offline decontam divergence: +${(rows.toSet -- batch).take(3)} -${(batch -- rows.toSet).take(3)}")
+  }
+
+  test("streamed Count-Min grid equals the batch sketch bit-identically (qt11 online)") {
+    // online corpus-frequency monitoring: token occurrences stream in and
+    // fold into a Count-Min grid via the SAME mergeable aggregator batch
+    // qt11 uses. CMS addition is a commutative monoid (reduce = cell
+    // increments, merge = elementwise add), so the final streamed state
+    // must equal the batch grid BIT-IDENTICALLY — independent of arrival
+    // order and micro-batch boundaries. That exactness is the property
+    // that makes the sketch safe to maintain at ingest and reconcile with
+    // offline audits.
+    import graft.functions.CountMin
+    import graft.pipeline.TextOps
+    import spark.implicits._
+    val (d, w) = (4, 1 << 12)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val batchGrid = docs
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .select(TextOps.hash60(col("token")).as("h"))
+      .agg(CountMin.cmsBuild(d, w)(col("h")))
+      .head().getSeq[Long](0).toArray
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    docs.select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .select(TextOps.hash60(col("token")).as("h"))
+      .agg(CountMin.cmsBuild(d, w)(col("h")).as("grid"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("cms_stream").head().getSeq[Long](0).toArray
+    assert(streamed.length == batchGrid.length)
+    assert(streamed.sameElements(batchGrid),
+      "streamed CMS grid diverged from the batch sketch")
+  }
+
   test("streamed IVF top-k maintains the exact batch qs02 ANN result as vectors arrive") {
     // continuous index maintenance: vectors stream in, each is assigned
     // its IVF cell and posted (with its exact cosine) to the queries

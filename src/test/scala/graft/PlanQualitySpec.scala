@@ -188,6 +188,45 @@ class PlanQualitySpec extends AnyFunSuite {
       s"spans must explode to hashed rows (Generate):\n${plan.take(1500)}")
   }
 
+  test("qd09 block dedup stays in the hashed-row class: no cartesian, no window") {
+    // C4-style block removal is the same economics as qd08: blocks become
+    // (doc_id, h, blen) rows via one explode, boilerplate is a hash
+    // aggregation over h, and the accounting join is keyed by h
+    val plan = planOf("qd09_block_dedup")
+    assert(!plan.contains("CartesianProduct"),
+      s"qd09 must never go cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"qd09 must not window blocks:\n${plan.take(1500)}")
+    assert(plan.contains("Generate"),
+      s"blocks must explode to hashed rows (Generate):\n${plan.take(1500)}")
+  }
+
+  test("qd10 bloom contracts hold at a second SF (zero FN, bounded FP)") {
+    // the plan-bearing fragments are inside the query closure (the result
+    // row is built from contract aggregates), so the pin here is the
+    // CONTRACT at a second scale factor: building the row executes the
+    // bloom build + probe + exact verify end-to-end
+    val row = QueryCatalog.byName("qd10_bloom_decontam").build(spark, dir).head()
+    spark.catalog.clearCache()
+    assert(row.getBoolean(row.fieldIndex("no_false_negatives")))
+    assert(row.getBoolean(row.fieldIndex("fp_bounded")))
+  }
+
+  test("qp11 prefix sum is bucket-partitioned — no global single-task window") {
+    // the global token offset comes from the two-phase scan: per-bucket
+    // bases (bounded B-row agg, broadcast back) + a window PARTITIONED BY
+    // bucket. An unpartitioned `sum over (order by doc_id)` — one task
+    // sorting the whole corpus — must never reappear.
+    val plan = planOf("qp11_pack_sequences")
+    val winSpecs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"qp11 should use a window for the in-bucket scan:\n${plan.take(1500)}")
+    assert(winSpecs.forall(_.startsWith("bucket#")),
+      s"every window must be partitioned by bucket, got $winSpecs:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket bases must broadcast-join back:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"), s"qp11 must not go cartesian:\n${plan.take(1500)}")
+  }
+
   test("qt09 LM training and scoring both read the cached tf table — one corpus explode") {
     // the token stream is aggregated ONCE into tf; the unigram model
     // (vocab counts, total) and the scoring join all derive from tf. The
@@ -305,5 +344,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"must stay an equi-join:\n${plan.take(1500)}")
     assert(plan.contains("cell"), "candidate join must be keyed by the IVF cell")
+  }
+
+  test("qt12 BM25 finish is TakeOrderedAndProject; term filter precedes the tf shuffle") {
+    val plan = planOf("qt12_bm25")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-10 must compile to top-k, not a full sort:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      "scoring must never rank through a window")
+    // df + corpus stats are bounded → both join back as broadcasts; the
+    // corpus-sized tf table must never be the build side of anything
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "df/stats must broadcast onto the tf table")
+  }
+
+  test("qp12 DSIR ratio model broadcasts; corpus is never shuffled for scoring") {
+    val plan = planOf("qp12_dsir")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the B-row log-ratio table must broadcast onto tf:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), "no windowed scan in the scoring path")
+    assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("qe04 shift audit derives the global mean from the aggregated table, then broadcasts it") {
+    val plan = planOf("qe04_embedding_shift")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 64-row global-mean table must broadcast onto per-label means:\n${plan.take(1500)}")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
+      "one aggregation pass, no window, no cartesian")
   }
 }
