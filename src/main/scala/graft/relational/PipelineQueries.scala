@@ -2294,6 +2294,49 @@ object PipelineQueries {
       FROM tf JOIN lr USING (bucket)
       GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
 
+    CatalogQuery("qp13_corpus_prep", (s, d) => {
+      // The end-to-end curation pipeline in ONE declarative plan — what a
+      // reference user actually runs nightly: exact dedup → quality
+      // filter → train-split selection → per-(source, lang) token
+      // accounting for the mixing step. Composition is the point: every
+      // stage is a transformation on the same DataFrame, so Catalyst
+      // fuses the three filters into one codegen'd pass and the whole
+      // prep is one corpus scan + ONE hash shuffle (the dedup window
+      // partitions by content hash; partition size = duplicate-group
+      // size, bounded) + the final bounded aggregation.
+      // Stages (all conventions shared with their standalone queries):
+      //  - dedup: keep min(doc_id) per md5(text) group (qd01);
+      //  - quality: ≥ 8 tokens and distinct/total ≥ 0.3 in EXACT integer
+      //    arithmetic (10·distinct ≥ 3·total — qp06's quantization rule:
+      //    never a float ratio in a cross-engine predicate);
+      //  - split: md5-bucket < 90 = train (qp01).
+      val toks = TextOps.tokens(col("text"))
+      val w = Window.partitionBy(md5(col("text")))
+      table(s, d, "documents")
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep_id"))
+        .filter(size(toks) >= 8 &&
+          size(array_distinct(toks)) * 10 >= size(toks) * 3)
+        .filter(splitBucket < 90)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"), col("lang"))
+    }, Some("""
+      WITH k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+                 FROM documents),
+      f AS (SELECT * FROM k
+            WHERE doc_id = keep_id
+              AND length(regexp_split_to_array(trim(text), '\s+')) >= 8
+              AND length(list_distinct(regexp_split_to_array(trim(text), '\s+'))) * 10
+                    >= length(regexp_split_to_array(trim(text), '\s+')) * 3
+              AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 90)
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM f GROUP BY source, lang ORDER BY source, lang""")),
+
     // ---------- multimodal plumbing ----------
 
     CatalogQuery("qm01_multimodal_meta", (s, d) => {

@@ -366,6 +366,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "no cartesian anywhere")
   }
 
+  test("qp13 corpus prep is one fused pass: dedup window partitioned by content hash") {
+    val plan = planOf("qp13_corpus_prep")
+    // the dedup window must partition by md5(text) — an empty partition
+    // spec would funnel the whole corpus through one task
+    assert("windowspecdefinition\\(_w0|windowspecdefinition\\(md5".r.findFirstIn(plan).isDefined
+      && plan.contains("md5"),
+      s"dedup min-window must partition by the content hash:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "the composed pipeline must not introduce any join")
+    // quality + split filters fuse into codegen'd Filter nodes, not
+    // separate shuffles: only the window exchange and the final agg
+    // exchange may appear
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <= 2 shuffles (dedup window + final agg), got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("qe04 shift audit derives the global mean from the aggregated table, then broadcasts it") {
     val plan = planOf("qe04_embedding_shift")
     assert(plan.contains("BroadcastHashJoin"),
