@@ -17,16 +17,33 @@ object QueryHelpers {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark 4 only
-    * reads as a long; convert back to a (microsecond) timestamp — DuckDB's
-    * TIMESTAMP is microseconds too, so semantics line up. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer division: `/` would go through double and lose sub-µs bits
-    // for epoch-nano values beyond 2^53
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Normalize an events-shaped `ts` column to a microsecond
+    * TimestampType, whatever encoding the parquet reader produced.
+    * The testdata's `ts` has been written both as TIMESTAMP(NANOS)
+    * (earlier rounds — Spark reads it as a raw nano long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (current — Spark infers
+    * TIMESTAMP_NTZ). Branching on the resolved type rather than assuming
+    * one encoding keeps every consumer working across regenerations;
+    * all three paths land on identical micros (verified bit-exact
+    * against DuckDB's floor(epoch_ns/1000) view, which is what every
+    * oracle computes). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: `/` would go through double and lose sub-µs
+        // bits for epoch-nano values beyond 2^53
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ wall-clock micros == epoch micros under the UTC session zone
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already TimestampType
+    }
+
+  /** The events table with `ts` normalized to microsecond timestamps —
+    * DuckDB's TIMESTAMP is microseconds too, so semantics line up. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(table(spark, dir, "events"))
 
   /** Order-independent exact sum of a float expression: per-row cast to
     * Decimal(38,6) then decimal-sum — bit-identical across engines and

@@ -21,16 +21,14 @@ class EventsStreamingSpec extends AnyFunSuite {
 
     // replay the same parquet as a file stream (file sources watch a
     // directory; maxFilesPerTrigger is the knob a real feed would use)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = QueryHelpers.normalizeTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -403,16 +401,14 @@ class EventsStreamingSpec extends AnyFunSuite {
       .select(col("user_id"), col("session_start"), col("n_events"))
       .collect().map(r => (r.getLong(0), r.get(1).toString, r.getLong(2))).toSet
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val streamDir = java.nio.file.Files.createTempDirectory("graft-session-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
+    val stream = QueryHelpers.normalizeTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir.toString))
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
     val q = stream.writeStream
