@@ -33,6 +33,10 @@ object PipelineQueries {
   private val SimhashBits = 16
 
   private val AnnTopK = 10
+  // qt13: RE2-compatible subset (no lookaround/backrefs) so the Java and
+  // DuckDB regex engines agree match-for-match
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   private val DupSpanW = 8 // qd08: duplicated-span window, in tokens
   private val BpeMerges = 10 // qp08: BPE merge steps to train + verify
   private val ClfDim = 256 // qp09: hashed bag-of-words feature dimension
@@ -437,6 +441,125 @@ object PipelineQueries {
       WHERE list_dot_product(x.v, y.v) /
           (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $CosineThreshold
       ORDER BY id_a, id_b""")),
+
+    CatalogQuery("qd11_semdedup", (s, d) => {
+      // Semantic dedup, the SemDeDup shape (Abbas et al. 2023,
+      // arXiv:2303.09540): cluster the embedding space, then prune
+      // near-duplicates WITHIN each cluster only — the clustering turns
+      // the O(n²) semantic-similarity matrix into K independent
+      // O((n/K)²) blocks. Kept set = the greedy lowest-id-first maximal
+      // independent set of the within-cluster cosine≥τ graph: a vector
+      // is removed iff an already-KEPT lower-id clustermate is within τ
+      // (pure dominance over-removes chains; greedy is the reference
+      // semantics and is what the recursive-CTE oracle replicates).
+      //
+      // Scale shape: assignment is a broadcast-centroid map (corpus
+      // never shuffles for it); the only shuffle keys by cell, and each
+      // cell's greedy runs in ONE task bounded by the cluster size n/K —
+      // SemDeDup's premise is K grows with the corpus (the paper uses
+      // K≈100k for LAION), so per-task work stays constant at 100 TB.
+      // Like qd05/qs02, centroids here are the deterministic vec_id<K
+      // set so the oracle can mirror the geometry; KMeans-trained
+      // centroids slot in unchanged (qs03 gates that path).
+      val K = 16
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // read twice: centroid collect + assignment scan
+      val cents: Array[Array[Double]] = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = e.as[(Long, Seq[Double])].map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { val dd = v(i) - cs(c)(i); acc += dd * dd; i += 1 }
+          val dist = math.sqrt(acc) // sqrt'd like DuckDB list_distance
+          if (dist < bestD) { bestD = dist; best = c } // strict <: lowest cid wins ties
+          c += 1
+        }
+        (best.toLong, id, v)
+      }
+      val out = assigned.groupByKey(_._1).mapGroups { (cell, it) =>
+        val members = it.map(m => (m._2, m._3.toArray)).toArray.sortBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var keptIdSum = 0L
+        var j = 0
+        while (j < members.length) {
+          val vj = members(j)._2
+          var dup = false
+          var ki = 0
+          while (ki < kept.length && !dup) {
+            val vi = members(kept(ki))._2
+            var dotIJ = 0.0; var dotII = 0.0; var dotJJ = 0.0
+            var x = 0
+            while (x < vj.length) {
+              dotIJ += vi(x) * vj(x); dotII += vi(x) * vi(x); dotJJ += vj(x) * vj(x)
+              x += 1
+            }
+            dup = dotIJ / (math.sqrt(dotII) * math.sqrt(dotJJ)) >= CosineThreshold
+            ki += 1
+          }
+          if (!dup) { kept += j; keptIdSum += members(j)._1 }
+          j += 1
+        }
+        (cell, members.length.toLong, kept.length.toLong,
+          (members.length - kept.length).toLong, keptIdSum)
+      }.toDF("cell", "n_members", "n_kept", "n_removed", "kept_id_sum")
+      out.orderBy(col("cell"))
+    }, Some(s"""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      m AS (
+        SELECT vec_id, v, cell FROM (
+          SELECT e.vec_id, e.v, cent.cid AS cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      -- within-cluster similar pairs; the greedy recursion below only needs
+      -- this (tiny) edge list, never the vectors again. NOTE: no MATERIALIZED
+      -- hints anywhere — DuckDB 1.x evaluates the correlated EXISTS against a
+      -- materialized CTE inside recursion INCORRECTLY (verified against a
+      -- numpy ground-truth greedy; the default inlined form is correct).
+      pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $CosineThreshold),
+      -- vertices touched by any pair, rank-ordered per cell; unpaired
+      -- vertices are trivially kept, which keeps the recursion depth at
+      -- max paired-vertices-per-cell instead of max cluster size
+      pv AS (
+        SELECT cell, vec_id, row_number() OVER (PARTITION BY cell ORDER BY vec_id) rk
+        FROM (SELECT DISTINCT cell, id_a AS vec_id FROM pairs
+              UNION SELECT DISTINCT cell, id_b FROM pairs) u),
+      -- greedy lowest-id-first MIS: advance one rank per iteration carrying
+      -- the accumulated kept set (the working table alone is not enough)
+      g(cell, rk, kept_ids) AS (
+        SELECT DISTINCT cell, 0::BIGINT, []::BIGINT[] FROM pv
+        UNION ALL
+        SELECT g.cell, g.rk + 1,
+          CASE WHEN EXISTS (SELECT 1 FROM pairs p WHERE p.cell = g.cell
+                 AND p.id_b = cur.vec_id AND list_contains(g.kept_ids, p.id_a))
+          THEN g.kept_ids ELSE list_append(g.kept_ids, cur.vec_id) END
+        FROM g JOIN pv cur ON cur.cell = g.cell AND cur.rk = g.rk + 1),
+      fin AS (
+        SELECT cell, kept_ids FROM (
+          SELECT cell, kept_ids, row_number() OVER (PARTITION BY cell ORDER BY rk DESC) rn
+          FROM g) t WHERE rn = 1),
+      pvn AS (SELECT cell, count(*) AS n_paired, sum(vec_id) AS paired_id_sum
+              FROM pv GROUP BY 1),
+      mem AS (SELECT cell, count(*)::BIGINT AS n_members, sum(vec_id)::BIGINT AS id_sum
+              FROM m GROUP BY 1)
+      SELECT mem.cell AS cell, mem.n_members,
+        (mem.n_members - COALESCE(pvn.n_paired, 0) + COALESCE(len(f.kept_ids), 0))::BIGINT AS n_kept,
+        (COALESCE(pvn.n_paired, 0) - COALESCE(len(f.kept_ids), 0))::BIGINT AS n_removed,
+        (mem.id_sum - COALESCE(pvn.paired_id_sum, 0)
+          + COALESCE(list_sum(f.kept_ids), 0))::BIGINT AS kept_id_sum
+      FROM mem LEFT JOIN pvn ON mem.cell = pvn.cell LEFT JOIN fin f ON mem.cell = f.cell
+      ORDER BY cell""")),
 
     CatalogQuery("qd08_dup_spans", (s, d) => {
       // Substring-level exact dedup (the ExactSubstr shape from
@@ -1725,6 +1848,107 @@ object PipelineQueries {
         CAST(sum(sc) AS DOUBLE) AS score
       FROM sc GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    CatalogQuery("qt13_pii_redact", (s, d) => {
+      // PII detection + redaction — the scrubbing pass every released
+      // corpus runs (C4 strips lines by blocklist; Dolma/FineWeb mask
+      // emails/IPs/phones with regex exactly like this). The synthetic
+      // corpus carries no organic PII, so the query first grafts a
+      // deterministic contact surface onto each doc (mirrored verbatim
+      // in the oracle — the detection/redaction machinery is what's
+      // certified, not the generator), then counts and masks matches.
+      //
+      // Scale shape: pure per-row regexp expressions (codegen'd,
+      // pipelined inside the scan — no shuffle, no UDF); patterns are
+      // written in the RE2-compatible subset so the Java regex engine
+      // and DuckDB's RE2 agree (\b, \d, and character classes only —
+      // no backreferences or lookarounds, which RE2 lacks).
+      val aug = concat(col("text"),
+        lit(" Contact user"), (col("doc_id") % 1000).cast("string"),
+        lit("@"), col("source"), lit(".example.com from "),
+        ((col("doc_id") % 223) + 1).cast("string"), lit("."),
+        (col("doc_id") * 7 % 256).cast("string"), lit("."),
+        (col("doc_id") * 13 % 256).cast("string"), lit("."),
+        ((col("doc_id") % 200) + 1).cast("string"))
+      table(s, d, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+          regexp_count(col("aug"), lit(PiiIpRe)).cast("long").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("aug"), lit(PiiEmailRe), lit("[EMAIL]")),
+            lit(PiiIpRe), lit("[IP]"))).as("red_hash"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH a AS (SELECT doc_id,
+          text || ' Contact user' || (doc_id % 1000)::VARCHAR || '@' || source
+            || '.example.com from ' || ((doc_id % 223) + 1)::VARCHAR || '.'
+            || (doc_id * 7 % 256)::VARCHAR || '.'
+            || (doc_id * 13 % 256)::VARCHAR || '.'
+            || ((doc_id % 200) + 1)::VARCHAR AS aug
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '$PiiIpRe')) AS BIGINT) AS n_ips,
+        md5(regexp_replace(regexp_replace(aug, '$PiiEmailRe', '[EMAIL]', 'g'),
+          '$PiiIpRe', '[IP]', 'g')) AS red_hash
+      FROM a ORDER BY doc_id""")),
+
+    CatalogQuery("qt14_bigram_logprob", (s, d) => {
+      // Bigram-LM scoring with add-1 smoothing — the step up from qt09's
+      // unigram perplexity filter: score(doc) = Σ log P(w2|w1) with
+      // P(w2|w1) = (C(w1,w2)+1) / (C(w1·)+V), where C(w1·) is w1's
+      // context count (Σ_w2 C(w1,w2), so the smoothed conditionals sum
+      // to 1) and V the corpus vocabulary. Word-salad docs score low
+      // even when their unigram mix looks normal — exactly what the
+      // bigram upgrade buys.
+      //
+      // Scale shape (qt09's discipline, one level up): the token stream
+      // collapses ONCE into the per-(doc, bigram) tf table; the model
+      // (bigram counts, context counts, V) derives from that table, and
+      // scoring joins tf — never the raw stream — keyed by the bigram.
+      // The adjacency window partitions by doc_id (bounded by doc
+      // length; never an unpartitioned global sort). Log-probs are
+      // 6-decimal-quantized decimals so per-doc sums are exact decimal
+      // arithmetic on both engines.
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "pos", "w")
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tf = toks
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .groupBy(col("doc_id"), col("w"), col("w2"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // model counts + the scoring join both derive from it
+      val c12 = tf.groupBy(col("w"), col("w2")).agg(sum(col("tf")).as("c12"))
+      val c1 = c12.groupBy(col("w")).agg(sum(col("c12")).as("c1"))
+      val vocab = toks.agg(countDistinct(col("w")).as("v"))
+      val lp = c12.join(c1, Seq("w")).crossJoin(broadcast(vocab))
+        .select(col("w"), col("w2"),
+          round(log((col("c12") + 1).cast("double") / (col("c1") + col("v"))), 6)
+            .cast("decimal(20,6)").as("lp"))
+      tf.join(lp, Seq("w", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_bigrams"),
+          sum(col("tf") * col("lp")).cast("double").as("sum_logprob"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                    FROM documents),
+      big AS (SELECT doc_id, arr[i] AS w, arr[i + 1] AS w2
+              FROM docs, (SELECT unnest(range(1, len(arr))) AS i) ix),
+      tf AS (SELECT doc_id, w, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+      c12 AS (SELECT w, w2, CAST(sum(tf) AS BIGINT) AS c12 FROM tf GROUP BY 1, 2),
+      c1 AS (SELECT w, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      vocab AS (SELECT count(DISTINCT u) AS v
+                FROM (SELECT unnest(arr) AS u FROM docs)),
+      lp AS (SELECT c12.w, c12.w2,
+               CAST(round(ln((c12 + 1)::DOUBLE / (c1 + v)), 6) AS DECIMAL(20,6)) AS lp
+             FROM c12 JOIN c1 USING (w), vocab)
+      SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+        CAST(sum(tf.tf * lp.lp) AS DOUBLE) AS sum_logprob
+      FROM tf JOIN lp USING (w, w2)
+      GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
 
     // ---------- corpus curation / training prep ----------
 

@@ -389,4 +389,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
       "one aggregation pass, no window, no cartesian")
   }
+
+  test("qd11 semdedup: one cell-keyed shuffle into per-cluster kernels, no pairwise join") {
+    // SemDeDup's entire point is that the O(n²) similarity matrix never
+    // materializes: assignment is a broadcast-centroid map and the greedy
+    // runs inside per-cell MapGroups tasks. The pin: no join operator of
+    // any kind (the within-cluster pairs exist only transiently inside
+    // the kernel), no Window, and no cartesian fallback.
+    val plan = planOf("qd11_semdedup")
+    assert(plan.contains("MapGroups"),
+      s"per-cluster greedy must run as a grouped kernel:\n${plan.take(1500)}")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct")
+      && !plan.contains("Window"),
+      s"qd11 must not materialize candidate pairs in-plan:\n${plan.take(1500)}")
+  }
+
+  test("qt13 PII scrub is a single codegen'd scan pass — no shuffle, no join, no UDF") {
+    val plan = planOf("qt13_pii_redact")
+    assert(!plan.contains("Join") && !plan.contains("Exchange hashpartitioning"),
+      s"per-row regexp work must pipeline inside the scan:\n${plan.take(1500)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"),
+      "regexp ops must stay native expressions")
+    // (WholeStageCodegen spans only appear in the post-AQE final plan;
+    // the structural pins above are the stable assertions)
+  }
+
+  test("qt14 bigram window partitions by doc_id; scoring joins the tf table by bigram") {
+    val plan = planOf("qt14_bigram_logprob")
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      s"adjacency window must partition by doc_id (bounded by doc length):\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"model join must stay keyed by (w, w2):\n${plan.take(1500)}")
+    // tf is computed once and persisted; both the model derivation and the
+    // scoring join must read the InMemoryRelation, not re-explode the corpus
+    assert(plan.contains("InMemoryTableScan"),
+      s"scoring must reuse the cached tf table:\n${plan.take(1500)}")
+  }
 }
