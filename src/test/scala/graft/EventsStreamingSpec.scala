@@ -111,6 +111,57 @@ class EventsStreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch join (click-to-purchase attribution)") {
+    // Two live streams joined on key + event-time range — the attribution
+    // /enrichment shape (every purchase joined to the clicks that preceded
+    // it within 12 h). Both sides carry watermarks so Spark can BOUND the
+    // join state: a buffered click is dropped once the purchase-side
+    // watermark passes click_ts + 12 h — without the time-range condition
+    // the state grows forever, which is the 100 TB failure mode this spec
+    // pins against. Contract: the streamed append-mode output equals the
+    // batch join of the same data, however micro-batches split each side
+    // (the two file sources trigger independently, so match pairs span
+    // arbitrary batch alignments).
+    val ev = QueryHelpers.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    def clicksOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    def purchasesOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val cond = col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("interval 12 hours")
+    val expected = clicksOf(ev).join(purchasesOf(ev), cond)
+      .select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fixture must produce attribution pairs")
+
+    // Replay in event-time order (repartitionByRange on ts: file k =
+    // k-th time slice; the file source replays them in that order). A
+    // RANDOM split would make each source's watermark race past the
+    // other side's still-unread rows, which append-mode inner join then
+    // rightly drops as late — the parity contract below only holds for
+    // feeds whose disorder stays within the 24 h watermark, exactly the
+    // guarantee a real ingestion pipeline provides.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssjoin-stream")
+    ev.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(streamDir.toString)
+    def src() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val joined = clicksOf(src()).withWatermark("click_ts", "24 hours")
+      .join(purchasesOf(src()).withWatermark("purchase_ts", "24 hours"), cond)
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_join").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib_join")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"stream/batch divergence: extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+  }
+
   test("streamed MinHash-LSH near-dup pairs match the batch qd02 output (online dedup)") {
     // qd02 finds verified near-dup pairs offline (band self-join + exact
     // Jaccard). The online form posts each arriving doc to its band
