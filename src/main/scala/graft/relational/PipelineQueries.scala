@@ -684,9 +684,14 @@ object PipelineQueries {
       // counts + TRUE (qs03 pattern):
       //  - no_false_negatives: every exactly-contaminated posting is
       //    bloom-positive (Bloom's defining one-sided-error guarantee);
-      //  - fp_bounded: bloom-positive-but-clean postings stay under
-      //    3x the analytic (1-e^(-kn/m))^k expectation — the filter is
-      //    sized (m=2^21, k=4), not accidentally degenerate.
+      //  - fp_bounded: bloom-positive-but-clean postings stay under the
+      //    analytic (1-e^(-kn/m))^k expectation plus 3 Poisson sigmas
+      //    plus an absolute slack of 5 — the filter is sized (m=2^21,
+      //    k=4), not accidentally degenerate. The slack term matters: at
+      //    gate SFs the expected fp count is O(1), where a bare
+      //    3x-expectation bound is an ~10%-tail coin flip (r6: fp=2 vs
+      //    E=0.57 on regenerated data); λ+3√λ+5 is a ≥5-sigma bound at
+      //    every λ while staying asymptotically 1+ε-tight at scale.
       //
       // Scale shape: the eval/benchmark side is small by nature — its
       // filter is 256 KB regardless of train-corpus size; the 100 TB side
@@ -730,7 +735,8 @@ object PipelineQueries {
       exact.unpersist()
       spans.unpersist()
       bcBits.unpersist()
-      val fpBound = 3.0 * Bloom.expectedFpp(BloomBits, BloomK, nEval) * nTrainPos
+      val expFp = Bloom.expectedFpp(BloomBits, BloomK, nEval) * nTrainPos
+      val fpBound = expFp + 3.0 * math.sqrt(expFp) + 5.0
       System.err.println(s"[qd10] eval_spans=$nEval train_postings=$nTrainPos " +
         s"candidates=$nCandidates exact=$nExact fp=${nCandidates - nExact} " +
         f"fp_bound=$fpBound%.2f")
@@ -1394,6 +1400,143 @@ object PipelineQueries {
       SELECT label, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
         CAST(sum(sq) AS DOUBLE) AS mmd_sq
       FROM df GROUP BY label ORDER BY label""")),
+
+    CatalogQuery("qe05_embedding_outliers", (s, d) => {
+      // Embedding-space outlier audit: per-vector diagonal Mahalanobis
+      // score Σ_i (v_i − μ_i)² / σ_i² against the corpus moments — the
+      // cheap whole-corpus anomaly screen (mislabeled/corrupted/off-
+      // distribution docs surface at the top) run before any expensive
+      // pairwise dedup. Diagonal covariance keeps the model a 2×d-row
+      // table whatever the corpus size (the full-Σ version is qe01/qe03's
+      // machinery).
+      //
+      // Scale shape: one posexplode feeds the d-row moment aggregation
+      // (map-side decimal partials, the shuffle carries ≤ d × partitions
+      // rows); the d-row model then collapses into ONE row of (μ, σ²)
+      // arrays that broadcasts onto the scoring pass, where the score is
+      // a pure per-row zip_with/aggregate expression — the corpus never
+      // shuffles (an explode-and-regroup scoring pass would shuffle n×d
+      // rows; pinned out in PlanQualitySpec) and the finish is a bounded
+      // TakeOrdered(20). Determinism: x and x·x quantize into
+      // Decimal(38,12) BEFORE summing (double multiply first, then one
+      // cast — never decimal×decimal, whose result scale differs across
+      // engines), means/vars are single double divisions, summands are
+      // 12-decimal-quantized decimals so the per-row sum is exact.
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // moment pass + scoring pass
+      val dims = e.select(col("vec_id"), posexplode(col("v")))
+        .select((col("pos") + 1).as("i"), col("col").as("x"))
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val mv = dims.groupBy(col("i"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec12)).cast("double").as("s1"),
+          sum((col("x") * col("x")).cast(dec12)).cast("double").as("s2"))
+        .select(col("i"), (col("s1") / col("n")).as("mu"),
+          (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))).as("vr"))
+      val model = mv.agg(
+          sort_array(collect_list(struct(col("i"), col("mu")))).as("ms"),
+          sort_array(collect_list(struct(col("i"), col("vr")))).as("vs"))
+        .select(transform(col("ms"), _.getField("mu")).as("mu"),
+          transform(col("vs"), _.getField("vr")).as("vr"))
+      // decimal-exact in-array sum: (37,12) acc + (25,12) summand adds at
+      // (38,12) — no scale loss — and the cast back to (37,12) is exact
+      // for any real score magnitude; a naive (38,12)+(38,12) would widen
+      // to scale 11 and silently round the 12th decimal
+      val dec25 = org.apache.spark.sql.types.DecimalType(25, 12)
+      val dec37 = org.apache.spark.sql.types.DecimalType(37, 12)
+      e.crossJoin(broadcast(model))
+        .select(col("vec_id"),
+          aggregate(
+            zip_with(
+              zip_with(col("v"), col("mu"), (x, m) => (x - m) * (x - m)),
+              col("vr"), (a, sg) => round(a / sg, 12).cast(dec25)),
+            lit(0).cast(dec37), (acc, r) => (acc + r).cast(dec37))
+            .cast("double").as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      dims AS (SELECT vec_id, i, v[i] AS x
+               FROM e, (SELECT unnest(range(1, len(v) + 1)) AS i) ix),
+      mom AS (SELECT i, count(*)::BIGINT AS n,
+                CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+                CAST(sum(CAST((x * x) AS DECIMAL(38,12))) AS DOUBLE) AS s2
+              FROM dims GROUP BY i),
+      mv AS (SELECT i, s1 / n AS mu, s2 / n - (s1 / n) * (s1 / n) AS vr FROM mom),
+      sc AS (SELECT d.vec_id,
+               CAST(round(((d.x - mv.mu) * (d.x - mv.mu)) / mv.vr, 12)
+                 AS DECIMAL(38,12)) AS r
+             FROM dims d JOIN mv USING (i))
+      SELECT vec_id, CAST(sum(r) AS DOUBLE) AS score
+      FROM sc GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 20""")),
+
+    CatalogQuery("qs09_kcenter_select", (s, d) => {
+      // Diversity / coreset selection: greedy k-center (farthest-point
+      // traversal) — pick the vector farthest from everything selected
+      // so far, M times. The standard 2-approximation for max-coverage
+      // data selection (herding/"facility location" family): the chosen
+      // M representatives maximize spread, the per-step min_dist is the
+      // covering radius curve auditors read to pick dataset sizes.
+      //
+      // Scale shape: inherently M sequential rounds (like Lloyd's in
+      // KMeans.fit), each ONE distributed scan of the persisted corpus
+      // with the ≤M selected vectors broadcast, reduced by a bounded
+      // TakeOrdered(1) — the corpus never shuffles and driver state is
+      // M rows. Determinism: distances are the same sqrt-L2 loop DuckDB's
+      // list_distance computes; argmax ties break on lower vec_id.
+      val M = 16
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v.toArray) }
+        .persist() // M bounded-result scans over the same cached corpus
+      val seed = e.filter(_._1 == 0L).head()
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Array[Double], Double)](
+        (seed._1, seed._2, 0.0))
+      while (picked.length < M) {
+        val bc = s.sparkContext.broadcast(picked.map(p => (p._1, p._2)).toArray)
+        val next = e.flatMap { case (id, v) =>
+          val sel = bc.value
+          if (sel.exists(_._1 == id)) Iterator.empty
+          else {
+            var md = Double.MaxValue
+            var k = 0
+            while (k < sel.length) {
+              var acc = 0.0; var i = 0
+              val sv = sel(k)._2
+              while (i < v.length) { val dd = v(i) - sv(i); acc += dd * dd; i += 1 }
+              val dist = math.sqrt(acc)
+              if (dist < md) md = dist
+              k += 1
+            }
+            Iterator((id, v, md))
+          }
+        }.toDF("vec_id", "v", "md")
+          .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .as[(Long, Seq[Double], Double)].head()
+        picked += ((next._1, next._2.toArray, next._3))
+      }
+      // round through the same SQL round() the oracle uses (not driver-side
+      // BigDecimal, whose double→decimal path differs at rounding edges)
+      picked.zipWithIndex.map { case ((id, _, md), step) => (step.toLong, id, md) }
+        .toSeq.toDF("step", "vec_id", "min_dist")
+        .withColumn("min_dist", round(col("min_dist"), 6))
+        .orderBy(col("step"))
+    }, Some("""
+      WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      g(step, sel, last_id, last_d) AS (
+        SELECT 0::BIGINT, [0::BIGINT], 0::BIGINT, 0.0::DOUBLE
+        UNION ALL
+        SELECT g.step + 1, list_append(g.sel, pick.vec_id), pick.vec_id, pick.md
+        FROM g, LATERAL (
+          SELECT e2.vec_id, (SELECT min(list_distance(e2.v, e3.v)) FROM e e3
+                             WHERE list_contains(g.sel, e3.vec_id)) AS md
+          FROM e e2 WHERE NOT list_contains(g.sel, e2.vec_id)
+          ORDER BY md DESC, e2.vec_id ASC LIMIT 1) pick
+        WHERE g.step < 15)
+      SELECT step, last_id AS vec_id, round(last_d, 6) AS min_dist
+      FROM g ORDER BY step""")),
 
     // ---------- text analysis ----------
 

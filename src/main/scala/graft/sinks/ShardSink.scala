@@ -42,4 +42,21 @@ object ShardSink {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Same layout/membership, but gzipped JSONL files — the interchange
+    * format released text corpora actually ship (one JSON object per
+    * line). Identical scale shape: the only difference is the writer
+    * (`spark.read.json` round-trips it, spec-pinned). */
+  def writeJsonl(df: DataFrame, key: Column, n: Int, path: String,
+      sortKey: Column, maxRecordsPerFile: Long = 1000000L): Unit = {
+    assignShards(df, key, n)
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), sortKey)
+      .write
+      .partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "gzip")
+      .mode("overwrite")
+      .json(path)
+  }
 }

@@ -1,0 +1,112 @@
+package graft.sinks
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Packed-token binary shard exporter — the format a trainer's data loader
+  * actually memory-maps (Megatron-style `.bin` + sidecar manifest): every
+  * sequence is exactly `seqLen` tokens, so sequence `i` of a shard lives at
+  * byte offset `i * seqLen * tokenBytes` and random access needs no index
+  * lookup at all. This is the step after qp11/qp04 packing: parquet is the
+  * curation format, packed little-endian integers are the training format.
+  *
+  * Layout under `path`:
+  * {{{
+  *   manifest.json            {"seq_len":L,"token_bytes":w,"shards":{"0":n0,...}}
+  *   shard=K/tokens.bin       nK * L tokens, little-endian uint16/uint32
+  * }}}
+  *
+  * Scale shape (ShardSink's discipline): membership is the deterministic
+  * modulo of the dense sequence index — round-robin striping, the loader
+  * convention for packed shards; layout/append invariant given stable
+  * sequence ids (qp11's two-phase offsets provide exactly that) — one
+  * `repartition(n, shard)` co-locates each shard, rows sort within the
+  * partition only, and each executor task streams its shard's bytes
+  * straight to the store — the driver sees ONE bounded n-row count table
+  * for the manifest, never token data.
+  */
+object TokenShardSink {
+
+  /** Write `df(seqCol: bigint, tokensCol: array<int>)` as `n` binary
+    * shards. `tokenBytes` ∈ {2, 4}; out-of-range tokens fail the write
+    * task loudly (a trainer reading silently-wrapped uint16 is the worst
+    * failure mode a data pipeline can ship). */
+  def write(df: DataFrame, seqCol: String, tokensCol: String, seqLen: Int,
+      n: Int, path: String, tokenBytes: Int = 2): Unit = {
+    require(n > 0, s"shard count must be positive, got $n")
+    require(tokenBytes == 2 || tokenBytes == 4, s"tokenBytes must be 2 or 4")
+    val sharded = df
+      .select(col(seqCol).cast("long").as("seq_id"),
+        col(tokensCol).cast("array<int>").as("toks"))
+      .withColumn("shard", pmod(col("seq_id"), lit(n.toLong)))
+      .repartition(n, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_id"))
+      .persist() // bin write + manifest counts
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    (0 until n).foreach(k => Files.createDirectories(root.resolve(s"shard=$k")))
+
+    val (pathStr, w, len) = (path, tokenBytes, seqLen)
+    import org.apache.spark.sql.Row
+    sharded.foreachPartition { (it: Iterator[Row]) =>
+      // rows arrive sorted by (shard, seq_id); hash partitioning may route
+      // SEVERAL shards to one task (hash(shard) mod n is not identity), so
+      // roll the output stream on shard boundaries
+      var out: java.io.DataOutputStream = null
+      var shard = Long.MinValue
+      val limit = if (w == 2) 1 << 16 else Int.MaxValue
+      try {
+        it.foreach { r =>
+          val s = r.getAs[Long]("shard")
+          if (s != shard) {
+            if (out != null) out.close()
+            shard = s
+            out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              Files.newOutputStream(Paths.get(pathStr, s"shard=$s", "tokens.bin"))))
+          }
+          val toks = r.getAs[scala.collection.Seq[Int]]("toks")
+          require(toks.length == len,
+            s"sequence ${r.getAs[Long]("seq_id")} has ${toks.length} tokens, expected $len")
+          val buf = ByteBuffer.allocate(len * w).order(ByteOrder.LITTLE_ENDIAN)
+          toks.foreach { t =>
+            require(t >= 0 && t < limit, s"token $t out of range for $w-byte storage")
+            if (w == 2) buf.putShort(t.toShort) else buf.putInt(t)
+          }
+          out.write(buf.array())
+        }
+      } finally if (out != null) out.close()
+    }
+
+    // manifest from a bounded n-row aggregate — the only driver-side data
+    val counts = sharded.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sharded.unpersist()
+    val shardsJson = (0 until n)
+      .map(k => s""""$k":${counts.getOrElse(k.toLong, 0L)}""").mkString(",")
+    Files.writeString(root.resolve("manifest.json"),
+      s"""{"seq_len":$seqLen,"token_bytes":$tokenBytes,"shards":{$shardsJson}}""")
+  }
+
+  /** Read one shard back as (seq_index_within_shard, tokens) rows — the
+    * trainer-loader view, used by the round-trip spec. */
+  def readShard(spark: SparkSession, path: String, shard: Int): Seq[Array[Int]] = {
+    val manifest = Files.readString(Paths.get(path, "manifest.json"))
+    val L = """"seq_len":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toInt
+    val w = """"token_bytes":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toInt
+    val bytes = Files.readAllBytes(Paths.get(path, s"shard=$shard", "tokens.bin"))
+    require(bytes.length % (L * w) == 0, "shard byte length must be a multiple of one sequence")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until bytes.length / (L * w)).map { _ =>
+      val arr = new Array[Int](L)
+      var i = 0
+      while (i < L) {
+        arr(i) = if (w == 2) buf.getShort() & 0xffff else buf.getInt()
+        i += 1
+      }
+      arr
+    }
+  }
+}

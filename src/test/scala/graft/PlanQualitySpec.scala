@@ -414,6 +414,19 @@ class PlanQualitySpec extends AnyFunSuite {
     // the structural pins above are the stable assertions)
   }
 
+  test("qe05 outlier scoring broadcasts the moment arrays; the corpus never re-shuffles") {
+    // the moment model must collapse to ONE broadcast row and the score
+    // must be a per-row array expression: a single Generate (the moment
+    // pass's posexplode) is allowed, and no hash-partitioned exchange of
+    // per-(vec, dim) rows may appear on the scoring side — the tempting
+    // explode-and-regroup scoring pass shuffles n×d rows at 100 TB
+    val plan = planOf("qe05_embedding_outliers")
+    assert("Generate".r.findAllIn(plan).length <= 1,
+      s"only the moment pass may explode; scoring must stay vectorized:\n${plan.take(1500)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded top-k, not a global sort:\n${plan.take(1500)}")
+  }
+
   test("qt14 bigram window partitions by doc_id; scoring joins the tf table by bigram") {
     val plan = planOf("qt14_bigram_logprob")
     assert(plan.contains("windowspecdefinition(doc_id"),

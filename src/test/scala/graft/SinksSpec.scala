@@ -204,6 +204,69 @@ class SinksSpec extends AnyFunSuite {
     assert(again == expected, "membership must be layout-invariant")
   }
 
+  test("jsonl shard export: gzipped lines, same membership convention, exact round trip") {
+    import graft.sinks.ShardSink
+    import org.apache.spark.sql.functions._
+    val spark = GraftTestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = 4
+    ShardSink.writeJsonl(docs, col("doc_id"), n, dir, col("doc_id"))
+    // gzipped JSONL files under shard=K/
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".json.gz"))
+    assert(files.nonEmpty, "expected gzip-compressed jsonl part files")
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    // content survives the text round trip exactly (json widens ints to
+    // long already-long here; strings compared verbatim)
+    val orig = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val got = back.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == orig)
+    // membership matches the parquet exporter's stateless convention
+    val expected = ShardSink.assignShards(docs.select("doc_id"), col("doc_id"), n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shards = back.select(col("doc_id"), col("shard").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards == expected)
+  }
+
+  test("packed-token binary shards: byte-exact round trip, striped membership, loud overflow") {
+    import graft.sinks.TokenShardSink
+    import org.apache.spark.sql.functions._
+    val spark = GraftTestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tokbin").toString
+    val L = 32
+    // deterministic fake packed sequences: seq i token j = (i*L + j) % 50000
+    val seqs = (0L until 40L).map(i =>
+      (i, (0 until L).map(j => ((i * L + j) % 50000).toInt).toArray)).toDF("seq_id", "toks")
+    val n = 4
+    TokenShardSink.write(seqs, "seq_id", "toks", L, n, dir, tokenBytes = 2)
+
+    val manifest = java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "manifest.json"))
+    assert(manifest.contains("\"seq_len\":32") && manifest.contains("\"token_bytes\":2"))
+    // striping: shard k holds seq ids ≡ k (mod n), in order — a loader can
+    // compute any sequence's (shard, offset) from its id alone
+    (0 until n).foreach { k =>
+      val got = TokenShardSink.readShard(spark, dir, k)
+      val want = (0L until 40L).filter(_ % n == k).sorted
+        .map(i => (0 until L).map(j => ((i * L + j) % 50000).toInt).toArray)
+      assert(got.length == want.length, s"shard $k count")
+      got.zip(want).foreach { case (g, w) => assert(g.sameElements(w), s"shard $k bytes") }
+    }
+    // uint16 overflow must fail the job, never wrap silently
+    val bad = Seq((0L, Array.fill(L)(70000))).toDF("seq_id", "toks")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-tokbad").toString
+    val ex = intercept[org.apache.spark.SparkException] {
+      TokenShardSink.write(bad, "seq_id", "toks", L, 1, dir2, tokenBytes = 2)
+    }
+    assert(ex.getMessage.contains("out of range")
+      || Option(ex.getCause).exists(_.getMessage.contains("out of range")))
+  }
+
   test("zarr write rejects misaligned blocks from the write tasks") {
     // element offset 1 is not a multiple of the inferred chunk extent 2 on
     // dim 1 (raw Block DF — ingest paths can't produce this, a buggy
