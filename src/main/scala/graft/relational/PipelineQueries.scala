@@ -2093,6 +2093,61 @@ object PipelineQueries {
       FROM tf JOIN lp USING (w, w2)
       GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
 
+    CatalogQuery("qt15_ccnet_buckets", (s, d) => {
+      // CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+      // corpus into head/middle/tail terciles of length-normalized LM
+      // log-prob — the canonical "keep the head, sample the middle, drop
+      // the tail" curation gate. Thresholds come from percentile_approx
+      // (the mergeable bounded-memory sketch; an exact tercile holds the
+      // whole score multiset in one buffer — q19's pinned-out 100 TB
+      // failure), and like q19b the contract is proven WITHOUT the exact
+      // quantile: a second distributive pass counts scores below /
+      // at-or-below each sketched threshold and asserts the target rank
+      // sits inside that window (±0.5% ≫ the 0.01% sketch guarantee),
+      // plus head+middle+tail must partition the corpus exactly.
+      val Eps = 0.005
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // LM + scoring both derive from tf (qt09's discipline)
+      val cnt = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n_total"))
+      val lp = cnt.crossJoin(broadcast(tot))
+        .select(col("token"),
+          round(log(col("c").cast("double") / col("n_total")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("lp"))
+      val scores = tf.join(lp, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("tf") * col("lp")).cast("double") / sum(col("tf"))).as("avg_lp"))
+      val sketch = scores.agg(
+        percentile_approx(col("avg_lp"), lit(1.0 / 3), lit(10000)).as("t33"),
+        percentile_approx(col("avg_lp"), lit(2.0 / 3), lit(10000)).as("t67"),
+        count(lit(1)).as("n"))
+      scores.crossJoin(broadcast(sketch))
+        .agg(first(col("n")).as("n_docs"),
+          sum(when(col("avg_lp") > col("t67"), 1L).otherwise(0L)).as("head_n"),
+          sum(when(col("avg_lp") > col("t33") && col("avg_lp") <= col("t67"), 1L)
+            .otherwise(0L)).as("mid_n"),
+          sum(when(col("avg_lp") <= col("t33"), 1L).otherwise(0L)).as("tail_n"),
+          sum(when(col("avg_lp") < col("t33"), 1L).otherwise(0L)).as("lt33"),
+          sum(when(col("avg_lp") <= col("t33"), 1L).otherwise(0L)).as("le33"),
+          sum(when(col("avg_lp") < col("t67"), 1L).otherwise(0L)).as("lt67"),
+          sum(when(col("avg_lp") <= col("t67"), 1L).otherwise(0L)).as("le67"))
+        .select(col("n_docs"),
+          (col("head_n") + col("mid_n") + col("tail_n") === col("n_docs"))
+            .as("buckets_partition"),
+          (col("lt33") <= (lit(1.0 / 3) + Eps) * col("n_docs") &&
+            col("le33") >= (lit(1.0 / 3) - Eps) * col("n_docs"))
+            .as("t33_rank_within_eps"),
+          (col("lt67") <= (lit(2.0 / 3) + Eps) * col("n_docs") &&
+            col("le67") >= (lit(2.0 / 3) - Eps) * col("n_docs"))
+            .as("t67_rank_within_eps"))
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS buckets_partition,
+        TRUE AS t33_rank_within_eps, TRUE AS t67_rank_within_eps
+      FROM documents""")),
+
     // ---------- corpus curation / training prep ----------
 
     CatalogQuery("qp01_split_sample", (s, d) => {

@@ -51,6 +51,7 @@ object TokenShardSink {
 
     val (pathStr, w, len) = (path, tokenBytes, seqLen)
     import org.apache.spark.sql.Row
+    try {
     sharded.foreachPartition { (it: Iterator[Row]) =>
       // rows arrive sorted by (shard, seq_id); hash partitioning may route
       // SEVERAL shards to one task (hash(shard) mod n is not identity), so
@@ -83,11 +84,13 @@ object TokenShardSink {
     // manifest from a bounded n-row aggregate — the only driver-side data
     val counts = sharded.groupBy(col("shard")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    sharded.unpersist()
     val shardsJson = (0 until n)
       .map(k => s""""$k":${counts.getOrElse(k.toLong, 0L)}""").mkString(",")
     Files.writeString(root.resolve("manifest.json"),
       s"""{"seq_len":$seqLen,"token_bytes":$tokenBytes,"shards":{$shardsJson}}""")
+    // deterministic cache release even when a write task fails (the
+    // memory-discipline suites assert a clean slate after ANY sink call)
+    } finally sharded.unpersist()
   }
 
   /** Read one shard back as (seq_index_within_shard, tokens) rows — the
