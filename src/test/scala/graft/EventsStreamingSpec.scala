@@ -74,6 +74,38 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(kept.select("h").collect().map(_.getString(0)).toSet == batchHashes)
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state while staying exact in-window") {
+    // The production form of qd01-online: plain dropDuplicates keeps every
+    // seen key FOREVER (unbounded state — the 100 TB failure); the
+    // within-watermark variant evicts keys once the watermark passes
+    // their event time, trading "exactly-once ever" for "exactly-once
+    // within the lateness bound" — exact as long as a key's duplicates
+    // arrive within the watermark delay, which is precisely the guarantee
+    // a replay/retry pipeline gives. Fixture: the corpus replayed twice
+    // in separate micro-batches at ONE event time (well inside the 1 h
+    // delay) must emit each content hash exactly once — parity with
+    // batch distinct.
+    val src = s"$dir/documents.parquet"
+    val batchDistinct = spark.read.parquet(src)
+      .select(md5(col("text")).as("h")).distinct().count()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-wmdedup-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), streamDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src), streamDir.resolve("b.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(md5(col("text")).as("h"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("wm_dedup").count() == batchDistinct,
+      "in-window duplicates must collapse exactly to the batch-distinct set")
+  }
+
   test("flatMapGroupsWithState running stats carry state across micro-batches") {
     // custom keyed state: the events table replayed in three micro-batches
     // must leave each user's accumulator equal to the batch groupBy —

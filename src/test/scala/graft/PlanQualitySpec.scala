@@ -427,6 +427,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-20 must be a bounded top-k, not a global sort:\n${plan.take(1500)}")
   }
 
+  test("qt15 tercile thresholds come from the sketch — no exact percentile, no window") {
+    // CCNet bucketing must keep every aggregation buffer bounded: the
+    // thresholds are percentile_approx (O(accuracy) sketch state) and the
+    // rank check is a second plain aggregation — the exact `percentile`
+    // (whole multiset in one buffer) and any Window are the pinned-out
+    // scale killers (same discipline as q19b)
+    val plan = planOf("qt15_ccnet_buckets")
+    assert(plan.contains("approx_percentile") || plan.contains("percentile_approx"),
+      s"thresholds must come from the sketch:\n${plan.take(1500)}")
+    assert(!"(?<!approx_)percentile\\(".r.findFirstIn(plan).isDefined,
+      s"exact percentile must never appear in-plan:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), s"no window pass:\n${plan.take(1500)}")
+  }
+
   test("qt14 bigram window partitions by doc_id; scoring joins the tf table by bigram") {
     val plan = planOf("qt14_bigram_logprob")
     assert(plan.contains("windowspecdefinition(doc_id"),
