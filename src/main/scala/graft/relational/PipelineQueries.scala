@@ -2653,6 +2653,50 @@ object PipelineQueries {
         (start_off + n_tokens - 1) // $PackSeqLen - start_off // $PackSeqLen + 1 AS n_seqs
       FROM o ORDER BY doc_id""")),
 
+    CatalogQuery("qp14_curriculum_order", (s, d) => {
+      // Curriculum ordering — assign every document its GLOBAL training
+      // position by a quality key (cleanest/most-diverse first, the
+      // curriculum-learning schedule): rank = row_number over
+      // (score DESC, doc_id). The naive plan is one unpartitioned window
+      // (single-task global sort — qp11's pinned-out scale killer); this
+      // is the two-phase form on a NON-uniform key: score-range buckets
+      // (fixed width over the score's closed [0, 1e6] domain), per-bucket
+      // counts cumulate into base ranks (bounded B-row collect, broadcast
+      // back), in-bucket row_number partitions by bucket. Skewed score
+      // distributions make buckets uneven, but each bucket is still a
+      // bounded independent task (AQE splits stragglers; B scales with
+      // the cluster). The score is INTEGER arithmetic end to end
+      // (1e6·distinct/total, floor division) — no float parity surface.
+      val B = PackBuckets
+      val scored = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          expr("(1000000L * size(array_distinct(w))) div size(w)").as("score"))
+      // ascending sort key = curriculum position; domain [0, 1e6] closed
+      val width = 1000001L / B + 1
+      val bucketed = scored
+        .withColumn("k", lit(1000000L) - col("score"))
+        .withColumn("bucket", expr(s"k div ${width}L"))
+      import s.implicits._
+      val bases = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .orderBy(col("bucket")).collect().toSeq // ≤ B rows
+        .scanLeft((-1L, 0L)) { case ((_, acc), r) => (r.getLong(0), acc + r.getLong(1)) }
+        .sliding(2).map { case Seq((_, prev), (b, _)) => (b, prev) }.toSeq
+      val baseDf = bases.toDF("bucket", "base")
+      val w = Window.partitionBy(col("bucket")).orderBy(col("k"), col("doc_id"))
+      bucketed.join(broadcast(baseDf), Seq("bucket"))
+        .withColumn("rank", col("base") + row_number().over(w))
+        .select(col("doc_id"), col("score"), col("rank"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents),
+      sc AS (SELECT doc_id,
+               (1000000 * len(list_distinct(w))) // len(w) AS score FROM t)
+      SELECT doc_id, CAST(score AS BIGINT) AS score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM sc ORDER BY doc_id""")),
+
     CatalogQuery("qp12_dsir", (s, d) => {
       // Data selection via importance resampling (DSIR, Xie et al. 2023):
       // score every document by how much more likely its tokens are under

@@ -427,6 +427,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-20 must be a bounded top-k, not a global sort:\n${plan.take(1500)}")
   }
 
+  test("qp14 curriculum rank window is bucket-partitioned, never a global sort") {
+    // same discipline as qp11, on a non-uniform (score) key: the
+    // row_number window must partition by the score-range bucket; an
+    // unpartitioned `row_number() over (order by score)` is one task
+    // sorting the corpus
+    val plan = planOf("qp14_curriculum_order")
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"rank window must partition by the score bucket:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the B-row base-rank table must broadcast:\n${plan.take(1500)}")
+  }
+
   test("qt15 tercile thresholds come from the sketch — no exact percentile, no window") {
     // CCNet bucketing must keep every aggregation buffer bounded: the
     // thresholds are percentile_approx (O(accuracy) sketch state) and the
