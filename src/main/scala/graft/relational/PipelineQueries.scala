@@ -1538,6 +1538,59 @@ object PipelineQueries {
       SELECT step, last_id AS vec_id, round(last_d, 6) AS min_dist
       FROM g ORDER BY step""")),
 
+    CatalogQuery("qs10_matryoshka_rerank", (s, d) => {
+      // Matryoshka / truncated-dimension ANN (Kusupati et al. 2022): MRL
+      // embeddings front-load information into the leading dims, so the
+      // cheap stage scores only the first 16 of 64 dims (4× less compute
+      // and memory traffic — the same economics as qs05's int8 path, won
+      // by truncation instead of quantization) and the exact full-dim
+      // cosine reranks only the ≤ queries × 4k survivors. Unlike the
+      // quantized path there is NO approximation noise in the cheap
+      // stage's ordering definition, so the oracle mirrors BOTH stages
+      // exactly instead of falling back to a recall contract. Both
+      // rankings use the bounded TopKByScore aggregator (no per-query
+      // window sort — the qs01–qs05 pin).
+      val NQueries = 5; val PrefixD = 16; val CandK = 4 * AnnTopK
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("p", slice(col("v"), 1, PrefixD))
+      val queries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("p").as("qp"))
+      val pscored = e.crossJoin(broadcast(queries.select(col("query_id"), col("qp"))))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineCol(col("qp"), col("p")).as("cosine"))
+      val candTopK = graft.functions.TopKAggregator.topK(CandK)
+      val cand = pscored.groupBy(col("query_id"))
+        .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      val rescored = e.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineCol(col("qv"), col("v")).as("cosine"))
+      topkRanked(rescored)
+    }, Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   (embedding::DOUBLE[])[1:16] AS p FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM e WHERE vec_id < 5),
+      ps AS (SELECT q.query_id, e.vec_id,
+               list_dot_product(q.qp, e.p) /
+                 (sqrt(list_dot_product(q.qp, q.qp)) * sqrt(list_dot_product(e.p, e.p))) AS pcos
+             FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      cand AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY pcos DESC, vec_id) AS rn
+                 FROM ps) t WHERE rn <= ${4 * AnnTopK}),
+      rs AS (SELECT c.query_id, c.vec_id,
+               list_dot_product(q.qv, e.v) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+             FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN q ON c.query_id = q.query_id),
+      ranked AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rank
+                 FROM rs)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= $AnnTopK
+      ORDER BY query_id, rank""")),
+
     // ---------- text analysis ----------
 
     CatalogQuery("qt01_langid", (s, d) => {

@@ -503,6 +503,33 @@ object RelationalQueries {
       SELECT c_nationkey AS nationkey FROM customer
       EXCEPT
       SELECT s_nationkey FROM supplier
-      ORDER BY nationkey"""))
+      ORDER BY nationkey""")),
+
+    CatalogQuery("q23_moving_window", (s, d) => {
+      // Event-time RANGE-frame moving aggregates — "each event's trailing
+      // one-hour activity per user", the feature-engineering window shape
+      // (distinct from q07's row-frame rank and q18's gaps-and-islands).
+      // RANGE frames include ALL tie peers, so the result is deterministic
+      // under duplicate timestamps. Scale: the window partitions by
+      // user_id (bounded per-user task, never a global sort) and the sum
+      // runs in Decimal(38,6) so the frame's float additions are exact on
+      // both engines whatever the evaluation order.
+      val e = events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0L)
+      e.select(col("event_id"), col("user_id"), col("tus"),
+          count(lit(1)).over(w).as("n_hour"),
+          sum(col("value").cast(DecimalType(38, 6))).over(w)
+            .cast("double").as("sum_hour"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, tus,
+        CAST(count(*) OVER win AS BIGINT) AS n_hour,
+        CAST(sum(CAST(value AS DECIMAL(38,6))) OVER win AS DOUBLE) AS sum_hour
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS tus, value FROM events) e
+      WINDOW win AS (PARTITION BY user_id ORDER BY tus
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
   )
 }

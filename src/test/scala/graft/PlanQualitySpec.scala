@@ -427,6 +427,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-20 must be a bounded top-k, not a global sort:\n${plan.take(1500)}")
   }
 
+  test("qs10 matryoshka rerank: both stages bounded top-k, no per-query window") {
+    // truncated-dim prefilter + exact rerank must keep the qs01-qs05 pin:
+    // ranking is the TopKByScore aggregator on both stages — a per-query
+    // row_number window would single-task-sort every survivor
+    val plan = planOf("qs10_matryoshka_rerank")
+    assert(!plan.contains("Window"),
+      s"no window sort in either stage:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"rerank joins must stay keyed:\n${plan.take(1500)}")
+  }
+
+  test("q23 moving-window aggregates partition by user_id — no global range frame") {
+    val plan = planOf("q23_moving_window")
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"RANGE frame must partition by user:\n${plan.take(1500)}")
+  }
+
   test("qp14 curriculum rank window is bucket-partitioned, never a global sort") {
     // same discipline as qp11, on a non-uniform (score) key: the
     // row_number window must partition by the score-range bucket; an
