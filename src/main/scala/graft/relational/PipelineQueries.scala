@@ -256,6 +256,51 @@ object PipelineQueries {
       SELECT id AS doc_id, min(lab) AS canonical_id
       FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    CatalogQuery("qd12_soft_dedup_weights", (s, d) => {
+      // Soft dedup — REWEIGHT duplicates instead of dropping them
+      // (SoftDeDup: down-weight a document by its near-dup cluster size
+      // so the cluster contributes one document's worth of gradient in
+      // aggregate, preserving coverage that hard removal destroys).
+      // weight_ppm = 1e6 // cluster_size in exact integer arithmetic
+      // (no float loss surface); singletons keep full weight.
+      //
+      // Scale shape: composes qd06's connected components (pointer-
+      // jumping over the LSH-verified pair set — never all-pairs); the
+      // per-cluster size table is ≤ #clustered-docs rows and joins back
+      // keyed by canonical id, then LEFT-joins onto the corpus id scan
+      // (AQE broadcasts the small cluster side). The effective-size
+      // audit is one more bounded aggregate.
+      val cc = graft.pipeline.Dedup.connectedComponents(
+        QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+          .select(col("id_a"), col("id_b"))).persist()
+      val sizes = cc.groupBy(col("canonical_id")).agg(count(lit(1)).as("csize"))
+      val weighted = table(s, d, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .join(sizes, Seq("canonical_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"),
+          expr("1000000L div coalesce(csize, 1L)").as("weight_ppm"))
+      weighted.orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      cc AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY id),
+      sizes AS (SELECT canonical_id, count(*) AS csize FROM cc GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(s2.csize, 1) AS BIGINT) AS cluster_size,
+        CAST(1000000 // COALESCE(s2.csize, 1) AS BIGINT) AS weight_ppm
+      FROM documents d
+      LEFT JOIN cc ON d.doc_id = cc.doc_id
+      LEFT JOIN sizes s2 ON cc.canonical_id = s2.canonical_id
+      ORDER BY d.doc_id""")),
+
     CatalogQuery("qd07_containment", (s, d) => {
       // Asymmetric containment dedup: |A∩B| / min(|A|, |B|) ≥ 0.90 over
       // the LSH candidate pairs — the signal Jaccard MISSES when one doc
