@@ -2917,6 +2917,74 @@ object PipelineQueries {
     }, Some("""
       SELECT doc_id, octet_length(encode(text)) AS n_bytes, n_chars,
         CAST(floor(n_chars / 100) AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    CatalogQuery("qm02_image_phash", (s, d) => {
+      // Perceptual image hashing THROUGH THE REAL DECODE PATH: each doc's
+      // first 64 ASCII bytes become the raster of a genuine 8×8 PGM (P5)
+      // payload, which round-trips through `MediaCodecs.decodeNetpbm` —
+      // the same codec the multimodal plumbing uses — before the 64-bit
+      // average-hash (aHash: bit i = pixel i brighter than the image
+      // mean) is computed from the DECODED pixels. The oracle computes
+      // the hash directly from the text bytes, so any corruption in
+      // header parsing, raster extraction, or byte widening inside the
+      // codec breaks the gate — an end-to-end decode certification, not
+      // a synthetic stub. Exact-duplicate classes then group by hash
+      // (the image-dedup first stage; banding the 4 sub-words is the
+      // Hamming-LSH scale path, same geometry as qd02).
+      //
+      // Scale shape: one mapPartitions kernel pass (batched, no UDF
+      // registry), one hash-groupBy for class sizes, join back keyed by
+      // the hash words. All integer arithmetic — no float surface. The
+      // hash is split into two 32-bit words so neither engine touches
+      // the BIGINT sign bit.
+      import s.implicits._
+      val hashed = table(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
+          it.map { case (id, text) =>
+            val raw = text.getBytes("US-ASCII")
+            val px = java.util.Arrays.copyOf(raw, 64)
+            var i = math.min(raw.length, 64)
+            while (i < 64) { px(i) = ' '.toByte; i += 1 }
+            val (img, _) = graft.pipeline.MediaCodecs.decodeNetpbm(header ++ px)
+            var tot = 0L
+            var j = 0
+            while (j < 64) { tot += img.lumAt(j); j += 1 }
+            var lo = 0L; var hi = 0L
+            j = 0
+            while (j < 64) {
+              if (img.lumAt(j) * 64L > tot) {
+                if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+              }
+              j += 1
+            }
+            (id, hi, lo)
+          }
+        }.toDF("doc_id", "ahash_hi", "ahash_lo")
+      val classes = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).as("n_same_hash"))
+      hashed.join(classes, Seq("ahash_hi", "ahash_lo"))
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"), col("n_same_hash"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH px AS (SELECT doc_id, i,
+               CASE WHEN i <= length(text) THEN ascii(substr(text, i, 1))
+                    ELSE 32 END AS p
+             FROM documents, (SELECT unnest(range(1, 65)) AS i) ix),
+      tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY 1),
+      h AS (SELECT px.doc_id,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.i > 32
+                THEN 1::BIGINT << (px.i - 33) ELSE 0 END) AS BIGINT) AS ahash_hi,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.i <= 32
+                THEN 1::BIGINT << (px.i - 1) ELSE 0 END) AS BIGINT) AS ahash_lo
+            FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+      cls AS (SELECT ahash_hi, ahash_lo, count(*) AS n_same_hash
+              FROM h GROUP BY 1, 2)
+      SELECT h.doc_id, h.ahash_hi, h.ahash_lo,
+        CAST(cls.n_same_hash AS BIGINT) AS n_same_hash
+      FROM h JOIN cls USING (ahash_hi, ahash_lo)
+      ORDER BY h.doc_id"""))
   )
 }
