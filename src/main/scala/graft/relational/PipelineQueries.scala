@@ -2795,6 +2795,50 @@ object PipelineQueries {
         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
       FROM sc ORDER BY doc_id""")),
 
+    CatalogQuery("qp15_epoch_shuffle", (s, d) => {
+      // Deterministic epoch shuffling — every trainer epoch needs a
+      // DIFFERENT but REPRODUCIBLE permutation of the corpus (resume
+      // from step k must see the same order on any cluster). Stateless
+      // construction: shuffle key = hash60(epoch ':' doc_id), position =
+      // global rank of the key. Ranking is the qp11/qp14 two-phase form —
+      // here the key is uniform over [0, 2^60) BY CONSTRUCTION, so the
+      // fixed-width key-range buckets are balanced without any
+      // distribution knowledge: per-(epoch, bucket) counts → base
+      // positions (bounded 2B-row collect, broadcast back), in-bucket
+      // row_number partitioned by (epoch, bucket). Never a global sort;
+      // integer/hash arithmetic end to end.
+      val B = PackBuckets
+      val width = (1L << 60) / B
+      val keyed = table(s, d, "documents").select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+        .withColumn("k", TextOps.hash60(
+          concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+        .withColumn("bucket", expr(s"k div ${width}L"))
+      import s.implicits._
+      val bases = keyed.groupBy(col("epoch"), col("bucket")).agg(count(lit(1)).as("c"))
+        .orderBy(col("epoch"), col("bucket")).collect().toSeq // ≤ 2B rows
+        .groupBy(_.getLong(0)).toSeq.flatMap { case (ep, rows) =>
+          rows.sortBy(_.getLong(1))
+            .scanLeft((-1L, 0L)) { case ((_, acc), r) => (r.getLong(1), acc + r.getLong(2)) }
+            .sliding(2).map { case Seq((_, prev), (b, _)) => (ep, b, prev) }
+        }
+      val baseDf = bases.toDF("epoch", "bucket", "base")
+      val w = Window.partitionBy(col("epoch"), col("bucket"))
+        .orderBy(col("k"), col("doc_id"))
+      keyed.join(broadcast(baseDf), Seq("epoch", "bucket"))
+        .withColumn("position", col("base") + row_number().over(w))
+        .select(col("epoch"), col("doc_id"), col("position"))
+        .orderBy(col("epoch"), col("doc_id"))
+    }, Some("""
+      WITH k AS (SELECT e.epoch, d.doc_id,
+               CAST(('0x' || substr(md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR),
+                 1, 15)) AS BIGINT) AS k
+             FROM documents d, (SELECT unnest([0, 1]) AS epoch) e)
+      SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT)
+          AS position
+      FROM k ORDER BY epoch, doc_id""")),
+
     CatalogQuery("qp12_dsir", (s, d) => {
       // Data selection via importance resampling (DSIR, Xie et al. 2023):
       // score every document by how much more likely its tokens are under

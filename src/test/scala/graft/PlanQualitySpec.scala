@@ -456,6 +456,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the B-row base-rank table must broadcast:\n${plan.take(1500)}")
   }
 
+  test("qp15 epoch-shuffle rank partitions by (epoch, bucket) — reproducible, no global sort") {
+    val plan = planOf("qp15_epoch_shuffle")
+    assert(plan.contains("windowspecdefinition(epoch") && plan.contains("bucket"),
+      s"permutation rank must partition by (epoch, key-range bucket):\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 2B-row base-position table must broadcast:\n${plan.take(1500)}")
+  }
+
   test("qt15 tercile thresholds come from the sketch — no exact percentile, no window") {
     // CCNet bucketing must keep every aggregation buffer bounded: the
     // thresholds are percentile_approx (O(accuracy) sketch state) and the
