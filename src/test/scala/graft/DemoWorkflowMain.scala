@@ -105,6 +105,19 @@ object DemoWorkflowMain {
       s"rank1 all=${fileBridges.last.getAll("steer")} missing=${fileBridges.head.get("steer", 9L)} " +
       "(expect Some(0.75), List((0,0.25), (1,0.75)), None)")
 
+    // packed-token training shards: write fixed-length sequences as
+    // little-endian binary + manifest, read one shard back byte-exact
+    locally {
+      import spark.implicits._
+      val binDir = java.nio.file.Files.createTempDirectory("graft-demo-tokbin").toString
+      val seqs = (0L until 8L).map(i =>
+        (i, (0 until 16).map(j => (i * 16 + j).toInt).toArray)).toDF("seq_id", "toks")
+      graft.sinks.TokenShardSink.write(seqs, "seq_id", "toks", 16, 2, binDir)
+      val shard0 = graft.sinks.TokenShardSink.readShard(spark, binDir, 0)
+      val ok = shard0.length == 4 && shard0.head.sameElements(0 until 16)
+      println(s"[probe-tokbin] shard0 seqs=${shard0.length} firstSeqExact=$ok (expect 4, true)")
+    }
+
     spark.stop()
   }
 }
