@@ -2248,6 +2248,65 @@ object PipelineQueries {
 
     // ---------- corpus curation / training prep ----------
 
+    CatalogQuery("qt16_zipf_slope", (s, d) => {
+      // Corpus-health audit: the Zipf exponent — the least-squares slope
+      // of ln(freq) vs ln(rank) over the top-1000 tokens. Natural text
+      // sits near −1; synthetic/templated/degenerate corpora drift far
+      // from it, which makes the slope the one-number sanity check run
+      // before any token-level curation decisions.
+      //
+      // Scale shape: one explode→hash-agg produces the token counts;
+      // top-1000 is TakeOrderedAndProject (bounded); the rank window runs
+      // over that ≤1000-row set only (bounded single task — the corpus
+      // never enters a window). The regression reduces to five sums of
+      // 12-decimal-quantized decimals (qe05's discipline: multiply in
+      // double, cast once), so Σ's are exact and the final slope /
+      // intercept are single identical double expressions on both
+      // engines.
+      val TopN = 1000
+      val toks = table(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token")).limit(TopN)
+      val dec12 = org.apache.spark.sql.types.DecimalType(25, 12)
+      val ranked = top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("token")))) // bounded: ≤ TopN rows
+        .select(round(log(col("rank")), 12).cast(dec12).as("x"),
+          round(log(col("c")), 12).cast(dec12).as("y"))
+      val sums = ranked.agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(round(col("x").cast("double") * col("y").cast("double"), 12).cast(dec12))
+          .cast("double").as("sxy"),
+        sum(round(col("x").cast("double") * col("x").cast("double"), 12).cast(dec12))
+          .cast("double").as("sxx"))
+      sums.select(col("n").as("n_points"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+    }, Some("""
+      WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents),
+      cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token
+              ORDER BY c DESC, token LIMIT 1000),
+      ranked AS (SELECT
+          CAST(round(ln(row_number() OVER (ORDER BY c DESC, token)), 12)
+            AS DECIMAL(25,12)) AS x,
+          CAST(round(ln(c), 12) AS DECIMAL(25,12)) AS y
+        FROM cnt),
+      sums AS (SELECT count(*)::BIGINT AS n,
+          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          CAST(sum(CAST(round(x::DOUBLE * y::DOUBLE, 12) AS DECIMAL(25,12))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(round(x::DOUBLE * x::DOUBLE, 12) AS DECIMAL(25,12))) AS DOUBLE) AS sxx
+        FROM ranked)
+      SELECT n AS n_points,
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+      FROM sums""")),
+
     CatalogQuery("qp01_split_sample", (s, d) => {
       // Reproducible train/val/test splitting: the split is a pure
       // function of the stable document identity (60-bit md5-prefix hash
