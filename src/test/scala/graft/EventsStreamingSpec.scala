@@ -172,14 +172,25 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture must produce attribution pairs")
 
     // Replay in event-time order (repartitionByRange on ts: file k =
-    // k-th time slice; the file source replays them in that order). A
-    // RANDOM split would make each source's watermark race past the
-    // other side's still-unread rows, which append-mode inner join then
-    // rightly drops as late — the parity contract below only holds for
-    // feeds whose disorder stays within the 24 h watermark, exactly the
-    // guarantee a real ingestion pipeline provides.
+    // k-th time slice, replayed in that order). A RANDOM split would make
+    // each source's watermark race past the other side's still-unread
+    // rows, which append-mode inner join then rightly drops as late — the
+    // parity contract below only holds for feeds whose disorder stays
+    // within the 24 h watermark, exactly the guarantee a real ingestion
+    // pipeline provides. FileStreamSource orders by MODIFICATION TIME,
+    // and one write commit gives all three part files near-identical
+    // mtimes (the replay order was then nondeterministic — observed
+    // flaky), so stamp strictly increasing mtimes matching the
+    // range-partition (= event-time) order explicitly.
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ssjoin-stream")
     ev.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(streamDir.toString)
+    val parts = new java.io.File(streamDir.toString).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName) // part-0000k holds the k-th ascending ts range
+    parts.zipWithIndex.foreach { case (f, k) =>
+      java.nio.file.Files.setLastModifiedTime(f.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+    }
     def src() = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
     val joined = clicksOf(src()).withWatermark("click_ts", "24 hours")
