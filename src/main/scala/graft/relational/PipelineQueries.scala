@@ -2898,6 +2898,55 @@ object PipelineQueries {
           AS position
       FROM k ORDER BY epoch, doc_id""")),
 
+    CatalogQuery("qp16_pack_boundaries", (s, d) => {
+      // Packing diagnostics — the attention-boundary audit run after
+      // qp11: for every fixed-length training sequence, how many
+      // documents it spans (cross-document attention leaks unless the
+      // trainer masks at boundaries), how many tokens it actually holds
+      // (the final sequence is usually partial), and whether it starts
+      // mid-document. Derived ENTIRELY from qp11's global offsets: each
+      // doc explodes to its (seq_first..seq_last) range — bounded by the
+      // doc's own sequence span, never the corpus — and a hash
+      // aggregation per sequence id does the rest. Pure integer
+      // arithmetic; the oracle recomputes qp11's offsets with the plain
+      // window form and mirrors the interval math.
+      val L = PackSeqLen
+      val offs = QueryCatalog.byName("qp11_pack_sequences").build(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          col("seq_first"), col("seq_last"))
+      offs
+        .select(col("doc_id"), col("start_off"),
+          (col("start_off") + col("n_tokens")).as("end_off"),
+          explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("end_off"), (col("seq_id") + 1) * L) -
+            greatest(col("start_off"), col("seq_id") * L)).as("n_tokens_filled"),
+          max(when(col("start_off") < col("seq_id") * L, 1L).otherwise(0L))
+            .as("starts_mid_doc"))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens_filled"),
+          (col("n_docs") - 1).as("n_boundaries"), col("starts_mid_doc"))
+        .orderBy(col("seq_id"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (SELECT doc_id, n_tokens,
+          COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start_off
+        FROM t),
+      spans AS (SELECT doc_id, start_off, start_off + n_tokens AS end_off,
+          unnest(generate_series(start_off // $PackSeqLen,
+            (start_off + n_tokens - 1) // $PackSeqLen)) AS seq_id
+        FROM o)
+      SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(least(end_off, (seq_id + 1) * $PackSeqLen)
+          - greatest(start_off, seq_id * $PackSeqLen)) AS BIGINT) AS n_tokens_filled,
+        CAST(count(*) - 1 AS BIGINT) AS n_boundaries,
+        CAST(max(CASE WHEN start_off < seq_id * $PackSeqLen THEN 1 ELSE 0 END) AS BIGINT)
+          AS starts_mid_doc
+      FROM spans GROUP BY seq_id ORDER BY seq_id""")),
+
     CatalogQuery("qp12_dsir", (s, d) => {
       // Data selection via importance resampling (DSIR, Xie et al. 2023):
       // score every document by how much more likely its tokens are under
