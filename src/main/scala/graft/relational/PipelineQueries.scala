@@ -1638,6 +1638,36 @@ object PipelineQueries {
 
     // ---------- text analysis ----------
 
+    CatalogQuery("qe06_norm_audit", (s, d) => {
+      // Embedding norm-health audit — the first screen before any cosine
+      // machinery: near-zero vectors make cosine undefined/unstable and
+      // a drifting norm distribution flags a broken encoder export.
+      // Emits corpus count, 6-decimal-quantized norm mean (exact decimal
+      // sum), exact min/max norms, and the count of degenerate
+      // (‖v‖ < 1e-6) vectors. One pass, per-row norm expression, one
+      // bounded aggregation — no shuffle beyond the agg partials.
+      val dot = (x: Column) => aggregate(zip_with(x, x, _ * _), lit(0.0), _ + _)
+      val dec = org.apache.spark.sql.types.DecimalType(25, 6)
+      table(s, d, "embeddings")
+        .select(col("vec_id"),
+          sqrt(dot(transform(col("embedding"), _.cast("double")))).as("nrm"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(round(col("nrm"), 6).cast(dec)).cast("double") / count(lit(1)))
+            .as("mean_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"),
+          sum(when(col("nrm") < 1e-6, 1L).otherwise(0L)).as("n_degenerate"))
+    }, Some("""
+      WITH e AS (SELECT vec_id,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+             FROM embeddings)
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(CAST(round(nrm, 6) AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS mean_norm,
+        round(min(nrm), 6) AS min_norm,
+        round(max(nrm), 6) AS max_norm,
+        CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate
+      FROM e""")),
+
     CatalogQuery("qt01_langid", (s, d) => {
       val scores = TextOps.langScores(col("text"))
       table(s, d, "documents")
