@@ -144,6 +144,79 @@ object PipelineQueries {
   private def oShingles(textExpr: String): String =
     s"list_distinct([substr($textExpr, i, $ShingleN) for i in range(1, greatest(length($textExpr) - ${ShingleN - 1}, 0) + 1)])"
 
+  /** Exact-content pre-collapse + LSH banding, shared by qd02/qd07 (and,
+    * through catalog composition, qd06/qd12/qp05).
+    *
+    * Documents with IDENTICAL distinct-shingle sets are indistinguishable
+    * to every score computed downstream — Jaccard and containment are
+    * functions of the sets alone. So the corpus is first collapsed to one
+    * representative per distinct `hs` (min doc_id), LSH banding and
+    * verification run over representatives only, and verified
+    * representative pairs are expanded back to member pairs afterwards
+    * (members of one group additionally pair with each other at score
+    * exactly 1.0). The collapse is COMPLETE — bit-identical to the
+    * uncollapsed formulation, which the DuckDB oracle still uses — and it
+    * removes the hot-band quadratic-candidate risk on duplicate-heavy
+    * corpora (the norm at 100 TB pre-dedup): 10k byte-identical copies of
+    * one page contribute ONE row per band to the self-join instead of 10k
+    * (10^8 candidate rows before the distinct). The only quadratic left is
+    * the expansion itself, whose rows ARE the answer (the oracle emits
+    * every one) — inherent output volume with zero per-pair verification
+    * work, not intermediate waste; AQE splits its hot group keys for task
+    * balance. Near-identical-but-not-set-identical hot bands remain m²
+    * candidates at the representative level; capping or dropping those
+    * would be UNSOUND here (near-dup pairs are exactly what this operator
+    * exists to find), so that residual is left to AQE skew-split.
+    * `LshSkewSpec` pins both properties on a duplicate-heavy fixture.
+    *
+    * Returns (reps, memb, repCand):
+    *  - reps   (doc_id, hs): one row per distinct shingle set;
+    *  - memb   (rep_id, doc_id): every doc mapped to its representative;
+    *  - repCand (id_a, id_b): distinct LSH candidate representative pairs.
+    */
+  private[graft] def collapsedLshCandidates(docs0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.expressions.ShingleExpressions._
+    // one shuffle keyed by the shingle-set itself; member lists are ids
+    // only, bounded by group size (ubiquitous-boilerplate groups are the
+    // pathology this exists to absorb — ids, never payloads)
+    val grouped = docs0.groupBy(col("hs"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("members"))
+      .persist() // feeds reps, memb, and (via reps) the band explode
+    val reps = grouped.select(col("rep_id").as("doc_id"), col("hs"))
+    val memb = grouped.select(col("rep_id"), explode(col("members")).as("doc_id"))
+    val banded = reps.select(col("doc_id"),
+      explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
+        NumPerms, RowsPerBand)).as("band"))
+      .persist() // both sides of the self-join read it
+    val a = banded.select(col("band"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("doc_id").as("id_b"))
+    val repCand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    (reps, memb, repCand)
+  }
+
+  /** Expand verified representative pairs `(rep_a, rep_b, score)` to member
+    * pairs: cross pairs inherit the representatives' score verbatim (the
+    * member arrays are identical, so recomputing would be bit-identical
+    * work); members within one group pair at `selfScore` (exactly 1.0 for
+    * Jaccard/containment on identical sets). Pair uniqueness needs no
+    * distinct: each doc belongs to exactly one group, so (id_a, id_b)
+    * determines the (group_a, group_b) pair that produced it. */
+  private[graft] def expandRepPairs(repPairs: DataFrame, memb: DataFrame,
+      scoreName: String, selfScore: Column): DataFrame = {
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("rep_a"), col("doc_id").as("m_a")), Seq("rep_a"))
+      .join(memb.select(col("rep_id").as("rep_b"), col("doc_id").as("m_b")), Seq("rep_b"))
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col(scoreName))
+    val ia = memb.select(col("rep_id"), col("doc_id").as("id_a"))
+    val ib = memb.select(col("rep_id"), col("doc_id").as("id_b"))
+    val intra = ia.join(ib, Seq("rep_id")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), selfScore.as(scoreName))
+    cross.unionByName(intra)
+  }
+
   /** CTE chain reproducing qd02's verified near-dup pairs — shared by the
     * qd02 oracle and qd06's connected-components oracle. */
   private def oMinhashPairsCtes: String = {
@@ -207,29 +280,23 @@ object PipelineQueries {
         if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
           raw.repartition(s.sparkContext.defaultParallelism)
         else raw
-      val docs = spread
+      val docs0 = spread
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
-        .persist()
-      // scale shape: the band self-join carries (band, id) pairs ONLY —
-      // hash arrays are re-joined after the candidate set is distinct,
-      // so the shuffle moves keys, not documents
-      val banded = docs.select(col("doc_id"),
-        explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
-          NumPerms, RowsPerBand)).as("band"))
-        .persist() // both sides of the self-join read it
-      val a = banded.select(col("band"), col("doc_id").as("id_a"))
-      val b = banded.select(col("band"), col("doc_id").as("id_b"))
-      val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      // scale shape: exact-content pre-collapse (identical shingle sets →
+      // one representative), then the band self-join carries (band, rep)
+      // keys ONLY — hash arrays are re-joined after the candidate set is
+      // distinct, so the shuffle moves keys, not documents
+      val (reps, memb, cand) = collapsedLshCandidates(docs0)
+      val repPairs = cand
+        .join(reps.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(reps.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
         .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
-        .select(col("id_a"), col("id_b"),
+        .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
           (col("inter").cast("double") /
             (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))
         .filter(col("jaccard") >= JaccardThreshold)
+      expandRepPairs(repPairs, memb, "jaccard", lit(1.0))
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
       WITH $oMinhashPairsCtes
@@ -312,25 +379,19 @@ object PipelineQueries {
       // expressions; the oracle mirrors the banding through the shared
       // CTE chain so the blocking can never drift from qd02's.
       import graft.functions.expressions.ShingleExpressions._
-      val docs = table(s, d, "documents")
+      val docs0 = table(s, d, "documents")
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
-        .persist()
-      val banded = docs.select(col("doc_id"),
-        explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
-          NumPerms, RowsPerBand)).as("band"))
-      val a = banded.select(col("band"), col("doc_id").as("id_a"))
-      val b = banded.select(col("band"), col("doc_id").as("id_b"))
-      val cand = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      val (reps, memb, cand) = collapsedLshCandidates(docs0)
+      val repPairs = cand
+        .join(reps.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(reps.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
         .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
-        .select(col("id_a"), col("id_b"),
+        .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
           (col("inter").cast("double") /
             least(size(col("hs_a")), size(col("hs_b")))).as("containment"))
         .filter(col("containment") >= ContainmentThreshold)
+      expandRepPairs(repPairs, memb, "containment", lit(1.0))
         .select(col("id_a"), col("id_b"), round(col("containment"), 6).as("containment"))
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""

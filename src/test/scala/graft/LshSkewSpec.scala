@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.expressions.ShingleExpressions
+import graft.relational.{PipelineQueries, QueryCatalog}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Duplicate-heavy LSH fixtures: the exact-content pre-collapse must keep
+  * the band self-join's input proportional to DISTINCT content (not corpus
+  * rows) while the expanded pair output stays bit-identical to the
+  * uncollapsed all-member formulation the oracle uses. This is the guard
+  * against the hot-band quadratic-candidate blowup on a 100 TB pre-dedup
+  * crawl, where 10k byte-identical copies of one boilerplate page are the
+  * norm, not the exception.
+  */
+class LshSkewSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  /** Mutually-dissimilar distinct contents (seeded random alnum, so two
+    * contents share essentially no char-4-shingles — no flaky near-dup
+    * pairs across groups). */
+  private def content(i: Int): String = {
+    val rnd = new scala.util.Random(0xC0FFEE + i)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (0 until 120).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+  }
+
+  /** Write a documents.parquet fixture: `copies(i)` rows of content(i),
+    * doc_ids assigned sequentially. Returns (dir, groups) where groups maps
+    * each content index to its member doc_ids. */
+  private def writeFixture(copies: Seq[Int]): (String, Seq[Seq[Long]]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-skew").toString
+    var next = 0L
+    val groups = copies.zipWithIndex.map { case (m, i) =>
+      val ids = (0 until m).map(_ => { val id = next; next += 1; id })
+      ids.map(id => (id, content(i)))
+    }
+    val rows = groups.flatten.map { case (id, t) =>
+      (id, t, "en", s"src${id % 3}", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (dir, groups.map(_.map(_._1)))
+  }
+
+  test("pre-collapse bounds band-join input by distinct content, not corpus size") {
+    // 5 boilerplate pages x 2000 copies + 40 unique docs = 10040 rows.
+    // Uncollapsed, each boilerplate band bucket holds 2000 rows -> 2000^2
+    // candidate rows per band per page (4x10^7 total) before the distinct.
+    val (dir, groups) = writeFixture(Seq.fill(5)(2000) ++ Seq.fill(40)(1))
+    try {
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          ShingleExpressions.shingleHash60(col("text"), 4).as("hs"))
+      val (reps, memb, repCand) = PipelineQueries.collapsedLshCandidates(docs0)
+      try {
+        assert(reps.count() == 45, "one representative per distinct content")
+        assert(memb.count() == 10040, "every doc keeps a membership row")
+        // candidate volume is over representatives only: <= C(45,2), vs
+        // ~4x10^7 uncollapsed. (In practice far lower — dissimilar
+        // contents rarely share a band.)
+        val nCand = repCand.count()
+        assert(nCand <= 45L * 44 / 2,
+          s"candidates must be bounded by distinct-content pairs, got $nCand")
+      } finally spark.catalog.clearCache()
+    } finally deleteRecursively(dir)
+  }
+
+  test("collapsed qd02/qd07 equal the all-member pair set on a duplicate-heavy corpus") {
+    // 3 pages x 25 copies + 10 uniques: expected answer = every
+    // within-group pair at score exactly 1.0 (cross-content shingle
+    // overlap ~0 at threshold 0.80/0.90).
+    val (dir, groups) = writeFixture(Seq(25, 25, 25) ++ Seq.fill(10)(1))
+    try {
+      val expected = groups.filter(_.size > 1).flatMap { ids =>
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.sorted
+      val qd02 = QueryCatalog.byName("qd02_minhash_lsh").build(spark, dir).collect()
+      assert(qd02.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == expected)
+      assert(qd02.forall(_.getDouble(2) == 1.0), "identical sets score exactly 1.0")
+      spark.catalog.clearCache()
+      val qd07 = QueryCatalog.byName("qd07_containment").build(spark, dir).collect()
+      assert(qd07.map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted == expected)
+      assert(qd07.forall(_.getDouble(2) == 1.0))
+      spark.catalog.clearCache()
+    } finally deleteRecursively(dir)
+  }
+
+  test("expandRepPairs emits exactly cross x members + within-group pairs") {
+    // groups: rep 5 -> {5, 20}, rep 10 -> {10, 11, 12}; one verified rep
+    // pair (5, 10, 0.9). Cross pairs order by least/greatest per member
+    // pair, NOT by representative order.
+    val memb = Seq((5L, 5L), (5L, 20L), (10L, 10L), (10L, 11L), (10L, 12L))
+      .toDF("rep_id", "doc_id")
+    val repPairs = Seq((5L, 10L, 0.9)).toDF("rep_a", "rep_b", "jaccard")
+    val got = PipelineQueries.expandRepPairs(repPairs, memb, "jaccard", lit(1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val want = Seq(
+      (5L, 10L, 0.9), (5L, 11L, 0.9), (5L, 12L, 0.9),   // cross: 5 vs group 10
+      (10L, 20L, 0.9), (11L, 20L, 0.9), (12L, 20L, 0.9), // cross: 20 vs group 10 (reordered)
+      (5L, 20L, 1.0),                                    // within group 5
+      (10L, 11L, 1.0), (10L, 12L, 1.0), (11L, 12L, 1.0)  // within group 10
+    ).sorted
+    assert(got == want)
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.util.Comparator
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+}
