@@ -489,4 +489,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("InMemoryTableScan"),
       s"scoring must reuse the cached tf table:\n${plan.take(1500)}")
   }
+
+  test("array-harness ranking partitions its window by the key-range bucket") {
+    // the qc* conformance arrays are built by ranking lineitem rows; that
+    // rank must be the qp15 two-phase form (bucketed window + broadcast
+    // base offsets), never an unpartitioned row_number that funnels the
+    // whole table through one task — this was the last global window in
+    // the codebase
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.relational.ArrayHarness.indexed(spark, dir, col("l_quantity"))
+    try {
+      val globals = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty,
+        s"harness rank must partition by bucket:\n${df.queryExecution.optimizedPlan.toString.take(1500)}")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(bucket"),
+        s"rank window must partition by the key-range bucket:\n${plan.take(1500)}")
+    } finally spark.catalog.clearCache()
+  }
 }
