@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{MinHashSig, NfcNormalize, ShingleHash60, SortedLongIntersectCount}
+import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, ShingleHash60, SortedLongIntersectCount}
 import graft.pipeline.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,6 +41,7 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   *   SELECT minhash_sig(hs, 8)                       -- affine-perm minhash signature
   *   SELECT sorted_intersect_count(a, b)             -- O(n+m) set intersection size
   *   SELECT nfc_normalize(s)                         -- Unicode NFC (ASCII fast path)
+  *   SELECT bloom_might_contain(h, bits, 4)          -- Bloom probe (bits: constant array)
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -82,6 +83,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "nfc_normalize(s) takes 1 argument")
         NfcNormalize(args.head)
+      }),
+    (FunctionIdentifier("bloom_might_contain"),
+      info(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bloom_might_contain(h, bits, k) takes 3 arguments")
+        // the filter is a constant of the query (built once, then probed
+        // per row) — a non-foldable bits argument would re-evaluate the
+        // whole array every row
+        require(args(1).foldable,
+          "bloom_might_contain bits must be a constant array<bigint>")
+        val bits = args(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        val mBits = bits.length * 64
+        require(bits.nonEmpty && (mBits & (mBits - 1)) == 0,
+          s"bloom filter word count must be a power of two, got ${bits.length}")
+        BloomMightContain(args.head, LocalBloomBits(bits),
+          intLiteral(args(2), "bloom_might_contain k"))
       }))
 
   private def info(className: String, name: String) =

@@ -126,6 +126,21 @@ object PipelineQueries {
     (n, mean, cov)
   }
 
+  /** qd10's probe stage: the train split's distinct (doc_id, posting-hash)
+    * pairs, each flagged by a stateless probe of the broadcast Bloom
+    * filter. The probe is the codegen'd [[graft.functions.expressions
+    * .BloomMightContain]] expression — this column sits on the full
+    * train-corpus scan, the per-row-hot position where an interpreted
+    * Scala UDF (boxing every hash, breaking whole-stage codegen) is the
+    * pinned-out shape (`PlanQualitySpec` asserts no ScalaUDF here). */
+  private[graft] def bloomProbeStage(spans: DataFrame,
+      bits: org.apache.spark.broadcast.Broadcast[Array[Long]]): DataFrame =
+    spans.filter(col("bucket") < 90)
+      .select(col("doc_id"), col("h")).distinct()
+      .withColumn("hit",
+        graft.functions.expressions.BloomExpressions.bloomMightContain(
+          col("h"), bits, BloomK))
+
   /** qp01/qp05's deterministic split assignment: hash-bucket of the stable
     * doc identity (shared so the audit query can never drift from the
     * split it audits). */
@@ -822,11 +837,7 @@ object PipelineQueries {
         .head().getSeq[Long](0).toArray
       evalSpans.unpersist()
       val bcBits = s.sparkContext.broadcast(bits)
-      val bloomHit = udf((h: Long) => Bloom.mightContain(bcBits.value, h, BloomK))
-      val trainPos = spans.filter(col("bucket") < 90)
-        .select(col("doc_id"), col("h")).distinct()
-        .withColumn("hit", bloomHit(col("h")))
-        .persist()
+      val trainPos = bloomProbeStage(spans, bcBits).persist()
       val exact = trainPos.join(
         spans.filter(col("bucket") >= 90).select(col("h")).distinct(),
         Seq("h"), "left_semi").persist()

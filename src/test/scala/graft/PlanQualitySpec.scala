@@ -490,6 +490,29 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scoring must reuse the cached tf table:\n${plan.take(1500)}")
   }
 
+  test("qd10 bloom probe is a codegen'd expression — no ScalaUDF on the train scan") {
+    // the probe column sits on the full train-corpus scan; an interpreted
+    // Scala UDF there boxes every hash and breaks whole-stage codegen —
+    // pin the actual production stage (the helper qd10 itself calls)
+    import spark.implicits._
+    val spans = Seq((1L, 10, 111L), (2L, 95, 222L), (3L, 50, 333L))
+      .toDF("doc_id", "bucket", "h")
+    val bc = spark.sparkContext.broadcast(new Array[Long](1 << 15))
+    try {
+      val probe = graft.relational.PipelineQueries.bloomProbeStage(spans, bc)
+      // expression-tree walk: toString elides expressions folded into an
+      // aggregate's result projection, so string-matching can't see them
+      val exprs = probe.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+      assert(!exprs.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])),
+        "bloom probe must be the codegen'd expression, not a UDF")
+      assert(exprs.exists(_.exists(
+          _.isInstanceOf[graft.functions.expressions.BloomMightContain])),
+        s"probe expression missing from the plan:\n${probe.queryExecution.optimizedPlan}")
+    } finally bc.unpersist()
+  }
+
   test("array-harness ranking partitions its window by the key-range bucket") {
     // the qc* conformance arrays are built by ranking lineitem rows; that
     // rank must be the qp15 two-phase form (bucketed window + broadcast
