@@ -3175,7 +3175,8 @@ object PipelineQueries {
 
     CatalogQuery("qm02_image_phash", (s, d) => {
       // Perceptual image hashing THROUGH THE REAL DECODE PATH: each doc's
-      // first 64 ASCII bytes become the raster of a genuine 8×8 PGM (P5)
+      // first 64 codepoints (saturated to bytes) become the raster of a
+      // genuine 8×8 PGM (P5)
       // payload, which round-trips through `MediaCodecs.decodeNetpbm` —
       // the same codec the multimodal plumbing uses — before the 64-bit
       // average-hash (aHash: bit i = pixel i brighter than the image
@@ -3198,9 +3199,21 @@ object PipelineQueries {
         .mapPartitions { it =>
           val header = "P5\n8 8\n255\n".getBytes("US-ASCII")
           it.map { case (id, text) =>
-            val raw = text.getBytes("US-ASCII")
-            val px = java.util.Arrays.copyOf(raw, 64)
-            var i = math.min(raw.length, 64)
+            // pixel i = the i-th CODEPOINT saturated to a byte — mirrors
+            // the oracle's character-indexed least(ascii(...), 255)
+            // exactly. (Byte-indexed getBytes("US-ASCII") would collapse
+            // every non-ASCII char to '?'=63 while the oracle sees the
+            // real codepoint — a latent gate breaker on any regenerated
+            // corpus with non-ASCII text.)
+            val px = new Array[Byte](64)
+            var i = 0
+            var off = 0
+            while (i < 64 && off < text.length) {
+              val cp = text.codePointAt(off)
+              px(i) = math.min(cp, 255).toByte
+              off += Character.charCount(cp)
+              i += 1
+            }
             while (i < 64) { px(i) = ' '.toByte; i += 1 }
             val (img, _) = graft.pipeline.MediaCodecs.decodeNetpbm(header ++ px)
             var tot = 0L
@@ -3224,7 +3237,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }, Some("""
       WITH px AS (SELECT doc_id, i,
-               CASE WHEN i <= length(text) THEN ascii(substr(text, i, 1))
+               CASE WHEN i <= length(text) THEN least(ascii(substr(text, i, 1)), 255)
                     ELSE 32 END AS p
              FROM documents, (SELECT unnest(range(1, 65)) AS i) ix),
       tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY 1),

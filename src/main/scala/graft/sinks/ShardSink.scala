@@ -45,8 +45,12 @@ object ShardSink {
 
   /** Same layout/membership, but gzipped JSONL files — the interchange
     * format released text corpora actually ship (one JSON object per
-    * line). Identical scale shape: the only difference is the writer
-    * (`spark.read.json` round-trips it, spec-pinned). */
+    * line). Identical scale shape: the only difference is the writer.
+    * Round-trip contract (spec-pinned for long/string columns, the
+    * document-corpus shape): JSON text is lossy in general — schema
+    * inference widens integers to long, and doubles/timestamps/binary
+    * re-parse inexactly — so readers needing exact wider types must pass
+    * the original schema via `spark.read.schema(...).json`. */
   def writeJsonl(df: DataFrame, key: Column, n: Int, path: String,
       sortKey: Column, maxRecordsPerFile: Long = 1000000L): Unit = {
     assignShards(df, key, n)

@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   * partition only, and each executor task streams its shard's bytes
   * straight to the store — the driver sees ONE bounded n-row count table
   * for the manifest, never token data.
+  *
+  * Commit protocol: this sink writes raw bytes outside Spark's file
+  * committer, so it implements the same task-commit discipline itself —
+  * each task writes to an attempt-unique temp file and atomically renames
+  * it into place when the shard's rows are exhausted. A retried task
+  * racing a still-running zombie attempt therefore can never interleave
+  * two writers into one stream: both produce byte-identical content (the
+  * rows are a deterministic sort of a deterministic partition), and rename
+  * is all-or-nothing, so whichever attempt commits last installs a
+  * complete, correct file. REMAINING ASSUMPTION (asserted at write):
+  * driver and executors share one filesystem under `path` — true in
+  * local/NFS deployments; an object-store deployment swaps the
+  * `Files`-based writer for a store client with the same temp+rename (or
+  * multipart-commit) shape.
   */
 object TokenShardSink {
 
@@ -49,24 +63,45 @@ object TokenShardSink {
     Files.createDirectories(root)
     (0 until n).foreach(k => Files.createDirectories(root.resolve(s"shard=$k")))
 
+    // the raw-byte writer assumes one shared filesystem (doc above): fail
+    // fast if the driver can't see the directory executors will write
+    require(Files.isDirectory(root),
+      s"TokenShardSink needs a filesystem shared by driver and executors: $path")
+
     val (pathStr, w, len) = (path, tokenBytes, seqLen)
     import org.apache.spark.sql.Row
     try {
     sharded.foreachPartition { (it: Iterator[Row]) =>
       // rows arrive sorted by (shard, seq_id); hash partitioning may route
       // SEVERAL shards to one task (hash(shard) mod n is not identity), so
-      // roll the output stream on shard boundaries
+      // roll the output stream on shard boundaries. Task-commit discipline:
+      // bytes stream into an attempt-unique temp file; the atomic rename
+      // into place happens only when the shard's rows are exhausted, so a
+      // zombie attempt and its retry can never interleave in tokens.bin.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
       var out: java.io.DataOutputStream = null
-      var shard = Long.MinValue
+      var tmp: java.nio.file.Path = null
+      var dst: java.nio.file.Path = null
       val limit = if (w == 2) 1 << 16 else Int.MaxValue
+      def commit(): Unit = if (out != null) {
+        out.close(); out = null
+        Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        tmp = null
+      }
       try {
+        var shard = Long.MinValue
         it.foreach { r =>
           val s = r.getAs[Long]("shard")
           if (s != shard) {
-            if (out != null) out.close()
+            commit()
             shard = s
+            dst = Paths.get(pathStr, s"shard=$s", "tokens.bin")
+            tmp = dst.resolveSibling(s".tokens.bin.attempt-$attempt.tmp")
             out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-              Files.newOutputStream(Paths.get(pathStr, s"shard=$s", "tokens.bin"))))
+              Files.newOutputStream(tmp)))
           }
           val toks = r.getAs[scala.collection.Seq[Int]]("toks")
           require(toks.length == len,
@@ -78,7 +113,12 @@ object TokenShardSink {
           }
           out.write(buf.array())
         }
-      } finally if (out != null) out.close()
+        commit()
+      } finally {
+        // abort path: never leave a half-written temp behind
+        if (out != null) out.close()
+        if (tmp != null) Files.deleteIfExists(tmp)
+      }
     }
 
     // manifest from a bounded n-row aggregate — the only driver-side data
@@ -99,6 +139,11 @@ object TokenShardSink {
     val manifest = Files.readString(Paths.get(path, "manifest.json"))
     val L = """"seq_len":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toInt
     val w = """"token_bytes":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toInt
+    // an empty shard has a 0-count manifest entry and no tokens.bin (tasks
+    // only open files for shards that received rows) — that's a valid
+    // empty shard, not a missing file
+    val cnt = ("\"" + shard + "\":(\\d+)").r.findFirstMatchIn(manifest)
+    if (cnt.exists(_.group(1).toLong == 0L)) return Seq.empty
     val bytes = Files.readAllBytes(Paths.get(path, s"shard=$shard", "tokens.bin"))
     require(bytes.length % (L * w) == 0, "shard byte length must be a multiple of one sequence")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)

@@ -166,4 +166,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 500)
     assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
   }
+
+  test("qm02 aHash is codepoint-indexed (non-ASCII text matches the oracle convention)") {
+    // the oracle addresses the i-th CHARACTER (ascii(substr(text,i,1)),
+    // saturated to a byte); a byte-indexed Spark side would collapse every
+    // non-ASCII char to '?'=63 and silently diverge — pin the real decode
+    // path against a locally computed codepoint reference, including a
+    // supplementary-plane char (two UTF-16 units, one codepoint)
+    val docs = Seq(
+      (1L, "déjà vu — naïve façade résumé, 中文 and 😀 emoji padding text!"),
+      (2L, "plain ascii text, comfortably longer than sixty-four characters in total....."),
+      (3L, "short"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-qm02").toString
+    try {
+      docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      def ref(text: String): (Long, Long) = {
+        val cps = text.codePoints().toArray.take(64).map(cp => math.min(cp, 255))
+        val px = cps ++ Array.fill(64 - cps.length)(32)
+        val tot = px.map(_.toLong).sum
+        var lo = 0L; var hi = 0L
+        for (j <- 0 until 64; if px(j) * 64L > tot)
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        (hi, lo)
+      }
+      val got = graft.relational.QueryCatalog.byName("qm02_image_phash")
+        .build(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      docs.foreach { case (id, t) =>
+        assert(got(id) == ref(t), s"doc $id hash must match codepoint reference")
+      }
+    } finally {
+      import java.nio.file.{Files, Path, Paths}
+      Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+  }
 }

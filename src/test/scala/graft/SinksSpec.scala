@@ -265,6 +265,18 @@ class SinksSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("out of range")
       || Option(ex.getCause).exists(_.getMessage.contains("out of range")))
+    // an empty shard (0-count manifest entry, no tokens.bin on disk —
+    // tasks only open files for shards that received rows) reads back as
+    // empty, not as a NoSuchFileException
+    val sparse = Seq((0L, (0 until L).toArray)).toDF("seq_id", "toks")
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-tokempty").toString
+    TokenShardSink.write(sparse, "seq_id", "toks", L, 3, dir3, tokenBytes = 2)
+    assert(TokenShardSink.readShard(spark, dir3, 1).isEmpty)
+    assert(TokenShardSink.readShard(spark, dir3, 0).length == 1)
+    // no committer temp files may survive a successful write
+    val leftovers = java.nio.file.Files.walk(java.nio.file.Paths.get(dir3))
+      .filter(p => p.getFileName.toString.contains(".tmp")).count()
+    assert(leftovers == 0, "attempt temp files must be renamed or deleted")
   }
 
   test("zarr write rejects misaligned blocks from the write tasks") {
