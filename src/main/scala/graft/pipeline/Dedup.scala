@@ -20,7 +20,13 @@ object Dedup {
 
   /** `pairs`: columns (id_a, id_b). Returns (doc_id, canonical_id) for
     * every id that appears in a pair, canonical = smallest id reachable.
-    * The result is persisted — `unpersist()` it when done. */
+    * The result is persisted — `unpersist()` it when done.
+    *
+    * Throws if the propagation has not converged after `maxIter` rounds:
+    * pointer jumping makes the default 20 astronomically sufficient
+    * (2^20-diameter components), but silently returning partial labels
+    * would be the worst failure mode an offline dedup can have — a wrong
+    * canonical assignment that LOOKS complete. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     def opaque(df: DataFrame): DataFrame =
@@ -57,6 +63,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged) {
+      cached.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds 2^maxIter or the input pair graph is " +
+          "pathological; raise maxIter rather than trusting partial labels")
+    }
     // re-cache under the final plan so the caller's unpersist() matches it
     val result = cached
       .select(col("id").as("doc_id"), col("label").as("canonical_id")).persist()

@@ -38,4 +38,17 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     withResult(pairs)(rows => assert(rows.isEmpty))
   }
+
+  test("hitting maxIter without convergence throws instead of returning partial labels") {
+    // a 30-link chain cannot settle in one round; silently returning the
+    // half-propagated labels would be a wrong answer that LOOKS complete
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the failed call must not leak cached state
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "non-convergence path must release its caches")
+  }
 }
