@@ -47,6 +47,19 @@ final class StreamingAssembler(
   }
   private val groups = mutable.Map.empty[(String, Long), GroupState]
 
+  // Exactly-once per batch id: foreachBatch is at-least-once — after a
+  // sink/driver hiccup Structured Streaming re-delivers the last batch
+  // with the SAME id on restart. Without this watermark a replay would
+  // trip the duplicate-position hard-fail (positions already registered)
+  // or, for a completed timestep, re-offer the array and violate the D3
+  // ordering contract. Re-delivered ids are absorbed as no-ops instead —
+  // the standard foreachBatch idempotence recipe (ids are monotone within
+  // a query). The id is advanced only after SUCCESSFUL processing: replay
+  // after a failed batch is deliberately NOT absorbed, because a failure
+  // poisons this assembler (hard-fail contract) — rebuild it fresh.
+  // Pinned by StreamingSpec's replay test.
+  private var lastProcessedBatchId: Long = -1L
+
   def attach(chunkStream: DataFrame, queryName: String = "graft-ingest"): StreamingQuery =
     chunkStream.writeStream
       .outputMode("append")
@@ -59,6 +72,7 @@ final class StreamingAssembler(
     * chunk), then offer completed arrays to the windowed executor in
     * timestep order. Only grid coordinates travel to the driver. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    if (batchId <= lastProcessedBatchId) return // replayed batch: absorbed
     val cached = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val stats = cached.groupBy(F.col("name"), F.col("t"))
       .agg(F.collect_list(F.col("pos")).as("positions"),
@@ -68,9 +82,9 @@ final class StreamingAssembler(
         F.first(F.col("dtype")).as("dtype"))
       .collect()
       .sortBy(r => (r.getLong(1), r.getString(0))) // timestep order (D1)
-    if (stats.isEmpty) { cached.unpersist(); return }
+    if (stats.isEmpty) { cached.unpersist(); lastProcessedBatchId = batchId; return }
     val ref = new BatchRef(cached)
-    try processStats(stats, ref)
+    try { processStats(stats, ref); lastProcessedBatchId = batchId }
     catch {
       case e: Throwable =>
         // a failed batch fails the whole query (hard-fail contract); its

@@ -127,6 +127,39 @@ class StreamingSpec extends AnyFunSuite {
     assembler.shutdown()
   }
 
+  test("replayed micro-batch (same batch id) is absorbed exactly-once") {
+    // foreachBatch is at-least-once: after a sink/driver hiccup the SAME
+    // batch id is re-delivered on restart. The assembler must absorb the
+    // replay as a no-op — no duplicate-position hard-fail for a
+    // still-open group, no re-fired callback or D3 ordering violation for
+    // a completed one. (Replay after a FAILED batch is deliberately not
+    // absorbed: a failure poisons the assembler, hard-fail contract.)
+    import spark.implicits._
+    val ex = new WindowedExecutor(spark, Seq(meta), persistWindows = false)
+    val assembler = new StreamingAssembler(ex, Seq(meta))
+    var fired = List.empty[Long]
+    ex.registerCallback(Seq(ArrayWindow("array"))) { args =>
+      fired ::= args("array").last.t
+    }
+    val b0 = Seq(ChunkRow("array", 0, Seq(0, 0), Seq(1, 1), Array(1.0), "float64")).toDF()
+    assembler.processBatch(b0, 0L)
+    // replay while the t=0 group is still open: would be a duplicate
+    // position without the batch-id watermark
+    assembler.processBatch(b0, 0L)
+    val b1 = Seq(ChunkRow("array", 0, Seq(0, 1), Seq(1, 1), Array(2.0), "float64")).toDF()
+    assembler.processBatch(b1, 1L)
+    // sentinel flushes t=0 (D1 one-step lag) and terminates the executor
+    assembler.processBatch(Seq(ChunkRow.sentinel(1)).toDF(), 2L)
+    assert(fired == List(0L), "completing t=0 fires the callback exactly once")
+    // replay of the completed batch: absorbed — re-offering t=0 into the
+    // now-terminated executor would throw, and the callback must not refire
+    assembler.processBatch(b1, 1L)
+    assert(fired == List(0L) && ex.isTerminated)
+    ex.shutdown(); assembler.shutdown()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "absorbed replays must not leak cached batches")
+  }
+
   test("chunk-count overflow is rejected (duplicate chunk guard)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
