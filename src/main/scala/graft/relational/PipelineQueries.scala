@@ -680,7 +680,7 @@ object PipelineQueries {
         (mem.id_sum - COALESCE(pvn.paired_id_sum, 0)
           + COALESCE(list_sum(f.kept_ids), 0))::BIGINT AS kept_id_sum
       FROM mem LEFT JOIN pvn ON mem.cell = pvn.cell LEFT JOIN fin f ON mem.cell = f.cell
-      ORDER BY cell""")),
+      ORDER BY cell"""), headline = true),
 
     CatalogQuery("qd08_dup_spans", (s, d) => {
       // Substring-level exact dedup (the ExactSubstr shape from
@@ -1262,7 +1262,7 @@ object PipelineQueries {
         .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
     }, Some("""
       SELECT count(*) AS n_queries, TRUE AS recall_ge_090
-      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q"""), headline = true),
 
     CatalogQuery("qs08_hybrid_rank", (s, d) => {
       // Hybrid retrieval: rerank ANN candidates by cosine × a text-quality
@@ -2190,7 +2190,7 @@ object PipelineQueries {
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
         CAST(sum(sc) AS DOUBLE) AS score
       FROM sc GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 10""")),
+      ORDER BY score DESC, doc_id LIMIT 10"""), headline = true),
 
     CatalogQuery("qt13_pii_redact", (s, d) => {
       // PII detection + redaction — the scrubbing pass every released
@@ -2705,7 +2705,7 @@ object PipelineQueries {
       SELECT $BpeMerges AS n_merges,
         CAST(count(DISTINCT word) AS BIGINT) AS n_words,
         TRUE AS argmax_verified
-      FROM toks""")),
+      FROM toks"""), headline = true),
 
     CatalogQuery("qp09_quality_classifier", (s, d) => {
       // Trained quality classifier, the fasttext shape every curation
@@ -3153,7 +3153,7 @@ object PipelineQueries {
       SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
         CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
         CAST(sum(n_chars) AS BIGINT) AS sum_chars
-      FROM f GROUP BY source, lang ORDER BY source, lang""")),
+      FROM f GROUP BY source, lang ORDER BY source, lang"""), headline = true),
 
     // ---------- multimodal plumbing ----------
 
