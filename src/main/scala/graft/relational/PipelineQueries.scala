@@ -2358,9 +2358,9 @@ object PipelineQueries {
       // before any token-level curation decisions.
       //
       // Scale shape: one explode→hash-agg produces the token counts;
-      // top-1000 is TakeOrderedAndProject (bounded); the rank window runs
-      // over that ≤1000-row set only (bounded single task — the corpus
-      // never enters a window). The regression reduces to five sums of
+      // top-1000 is TakeOrderedAndProject (bounded); ranks come from a
+      // bounded ≤1000-row driver gather (no window — the corpus never
+      // enters one). The regression reduces to five sums of
       // 12-decimal-quantized decimals (qe05's discipline: multiply in
       // double, cast once), so Σ's are exact and the final slope /
       // intercept are single identical double expressions on both
@@ -2371,9 +2371,17 @@ object PipelineQueries {
       val top = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("token")).limit(TopN)
       val dec12 = org.apache.spark.sql.types.DecimalType(25, 12)
-      val ranked = top
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("c").desc, col("token")))) // bounded: ≤ TopN rows
+      // rank via a bounded ≤TopN-row driver gather (TakeOrderedAndProject
+      // returns the sorted rows, so zipWithIndex IS the rank) — the qp15/
+      // qd05 "bounded collect, re-parallelize" discipline, replacing the
+      // last unpartitioned row_number window in the catalog; log/round
+      // arithmetic stays in Spark so both engines' expressions are
+      // unchanged
+      import s.implicits._
+      val ranked = top.collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1)))
+        .zipWithIndex.map { case ((_, c), i) => (c, i + 1L) }
+        .toDF("c", "rank")
         .select(round(log(col("rank")), 12).cast(dec12).as("x"),
           round(log(col("c")), 12).cast(dec12).as("y"))
       val sums = ranked.agg(count(lit(1)).as("n"),
