@@ -232,9 +232,9 @@ object PipelineQueries {
     cross.unionByName(intra)
   }
 
-  /** CTE chain reproducing qd02's verified near-dup pairs — shared by the
-    * qd02 oracle and qd06's connected-components oracle. */
-  private def oMinhashPairsCtes: String = {
+  /** CTE chain reproducing qd02's LSH candidate pairs (pre-verification) —
+    * the shared blocking stage of the minhash oracles. */
+  private def oMinhashCandCtes: String = {
     val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
       val parts = Seq(s"'$bnd'") ++
         (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
@@ -250,7 +250,13 @@ object PipelineQueries {
       banded AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)"""
+  }
+
+  /** CTE chain reproducing qd02's verified near-dup pairs — shared by the
+    * qd02 oracle and qd06's connected-components oracle. */
+  private def oMinhashPairsCtes: String =
+    s"""$oMinhashCandCtes,
       pairs AS (
         SELECT id_a, id_b,
           len(list_intersect(x.hs, y.hs))::DOUBLE /
@@ -258,7 +264,6 @@ object PipelineQueries {
         FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id
         WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
             (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold)"""
-  }
 
   val all: Seq[CatalogQuery] = Seq(
 
@@ -3260,6 +3265,559 @@ object PipelineQueries {
       SELECT h.doc_id, h.ahash_hi, h.ahash_lo,
         CAST(cls.n_same_hash AS BIGINT) AS n_same_hash
       FROM h JOIN cls USING (ahash_hi, ahash_lo)
-      ORDER BY h.doc_id"""))
+      ORDER BY h.doc_id""")),
+
+    CatalogQuery("qt17_pmi_collocations", (s, d) => {
+      // Collocation mining: the top-20 adjacent bigrams by pointwise
+      // mutual information, PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with
+      // p(x,y) = c12/Nb and p(w) = c/Nu — the standard multi-word-
+      // expression detector (Church & Hanks 1990) a tokenizer-training
+      // pipeline runs to decide which word pairs deserve merged tokens.
+      // A min-count floor (c12 ≥ 5) drops the hapax pairs whose PMI is
+      // pure noise.
+      //
+      // Scale shape (qt14's discipline): the token stream collapses once
+      // into bigram counts via hash aggregation (adjacency window
+      // partitioned by doc_id — bounded by doc length); unigram counts
+      // are a second hash agg; the two corpus totals are single-row
+      // aggregates broadcast into the scoring join; top-20 is
+      // TakeOrderedAndProject on the ROUNDED score (both engines rank
+      // the identical 6-decimal double, ties broken lexicographically).
+      val MinPairCount = 5
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "pos", "w")
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = toks
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+      val c12 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("nu"))
+        .crossJoin(big.agg(count(lit(1)).as("nb")))
+      c12.filter(col("c12") >= MinPairCount)
+        .join(c1.select(col("w"), col("c").as("ca")), Seq("w"))
+        .join(c1.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w").as("w1"), col("w2"), col("c12").as("n_pair"),
+          round(log((col("c12").cast("double") / col("nb").cast("double")) /
+            ((col("ca").cast("double") / col("nu").cast("double")) *
+              (col("cb").cast("double") / col("nu").cast("double")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }, Some("""
+      WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                    FROM documents),
+      big AS (SELECT arr[i] AS w, arr[i + 1] AS w2
+              FROM docs, (SELECT unnest(range(1, len(arr))) AS i) ix),
+      uni AS (SELECT unnest(arr) AS w FROM docs),
+      c12 AS (SELECT w, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      tot AS (SELECT (SELECT count(*) FROM uni) AS nu,
+                     (SELECT count(*) FROM big) AS nb)
+      SELECT c12.w AS w1, c12.w2 AS w2, CAST(c12.c12 AS BIGINT) AS n_pair,
+        round(ln((c12.c12::DOUBLE / nb::DOUBLE) /
+          ((a.c::DOUBLE / nu::DOUBLE) * (b.c::DOUBLE / nu::DOUBLE))), 6) AS pmi
+      FROM c12 JOIN c1 a ON c12.w = a.w JOIN c1 b ON c12.w2 = b.w, tot
+      WHERE c12.c12 >= 5
+      ORDER BY pmi DESC, w1, w2 LIMIT 20""")),
+
+    CatalogQuery("qt18_readability", (s, d) => {
+      // Readability scoring — the Flesch-Kincaid grade with a
+      // deterministic syllable proxy (maximal [aeiouy]+ runs in the
+      // lowercased text), the standard cheap complexity feature in
+      // quality-filter stacks (alongside qt02's ratios). Sentence count =
+      // maximal [.!?]+ runs, clamped to ≥1 so fragments still score.
+      //
+      // Scale shape: pure per-row codegen'd regex/length expressions that
+      // pipeline inside the scan — no shuffle at any corpus size. Run
+      // counting uses the replace-collapse trick (len after collapsing
+      // each run to one '#' minus len after deleting runs = number of
+      // runs), which both regex engines evaluate identically on these
+      // RE2-safe ASCII classes (qt13's compatibility discipline). The
+      // grade is one fixed double expression; constants appear literally
+      // on both sides (qt12's pre-folding discipline).
+      val lc = lower(col("text"))
+      val syl = length(regexp_replace(lc, "[aeiouy]+", "#")) -
+        length(regexp_replace(lc, "[aeiouy]+", ""))
+      val sentRuns = length(regexp_replace(col("text"), "[.!?]+", "#")) -
+        length(regexp_replace(col("text"), "[.!?]+", ""))
+      val words = size(TextOps.tokens(col("text")))
+      val sent = greatest(sentRuns, lit(1))
+      table(s, d, "documents")
+        .select(col("doc_id"), words.as("n_words"), sent.as("n_sentences"),
+          syl.as("n_syllables"),
+          round(lit(0.39) * (words.cast("double") / sent.cast("double")) +
+            lit(11.8) * (syl.cast("double") / words.cast("double")) -
+            lit(15.59), 6).as("fk_grade"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH r AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+          greatest(length(regexp_replace(text, '[.!?]+', '#', 'g')) -
+                   length(regexp_replace(text, '[.!?]+', '', 'g')), 1) AS n_sentences,
+          length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g')) -
+            length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        round(0.39::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE) +
+          11.8::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE) -
+          15.59::DOUBLE, 6) AS fk_grade
+      FROM r ORDER BY doc_id""")),
+
+    CatalogQuery("qt19_source_overlap", (s, d) => {
+      // Corpus-composition audit: pairwise vocabulary Jaccard between
+      // sources — the dataset-mixing diagnostic that flags near-identical
+      // crawls (two snapshots of the same site) before they double-count
+      // in the mixture, and quantifies domain distance for qp06/qp07-style
+      // rebalancing decisions.
+      //
+      // Scale shape: the corpus collapses once into the DISTINCT
+      // (source, token) posting table (hash aggregation); intersections
+      // come from a self-equi-join keyed by token — the shuffle carries
+      // vocabulary postings, never documents — and the output is bounded
+      // by S² pairs (S = #sources, trivially small even when the corpus
+      // is 100 TB). Per-source vocabulary sizes are an S-row aggregate
+      // broadcast into the final scoring join.
+      val st = table(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+      val ns = st.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      st.select(col("source").as("s1"), col("w"))
+        .join(st.select(col("source").as("s2"), col("w")), Seq("w"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(ns.select(col("source").as("s1"), col("nv").as("na"))), Seq("s1"))
+        .join(broadcast(ns.select(col("source").as("s2"), col("nv").as("nb"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n_inter"),
+          round(col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+    }, Some("""
+      WITH st AS (SELECT DISTINCT source, w FROM
+          (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+           FROM documents) t),
+      ns AS (SELECT source, count(*) AS nv FROM st GROUP BY 1),
+      iv AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+             FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT s1, s2, CAST(n_inter AS BIGINT) AS n_inter,
+        round(n_inter::DOUBLE / (x.nv + y.nv - n_inter)::DOUBLE, 6) AS jaccard
+      FROM iv JOIN ns x ON iv.s1 = x.source JOIN ns y ON iv.s2 = y.source
+      ORDER BY s1, s2""")),
+
+    CatalogQuery("qp17_seqlen_histogram", (s, d) => {
+      // Sequence-length planning: the log2 token-length histogram plus
+      // each bucket's share of total tokens — the curve that decides the
+      // packing sequence length (qp11's PackSeqLen) and how much padding/
+      // truncation a candidate length costs. Buckets are integer-exact:
+      // bucket = len(bin(n)) = ⌊log2 n⌋ + 1, so no float log can
+      // misbucket a power of two on either engine.
+      //
+      // Scale shape: one per-row expression inside the scan, one hash
+      // aggregation to ≤64 bucket rows, and a single-row total broadcast
+      // back for the share — nothing else moves at any corpus size.
+      val n = size(TextOps.tokens(col("text")))
+      val h = table(s, d, "documents")
+        .select(length(bin(n.cast("long"))).as("bucket"), n.as("n_tokens"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bucket_tokens"))
+      h.crossJoin(broadcast(h.agg(sum(col("bucket_tokens")).as("t"))))
+        .select(col("bucket"), col("n_docs"), col("bucket_tokens"),
+          round(col("bucket_tokens").cast("double") / col("t").cast("double"), 6)
+            .as("token_share"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      WITH lens AS (SELECT length(bin(
+            length(regexp_split_to_array(trim(text), '\s+')))) AS bucket,
+          length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        FROM documents),
+      h AS (SELECT bucket, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+            FROM lens GROUP BY 1),
+      tot AS (SELECT CAST(sum(bucket_tokens) AS BIGINT) AS t FROM h)
+      SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs, bucket_tokens,
+        round(bucket_tokens::DOUBLE / t::DOUBLE, 6) AS token_share
+      FROM h, tot ORDER BY bucket""")),
+
+    CatalogQuery("qs11_sign_sketch_rerank", (s, d) => {
+      // Binary-sketch ANN: each vector collapses to a 64-bit sign sketch
+      // (bit i = dim i > 0 — the 1-bit-per-dim extreme of the qs05→qs07
+      // quantization ladder, 32× smaller than fp32), candidates come from
+      // Hamming distance over the sketches (two bit_count(xor) ops per
+      // comparison — the cheapest possible scan), and exact fp cosine is
+      // computed only for the ≤ queries × CandK survivors. Like
+      // qs03/qs05/qs07 the quantization makes the oracle non-mirrorable,
+      // so the gate is the bounded recall contract vs the brute-force
+      // truth (qs01's plan), at ≥ 0.90. One bit per dim is the noisiest
+      // quantizer in the qs05→qs07 family, so it needs the widest
+      // candidate margin: CandK=48k measures avg recall 0.96–1.0 across
+      // SFs (worst per-query 0.9 at sf0.1); 16k/32k measure 0.70/0.86 at
+      // sf0.1 — do NOT shrink CandK without re-measuring. On real
+      // embeddings (clustered, not near-random like this synthetic set)
+      // the same sketch supports far smaller margins.
+      //
+      // Scale shape: the sketch table is two ints per vector; the
+      // Hamming scan broadcasts 5 query sketches over one pass; both
+      // ranking stages use the bounded TopKByScore aggregator (no
+      // per-query window sort); rerank touches CandK rows per query.
+      // The sketch packs via an in-array fold into two 32-bit halves
+      // (a 64-bit acc*2 fold would overflow the Long sign bit under
+      // ANSI arithmetic); Hamming = bit_count(hi⊕hi') + bit_count(lo⊕lo').
+      val NQueries = 5; val CandK = 48 * AnnTopK
+      def pack(half: Column): Column =
+        aggregate(half, lit(0L),
+          (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // sketch scan + rerank + truth scan reuse it
+      val dim = 64
+      val sk = e.select(col("vec_id"),
+        pack(slice(col("v"), 1, dim / 2)).as("shi"),
+        pack(slice(col("v"), dim / 2 + 1, dim / 2)).as("slo"))
+      val qsk = sk.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("shi").as("qhi"), col("slo").as("qlo"))
+      val hammed = sk.crossJoin(broadcast(qsk))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          negate((bit_count(col("shi").bitwiseXOR(col("qhi"))) +
+            bit_count(col("slo").bitwiseXOR(col("qlo")))).cast("double")).as("score"))
+      val candTopK = graft.functions.TopKAggregator.topK(CandK)
+      val cand = hammed.groupBy(col("query_id"))
+        .agg(candTopK(col("score"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      val exactQueries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val rescored = e.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(exactQueries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      val reranked = topkRanked(rescored).select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(reranked.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qe07_intrinsic_dim", (s, d) => {
+      // Intrinsic-dimension estimate via TwoNN (Facco et al. 2017): for
+      // each point, μ = r2/r1 (ratio of 2nd- to 1st-nearest-neighbor
+      // distance); the MLE d̂ = n / Σ ln μ. Embeddings whose intrinsic
+      // dimension is far below the ambient one tolerate aggressive
+      // truncation (qs10's Matryoshka path) — this is the audit that
+      // licenses it.
+      //
+      // Scale shape: the estimator is statistical, so it runs on a
+      // DETERMINISTIC bounded sample (vec_id < 256 — the qd05/qs02
+      // mirror-able convention), never the full corpus: all-pairs within
+      // the sample is 256² rows whatever the corpus size, and the sample
+      // ships as one broadcast. ln μ = ½·ln(d2²/d1²) so no sqrt enters
+      // the arithmetic. Exactness discipline: squared distances are sums
+      // of 12-decimal-quantized per-dim squares (qe05's (37,12)+(25,12)
+      // accumulator — bit-identical across engines AND partitionings),
+      // so the per-point NN ranking is exact decimal comparison, and the
+      // final Σ ln μ is a decimal sum of identically-rounded doubles.
+      // Zero-distance twins (exact duplicate vectors) are excluded on
+      // both sides — μ is undefined there.
+      val SampleN = 256
+      val dec25 = org.apache.spark.sql.types.DecimalType(25, 12)
+      val dec37 = org.apache.spark.sql.types.DecimalType(37, 12)
+      val e = table(s, d, "embeddings")
+        .filter(col("vec_id") < SampleN)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val pairs = e.select(col("vec_id").as("ia"), col("v").as("va"))
+        .crossJoin(broadcast(e.select(col("vec_id").as("ib"), col("v").as("vb"))))
+        .filter(col("ia") =!= col("ib"))
+        .select(col("ia"), col("ib"),
+          aggregate(
+            zip_with(col("va"), col("vb"), (x, y) => round((x - y) * (x - y), 12).cast(dec25)),
+            lit(0).cast(dec37), (acc, r) => (acc + r).cast(dec37)).as("dsq"))
+      val byPoint = Window.partitionBy(col("ia")).orderBy(col("dsq"), col("ib"))
+      val nn = pairs.withColumn("rn", row_number().over(byPoint))
+        .filter(col("rn") <= 2)
+        .groupBy(col("ia"))
+        .agg(min(when(col("rn") === 1, col("dsq"))).as("d1"),
+          min(when(col("rn") === 2, col("dsq"))).as("d2"))
+        .filter(col("d1") > 0)
+        .select(round(lit(0.5) * log(col("d2").cast("double") / col("d1").cast("double")), 12)
+          .cast(dec25).as("lnmu"))
+      nn.agg(count(lit(1)).as("n_points"), sum(col("lnmu")).as("slm"))
+        .select(col("n_points"),
+          round(col("n_points").cast("double") / col("slm").cast("double"), 6).as("id_hat"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id < 256),
+      el AS (SELECT vec_id, i, v[i] AS x
+             FROM e, (SELECT unnest(range(1, len(v) + 1)) AS i) ix),
+      dsq AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                sum(CAST(round((a.x - b.x) * (a.x - b.x), 12) AS DECIMAL(25,12))) AS dsq
+              FROM el a JOIN el b ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY 1, 2),
+      rk AS (SELECT ia, ib, dsq,
+               row_number() OVER (PARTITION BY ia ORDER BY dsq, ib) AS rn
+             FROM dsq),
+      mu AS (SELECT ia,
+               max(CASE WHEN rn = 1 THEN dsq END) AS d1,
+               CAST(round(0.5::DOUBLE *
+                 ln(max(CASE WHEN rn = 2 THEN dsq END)::DOUBLE /
+                    max(CASE WHEN rn = 1 THEN dsq END)::DOUBLE), 12)
+                 AS DECIMAL(25,12)) AS lnmu
+             FROM rk WHERE rn <= 2 GROUP BY ia)
+      SELECT count(*) AS n_points,
+        round(count(*)::DOUBLE / CAST(sum(lnmu) AS DOUBLE), 6) AS id_hat
+      FROM mu WHERE d1 > 0""")),
+
+    CatalogQuery("qd13_minhash_calibration", (s, d) => {
+      // LSH estimator calibration: for EVERY candidate pair the bands
+      // surface (including sub-threshold ones qd02 discards), the
+      // minhash Jaccard estimate (matching signature components / perms)
+      // against the exact Jaccard — the audit that justifies the banding
+      // parameters: if |est − exact| drifts, the P(candidate | j) curve
+      // the (bands, rows) choice was derived from no longer holds for
+      // this corpus.
+      //
+      // Scale shape: exactly qd02's blocking (exact-dup pre-collapse,
+      // keys-only band shuffle); the only additions are one zip_with
+      // equality fold over the 8-component signatures and the same
+      // sorted-merge intersect — both per-candidate, never per-corpus.
+      // Estimate and exact score compute on representatives and expand
+      // to member pairs (identical shingle sets ⇒ identical signatures ⇒
+      // scores inherit verbatim; intra-group pairs sit at exactly 1.0).
+      import graft.functions.expressions.ShingleExpressions._
+      val raw = table(s, d, "documents")
+      val spread =
+        if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+          raw.repartition(s.sparkContext.defaultParallelism)
+        else raw
+      val docs0 = spread
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
+      val (reps, memb, cand) = collapsedLshCandidates(docs0)
+      val repScored = cand
+        .join(reps.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(reps.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+        .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"),
+          round(aggregate(
+            zip_with(minhashSig(col("hs_a"), NumPerms), minhashSig(col("hs_b"), NumPerms),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), _ + _).cast("double") / lit(NumPerms), 6).as("est"),
+          round(col("inter").cast("double") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6).as("exact"))
+      val cross = repScored
+        .join(memb.select(col("rep_id").as("rep_a"), col("doc_id").as("m_a")), Seq("rep_a"))
+        .join(memb.select(col("rep_id").as("rep_b"), col("doc_id").as("m_b")), Seq("rep_b"))
+        .select(least(col("m_a"), col("m_b")).as("id_a"),
+          greatest(col("m_a"), col("m_b")).as("id_b"), col("est"), col("exact"))
+      val ia = memb.select(col("rep_id"), col("doc_id").as("id_a"))
+      val ib = memb.select(col("rep_id"), col("doc_id").as("id_b"))
+      val intra = ia.join(ib, Seq("rep_id")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          lit(1.0).as("est"), lit(1.0).as("exact"))
+      cross.unionByName(intra)
+        .select(col("id_a"), col("id_b"), col("est"), col("exact"),
+          round(abs(col("est") - col("exact")), 6).as("abs_err"))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH $oMinhashCandCtes,
+      scored AS (
+        SELECT id_a, id_b,
+          round(len([i for i in range(1, ${NumPerms + 1})
+                     if sx.mh[i] = sy.mh[i]])::DOUBLE / $NumPerms, 6) AS est,
+          round(len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))), 6) AS exact
+        FROM cand
+          JOIN sig sx ON cand.id_a = sx.doc_id JOIN sig sy ON cand.id_b = sy.doc_id
+          JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id)
+      SELECT id_a, id_b, est, exact, round(abs(est - exact), 6) AS abs_err
+      FROM scored ORDER BY id_a, id_b""")),
+
+    CatalogQuery("qe08_quantization_error", (s, d) => {
+      // The audit that licenses qs05's int8 memory path: corpus-level
+      // reconstruction error of per-vector symmetric int8 quantization
+      // (scale = max|x|/127, the exact scheme qs05 scans with). Output =
+      // total squared error + worst per-element absolute error; a corpus
+      // whose max_abs_err rivals its typical element magnitude should not
+      // run the quantized path without a wider candidate margin.
+      //
+      // Scale shape: one pass, three per-row array expressions, one
+      // bounded aggregate — the corpus never shuffles. Exactness: the
+      // quantize→dequantize arithmetic (round-half-up, IEEE double ops in
+      // a fixed order) is identical on both engines, per-element squared
+      // errors are 12-decimal-quantized decimals (qe05's accumulator
+      // discipline), and max is order-free.
+      val dec25 = org.apache.spark.sql.types.DecimalType(25, 12)
+      val dec37 = org.apache.spark.sql.types.DecimalType(37, 12)
+      table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("vec_id"), col("v"),
+          (greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30)) /
+            lit(127.0)).as("s"))
+        .select(col("vec_id"),
+          transform(col("v"), x => x - round(x / col("s")) * col("s")).as("err"))
+        .select(col("vec_id"),
+          aggregate(col("err"), lit(0).cast(dec37),
+            (acc, x) => (acc + round(x * x, 12).cast(dec25)).cast(dec37)).as("sq"),
+          array_max(transform(col("err"), x => round(abs(x), 12).cast(dec25))).as("mx"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("sq")).cast("double").as("total_sq_err"),
+          max(col("mx")).cast("double").as("max_abs_err"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id,
+              greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) /
+                127::DOUBLE AS s
+            FROM e),
+      el AS (SELECT e.vec_id, v[i] AS x, s.s
+             FROM e JOIN s USING (vec_id),
+               (SELECT unnest(range(1, len(v) + 1)) AS i) ix),
+      err AS (SELECT vec_id,
+               sum(CAST(round((x - round(x / s) * s) * (x - round(x / s) * s), 12)
+                 AS DECIMAL(25,12))) AS sq,
+               max(CAST(round(abs(x - round(x / s) * s), 12)
+                 AS DECIMAL(25,12))) AS mx
+              FROM el GROUP BY 1)
+      SELECT count(*) AS n_vectors,
+        CAST(sum(sq) AS DOUBLE) AS total_sq_err,
+        CAST(max(mx) AS DOUBLE) AS max_abs_err
+      FROM err""")),
+
+    CatalogQuery("qp18_mixture_plan", (s, d) => {
+      // Token-budget mixture planning: qp06 decides per-language KEEP
+      // probabilities; this produces the complementary per-source
+      // TRAINING plan for a fixed token budget — temperature-weighted
+      // share (α = 0.5, qp06's integer-quantized floor∘sqrt weights),
+      // planned token draw, repeat factor, and epoch count (how many
+      // passes over a small source the sampler makes — the "rare source
+      // seen 4×" number in every LLM data recipe).
+      //
+      // Scale shape: one corpus scan collapses to an S-row (source,
+      // token-count) table; everything downstream is integer arithmetic
+      // on S rows with the weight total broadcast back. Exactness: all
+      // quantities are BIGINT floor-division chains (no float surface
+      // except the IEEE sqrt both engines round identically, qp06's
+      // convention).
+      val B = 10000000L // planned token budget
+      val tok = table(s, d, "documents")
+        .select(col("source"), size(TextOps.tokens(col("text"))).as("n"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tok"))
+      val w = tok.select(col("source"), col("n_tok"),
+        floor(sqrt(col("n_tok"))).cast("long").as("w"))
+      val tw = w.agg(sum(col("w")).cast("long").as("tw"))
+      w.crossJoin(broadcast(tw))
+        .withColumn("share_ppm", expr("(w * 1000000L) div tw"))
+        .withColumn("planned_tokens", expr(s"(share_ppm * ${B}L) div 1000000L"))
+        .withColumn("repeat_ppm", expr("(planned_tokens * 1000000L) div n_tok"))
+        .withColumn("n_epochs", expr("(planned_tokens + n_tok - 1L) div n_tok"))
+        .select(col("source"), col("n_tok"), col("w"), col("share_ppm"),
+          col("planned_tokens"), col("repeat_ppm"), col("n_epochs"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH tok AS (SELECT source,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tok
+        FROM documents GROUP BY 1),
+      w AS (SELECT source, n_tok,
+              CAST(floor(sqrt(n_tok::DOUBLE)) AS BIGINT) AS w FROM tok),
+      tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w)
+      SELECT source, n_tok, w.w AS w,
+        (w.w * 1000000) // tw.tw AS share_ppm,
+        ((w.w * 1000000) // tw.tw * 10000000) // 1000000 AS planned_tokens,
+        (((w.w * 1000000) // tw.tw * 10000000) // 1000000 * 1000000) // n_tok AS repeat_ppm,
+        ((((w.w * 1000000) // tw.tw * 10000000) // 1000000) + n_tok - 1) // n_tok AS n_epochs
+      FROM w, tw ORDER BY source""")),
+
+    CatalogQuery("qm03_video_framehash", (s, d) => {
+      // Video fingerprinting THROUGH THE REAL image2pipe DECODE PATH:
+      // each doc's codepoints become 1–4 genuine 8×8 PGM frames,
+      // concatenated exactly as `ffmpeg -f image2pipe` emits them, then
+      // round-tripped through `MediaCodecs.encodeNetpbm` +
+      // `decodeNetpbmStream` — the multimodal plumbing's actual video
+      // framing — before per-frame aHashes are computed from the DECODED
+      // pixels. The oracle computes the same hashes directly from the
+      // text codepoints, so any corruption in multi-frame framing, header
+      // emission, or stream offset bookkeeping breaks the gate (qm02's
+      // end-to-end certification, one container level up). The distinct-
+      // frame-hash count is the static-video detector (slideshow/still
+      // content has n_distinct ≪ n_frames); banding the per-frame hash
+      // words Hamming-LSH-style (qd02's geometry) is the near-dup scale
+      // path.
+      //
+      // Scale shape: one batched mapPartitions kernel pass (no UDF
+      // registry), all integer arithmetic, output is five ints per doc.
+      // Frame count derives from the CODEPOINT count (Java string length
+      // is UTF-16 units; the oracle's length(text) is codepoints — qm02's
+      // indexing discipline).
+      import s.implicits._
+      val MaxFrames = 4
+      table(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val cp = text.codePointCount(0, text.length)
+            val nf = math.min(MaxFrames, math.max(1, (cp + 63) / 64))
+            // saturate codepoints to bytes, space-pad to nf full frames
+            val px = new Array[Byte](nf * 64)
+            java.util.Arrays.fill(px, ' '.toByte)
+            var i = 0; var off = 0
+            while (i < nf * 64 && off < text.length) {
+              val c = text.codePointAt(off)
+              px(i) = math.min(c, 255).toByte
+              off += Character.charCount(c)
+              i += 1
+            }
+            val stream = (0 until nf).flatMap { f =>
+              graft.pipeline.MediaCodecs.encodeNetpbm(
+                graft.pipeline.MediaCodecs.RawImage(8, 8, 1,
+                  java.util.Arrays.copyOfRange(px, f * 64, (f + 1) * 64)))
+            }.toArray
+            val frames = graft.pipeline.MediaCodecs.decodeNetpbmStream(stream)
+            require(frames.length == nf, s"frame loss: ${frames.length} != $nf")
+            val hashes = frames.map { img =>
+              var tot = 0L; var j = 0
+              while (j < 64) { tot += img.lumAt(j); j += 1 }
+              var lo = 0L; var hi = 0L
+              j = 0
+              while (j < 64) {
+                if (img.lumAt(j) * 64L > tot) {
+                  if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+                }
+                j += 1
+              }
+              (hi, lo)
+            }
+            (id, nf.toLong, hashes.distinct.length.toLong, hashes.head._1, hashes.head._2)
+          }
+        }.toDF("doc_id", "n_frames", "n_distinct_frames", "f0_hi", "f0_lo")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (SELECT doc_id,
+               least(greatest((length(text) + 63) // 64, 1), 4) AS nf
+             FROM documents),
+      px AS (SELECT d.doc_id, (i - 1) // 64 AS frame, (i - 1) % 64 AS j,
+               CASE WHEN i <= length(d.text)
+                    THEN least(ascii(substr(d.text, i, 1)), 255) ELSE 32 END AS p
+             FROM documents d JOIN f USING (doc_id),
+               (SELECT unnest(range(1, 257)) AS i) ix
+             WHERE i <= f.nf * 64),
+      tot AS (SELECT doc_id, frame, sum(p) AS tot FROM px GROUP BY 1, 2),
+      h AS (SELECT px.doc_id, px.frame,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.j >= 32
+                THEN 1::BIGINT << (px.j - 32) ELSE 0 END) AS BIGINT) AS hi,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.j < 32
+                THEN 1::BIGINT << px.j ELSE 0 END) AS BIGINT) AS lo
+            FROM px JOIN tot USING (doc_id, frame) GROUP BY 1, 2)
+      SELECT f.doc_id, CAST(f.nf AS BIGINT) AS n_frames,
+        CAST(count(DISTINCT (h.hi, h.lo)) AS BIGINT) AS n_distinct_frames,
+        CAST(max(CASE WHEN h.frame = 0 THEN h.hi END) AS BIGINT) AS f0_hi,
+        CAST(max(CASE WHEN h.frame = 0 THEN h.lo END) AS BIGINT) AS f0_lo
+      FROM f JOIN h USING (doc_id) GROUP BY f.doc_id, f.nf
+      ORDER BY f.doc_id"""))
   )
 }

@@ -107,7 +107,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // (map-side partials bound memory and the shuffle to partitions × k).
     for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall", "qs04_ann_batch",
                   "qs05_ann_int8_rerank", "qs06_hard_negatives", "qs07_ann_pq_rerank",
-                  "qs08_hybrid_rank")) {
+                  "qs08_hybrid_rank", "qs11_sign_sketch_rerank")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q must not window-sort candidates:\n${plan.take(1500)}")
       assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
@@ -531,5 +531,29 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(plan.contains("windowspecdefinition(bucket"),
         s"rank window must partition by the key-range bucket:\n${plan.take(1500)}")
     } finally spark.catalog.clearCache()
+  }
+
+  test("qe07 sample bound is pushed into the embeddings scan") {
+    // the TwoNN estimator runs on a deterministic 256-vector sample; that
+    // bound must reach the parquet reader (row-group pruning at 100 TB),
+    // not filter post-scan
+    val plan = planOf("qe07_intrinsic_dim")
+    assert(plan.contains("LessThan(vec_id,256)"),
+      s"sample filter must push into the scan:\n${plan.take(1500)}")
+    // and its NN-ranking window is partitioned (per sample point), never
+    // a global sort
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = QueryCatalog.byName("qe07_intrinsic_dim").build(spark, dir)
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    spark.catalog.clearCache()
+    assert(globals.isEmpty, "qe07 window must partition by the sample point")
+  }
+
+  test("qt19 vocabulary intersection is an equi-join on token, never cartesian") {
+    val plan = planOf("qt19_source_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"posting self-join must stay keyed by token:\n${plan.take(1500)}")
   }
 }
