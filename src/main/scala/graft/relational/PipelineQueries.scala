@@ -459,13 +459,38 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"),
           TextOps.charShingles(col("text"), ShingleN).as("sh"),
           shingleHash60(col("text"), ShingleN).as("hs"))
-        .persist() // prefix explode + both verification joins read it
+      // Exact-content pre-collapse (the qd02/qd07 discipline): Jaccard is
+      // a function of the shingle SET alone, so docs with identical
+      // (source, shingle sequence) collapse to a min-doc_id
+      // representative before the prefix join. Length pruning can't
+      // bound identical-content hot keys (equal lengths always pass), so
+      // without this 10k copies of one boilerplate page put 10k rows on
+      // each side of every prefix token — m² candidates. The group key
+      // is md5 of the shingle CONCATENATION — injective because shingles
+      // are fixed-width, so a group's members have identical sh/hs and
+      // `first` is deterministic-by-value; same-set-different-order docs
+      // merely land in separate groups, which costs a little collapse
+      // opportunity but never correctness (their reps still meet through
+      // the prefix join). Map-side partial aggregation bounds the one
+      // content shuffle by distinct content. `LshSkewSpec` pins both the
+      // bound and output equality on a duplicate-heavy fixture.
+      val grouped = docs
+        .withColumn("ck", md5(concat_ws("", col("sh"))))
+        .groupBy(col("source"), col("ck"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          first(col("sh")).as("sh"), first(col("hs")).as("hs"),
+          collect_list(col("doc_id")).as("members"))
+        .persist() // feeds reps (prefix explode + 2 verification joins) + memb
+      val reps = grouped.select(col("source"), col("rep_id").as("doc_id"),
+        col("sh"), col("hs"))
+      val memb = grouped.select(col("rep_id"), col("source"),
+        explode(col("members")).as("doc_id"))
       // prefix length |s| - ceil(t*|s|) + 1 in exact integer arithmetic:
       // double rounding (e.g. 20 * 0.55 = 11.000000000000002) would
       // overshoot the ceil, shorten the prefix, and silently lose pairs
       val len = size(col("hs"))
       val ceilT = floor((len * tNum + lit(99)) / lit(100)).cast("int")
-      val pref = docs.select(col("source"), col("doc_id"), len.as("len"),
+      val pref = reps.select(col("source"), col("doc_id"), len.as("len"),
         explode(slice(col("hs"), lit(1), len - ceilT + lit(1))).as("tok"))
       val a = pref.select(col("source"), col("tok"),
         col("doc_id").as("id_a"), col("len").as("len_a"))
@@ -478,14 +503,27 @@ object PipelineQueries {
           col("len_a") * 100 >= col("len_b") * tNum &&
           col("len_b") * 100 >= col("len_a") * tNum)
         .select(col("source"), col("id_a"), col("id_b")).distinct()
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .select(col("source"), col("id_a"), col("id_b"),
+      val repPairs = cand
+        .join(reps.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(reps.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("source"), col("id_a").as("rep_a"), col("id_b").as("rep_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             (size(col("sh_a")) + size(col("sh_b"))
               - size(array_intersect(col("sh_a"), col("sh_b"))))).as("jaccard"))
         .filter(col("jaccard") >= NgramThreshold)
+      // expand verified representative pairs to member pairs (identical
+      // sets ⇒ scores inherit verbatim; within-group pairs sit at 1.0,
+      // which always clears the threshold)
+      val cross = repPairs
+        .join(memb.select(col("rep_id").as("rep_a"), col("doc_id").as("m_a")), Seq("rep_a"))
+        .join(memb.select(col("rep_id").as("rep_b"), col("doc_id").as("m_b")), Seq("rep_b"))
+        .select(col("source"), least(col("m_a"), col("m_b")).as("id_a"),
+          greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      val ia = memb.select(col("source"), col("rep_id"), col("doc_id").as("id_a"))
+      val ib = memb.select(col("rep_id"), col("doc_id").as("id_b"))
+      val intra = ia.join(ib, Seq("rep_id")).filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      cross.unionByName(intra)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
       WITH sh AS (

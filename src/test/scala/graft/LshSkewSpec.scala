@@ -87,6 +87,25 @@ class LshSkewSpec extends AnyFunSuite {
     } finally deleteRecursively(dir)
   }
 
+  test("collapsed qd04 equals the all-member pair set and bounds the prefix join") {
+    // qd04's integer length-pruning cannot bound identical-content hot
+    // keys (equal lengths always pass the prune), so it needs the same
+    // exact-content pre-collapse as qd02/qd07. Fixture: 3 pages x 30
+    // copies + 8 uniques; the fixture spreads copies across 3 sources
+    // (source = id % 3), and qd04 pairs only WITHIN a source — expected
+    // answer = within-group same-source pairs at exactly 1.0.
+    val (dir, groups) = writeFixture(Seq(30, 30, 30) ++ Seq.fill(8)(1))
+    try {
+      val expected = groups.filter(_.size > 1).flatMap { ids =>
+        for (a <- ids; b <- ids if a < b && a % 3 == b % 3) yield (a, b)
+      }.sorted
+      val qd04 = QueryCatalog.byName("qd04_ngram_jaccard").build(spark, dir).collect()
+      assert(qd04.map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted == expected)
+      assert(qd04.forall(_.getDouble(3) == 1.0), "identical sets score exactly 1.0")
+      spark.catalog.clearCache()
+    } finally deleteRecursively(dir)
+  }
+
   test("expandRepPairs emits exactly cross x members + within-group pairs") {
     // groups: rep 5 -> {5, 20}, rep 10 -> {10, 11, 12}; one verified rep
     // pair (5, 10, 0.9). Cross pairs order by least/greatest per member
