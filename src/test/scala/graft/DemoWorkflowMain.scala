@@ -118,6 +118,21 @@ object DemoWorkflowMain {
       println(s"[probe-tokbin] shard0 seqs=${shard0.length} firstSeqExact=$ok (expect 4, true)")
     }
 
+    locally {
+      // WebDataset tar export: one shard, three samples, two fields each;
+      // read back through the sink's own ustar parser
+      import org.apache.spark.sql.functions.{col, format_string}
+      import spark.implicits._
+      val wdsDir = java.nio.file.Files.createTempDirectory("demo-wds").toString
+      val docs = Seq((0L, "a"), (1L, "bb"), (2L, "ccc")).toDF("doc_id", "text")
+      graft.sinks.WebDatasetSink.write(docs, format_string("%09d", col("doc_id")),
+        Seq("txt" -> col("text"), "len" -> org.apache.spark.sql.functions.length(col("text"))),
+        1, wdsDir)
+      val members = graft.sinks.WebDatasetSink.readShard(wdsDir, 0L)
+      println(s"[probe-wds] members=${members.map(_._1).mkString(",")} " +
+        s"payload2=${new String(members(5)._2, "UTF-8")} (expect 6 names, 3)")
+    }
+
     spark.stop()
   }
 }
