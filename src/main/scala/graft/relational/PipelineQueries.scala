@@ -3727,6 +3727,187 @@ object PipelineQueries {
         CAST(max(mx) AS DOUBLE) AS max_abs_err
       FROM err""")),
 
+    CatalogQuery("qs12_filtered_ann", (s, d) => {
+      // Filtered vector search — THE production retrieval feature: top-k
+      // under a metadata predicate (here: same label as the query, the
+      // tenant/language/source-scoped search shape). The scale insight is
+      // that the predicate belongs IN THE POSTING-LIST KEY, not in a
+      // post-rank filter: the corpus posts to (cell, label) and the probe
+      // join keys on BOTH, so candidates shrink by predicate selectivity
+      // before any distance is computed — post-filtering top-k instead
+      // would starve selective predicates (the classic filtered-ANN
+      // failure). Plan pinned: the probe join must key on cell AND label.
+      // Geometry is qs02's deterministic IVF (vec_id<K centroids,
+      // nprobe=4) so the oracle mirrors both stages exactly; a trained
+      // KMeans fit slots in unchanged (qs03 gates that path).
+      val K = 16; val NProbe = 4
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cents)
+      def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+        bc.value.map { case (cid, cv) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+          (math.sqrt(acc), cid)
+        }.sortBy(identity).take(n).map(_._2).toSeq
+      val assigned = e.as[(Long, Int, Seq[Double])]
+        .map { case (id, lb, v) => (id, lb, v, nearestCells(v, 1).head) }
+        .toDF("vec_id", "label", "v", "cell")
+      val queries = e.filter(col("vec_id") < 5).as[(Long, Int, Seq[Double])]
+        .flatMap { case (id, lb, v) => nearestCells(v, NProbe).map(c => (id, lb, v, c)) }
+        .toDF("query_id", "label", "qv", "cell")
+      val scored = assigned.join(broadcast(queries), Seq("cell", "label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+      topkRanked(scored)
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, v, cid AS cell FROM (
+          SELECT e.vec_id, e.label, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, label, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.label, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell, label) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
+
+    CatalogQuery("qt20_char_entropy", (s, d) => {
+      // Character-distribution Shannon entropy per document — the cheap
+      // junk detector orthogonal to qt02's ratios: base64/hex/binary
+      // spill scores near-uniform (high H), keyboard-mash and template
+      // boilerplate score low, natural language sits in a stable band.
+      //
+      // Scale shape: one explode into (doc, char) counts (hash agg with
+      // map-side partials, bounded by doc alphabet), per-doc totals from
+      // the same table, summands 12-decimal-quantized decimals so the
+      // per-doc sum is exact on both engines. Characters come from
+      // regexp_extract_all over [\s\S] — CODEPOINT-wise in both regex
+      // engines (Java '.'-family patterns match code points, as does
+      // RE2), sidestepping the UTF-16-unit-vs-codepoint split trap.
+      val dec25 = org.apache.spark.sql.types.DecimalType(25, 12)
+      val chars = table(s, d, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+      val counts = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .persist() // totals + summands both derive from it
+      val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+      counts.join(totals, Seq("doc_id"))
+        .select(col("doc_id"), col("n"),
+          round((col("c").cast("double") / col("n").cast("double")) *
+            log(col("c").cast("double") / col("n").cast("double")), 12)
+            .cast(dec25).as("plp"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          round(-sum(col("plp")).cast("double"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+                  FROM documents WHERE length(text) > 0),
+      counts AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      totals AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY 1),
+      summed AS (SELECT counts.doc_id, totals.n,
+          CAST(round((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE), 12)
+            AS DECIMAL(25,12)) AS plp
+        FROM counts JOIN totals USING (doc_id))
+      SELECT doc_id, max(n) AS n_chars,
+        count(*) AS n_distinct_chars,
+        round(-CAST(sum(plp) AS DOUBLE), 6) AS entropy
+      FROM summed GROUP BY doc_id ORDER BY doc_id""")),
+
+    CatalogQuery("qm04_audio_features", (s, d) => {
+      // Audio feature extraction THROUGH THE REAL WAV CODEC — the third
+      // leg of the multimodal certification trio (qm02 image, qm03
+      // video): each doc's first 64 codepoints become centered 16-bit PCM
+      // samples ((cp − 128) · 256), round-tripped through
+      // `MediaCodecs.encodeWav` + `decodeWav` (RIFF header, fmt/data
+      // chunk walking, little-endian sample parsing) before the features
+      // — zero-crossing count, total and peak absolute amplitude — are
+      // computed from the DECODED samples. The oracle re-derives every
+      // feature from the codepoints, so any corruption in chunk layout,
+      // byte order, or sign handling breaks the gate. All-integer
+      // features: no float surface at all.
+      //
+      // Scale shape: one batched mapPartitions kernel pass, five ints
+      // per doc out. Codepoint indexing follows qm02's discipline
+      // (character-indexed, never UTF-16 units).
+      import s.implicits._
+      table(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val samples = new Array[Short](64)
+            var i = 0; var off = 0
+            while (i < 64 && off < text.length) {
+              val cp = text.codePointAt(off)
+              samples(i) = ((math.min(cp, 255) - 128) * 256).toShort
+              off += Character.charCount(cp)
+              i += 1
+            }
+            while (i < 64) { samples(i) = ((' ' - 128) * 256).toShort; i += 1 }
+            val audio = graft.pipeline.MediaCodecs.decodeWav(
+              graft.pipeline.MediaCodecs.encodeWav(
+                graft.pipeline.MediaCodecs.RawAudio(8000, 1, samples)))
+            require(audio.sampleRate == 8000 && audio.channels == 1,
+              "WAV round-trip corrupted the format header")
+            val ss = audio.samples
+            var zc = 0L; var sumAbs = 0L; var maxAbs = 0L
+            var j = 0
+            while (j < ss.length) {
+              val v = ss(j).toLong
+              val a = math.abs(v)
+              sumAbs += a
+              if (a > maxAbs) maxAbs = a
+              if (j > 0 && ((ss(j - 1) >= 0) != (v >= 0))) zc += 1
+              j += 1
+            }
+            (id, ss.length.toLong, zc, sumAbs, maxAbs)
+          }
+        }.toDF("doc_id", "n_samples", "zero_crossings", "sum_abs", "max_abs")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH px AS (SELECT doc_id, i,
+               CASE WHEN i <= length(text) THEN least(ascii(substr(text, i, 1)), 255)
+                    ELSE 32 END AS p
+             FROM documents, (SELECT unnest(range(1, 65)) AS i) ix),
+      smp AS (SELECT doc_id, i, (p - 128) * 256 AS s FROM px),
+      agg AS (SELECT doc_id, count(*) AS n_samples,
+                CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                CAST(max(abs(s)) AS BIGINT) AS max_abs
+              FROM smp GROUP BY 1),
+      zc AS (SELECT a.doc_id, count(*) AS zc
+             FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             WHERE (a.s >= 0) <> (b.s >= 0) GROUP BY 1)
+      SELECT agg.doc_id, agg.n_samples,
+        CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_crossings,
+        agg.sum_abs, agg.max_abs
+      FROM agg LEFT JOIN zc USING (doc_id) ORDER BY agg.doc_id""")),
+
     CatalogQuery("qp18_mixture_plan", (s, d) => {
       // Token-budget mixture planning: qp06 decides per-language KEEP
       // probabilities; this produces the complementary per-source

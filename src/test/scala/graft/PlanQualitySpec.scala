@@ -107,7 +107,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // (map-side partials bound memory and the shuffle to partitions × k).
     for (q <- Seq("qs01_ann_topk", "qs02_ann_ivf", "qs03_ann_ivf_recall", "qs04_ann_batch",
                   "qs05_ann_int8_rerank", "qs06_hard_negatives", "qs07_ann_pq_rerank",
-                  "qs08_hybrid_rank", "qs11_sign_sketch_rerank")) {
+                  "qs08_hybrid_rank", "qs11_sign_sketch_rerank",
+                  "qs12_filtered_ann")) {
       val plan = planOf(q)
       assert(!plan.contains("Window"), s"$q must not window-sort candidates:\n${plan.take(1500)}")
       assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
@@ -549,6 +550,17 @@ class PlanQualitySpec extends AnyFunSuite {
     }
     spark.catalog.clearCache()
     assert(globals.isEmpty, "qe07 window must partition by the sample point")
+  }
+
+  test("qs12 probe join keys on cell AND label (predicate in the posting key)") {
+    // filtered ANN must shrink candidates BY THE PREDICATE before any
+    // distance computes — a post-rank label filter would starve selective
+    // predicates; the join key carrying both columns is the proof
+    val plan = planOf("qs12_filtered_ann")
+    assert("BroadcastHashJoin \\[cell#\\d+L?, label#\\d+".r.findFirstIn(plan).isDefined ||
+      "BroadcastHashJoin \\[label#\\d+, cell#\\d+L?".r.findFirstIn(plan).isDefined,
+      s"probe join must key on (cell, label):\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("qt19 vocabulary intersection is an equi-join on token, never cartesian") {
