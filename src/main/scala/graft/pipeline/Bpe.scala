@@ -74,38 +74,54 @@ object Bpe {
 
   /** Train `nMerges` merges from a (word, freq) table. Requires enough
     * adjacent pairs to supply every step (hard-fails otherwise rather
-    * than silently returning a short vocabulary). */
+    * than silently returning a short vocabulary).
+    *
+    * Cache discipline: ONE job per merge step. The step-k argmax job
+    * reads (and thereby materializes) the step-k word table's cache
+    * while the step-(k−1) table is still cached one level below it, so
+    * no lineage ever recomputes; the (k−1) table is released only after
+    * that job returns. A separate materialize-then-unpersist count()
+    * per step would double the job count of an inherently sequential
+    * trainer — pure scheduler overhead at any scale. */
   def train(words: Dataset[(String, Long)], nMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
     import spark.implicits._
     var ds: Dataset[(IndexedSeq[String], Long)] =
       words.map { case (w, f) => (charSeg(w), f) }.persist()
-    ds.count()
+    var prev: Dataset[(IndexedSeq[String], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    for (step <- 1 to nMerges) {
-      val best = ds
-        .flatMap { case (seg, f) =>
-          (0 until seg.length - 1).iterator.map(i => (seg(i), seg(i + 1), f))
+    try {
+      for (step <- 1 to nMerges) {
+        val best = ds
+          .flatMap { case (seg, f) =>
+            (0 until seg.length - 1).iterator.map(i => (seg(i), seg(i + 1), f))
+          }
+          .groupByKey { case (l, r, _) => (l, r) }
+          .mapValues(_._3).reduceGroups(_ + _)
+          .map { case ((l, r), c) => (l, r, c) }
+          // TakeOrdered(1) under the deterministic total order; implicit
+          // Ordering[(String, String, Long)] can't express count DESC, so
+          // order explicitly
+          .orderBy(org.apache.spark.sql.functions.col("_3").desc,
+            org.apache.spark.sql.functions.col("_1"),
+            org.apache.spark.sql.functions.col("_2"))
+          .head(1)
+        // the argmax job just materialized ds's cache — the level below
+        // is now safe to release
+        if (prev != null) { prev.unpersist(); prev = null }
+        require(best.nonEmpty, s"BPE ran out of pairs at step $step/$nMerges")
+        val (l, r, c) = best(0)
+        merges += Merge(step, l, r, c)
+        if (step < nMerges) {
+          val next = ds.map { case (seg, f) => (applyMerge(seg, l, r), f) }.persist()
+          prev = ds
+          ds = next
         }
-        .groupByKey { case (l, r, _) => (l, r) }
-        .mapValues(_._3).reduceGroups(_ + _)
-        .map { case ((l, r), c) => (l, r, c) }
-        // TakeOrdered(1) under the deterministic total order; implicit
-        // Ordering[(String, String, Long)] can't express count DESC, so
-        // order explicitly
-        .orderBy(org.apache.spark.sql.functions.col("_3").desc,
-          org.apache.spark.sql.functions.col("_1"),
-          org.apache.spark.sql.functions.col("_2"))
-        .head(1)
-      require(best.nonEmpty, s"BPE ran out of pairs at step $step/$nMerges")
-      val (l, r, c) = best(0)
-      merges += Merge(step, l, r, c)
-      val next = ds.map { case (seg, f) => (applyMerge(seg, l, r), f) }.persist()
-      next.count()
+      }
+    } finally {
+      if (prev != null) prev.unpersist()
       ds.unpersist()
-      ds = next
     }
-    ds.unpersist()
     merges.toSeq
   }
 }

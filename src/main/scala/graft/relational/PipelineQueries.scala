@@ -2705,14 +2705,17 @@ object PipelineQueries {
       // merge is the exact argmax of adjacent-pair counts under the
       // prefix merges, in the deterministic total order (count DESC,
       // left ASC, right ASC). The recount deliberately uses a different
-      // formulation than the trainer (SQL posexplode + pos+1 self-join
-      // vs typed flatMap over segment windows), so a counting bug in one
-      // path cannot vouch for itself.
+      // formulation than the trainer (declarative slice-zip adjacency
+      // over the segment arrays — pure codegen'd SQL expressions — vs
+      // the trainer's typed flatMap over iterator windows), so a
+      // counting bug in one path cannot vouch for itself.
       //
       // Scale shape: the corpus explodes ONCE into the (word, freq)
       // table (persisted); training and verification iterate over that
-      // table with per-step persist/release (qd06 discipline); argmaxes
-      // are TakeOrdered(1), never a global sort collect.
+      // table with ONE job per step (the recount job materializes the
+      // step's cache; the previous level releases after it returns —
+      // Bpe.train's discipline); argmaxes are TakeOrdered(1), never a
+      // global sort collect; adjacency needs no join at all.
       import s.implicits._
       val words = table(s, d, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("word"))
@@ -2722,29 +2725,32 @@ object PipelineQueries {
       val merges = Bpe.train(words, BpeMerges)
       var segDf = words.map { case (w, f) => (w, Bpe.charSeg(w), f) }
         .toDF("word", "seg", "freq").persist()
-      segDf.count()
+      var prevSeg: DataFrame = null
       var allArgmax = true
-      for (m <- merges) {
-        val e = segDf.select(col("word"), col("freq"),
-          posexplode(col("seg")).as(Seq("pos", "sym")))
-        val top = e.as("a").join(e.as("b"),
-            col("a.word") === col("b.word") && col("b.pos") === col("a.pos") + 1)
-          .groupBy(col("a.sym").as("l"), col("b.sym").as("r"))
-          .agg(sum(col("a.freq")).as("c"))
+      for ((m, idx) <- merges.zipWithIndex) {
+        val top = segDf.select(col("freq"),
+            explode(arrays_zip(
+              slice(col("seg"), lit(1), size(col("seg")) - 1),
+              slice(col("seg"), lit(2), size(col("seg")) - 1))).as("p"))
+          .groupBy(col("p").getField("0").as("l"), col("p").getField("1").as("r"))
+          .agg(sum(col("freq")).as("c"))
           .orderBy(desc("c"), col("l"), col("r"))
           .head(1)
+        if (prevSeg != null) { prevSeg.unpersist(); prevSeg = null }
         allArgmax &&= top.headOption.exists(row =>
           row.getString(0) == m.left && row.getString(1) == m.right &&
             row.getLong(2) == m.count)
-        val next = segDf.as[(String, Seq[String], Long)]
-          .map { case (w, seg, f) =>
-            (w, Bpe.applyMerge(seg.toIndexedSeq, m.left, m.right), f)
-          }
-          .toDF("word", "seg", "freq").persist()
-        next.count()
-        segDf.unpersist()
-        segDf = next
+        if (idx < merges.length - 1) {
+          val next = segDf.as[(String, Seq[String], Long)]
+            .map { case (w, seg, f) =>
+              (w, Bpe.applyMerge(seg.toIndexedSeq, m.left, m.right), f)
+            }
+            .toDF("word", "seg", "freq").persist()
+          prevSeg = segDf
+          segDf = next
+        }
       }
+      if (prevSeg != null) prevSeg.unpersist()
       segDf.unpersist()
       val nWords = words.count()
       words.unpersist()
