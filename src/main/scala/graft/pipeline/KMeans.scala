@@ -74,6 +74,78 @@ object KMeans {
     cents
   }
 
+  /** Train `nSub` per-subspace codebooks (product quantization's training
+    * step) in ONE set of corpus passes: each Lloyd iteration is a single
+    * scan whatever `nSub` is, accumulating all nSub × k partial sums per
+    * partition — nSub sequential [[fit]] calls run nSub× the jobs for
+    * identical math, since each subspace's update depends only on its own
+    * slice. Subspace s covers dims [s·subDim, (s+1)·subDim); same
+    * deterministic init (k lowest vec_ids) and tie rules as [[fit]], so
+    * per-subspace results match independent fits up to float-sum
+    * reassociation in the partial reduce (asserted ~1e-9 by spec). */
+  def fitSubspaces(e: Dataset[(Long, Seq[Double])], nSub: Int, k: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    require(nSub > 0 && k > 0 && iters >= 0)
+    val spark: SparkSession = e.sparkSession
+    import spark.implicits._
+    val init = e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray)
+    require(init.length == k, s"need vec_ids 0..${k - 1} for deterministic init")
+    val dim = init(0).length
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+    val subDim = dim / nSub
+    var cbs: Array[Array[Array[Double]]] = Array.tabulate(nSub, k) { (s0, j) =>
+      java.util.Arrays.copyOfRange(init(j), s0 * subDim, (s0 + 1) * subDim)
+    }
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cbs)
+      val (ns, kk, sd) = (nSub, k, subDim)
+      val partials = e.mapPartitions { it =>
+        val c = bc.value
+        val sums = Array.fill(ns, kk)(new Array[Double](sd))
+        val counts = Array.fill(ns)(new Array[Long](kk))
+        it.foreach { case (_, v) =>
+          var s0 = 0
+          while (s0 < ns) {
+            val cb = c(s0)
+            var best = 0
+            var bestD = Double.MaxValue
+            var j = 0
+            while (j < kk) {
+              var acc = 0.0
+              var i = 0
+              while (i < sd) { val d = v(s0 * sd + i) - cb(j)(i); acc += d * d; i += 1 }
+              if (acc < bestD) { bestD = acc; best = j } // strict: lowest j wins ties
+              j += 1
+            }
+            val sm = sums(s0)(best)
+            var i = 0
+            while (i < sd) { sm(i) += v(s0 * sd + i); i += 1 }
+            counts(s0)(best) += 1
+            s0 += 1
+          }
+        }
+        for {
+          s0 <- (0 until ns).iterator
+          j <- (0 until kk).iterator
+          if counts(s0)(j) > 0
+        } yield (s0 * kk + j, sums(s0)(j).toSeq, counts(s0)(j))
+      }
+      val reduced = partials.groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          (a._1, a._2.lazyZip(b._2).map(_ + _), a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      reduced.foreach { case (key, s, n) =>
+        next(key / k)(key % k) = s.map(_ / n).toArray // empty clusters keep their centroid
+      }
+      cbs = next
+      bc.unpersist()
+    }
+    cbs
+  }
+
   /** Indices of the `n` nearest centroids, ascending by (distance, index) —
     * the probe-list primitive for IVF queries (`nearestK(c, v, 1).head` ==
     * [[nearest]]; ties resolve identically because the sort is stable on

@@ -1256,10 +1256,11 @@ object PipelineQueries {
         unit.filter(_._1 < NQ).collect().sortBy(_._1) // NQ rows
       val dim = queries.head._2.length; val subDim = dim / S
       val sample = unit.filter(r => r._1 < SubK || r._1 % 7 == 0)
-      val codebooks: Array[Array[Array[Double]]] = (0 until S).map { sub =>
-        KMeans.fit(sample.map { case (id, v) =>
-          (id, v.slice(sub * subDim, (sub + 1) * subDim)) }, SubK, iters = 4)
-      }.toArray
+      // all 8 codebooks train in ONE set of Lloyd passes (4 scans of the
+      // sample total, not 8 × 4) — per-subspace math identical to
+      // independent fits (KMeansSpec pins the equivalence)
+      val codebooks: Array[Array[Array[Double]]] =
+        KMeans.fitSubspaces(sample, S, SubK, iters = 4)
       val bcCb = s.sparkContext.broadcast(codebooks)
       // per-query ADC lookup tables: S × SubK doubles each — KBs
       val qTables = queries.map { case (qid, qv) =>

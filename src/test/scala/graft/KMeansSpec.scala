@@ -38,6 +38,27 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("fitSubspaces equals independent per-slice fits (up to float reassociation)") {
+    // 4-dim points, 2 subspaces of 2 dims: the fused single-pass trainer
+    // must reproduce what separate fits on each slice produce
+    val pts4: Seq[(Long, Seq[Double])] = (0L until 90L).map { i =>
+      val a = trueMeans((i % 3).toInt)
+      val b = trueMeans(((i + 1) % 3).toInt)
+      (i, Seq(a(0) + rng.nextGaussian(), a(1) + rng.nextGaussian(),
+        b(0) + rng.nextGaussian(), b(1) + rng.nextGaussian()))
+    }
+    val ds = spark.createDataset(pts4).repartition(8).persist()
+    try {
+      val fused = KMeans.fitSubspaces(ds, nSub = 2, k = 3, iters = 4)
+      val solo = (0 until 2).map { sub =>
+        KMeans.fit(ds.map { case (id, v) => (id, v.slice(sub * 2, sub * 2 + 2)) }, 3, 4)
+      }
+      for (sub <- 0 until 2; j <- 0 until 3; i <- 0 until 2)
+        assert(math.abs(fused(sub)(j)(i) - solo(sub)(j)(i)) < 1e-9,
+          s"sub=$sub centroid=$j dim=$i: ${fused(sub)(j)(i)} vs ${solo(sub)(j)(i)}")
+    } finally ds.unpersist()
+  }
+
   test("empty clusters keep their centroid; nearest breaks ties low") {
     // all points identical -> clusters 1, 2 never win after init
     val same = (0L until 10L).map(i => (i, Seq(5.0, 5.0)))
