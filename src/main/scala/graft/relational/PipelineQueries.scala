@@ -3847,6 +3847,71 @@ object PipelineQueries {
         round(-CAST(sum(plp) AS DOUBLE), 6) AS entropy
       FROM summed GROUP BY doc_id ORDER BY doc_id""")),
 
+    CatalogQuery("qe09_fisher_separation", (s, d) => {
+      // Per-dimension Fisher class-separation audit: between-class over
+      // within-class variance, F_d = Σ_l n_l(μ_ld − μ_d)² / Σ_l n_l σ²_ld
+      // — the "is this embedding space linearly separable by label, and
+      // along which dimensions" screen that decides whether qs06-style
+      // contrastive mining or qe03 whitening is worth running, and which
+      // dims qs10's Matryoshka truncation can afford to drop.
+      //
+      // Scale shape (qe02/qe04's discipline): ONE corpus pass collapses
+      // to per-(label, dim) decimal sums with map-side partials; global
+      // per-dim moments derive from that same table (no second scan);
+      // per-label summands are 12-decimal-quantized so each dim's two
+      // sums are exact decimal arithmetic on both engines; every mean is
+      // a single double division mirrored verbatim.
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val dec25 = org.apache.spark.sql.types.DecimalType(25, 12)
+      val g = table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("x"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n_l"),
+          sum(col("x").cast(dec38)).as("s_l"),
+          sum((col("x") * col("x")).cast(dec38)).as("q_l"))
+        .persist() // global moments + per-label summands both derive from it
+      val glob = g.groupBy(col("dim"))
+        .agg(sum(col("n_l")).as("n"), sum(col("s_l")).as("s"))
+      val muL = col("s_l").cast("double") / col("n_l").cast("double")
+      val mu = col("s").cast("double") / col("n").cast("double")
+      g.join(glob, Seq("dim"))
+        .select(col("dim"),
+          round(col("n_l").cast("double") * ((muL - mu) * (muL - mu)), 12)
+            .cast(dec25).as("bt"),
+          round(col("n_l").cast("double") *
+            (col("q_l").cast("double") / col("n_l").cast("double") - muL * muL), 12)
+            .cast(dec25).as("wt"))
+        .groupBy(col("dim"))
+        .agg(round(sum(col("bt")).cast("double") / sum(col("wt")).cast("double"), 6)
+          .as("fisher_ratio"))
+        .orderBy(col("dim"))
+    }, Some("""
+      WITH e AS (SELECT label,
+          unnest([{'dim': i, 'x': embedding[i]::DOUBLE}
+                  for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings),
+      g AS (SELECT label, u.dim AS dim, count(*) AS n_l,
+              sum(CAST(u.x AS DECIMAL(38,6))) AS s_l,
+              sum(CAST(u.x * u.x AS DECIMAL(38,6))) AS q_l
+            FROM e GROUP BY label, u.dim),
+      tot AS (SELECT dim, CAST(sum(n_l) AS BIGINT) AS n, sum(s_l) AS s
+              FROM g GROUP BY dim),
+      terms AS (SELECT g.dim,
+          CAST(round(g.n_l::DOUBLE *
+            ((g.s_l::DOUBLE / g.n_l::DOUBLE - tot.s::DOUBLE / tot.n::DOUBLE) *
+             (g.s_l::DOUBLE / g.n_l::DOUBLE - tot.s::DOUBLE / tot.n::DOUBLE)), 12)
+            AS DECIMAL(25,12)) AS bt,
+          CAST(round(g.n_l::DOUBLE *
+            (g.q_l::DOUBLE / g.n_l::DOUBLE -
+             (g.s_l::DOUBLE / g.n_l::DOUBLE) * (g.s_l::DOUBLE / g.n_l::DOUBLE)), 12)
+            AS DECIMAL(25,12)) AS wt
+        FROM g JOIN tot USING (dim))
+      SELECT dim, round(CAST(sum(bt) AS DOUBLE) / CAST(sum(wt) AS DOUBLE), 6)
+        AS fisher_ratio
+      FROM terms GROUP BY dim ORDER BY dim""")),
+
     CatalogQuery("qm04_audio_features", (s, d) => {
       // Audio feature extraction THROUGH THE REAL WAV CODEC — the third
       // leg of the multimodal certification trio (qm02 image, qm03
