@@ -3847,6 +3847,124 @@ object PipelineQueries {
         round(-CAST(sum(plp) AS DOUBLE), 6) AS entropy
       FROM summed GROUP BY doc_id ORDER BY doc_id""")),
 
+    CatalogQuery("qp19_decontam_repair", (s, d) => {
+      // Decontamination REPAIR — the action on qp05's audit (the GPT-3
+      // recipe: when a train document near-duplicates an eval document,
+      // the TRAIN side is quarantined; eval stays fixed so benchmarks
+      // remain comparable). Output = the quarantine list with per-doc
+      // leak counts. Composes qd02's verified pairs and qp01's stateless
+      // split through their public catalog entries, so the repair can
+      // never drift from the audit's definitions. val↔test cross-pairs
+      // carry no train contamination and are deliberately untouched.
+      //
+      // Scale shape: qp05's — the pair set is the (small) dedup output,
+      // split labels re-derive statelessly per row, joins touch pairs×2.
+      val pairs = QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+        .select(col("id_a"), col("id_b"))
+      val split = table(s, d, "documents")
+        .select(col("doc_id"), splitLabel(splitBucket).as("split"))
+      val lab = pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      val trainSide = lab
+        .filter(col("split_a") === "train" && col("split_b") =!= "train")
+        .select(col("id_a").as("doc_id"), col("id_b").as("partner"))
+        .unionByName(lab
+          .filter(col("split_b") === "train" && col("split_a") =!= "train")
+          .select(col("id_b").as("doc_id"), col("id_a").as("partner")))
+      trainSide.groupBy(col("doc_id"))
+        .agg(countDistinct(col("partner")).as("n_eval_dups"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $oMinhashPairsCtes,
+      $oSplitCte,
+      lab AS (SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+              FROM pairs p
+              JOIN sp sa ON p.id_a = sa.doc_id
+              JOIN sp sb ON p.id_b = sb.doc_id),
+      ts AS (SELECT id_a AS doc_id, id_b AS partner FROM lab
+             WHERE split_a = 'train' AND split_b <> 'train'
+             UNION ALL
+             SELECT id_b, id_a FROM lab
+             WHERE split_b = 'train' AND split_a <> 'train')
+      SELECT doc_id, CAST(count(DISTINCT partner) AS BIGINT) AS n_eval_dups
+      FROM ts GROUP BY doc_id ORDER BY doc_id""")),
+
+    CatalogQuery("qs13_recall_curve", (s, d) => {
+      // The ANN operating curve: recall at MULTIPLE candidate margins
+      // from ONE cheap-stage scan — the tuning run that justifies a
+      // production CandK choice (qs05/qs07/qs11 each pin one; this
+      // measures the curve they sit on). Margins are PREFIXES of one
+      // Hamming-ranked candidate list (top-4k ⊂ top-16k ⊂ top-48k), so
+      // the sketch scan and the exact rerank cosines compute once and
+      // every margin's top-k derives by prefix filter.
+      //
+      // Contract (provable, so the gate is strict): reranked top-k
+      // recall is NONDECREASING in the candidate prefix — a vector
+      // displacing a truth member from a superset's cosine top-k would
+      // itself beat that member's cosine and hence be in the truth set
+      // under the same deterministic tie order — and the widest margin
+      // must clear qs11's 0.90 bound. The oracle pins the margin/query
+      // counts + TRUE.
+      val NQueries = 5; val Margins = Seq(4, 16, 48)
+      val MaxCand = Margins.max * AnnTopK
+      def pack(half: Column): Column =
+        aggregate(half, lit(0L),
+          (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // sketch scan + rerank + truth scan
+      val dim = 64
+      val sk = e.select(col("vec_id"),
+        pack(slice(col("v"), 1, dim / 2)).as("shi"),
+        pack(slice(col("v"), dim / 2 + 1, dim / 2)).as("slo"))
+      val qsk = sk.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("shi").as("qhi"), col("slo").as("qlo"))
+      val hammed = sk.crossJoin(broadcast(qsk))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          negate((bit_count(col("shi").bitwiseXOR(col("qhi"))) +
+            bit_count(col("slo").bitwiseXOR(col("qlo")))).cast("double")).as("score"))
+      val candTopK = graft.functions.TopKAggregator.topK(MaxCand)
+      val cand = hammed.groupBy(col("query_id"))
+        .agg(candTopK(col("score"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), col("pos").as("r"), col("col.vec_id").as("vec_id"))
+      val exactQueries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val cosined = e.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(exactQueries), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), col("r"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+        .persist() // every margin's rerank reads it
+      import s.implicits._
+      val marginDf = Margins.toDF("m")
+      val topk = graft.functions.TopKAggregator.topK(AnnTopK)
+      val rr = cosined.crossJoin(broadcast(marginDf))
+        .filter(col("r") < col("m") * AnnTopK)
+        .groupBy(col("m"), col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("m"), col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val recalls = truth.crossJoin(broadcast(marginDf))
+        .join(rr.withColumn("hit", lit(1L)), Seq("m", "query_id", "vec_id"), "left")
+        .groupBy(col("m"), col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+        .groupBy(col("m")).agg(avg(col("recall")).as("r"))
+        .collect().map(row => row.getInt(0) -> row.getDouble(1)).toMap // ≤ |Margins| rows
+      val curve = Margins.map(recalls)
+      val monotone = curve.zip(curve.tail).forall { case (a, b) => a <= b }
+      Seq((Margins.length.toLong, NQueries.toLong, monotone,
+        curve.last >= 0.90))
+        .toDF("n_margins", "n_queries", "recall_nondecreasing", "recall_ge_090_at_max")
+    }, Some("""
+      SELECT 3::BIGINT AS n_margins,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        TRUE AS recall_nondecreasing, TRUE AS recall_ge_090_at_max
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qe09_fisher_separation", (s, d) => {
       // Per-dimension Fisher class-separation audit: between-class over
       // within-class variance, F_d = Σ_l n_l(μ_ld − μ_d)² / Σ_l n_l σ²_ld
