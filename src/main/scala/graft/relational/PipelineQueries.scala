@@ -343,6 +343,55 @@ object PipelineQueries {
       SELECT id AS doc_id, min(lab) AS canonical_id
       FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    CatalogQuery("qd14_dup_structure", (s, d) => {
+      // Duplication-structure summary: the cluster-size histogram of the
+      // near-dup graph (plus the singleton mass) — the one-table answer
+      // to "how much duplication does this corpus carry and in what
+      // shape", which decides between hard dedup (qd01/qd11), soft
+      // reweighting (qd12), and doing nothing. A crawl with a fat tail
+      // of giant clusters needs qd02's collapse machinery; a near-flat
+      // histogram doesn't justify a dedup pass at all.
+      //
+      // Scale shape: composes qd06's connected components (pointer-
+      // jumping, never all-pairs); the histogram is two bounded
+      // aggregations over the (small) clustered-doc table; the singleton
+      // row derives from two single-row counts broadcast together — no
+      // corpus-sized structure anywhere past the dedup plane itself.
+      val cc = graft.pipeline.Dedup.connectedComponents(
+        QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+          .select(col("id_a"), col("id_b"))).persist()
+      val h = cc.groupBy(col("canonical_id")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize").as("cluster_size"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"))
+      val singles = table(s, d, "documents").agg(count(lit(1)).as("total"))
+        .crossJoin(cc.agg(count(lit(1)).as("clustered")))
+        .select(lit(1L).as("cluster_size"),
+          (col("total") - col("clustered")).as("n_clusters"),
+          (col("total") - col("clustered")).as("n_docs"))
+      h.unionByName(singles).orderBy(col("cluster_size"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      cc AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY id),
+      sizes AS (SELECT canonical_id, count(*) AS csize FROM cc GROUP BY 1),
+      h AS (SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY 1),
+      singles AS (SELECT
+          (SELECT count(*) FROM documents) - (SELECT count(*) FROM cc) AS n)
+      SELECT CAST(csize AS BIGINT) AS cluster_size,
+        CAST(n_clusters AS BIGINT) AS n_clusters,
+        CAST(csize * n_clusters AS BIGINT) AS n_docs
+      FROM h
+      UNION ALL SELECT 1, CAST(n AS BIGINT), CAST(n AS BIGINT) FROM singles
+      ORDER BY cluster_size""")),
+
     CatalogQuery("qd12_soft_dedup_weights", (s, d) => {
       // Soft dedup — REWEIGHT duplicates instead of dropping them
       // (SoftDeDup: down-weight a document by its near-dup cluster size
