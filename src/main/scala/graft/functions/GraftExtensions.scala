@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, ShingleHash60, SortedLongIntersectCount}
+import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, ShingleHash60, SignSketch, SortedLongIntersectCount}
 import graft.pipeline.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -42,6 +42,7 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   *   SELECT sorted_intersect_count(a, b)             -- O(n+m) set intersection size
   *   SELECT nfc_normalize(s)                         -- Unicode NFC (ASCII fast path)
   *   SELECT bloom_might_contain(h, bits, 4)          -- Bloom probe (bits: constant array)
+  *   SELECT sign_sketch(v, 0, 32)                    -- sign-bit half-sketch (binary ANN)
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -100,6 +101,13 @@ object GraftExtensions {
           s"bloom filter word count must be a power of two, got ${bits.length}")
         BloomMightContain(args.head, LocalBloomBits(bits),
           intLiteral(args(2), "bloom_might_contain k"))
+      }),
+    (FunctionIdentifier("sign_sketch"),
+      info(classOf[SignSketch].getName, "sign_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "sign_sketch(v, start, len) takes 3 arguments")
+        SignSketch(args.head, intLiteral(args(1), "sign_sketch start"),
+          intLiteral(args(2), "sign_sketch len"))
       }))
 
   private def info(className: String, name: String) =

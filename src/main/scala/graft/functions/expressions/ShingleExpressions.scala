@@ -233,12 +233,63 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sign-bit sketch of a double-array slice: elements [start, start+len)
+  * fold as bit = x > 0 into one long, MSB-first (acc·2 + bit — exactly the
+  * `aggregate(slice(v, start+1, len), 0L, (acc, x) -> acc*2 + if(x>0,1,0))`
+  * builtin formulation, which [[graft.ShingleExpressionsSpec]] pins bit for
+  * bit). The builtin higher-order functions are CodegenFallback — every
+  * corpus row pays interpreted lambda dispatch per element — where this
+  * runs as one tight loop inside whole-stage codegen; the sketch pack is
+  * the per-row hot path of the binary-Hamming ANN scans (qs11/qs13).
+  * `len` ≤ 63 keeps the fold free of sign-bit overflow. */
+case class SignSketch(child: Expression, start: Int, len: Int) extends Expression {
+  require(start >= 0 && len >= 0 && len <= 63, s"bad slice [$start, +$len)")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null else computeSketch(v.asInstanceOf[ArrayData])
+  }
+
+  def computeSketch(arr: ArrayData): Long = {
+    val end = math.min(start + len, arr.numElements())
+    var acc = 0L
+    var i = start
+    while (i < end) {
+      acc = acc * 2 + (if (arr.getDouble(i) > 0) 1L else 0L)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signSketch", this, classOf[SignSketch].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      long ${ev.value} = 0L;
+      if (!${ev.isNull}) {
+        ${ev.value} = $ref.computeSketch(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
 object ShingleExpressions {
   import graft.pipeline.TextOps
   import org.apache.spark.sql.GraftSqlShim
 
   def shingleHash60(text: Column, n: Int): Column =
     GraftSqlShim.column(ShingleHash60(GraftSqlShim.expression(text), n))
+
+  def signSketch(v: Column, start: Int, len: Int): Column =
+    GraftSqlShim.column(SignSketch(GraftSqlShim.expression(v), start, len))
 
   def minhashSig(hashes: Column, numPerms: Int): Column =
     GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(hashes),

@@ -3555,20 +3555,21 @@ object PipelineQueries {
       // Hamming scan broadcasts 5 query sketches over one pass; both
       // ranking stages use the bounded TopKByScore aggregator (no
       // per-query window sort); rerank touches CandK rows per query.
-      // The sketch packs via an in-array fold into two 32-bit halves
-      // (a 64-bit acc*2 fold would overflow the Long sign bit under
-      // ANSI arithmetic); Hamming = bit_count(hi⊕hi') + bit_count(lo⊕lo').
+      // The sketch packs via the codegen'd SignSketch expression into
+      // two 32-bit halves (the equivalent aggregate/slice builtin fold
+      // is CodegenFallback — interpreted lambda dispatch per element on
+      // the corpus-wide hot path; ShingleExpressionsSpec pins the two
+      // formulations bit-identical); Hamming = bit_count(hi⊕hi') +
+      // bit_count(lo⊕lo').
+      import graft.functions.expressions.ShingleExpressions.signSketch
       val NQueries = 5; val CandK = 48 * AnnTopK
-      def pack(half: Column): Column =
-        aggregate(half, lit(0L),
-          (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .persist() // sketch scan + rerank + truth scan reuse it
       val dim = 64
       val sk = e.select(col("vec_id"),
-        pack(slice(col("v"), 1, dim / 2)).as("shi"),
-        pack(slice(col("v"), dim / 2 + 1, dim / 2)).as("slo"))
+        signSketch(col("v"), 0, dim / 2).as("shi"),
+        signSketch(col("v"), dim / 2, dim / 2).as("slo"))
       val qsk = sk.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("shi").as("qhi"), col("slo").as("qlo"))
       val hammed = sk.crossJoin(broadcast(qsk))
@@ -3955,18 +3956,16 @@ object PipelineQueries {
       // under the same deterministic tie order — and the widest margin
       // must clear qs11's 0.90 bound. The oracle pins the margin/query
       // counts + TRUE.
+      import graft.functions.expressions.ShingleExpressions.signSketch
       val NQueries = 5; val Margins = Seq(4, 16, 48)
       val MaxCand = Margins.max * AnnTopK
-      def pack(half: Column): Column =
-        aggregate(half, lit(0L),
-          (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .persist() // sketch scan + rerank + truth scan
       val dim = 64
       val sk = e.select(col("vec_id"),
-        pack(slice(col("v"), 1, dim / 2)).as("shi"),
-        pack(slice(col("v"), dim / 2 + 1, dim / 2)).as("slo"))
+        signSketch(col("v"), 0, dim / 2).as("shi"),
+        signSketch(col("v"), dim / 2, dim / 2).as("slo"))
       val qsk = sk.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("shi").as("qhi"), col("slo").as("qlo"))
       val hammed = sk.crossJoin(broadcast(qsk))

@@ -104,4 +104,43 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     val f = texts.limit(1).select(shingleHash60(lit("abc"), 3)).first().getSeq[Long](0)
     assert(f == Seq(648541476951500027L))
   }
+
+  test("SignSketch == aggregate/slice builtin fold, bit for bit (codegen)") {
+    // the binary-ANN sketch pack (qs11/qs13's per-row hot path): the
+    // codegen'd expression must reproduce the CodegenFallback builtin
+    // fold exactly — including negative values, exact zeros (NOT set:
+    // bit = x > 0), and short arrays
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rng = new scala.util.Random(42)
+      val vecs = (0L until 50L).map { i =>
+        (i, Seq.tabulate(64)(j =>
+          if ((i + j) % 11 == 0) 0.0 else rng.nextGaussian()))
+      }.toDF("id", "v")
+      def fold(start1: Int, len: Int) =
+        aggregate(slice(col("v"), start1, len), lit(0L),
+          (acc, x) => acc * 2 + when(x > 0, 1L).otherwise(0L))
+      val r = vecs.select(
+        signSketch(col("v"), 0, 32).as("hi"), fold(1, 32).as("hiRef"),
+        signSketch(col("v"), 32, 32).as("lo"), fold(33, 32).as("loRef"))
+        .collect()
+      assert(r.length == 50)
+      r.foreach { row =>
+        assert(row.getLong(0) == row.getLong(1), "hi half diverged")
+        assert(row.getLong(2) == row.getLong(3), "lo half diverged")
+      }
+      // short array: fold stops at the array end on both formulations
+      val short = Seq((0L, Seq(1.0, -1.0, 0.0))).toDF("id", "v")
+      val sr = short.select(signSketch(col("v"), 0, 32).as("a"), fold(1, 32).as("b")).first()
+      assert(sr.getLong(0) == sr.getLong(1) && sr.getLong(0) == 4L) // bits 1,0,0
+      // SQL registration parity
+      graft.functions.GraftExtensions.sqlFunctions.foreach { case (id, fi, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+      }
+      val sqlR = short.createOrReplaceTempView("sketch_probe")
+      val sv = spark.sql("SELECT sign_sketch(v, 0, 32) FROM sketch_probe").first().getLong(0)
+      assert(sv == 4L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
