@@ -133,6 +133,21 @@ object DemoWorkflowMain {
         s"payload2=${new String(members(5)._2, "UTF-8")} (expect 6 names, 3)")
     }
 
+    locally {
+      // persistent IVF index: build from the test embeddings, serve one
+      // query batch with partition-pruned postings reads
+      import org.apache.spark.sql.functions.{col, transform}
+      val ivfDir = java.nio.file.Files.createTempDirectory("demo-ivf").toString
+      val emb = graft.relational.QueryHelpers.table(spark, "/root/testdata/sf0.001", "embeddings")
+      graft.sinks.IvfIndexStore.build(emb, 16, ivfDir)
+      val q = emb.select(col("vec_id").as("query_id"),
+          transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double")).as("qv"))
+        .filter(col("query_id") < 2)
+      val hits = graft.sinks.IvfIndexStore.query(spark, ivfDir, q, 4, 10).collect()
+      println(s"[probe-ivf] queries=2 hits=${hits.length} " +
+        s"firstRank=${hits.head.getInt(1)} (expect 20, 1)")
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.relational.{QueryCatalog, QueryHelpers}
+import graft.sinks.IvfIndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent IVF index: build-once/serve-many must reproduce the fused
+  * in-query IVF plan (qs02) exactly, and serving must read only the probed
+  * cell partitions (partition pruning at the scan). */
+class IvfIndexSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("prebuilt index serves qs02's exact results; scan prunes to probe cells") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+
+    // the index artifact: 16 centroids, every vector posted exactly once
+    val cents = spark.read.parquet(s"$idx/centroids")
+    assert(cents.count() == 16)
+    val postings = spark.read.parquet(s"$idx/postings")
+    assert(postings.count() == e.count())
+    assert(postings.select(col("cell")).distinct().count() <= 16)
+
+    val queries = e
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    val served = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+
+    // partition pruning is the scale property: the probe-cell filter must
+    // reach the postings scan as a PartitionFilter (unprobed cell
+    // directories are never opened)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probe-cell filter must prune partitions:\n${plan.take(2000)}")
+
+    // serving parity: identical rows, identical rank order, vs the fused
+    // in-query formulation (which is itself oracle-checked)
+    val got = served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = QueryCatalog.byName("qs02_ann_ivf").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want, s"served ranks diverge from qs02 (${got.length} vs ${want.length} rows)")
+  }
+}
