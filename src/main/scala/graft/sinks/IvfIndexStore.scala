@@ -57,6 +57,38 @@ object IvfIndexStore {
     Files.writeString(Paths.get(path, "manifest.json"), s"""{"k":$k,"dim":$dim}""")
   }
 
+  /** Append one batch of new vectors to an EXISTING index: assignment
+    * uses the stored centroids (an index's geometry is fixed at build
+    * time — re-clustering is a rebuild, not an append), and postings
+    * append into the same cell-partitioned layout. Under `foreachBatch`
+    * retries a batch may append twice (at-least-once); [[query]] absorbs
+    * replays by deduplicating the probed postings on (cell, vec_id) —
+    * replayed rows are byte-identical, so dedup restores exactly-once
+    * serving (spec-pinned: double-append changes nothing). */
+  def appendBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val bc = spark.sparkContext.broadcast(cents)
+    batch.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
+      .toDF("vec_id", "v", "cell")
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$path/postings")
+  }
+
+  /** Continuous index maintenance: stream arriving vectors into the
+    * postings via [[appendBatch]] per micro-batch. */
+  def appendStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
+      .start()
+
   /** Serve a query batch from the prebuilt index: cosine top-`topK` per
     * query over the `nProbe` nearest cells' postings only. `queries` must
     * have (query_id: bigint, qv: array<double>); output is
@@ -78,8 +110,12 @@ object IvfIndexStore {
     // partition pruning: the isInCollection filter on the partition column
     // keeps every non-probed cell directory unopened (spec asserts the
     // scan's PartitionFilters carry it)
+    // dropDuplicates absorbs at-least-once streaming appends (replayed
+    // postings are identical rows); it runs AFTER the partition filter,
+    // so the dedup shuffle touches only the probed nprobe/K slice
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isInCollection(probeCells))
+      .dropDuplicates("cell", "vec_id")
     val probeDf = probes.toDF("query_id", "qv", "cell")
     val scored = postings.join(broadcast(probeDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -45,4 +45,30 @@ class IvfIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(got == want, s"served ranks diverge from qs02 (${got.length} vs ${want.length} rows)")
   }
+
+  test("streamed appends reach parity with a full build; replays change nothing") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    // build from the first 400 vectors (includes the 16 centroid ids),
+    // append the remaining 100 as a "stream" batch
+    IvfIndexStore.build(e.filter(col("vec_id") < 400), k = 16, idx)
+    val tail = e.filter(col("vec_id") >= 400)
+    IvfIndexStore.appendBatch(tail, idx)
+    val queries = e
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    def serve() = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val afterAppend = serve()
+    val want = QueryCatalog.byName("qs02_ann_ivf").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(afterAppend == want,
+      "build(400) + append(100) must serve the same ranks as a full-corpus index")
+    // at-least-once replay: the same micro-batch delivered twice must be
+    // absorbed (postings dedup on (cell, vec_id) at serve time)
+    IvfIndexStore.appendBatch(tail, idx)
+    assert(serve() == want, "a replayed append batch must change nothing")
+  }
 }
