@@ -232,6 +232,37 @@ object PipelineQueries {
     cross.unionByName(intra)
   }
 
+  /** The deterministic-IVF top-k oracle (vec_id<16 centroids, nprobe=4,
+    * queries vec_id<5, k=10) — shared by qs02 (fused in-query plan) and
+    * qs14 (the same geometry served from the persistent IvfIndexStore
+    * artifact): both must produce these exact rank rows. */
+  private val oIvfTopkSql: String = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+
   /** CTE chain reproducing qd02's LSH candidate pairs (pre-verification) —
     * the shared blocking stage of the minhash oracles. */
   private def oMinhashCandCtes: String = {
@@ -996,6 +1027,26 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""), headline = true),
 
+    CatalogQuery("qs14_index_serve", (s, d) => {
+      // The PERSISTENT-index serving path under the correctness gate:
+      // build the IvfIndexStore artifact (centroids + cell-partitioned
+      // postings) and answer the standard query batch FROM THE ARTIFACT
+      // — same deterministic geometry as qs02 (vec_id<16 centroids,
+      // nprobe=4), so the oracle is qs02's SQL verbatim. This gates the
+      // whole build→persist→prune→serve path (partition pruning, posting
+      // layout, dedup, rank order) against DuckDB, not just against
+      // specs. Scale shape: serving opens only the probed nprobe/K cell
+      // partitions (PartitionFilters, pinned in IvfIndexSpec).
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs14-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.IvfIndexStore.query(s, idxDir, queries, nProbe = 4, topK = 10)
+    }, Some(oIvfTopkSql)),
+
     CatalogQuery("qs02_ann_ivf", (s, d) => {
       // IVF-bucketed ANN — the 100 TB path: vectors are pre-assigned to
       // inverted lists (cells); a query probes only its nearest cells, so
@@ -1027,32 +1078,7 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"),
           cosineCol(col("qv"), col("v")).as("cosine"))
       topkRanked(scored)
-    }, Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-      assigned AS (
-        SELECT vec_id, v, cid AS cell FROM (
-          SELECT e.vec_id, e.v, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent) t WHERE rn = 1),
-      q AS (
-        SELECT query_id, qv, cid AS cell FROM (
-          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
-      scored AS (
-        SELECT query_id, vec_id,
-          list_dot_product(qv, v) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
-        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
-      ranked AS (
-        SELECT query_id, vec_id,
-          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        FROM scored)
-      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank""")),
+    }, Some(oIvfTopkSql)),
 
     CatalogQuery("qs04_ann_batch", (s, d) => {
       // Many-query batch ANN (offline inference over the whole corpus:
