@@ -423,6 +423,95 @@ object PipelineQueries {
       UNION ALL SELECT 1, CAST(n AS BIGINT), CAST(n AS BIGINT) FROM singles
       ORDER BY cluster_size""")),
 
+    CatalogQuery("qd15_incremental_dedup", (s, d) => {
+      // Incremental dedup — the production shape for a CONTINUOUS crawl:
+      // an arriving batch is checked against the existing corpus without
+      // re-deduplicating the corpus itself. Nothing existing-vs-existing
+      // is recomputed (that ran when those docs arrived), and
+      // batch-internal dups are qd02 run over the batch alone; what this
+      // operator answers is "which arriving docs duplicate what we
+      // already hold, and how hard" — per arriving doc, the number of
+      // existing near-dup partners and the strongest Jaccard.
+      //
+      // Scale shape: the existing side's banded posting table is exactly
+      // the build-once artifact an IvfIndexStore-style band index
+      // persists (fixed NumPerms/RowsPerBand geometry, append-only);
+      // here it derives in-query so the oracle can mirror it. Only the
+      // arriving slice (a small fraction of the corpus) shingles fresh
+      // and shuffles; the band join is keyed (band, id-only rows — qd02's
+      // keys-not-payloads discipline), candidates go distinct before the
+      // two hash-array re-joins, and the per-doc finish is a bounded
+      // hash agg. The existing side is exact-collapsed first (qd02's
+      // hot-band discipline: identical shingle sets ⇒ identical sigs,
+      // bands, and Jaccard, so one representative bands for the whole
+      // group and partner counts expand by group size afterwards — 10k
+      // boilerplate copies post ONE row per band, and the expansion is
+      // exact, which is why the oracle keeps the uncollapsed form). The
+      // arriving/existing boundary is qp01's md5-bucket convention
+      // (bucket >= 90 arrives — qd10's eval-split choice), so membership
+      // is stateless and replay-safe on both engines.
+      import graft.functions.expressions.ShingleExpressions._
+      val docs = table(s, d, "documents")
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), splitBucket.as("bucket"),
+          shingleHash60(col("text"), ShingleN).as("hs"))
+        .persist() // both sides band off it; both verify joins re-read it
+      val arriving = docs.filter(col("bucket") >= 90).select(col("doc_id"), col("hs"))
+      val existing = docs.filter(col("bucket") < 90)
+        .groupBy(col("hs"))
+        .agg(min(col("doc_id")).as("old_id"), count(lit(1)).as("grp_n"))
+        .persist() // banded by rep + re-read by the verify join
+      val newBanded = arriving.select(col("doc_id").as("new_id"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
+          NumPerms, RowsPerBand)).as("band"))
+      val oldBanded = existing.select(col("old_id"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), NumPerms),
+          NumPerms, RowsPerBand)).as("band"))
+      val cand = newBanded.join(oldBanded, Seq("band"))
+        .select(col("new_id"), col("old_id")).distinct()
+      cand
+        .join(arriving.select(col("doc_id").as("new_id"), col("hs").as("hs_a")), Seq("new_id"))
+        .join(existing.select(col("old_id"), col("hs").as("hs_b"), col("grp_n")), Seq("old_id"))
+        .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+        .select(col("new_id"), col("grp_n"),
+          (col("inter").cast("double") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))
+        .filter(col("jaccard") >= JaccardThreshold)
+        .groupBy(col("new_id"))
+        .agg(sum(col("grp_n")).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
+        .select(col("new_id").as("doc_id"), col("n_dups"), col("max_jaccard"))
+        .orderBy(col("doc_id"))
+    }, Some({
+      val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
+        val parts = Seq(s"'$bnd'") ++
+          (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
+        parts.mkString(" || '|' || ")
+      }.mkString(", ")
+      s"""
+      WITH sh AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                         for g in ${oShingles("text")}]) AS hs
+        FROM documents WHERE length(text) >= $ShingleN),
+      sig AS (
+        SELECT doc_id, bucket, ${TextOps.oracleMinhashSignature("hs", NumPerms)} AS mh FROM sh),
+      banded AS (SELECT doc_id, bucket, unnest([$bandExprs]) AS band FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM banded a JOIN banded b ON a.band = b.band
+        WHERE a.bucket >= 90 AND b.bucket < 90),
+      pairs AS (
+        SELECT new_id,
+          len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+        FROM cand JOIN sh x ON cand.new_id = x.doc_id JOIN sh y ON cand.old_id = y.doc_id
+        WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold)
+      SELECT new_id AS doc_id, count(*) AS n_dups, max(jaccard) AS max_jaccard
+      FROM pairs GROUP BY 1 ORDER BY doc_id"""
+    })),
+
     CatalogQuery("qd12_soft_dedup_weights", (s, d) => {
       // Soft dedup — REWEIGHT duplicates instead of dropping them
       // (SoftDeDup: down-weight a document by its near-dup cluster size
@@ -3923,6 +4012,51 @@ object PipelineQueries {
         round(-CAST(sum(plp) AS DOUBLE), 6) AS entropy
       FROM summed GROUP BY doc_id ORDER BY doc_id""")),
 
+    CatalogQuery("qt21_dup_trigram_fraction", (s, d) => {
+      // Duplicate-trigram occurrence fraction — the Gopher repetition
+      // family's n-gram member (Rae et al. 2021 filter on duplicate
+      // n-gram fractions, n=3 here): the share of a document's trigram
+      // occurrences whose trigram occurs at least twice IN THAT document.
+      // qt06's dup-token ratio catches word-level stutter and its
+      // top-bigram coverage catches one dominant pattern; the trigram
+      // fraction catches longer-loop template spam (navigation blocks,
+      // generated boilerplate) that unigram/bigram screens miss.
+      //
+      // Scale shape: the token stream collapses ONCE into the per-(doc,
+      // trigram) tf table via hash aggregation (map-side partials — never
+      // a per-row quadratic scan); adjacency comes from doc-partitioned
+      // lead windows (bounded by doc length, qt14's discipline); the
+      // per-doc finish is a second hash agg. All counts are integers and
+      // the fraction is a BIGINT ppm floor division — exact on both
+      // engines, no float in sight.
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .toDF("doc_id", "pos", "w")
+      val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val tf = toks
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .withColumn("w3", lead(col("w"), 2).over(byDoc))
+        .filter(col("w3").isNotNull)
+        .groupBy(col("doc_id"), col("w"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_trigrams"),
+          sum(when(col("tf") >= 2, col("tf")).otherwise(lit(0L))).as("dup_occ"))
+        .select(col("doc_id"), col("n_trigrams"),
+          expr("dup_occ * 1000000L div n_trigrams").as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+                    FROM documents),
+      tri AS (SELECT doc_id, arr[i] AS w, arr[i + 1] AS w2, arr[i + 2] AS w3
+              FROM docs, (SELECT unnest(range(1, len(arr) - 1)) AS i) ix),
+      tf AS (SELECT doc_id, w, w2, w3, count(*) AS tf FROM tri GROUP BY 1, 2, 3, 4),
+      agg AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+                CAST(sum(CASE WHEN tf >= 2 THEN tf ELSE 0 END) AS BIGINT) AS dup_occ
+              FROM tf GROUP BY doc_id)
+      SELECT doc_id, n_trigrams, dup_occ * 1000000 // n_trigrams AS dup_ppm
+      FROM agg ORDER BY doc_id""")),
+
     CatalogQuery("qp19_decontam_repair", (s, d) => {
       // Decontamination REPAIR — the action on qp05's audit (the GPT-3
       // recipe: when a train document near-duplicates an eval document,
@@ -4038,6 +4172,111 @@ object PipelineQueries {
         CAST(count(*) AS BIGINT) AS n_queries,
         TRUE AS recall_nondecreasing, TRUE AS recall_ge_090_at_max
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qp20_cluster_split", (s, d) => {
+      // Leakage-free split assignment — the unit of splitting is the
+      // NEAR-DUP CLUSTER, not the document: every doc inherits the
+      // hash-bucket split of its qd06 canonical representative, so a
+      // near-dup pair can never straddle train/eval BY CONSTRUCTION
+      // (both members share a representative, hence a bucket, hence a
+      // split). This is the preventive counterpart to qp05 (audit) and
+      // qp19 (after-the-fact repair): run the split this way and the
+      // leakage those two exist to catch is structurally impossible —
+      // at the cost of splitting only after the dedup plane has run.
+      //
+      // Scale shape: composes qd06's pointer-jumping connected
+      // components through the catalog (never all-pairs); the rep
+      // attach is one left join of the corpus against the (small)
+      // clustered-doc table; bucket/split derivation is qp01's
+      // stateless per-row hash arithmetic on the rep id — still
+      // engine/partitioning/append-invariant, just keyed one level up.
+      val cc = graft.pipeline.Dedup.connectedComponents(
+        QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+          .select(col("id_a"), col("id_b")))
+      val repBucket =
+        pmod(TextOps.hash60(col("rep_id").cast("string")), lit(100))
+      table(s, d, "documents").select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical_id"), col("doc_id")).as("rep_id"))
+        .select(col("doc_id"), col("rep_id"), repBucket.as("bucket"),
+          splitLabel(repBucket).as("split"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      cc AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY id),
+      rep AS (SELECT d.doc_id, COALESCE(cc.canonical_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN cc USING (doc_id)),
+      b AS (SELECT doc_id, rep_id,
+          CAST(('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM rep)
+      SELECT doc_id, rep_id, bucket,
+        CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""")),
+
+    CatalogQuery("qe10_knn_hubness", (s, d) => {
+      // kNN-graph hubness audit — the in-degree distribution of the
+      // batch top-k neighbor graph (qs04's "top-3 for EVERY vector"
+      // edges). High-dimensional embedding spaces concentrate: a few
+      // hub vectors appear in a large fraction of neighbor lists
+      // (Radovanović et al. 2010), which skews retrieval, poisons
+      // qs06-style hard-negative mining (the same hubs get mined for
+      // every anchor), and inflates near-dup candidate sets. The
+      // histogram — including the explicit in_degree=0 anti-hub mass —
+      // is the one-table screen for that pathology.
+      //
+      // Scale shape: composes qs04 through the catalog (keyed cell
+      // equi-join, bounded top-k — never the n² score matrix); the edge
+      // list is ≤ k·n rows of (query_id, vec_id) keys; in-degree is one
+      // hash agg on vec_id, the anti-hub zero row comes from a left
+      // join against the corpus ids, and the final histogram is a
+      // second bounded agg (≤ k·n distinct degrees, in practice tens).
+      val edges = QueryCatalog.byName("qs04_ann_batch").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val indeg = edges.groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+      table(s, d, "embeddings").select(col("vec_id"))
+        .join(indeg, Seq("vec_id"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("in_degree"))
+        .groupBy(col("in_degree")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("in_degree"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored),
+      indeg AS (SELECT vec_id, count(*) AS n FROM ranked WHERE rank <= 3 GROUP BY 1),
+      alldeg AS (SELECT COALESCE(i.n, 0) AS in_degree
+                 FROM e LEFT JOIN indeg i USING (vec_id))
+      SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM alldeg GROUP BY in_degree ORDER BY in_degree""")),
 
     CatalogQuery("qe09_fisher_separation", (s, d) => {
       // Per-dimension Fisher class-separation audit: between-class over
@@ -4301,6 +4540,70 @@ object PipelineQueries {
         CAST(max(CASE WHEN h.frame = 0 THEN h.hi END) AS BIGINT) AS f0_hi,
         CAST(max(CASE WHEN h.frame = 0 THEN h.lo END) AS BIGINT) AS f0_lo
       FROM f JOIN h USING (doc_id) GROUP BY f.doc_id, f.nf
-      ORDER BY f.doc_id"""))
+      ORDER BY f.doc_id""")),
+
+    CatalogQuery("qs15_index_balance", (s, d) => {
+      // IVF posting-list balance audit — the operational health check on
+      // every inverted-file index this engine builds (qs02/qs04/qs12/qs14,
+      // IvfIndexStore): per-cell posting count and corpus share. A skewed
+      // histogram means hot cells (probe latency ∝ largest visited cell)
+      // and starved ones (wasted centroids); empty cells surface here as
+      // explicit zero rows. This table is what decides K/centroid retrain
+      // cadence in production — the index-plane twin of qd14's "how bad is
+      // it, in what shape" summary.
+      //
+      // Scale shape: assignment is the broadcast-centroid map (corpus
+      // never shuffles for it), the histogram is one K-row hash agg, and
+      // the total is a single-row aggregate broadcast back — nothing
+      // corpus-sized moves. Shares qs02's deterministic geometry
+      // (vec_id<K centroids, nearest by sqrt'd L2, tie→lower cid) so the
+      // oracle mirrors the assignment exactly; KMeans-trained centroids
+      // slot in unchanged. share_ppm is a BIGINT floor-division chain
+      // (qp18's convention — exact on both engines).
+      val K = 16
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // centroid collect + assignment scan + total count
+      val cents: Array[Array[Double]] = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = e.as[(Long, Seq[Double])].map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { val dd = v(i) - cs(c)(i); acc += dd * dd; i += 1 }
+          val dist = math.sqrt(acc) // sqrt'd like DuckDB list_distance
+          if (dist < bestD) { bestD = dist; best = c } // strict <: lowest cid wins ties
+          c += 1
+        }
+        (id, best.toLong)
+      }.toDF("vec_id", "cell")
+      val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val total = e.agg(count(lit(1)).as("total"))
+      s.range(K).toDF("cell")
+        .join(counts, Seq("cell"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vecs"),
+          expr("coalesce(n, 0L) * 1000000L div total").as("share_ppm"))
+        .orderBy(col("cell"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT e.vec_id, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      counts AS (SELECT cell, count(*) AS n FROM assigned GROUP BY 1),
+      total AS (SELECT count(*) AS total FROM e)
+      SELECT r.cell, COALESCE(c.n, 0) AS n_vecs,
+        COALESCE(c.n, 0) * 1000000 // total AS share_ppm
+      FROM (SELECT unnest(range(0, 16)) AS cell) r
+      LEFT JOIN counts c USING (cell), total
+      ORDER BY cell"""))
   )
 }
