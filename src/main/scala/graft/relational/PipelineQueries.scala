@@ -233,10 +233,13 @@ object PipelineQueries {
   }
 
   /** The deterministic-IVF top-k oracle (vec_id<16 centroids, nprobe=4,
-    * queries vec_id<5, k=10) — shared by qs02 (fused in-query plan) and
-    * qs14 (the same geometry served from the persistent IvfIndexStore
-    * artifact): both must produce these exact rank rows. */
-  private val oIvfTopkSql: String = """
+    * queries vec_id<5, k=10) — shared by qs02 (fused in-query plan), qs14
+    * (the same geometry served from the persistent IvfIndexStore
+    * artifact), and qs16 (serving after tombstone deletes: `corpusPred`
+    * filters the POSTING side only — centroids and queries keep the full
+    * geometry, exactly the artifact's fixed-at-build semantics): all must
+    * produce these exact rank rows. */
+  private def oIvfTopkSqlWhere(corpusPred: String): String = s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
       assigned AS (
@@ -244,7 +247,7 @@ object PipelineQueries {
           SELECT e.vec_id, e.v, cent.cid,
             row_number() OVER (PARTITION BY e.vec_id
               ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent) t WHERE rn = 1),
+          FROM e CROSS JOIN cent WHERE $corpusPred) t WHERE rn = 1),
       q AS (
         SELECT query_id, qv, cid AS cell FROM (
           SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
@@ -262,6 +265,15 @@ object PipelineQueries {
         FROM scored)
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
+
+  private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
+
+  /** qs16's tombstoned ids — chosen to include served neighbors (so the
+    * delete visibly reshapes the result) and a centroid-seed id (7 < 16:
+    * its POSTING vanishes, its centroid stays — geometry is fixed at
+    * build time). */
+  private val DeletedVecIds: Seq[Long] =
+    Seq(7L, 27L, 64L, 89L, 112L, 137L, 203L, 312L, 408L, 470L)
 
   /** CTE chain reproducing qd02's LSH candidate pairs (pre-verification) —
     * the shared blocking stage of the minhash oracles. */
@@ -1135,6 +1147,30 @@ object PipelineQueries {
         .filter(col("query_id") < 5)
       graft.sinks.IvfIndexStore.query(s, idxDir, queries, nProbe = 4, topK = 10)
     }, Some(oIvfTopkSql)),
+
+    CatalogQuery("qs16_index_delete_serve", (s, d) => {
+      // Index deletion under the correctness gate — the takedown/GDPR
+      // path: build the persistent index, TOMBSTONE a fixed id list
+      // (O(|ids|), no store rewrite), and serve the standard batch. The
+      // oracle is the shared IVF SQL with the deleted ids filtered from
+      // the POSTING side only — centroids and the query batch keep the
+      // full geometry, which is exactly the artifact's fixed-at-build
+      // semantics (id 7 seeds a centroid that survives its own posting's
+      // deletion). Gates the whole delete→anti-join→serve path, incl.
+      // that the broadcast tombstone anti-join runs AFTER partition
+      // pruning (pinned in IvfIndexSpec, with compact-equivalence and
+      // no-resurrection contracts).
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs16-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
+      graft.sinks.IvfIndexStore.delete(s, idxDir, DeletedVecIds)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.IvfIndexStore.query(s, idxDir, queries, nProbe = 4, topK = 10)
+    }, Some(oIvfTopkSqlWhere(
+      s"e.vec_id NOT IN (${DeletedVecIds.mkString(", ")})"))),
 
     CatalogQuery("qs02_ann_ivf", (s, d) => {
       // IVF-bucketed ANN — the 100 TB path: vectors are pre-assigned to

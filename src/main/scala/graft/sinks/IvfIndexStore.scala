@@ -80,6 +80,60 @@ object IvfIndexStore {
       .parquet(s"$path/postings")
   }
 
+  /** Delete vectors from the index by TOMBSTONE — O(|ids|) whatever the
+    * index size (the GDPR/takedown path: a delete must not rewrite a
+    * 100 TB posting store). Tombstones append into `tombstones/` and
+    * [[query]] anti-joins the (small, broadcast) tombstone set against
+    * the probed slice only, AFTER partition pruning — so serving cost is
+    * unchanged and deleted vectors stop appearing immediately. Deletion
+    * is terminal for a vec_id until [[compact]]: re-appending a
+    * tombstoned id does NOT resurrect it (the tombstone outranks the
+    * posting — the unambiguous semantic when appends replay
+    * at-least-once). Repeated deletes of the same id are absorbed the
+    * same way duplicate appends are. Deleting a vector that seeded a
+    * centroid removes its POSTING only; the geometry is fixed at build
+    * time, exactly like appends. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(path, "tombstones")))
+      Some(spark.read.parquet(s"$path/tombstones").select("vec_id").distinct())
+    else None
+
+  /** Fold tombstones and replayed appends into the posting store: rewrite
+    * postings without tombstoned ids or duplicate (cell, vec_id) rows,
+    * then drop the tombstone set. Serving is identical before and after
+    * (spec-pinned) — compaction buys back storage and the serve-time
+    * dedup/anti-join work, on whatever cadence the deploy prefers. The
+    * rewrite stages into `postings.compact` and swaps directories only
+    * after the write commits, so a crash mid-compact leaves the live
+    * index untouched. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val live = spark.read.parquet(s"$path/postings")
+      .dropDuplicates("cell", "vec_id")
+    val kept = tombstones(spark, path) match {
+      case Some(t) => live.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => live
+    }
+    val tmp = s"$path/postings.compact"
+    kept.select("vec_id", "v", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val dst = Paths.get(path, "postings")
+    val old = Paths.get(path, "postings.old")
+    Files.move(dst, old)
+    Files.move(Paths.get(tmp), dst)
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    rmTree(old)
+    rmTree(Paths.get(path, "tombstones"))
+  }
+
   /** Continuous index maintenance: stream arriving vectors into the
     * postings via [[appendBatch]] per micro-batch. */
   def appendStream(stream: DataFrame, path: String,
@@ -113,9 +167,15 @@ object IvfIndexStore {
     // dropDuplicates absorbs at-least-once streaming appends (replayed
     // postings are identical rows); it runs AFTER the partition filter,
     // so the dedup shuffle touches only the probed nprobe/K slice
-    val postings = spark.read.parquet(s"$path/postings")
+    val pruned = spark.read.parquet(s"$path/postings")
       .filter(col("cell").isInCollection(probeCells))
       .dropDuplicates("cell", "vec_id")
+    // tombstoned ids never serve: broadcast anti-join against the (small)
+    // delete set, after pruning — only the probed slice pays for it
+    val postings = tombstones(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => pruned
+    }
     val probeDf = probes.toDF("query_id", "qv", "cell")
     val scored = postings.join(broadcast(probeDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

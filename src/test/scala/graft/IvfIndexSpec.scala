@@ -71,4 +71,56 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndexStore.appendBatch(tail, idx)
     assert(serve() == want, "a replayed append batch must change nothing")
   }
+
+  test("tombstone deletes serve as if the corpus never held the ids; compact folds them in") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    val deleted: Seq[Long] = Seq(7L, 42L, 137L, 300L) // incl. a centroid-seed id (7 < 16)
+    IvfIndexStore.delete(spark, idx, deleted)
+
+    val queries = e
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    def serve() = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    // ground truth: an index built from the corpus WITHOUT the deleted
+    // vectors — but with the ORIGINAL geometry (centroids are fixed at
+    // build time; deleting a centroid-seed id removes its posting only)
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val truthIdx = java.nio.file.Files.createTempDirectory("graft-ivf-del-truth").toString
+    IvfIndexStore.build(e.filter(!col("vec_id").isInCollection(deleted)),
+      k = 16, truthIdx, centroids = Some(cents))
+    val want = IvfIndexStore.query(spark, truthIdx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    val got = serve()
+    assert(got == want, "tombstoned ids must never serve")
+    assert(!got.exists(r => deleted.contains(r._3)))
+
+    // deletes are terminal until compact: re-appending a tombstoned id
+    // does not resurrect it; repeated deletes are absorbed
+    IvfIndexStore.appendBatch(e.filter(col("vec_id") === 42L), idx)
+    IvfIndexStore.delete(spark, idx, Seq(137L))
+    assert(serve() == want, "re-append of a tombstoned id must not resurrect it")
+
+    // pruning survives the tombstone anti-join
+    val plan = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "probe-cell pruning must survive the tombstone anti-join")
+
+    // compact: serving identical, tombstones gone, store holds exactly
+    // the surviving vectors once
+    IvfIndexStore.compact(spark, idx)
+    assert(serve() == want, "serving must be identical across compact")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "tombstones")))
+    val n = spark.read.parquet(s"$idx/postings").count()
+    assert(n == e.count() - deleted.size,
+      s"compacted store must hold each surviving vector exactly once (got $n)")
+  }
 }
