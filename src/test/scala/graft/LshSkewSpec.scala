@@ -106,6 +106,33 @@ class LshSkewSpec extends AnyFunSuite {
     } finally deleteRecursively(dir)
   }
 
+  test("qd15 incremental probe matches all-member truth on a duplicate-heavy corpus") {
+    // Hot existing-side content is qd15's risk class: the existing side
+    // is exact-collapsed, so 60 copies of one page band ONCE and partner
+    // counts expand by group size. Expected answer, from first
+    // principles: an arriving doc (qp01 bucket >= 90) near-dups exactly
+    // the EXISTING members of its own content group (cross-content
+    // similarity ~0), at Jaccard exactly 1.0.
+    val (dir, groups) = writeFixture(Seq(60, 60, 60) ++ Seq.fill(12)(1))
+    try {
+      val allIds = groups.flatten
+      val buckets = allIds.toDF("doc_id")
+        .select(col("doc_id"),
+          pmod(graft.pipeline.TextOps.hash60(col("doc_id").cast("string")), lit(100))
+            .as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = groups.flatMap { ids =>
+        val existing = ids.count(buckets(_) < 90).toLong
+        ids.filter(buckets(_) >= 90).map(a => (a, existing, 1.0))
+      }.filter(_._2 > 0).sortBy(_._1)
+      val got = QueryCatalog.byName("qd15_incremental_dedup").build(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      assert(expected.nonEmpty, "fixture must place arriving docs in dup groups")
+      assert(got == expected)
+    } finally deleteRecursively(dir)
+  }
+
   test("expandRepPairs emits exactly cross x members + within-group pairs") {
     // groups: rep 5 -> {5, 20}, rep 10 -> {10, 11, 12}; one verified rep
     // pair (5, 10, 0.9). Cross pairs order by least/greatest per member

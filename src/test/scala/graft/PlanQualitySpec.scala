@@ -568,4 +568,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"posting self-join must stay keyed by token:\n${plan.take(1500)}")
   }
+
+  test("qd15 incremental probe stays keyed by band, never cartesian") {
+    // arriving-vs-existing candidates must come from the band equi-join
+    // (ids only); the verify joins key on the candidate ids
+    val plan = planOf("qd15_incremental_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"incremental band probe must stay keyed:\n${plan.take(1500)}")
+  }
+
+  test("qt21 trigram windows partition by doc; finish is hash aggregation") {
+    val plan = planOf("qt21_dup_trigram_fraction")
+    val winSpecs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.startsWith("doc_id#")),
+      s"adjacency windows must partition by doc_id, got $winSpecs:\n${plan.take(1500)}")
+    assert(plan.contains("HashAggregate"),
+      s"per-(doc,trigram) tf must hash-aggregate:\n${plan.take(1500)}")
+  }
 }
