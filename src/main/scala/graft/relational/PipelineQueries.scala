@@ -524,6 +524,41 @@ object PipelineQueries {
       FROM pairs GROUP BY 1 ORDER BY doc_id"""
     })),
 
+    CatalogQuery("qd16_cross_source_dups", (s, d) => {
+      // Duplication PROVENANCE matrix — qd02's verified near-dup pairs
+      // bucketed by unordered source pair: the "who mirrors whom" table
+      // (mirror sites, syndication, scraped re-posts). The diagonal is
+      // within-source duplication (template reuse); heavy off-diagonal
+      // cells mean two feeds ship the same content and one of them can
+      // be dropped from the crawl entirely — a source-level decision no
+      // per-doc dedup score surfaces.
+      //
+      // Scale shape: composes qd02 through the catalog (collapsed
+      // banding, never all-pairs); the pair list joins the (doc_id,
+      // source) projection twice — keyed joins, payload = one string —
+      // and the finish is a hash agg bounded by S² unordered source
+      // pairs.
+      val pairs = QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+        .select(col("id_a"), col("id_b"))
+      val src = table(s, d, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(s"""
+      WITH $oMinhashPairsCtes
+      SELECT least(x.source, y.source) AS source_a,
+        greatest(x.source, y.source) AS source_b,
+        count(*) AS n_pairs
+      FROM pairs
+      JOIN documents x ON pairs.id_a = x.doc_id
+      JOIN documents y ON pairs.id_b = y.doc_id
+      GROUP BY 1, 2 ORDER BY source_a, source_b""")),
+
     CatalogQuery("qd12_soft_dedup_weights", (s, d) => {
       // Soft dedup — REWEIGHT duplicates instead of dropping them
       // (SoftDeDup: down-weight a document by its near-dup cluster size
@@ -2013,6 +2048,41 @@ object PipelineQueries {
         CASE $caseExpr ELSE 'und' END AS predicted_lang,
         ${TextOps.langMarkers.map(m => s"score_${m._1}").mkString(", ")}
       FROM scored ORDER BY doc_id"""
+    }),
+
+    CatalogQuery("qt22_langid_margin", (s, d) => {
+      // Language-ID confidence margin — top-1 minus top-2 marker score
+      // from qt01's scorer. The production routing signal: a zero margin
+      // means the n-gram heuristic is guessing (tie or all-zero), and
+      // those docs — typically short, code-mixed, or genuinely
+      // multilingual — get routed to the expensive classifier instead of
+      // being mislabeled in bulk. Cheap screen first, model second is
+      // the only affordable shape at 100 TB.
+      //
+      // Scale shape: pure per-row codegen'd expressions (the same
+      // occurrence counters qt01 pipelines inside the scan) plus one
+      // 5-element sort_array per row; no shuffle at all before the
+      // ordered output. All-integer scores, so both engines agree
+      // exactly.
+      val scores = TextOps.langScores(col("text"))
+      val arr = sort_array(array(scores.map(_._2.cast("long")): _*), asc = false)
+      table(s, d, "documents")
+        .select(col("doc_id"), element_at(arr, 1).as("top_score"),
+          (element_at(arr, 1) - element_at(arr, 2)).as("margin"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val scoreExprs = TextOps.langMarkers.map { case (lang, markers) =>
+        val cnt = markers.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) // ${m.length}").mkString(" + ")
+        s"CAST($cnt AS BIGINT) AS score_$lang"
+      }.mkString(", ")
+      val scoreList = TextOps.langMarkers.map(m => s"score_${m._1}").mkString(", ")
+      s"""
+      WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+      scored AS (SELECT doc_id, $scoreExprs FROM padded),
+      sorted AS (SELECT doc_id, list_sort([$scoreList], 'DESC') AS l FROM scored)
+      SELECT doc_id, l[1] AS top_score, l[1] - l[2] AS margin
+      FROM sorted ORDER BY doc_id"""
     }),
 
     CatalogQuery("qt02_quality_score", (s, d) => {
@@ -4258,6 +4328,96 @@ object PipelineQueries {
         CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
              ELSE 'test' END AS split
       FROM b ORDER BY doc_id""")),
+
+    CatalogQuery("qp21_dedup_funnel", (s, d) => {
+      // Dedup FUNNEL accounting — what each dedup plane would save,
+      // in documents and tokens, side by side: 'exact' (qd01's rule:
+      // non-keeper byte-identical copies), 'near' (qd06's clusters:
+      // members other than the canonical representative), 'block'
+      // (qd09's C4 rule: boilerplate blocks removed inside surviving
+      // docs). The capacity-planning table a curation run starts from —
+      // each stage measured independently on the full corpus (this is a
+      // savings REPORT, not a sequential execution; qp13 is the fused
+      // sequential pipeline).
+      //
+      // Scale shape: one token-count projection of the corpus feeds all
+      // three stages; exact is a single hash agg over content digests
+      // (min_by picks the keeper's token count in the same pass); near
+      // composes qd06's pointer-jumping components and joins the
+      // (small) cluster table; block composes qd09's hashed-block
+      // accounting. Output is exactly 3 rows.
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .persist() // all three stages read it
+      val exact = toks.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tot"),
+          min_by(col("n_tok"), col("doc_id")).as("keep_tok"))
+        .agg(sum(col("n") - 1).as("docs"),
+          sum(col("tot") - col("keep_tok")).as("toks"))
+        .select(lit("exact").as("stage"),
+          coalesce(col("docs"), lit(0L)).as("docs_removed"),
+          coalesce(col("toks"), lit(0L)).as("tokens_removed"))
+      val cc = graft.pipeline.Dedup.connectedComponents(
+        QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+          .select(col("id_a"), col("id_b")))
+      val near = cc.filter(col("doc_id") =!= col("canonical_id"))
+        .join(toks, Seq("doc_id"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_tok")).as("toks"))
+        .select(lit("near").as("stage"),
+          coalesce(col("docs"), lit(0L)).as("docs_removed"),
+          coalesce(col("toks"), lit(0L)).as("tokens_removed"))
+      val block = QueryCatalog.byName("qd09_block_dedup").build(s, d)
+        .join(toks, Seq("doc_id"))
+        .agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L)).as("docs"),
+          sum(col("n_tok") - col("n_tokens_kept")).as("toks"))
+        .select(lit("block").as("stage"),
+          coalesce(col("docs"), lit(0L)).as("docs_removed"),
+          coalesce(col("toks"), lit(0L)).as("tokens_removed"))
+      exact.unionByName(near).unionByName(block).orderBy(col("stage"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      cc AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY id),
+      tok AS (SELECT doc_id, md5(text) AS ch,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+              FROM documents),
+      exg AS (SELECT ch, count(*) AS n, sum(n_tok) AS tot,
+                min_by(n_tok, doc_id) AS keep_tok
+              FROM tok GROUP BY ch),
+      exact AS (SELECT 'exact' AS stage,
+          CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS docs_removed,
+          CAST(coalesce(sum(tot - keep_tok), 0) AS BIGINT) AS tokens_removed
+        FROM exg),
+      near AS (SELECT 'near' AS stage,
+          CAST(coalesce(count(*), 0) AS BIGINT) AS docs_removed,
+          CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS tokens_removed
+        FROM cc JOIN tok USING (doc_id) WHERE doc_id <> canonical_id),
+      t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents),
+      blk AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(array_to_string(w[u.i * $DupSpanW + 1 : u.i * $DupSpanW + $DupSpanW], ' ')), 1, 15)) AS BIGINT) AS h,
+          len(w[u.i * $DupSpanW + 1 : u.i * $DupSpanW + $DupSpanW]) AS blen
+        FROM t, LATERAL (SELECT unnest(range(CAST(ceil(len(w) / $DupSpanW.0) AS BIGINT))) AS i) u),
+      boiler AS (SELECT h FROM blk GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+      perdoc AS (SELECT blk.doc_id,
+          sum(CASE WHEN boiler.h IS NOT NULL THEN 1 ELSE 0 END) AS n_removed,
+          sum(CASE WHEN boiler.h IS NULL THEN blk.blen ELSE 0 END) AS kept
+        FROM blk LEFT JOIN boiler ON blk.h = boiler.h
+        GROUP BY blk.doc_id),
+      block AS (SELECT 'block' AS stage,
+          CAST(coalesce(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS docs_removed,
+          CAST(coalesce(sum(n_tok - kept), 0) AS BIGINT) AS tokens_removed
+        FROM perdoc JOIN tok USING (doc_id))
+      SELECT * FROM exact UNION ALL SELECT * FROM near UNION ALL
+      SELECT * FROM block ORDER BY stage""")),
 
     CatalogQuery("qe10_knn_hubness", (s, d) => {
       // kNN-graph hubness audit — the in-degree distribution of the
