@@ -3582,6 +3582,85 @@ object PipelineQueries {
       FROM h JOIN cls USING (ahash_hi, ahash_lo)
       ORDER BY h.doc_id""")),
 
+    CatalogQuery("qm05_image_neardup", (s, d) => {
+      // Perceptual image NEAR-dup — the Hamming-LSH scale path qm02's
+      // doc promises, materialized: 64-bit aHashes (through the real
+      // decode path, via the qm02 catalog entry) band into 4×16-bit
+      // sub-words, docs sharing a band verify by exact Hamming distance,
+      // and each doc reports its near-dup partner count and closest
+      // distance (1 ≤ hamming ≤ 6 — hamming 0 is qm02's exact-class
+      // business). By pigeonhole the banding catches EVERY pair within
+      // 3 bits; beyond that recall is the banding's, and the oracle
+      // mirrors the blocking exactly (qd02's contract form).
+      //
+      // Scale shape: identical-hash classes collapse first (qd02's
+      // discipline — space-padded short docs make hot hash classes the
+      // NORM here), one representative bands per class, candidates are
+      // (band, rep) keys only, and per-doc results expand from per-class
+      // results (identical hash ⇒ identical partners and distances).
+      // Verification is two bit_count(xor) ops per candidate — the qs11
+      // comparison kernel on the image plane.
+      val HamMax = 6
+      val hashes = QueryCatalog.byName("qm02_image_phash").build(s, d)
+        .select(col("doc_id"), col("ahash_hi").as("hi"), col("ahash_lo").as("lo"))
+      val grouped = hashes.groupBy(col("hi"), col("lo"))
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("grp_n"),
+          collect_list(col("doc_id")).as("members"))
+        .persist() // reps band + verify joins + member expansion
+      val reps = grouped.select(col("rep"), col("hi"), col("lo"), col("grp_n"))
+      val banded = reps.select(col("rep"), explode(array(
+        expr("0 * 65536 + (shiftright(lo, 0) & 65535)"),
+        expr("1 * 65536 + (shiftright(lo, 16) & 65535)"),
+        expr("2 * 65536 + (shiftright(hi, 0) & 65535)"),
+        expr("3 * 65536 + (shiftright(hi, 16) & 65535)"))).as("band"))
+      val cand = banded.select(col("band"), col("rep").as("rep_a"))
+        .join(banded.select(col("band"), col("rep").as("rep_b")), Seq("band"))
+        .filter(col("rep_a") =!= col("rep_b"))
+        .select(col("rep_a"), col("rep_b")).distinct()
+      val verified = cand
+        .join(reps.select(col("rep").as("rep_a"), col("hi").as("hi_a"),
+          col("lo").as("lo_a")), Seq("rep_a"))
+        .join(reps.select(col("rep").as("rep_b"), col("hi").as("hi_b"),
+          col("lo").as("lo_b"), col("grp_n").as("n_b")), Seq("rep_b"))
+        .withColumn("hd",
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))).cast("long") +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b"))).cast("long"))
+        .filter(col("hd") <= HamMax) // distinct classes ⇒ hd >= 1 already
+      val perClass = verified.groupBy(col("rep_a"))
+        .agg(sum(col("n_b")).as("n_near"), min(col("hd")).as("min_hamming"))
+        .withColumnRenamed("rep_a", "rep")
+      grouped.select(col("rep"), explode(col("members")).as("doc_id"))
+        .join(perClass, Seq("rep"))
+        .select(col("doc_id"), col("n_near"), col("min_hamming"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH px AS (SELECT doc_id, i,
+               CASE WHEN i <= length(text) THEN least(ascii(substr(text, i, 1)), 255)
+                    ELSE 32 END AS p
+             FROM documents, (SELECT unnest(range(1, 65)) AS i) ix),
+      tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY 1),
+      h AS (SELECT px.doc_id,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.i > 32
+                THEN 1::BIGINT << (px.i - 33) ELSE 0 END) AS BIGINT) AS hi,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.i <= 32
+                THEN 1::BIGINT << (px.i - 1) ELSE 0 END) AS BIGINT) AS lo
+            FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id),
+      banded AS (SELECT doc_id, unnest([
+          0 * 65536 + ((lo >> 0) & 65535),
+          1 * 65536 + ((lo >> 16) & 65535),
+          2 * 65536 + ((hi >> 0) & 65535),
+          3 * 65536 + ((hi >> 16) & 65535)]) AS band FROM h),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.doc_id <> b.doc_id),
+      ham AS (SELECT id_a, id_b,
+                CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS BIGINT) AS hd
+              FROM cand JOIN h x ON cand.id_a = x.doc_id
+                        JOIN h y ON cand.id_b = y.doc_id)
+      SELECT id_a AS doc_id, count(*) AS n_near, min(hd) AS min_hamming
+      FROM ham WHERE hd BETWEEN 1 AND 6
+      GROUP BY 1 ORDER BY doc_id""")),
+
     CatalogQuery("qt17_pmi_collocations", (s, d) => {
       // Collocation mining: the top-20 adjacent bigrams by pointwise
       // mutual information, PMI(x,y) = ln(p(x,y) / (p(x)·p(y))) with
