@@ -4553,6 +4553,75 @@ object PipelineQueries {
       SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
       FROM alldeg GROUP BY in_degree ORDER BY in_degree""")),
 
+    CatalogQuery("qe11_centroid_confusion", (s, d) => {
+      // Label-centroid CONFUSION structure — pairwise cosine and squared
+      // L2 distance between class centroids: the screen for label
+      // near-collisions (two labels whose centroids nearly coincide are
+      // merge candidates or label noise; qe09's Fisher ratios say
+      // whether dims separate classes AT ALL, this says WHICH pairs
+      // collide). The pair table is what a taxonomy cleanup acts on.
+      //
+      // Scale shape: qe04's discipline end to end — one corpus explode
+      // into per-(label, dim) decimal sums (map-side partials), the
+      // centroid table is labels × dims rows, and everything pairwise
+      // happens on THAT bounded table (the dim-keyed self-join carries
+      // d·L² rows, corpus-independent). Determinism: centroid means are
+      // decimal-sum/count; the dot/norm summands are 12-decimal-
+      // quantized so pair sums are exact decimal arithmetic; the final
+      // cosine/distance are the same IEEE double ops on both engines,
+      // rounded to 6.
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val e = table(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("x"))
+      val cent = e.groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sx"))
+        .select(col("label"), col("dim"),
+          (col("sx").cast("double") / col("n")).as("m"))
+        .persist() // dot self-join + norm agg both read it
+      val dots = cent.select(col("label").as("label_a"), col("dim"), col("m").as("m_a"))
+        .join(cent.select(col("label").as("label_b"), col("dim"), col("m").as("m_b")),
+          Seq("dim"))
+        .filter(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(col("m_a") * col("m_b"), 12).cast(dec12).as("sd"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("sd")).cast("double").as("dot"))
+      val norms = cent
+        .select(col("label"), round(col("m") * col("m"), 12).cast(dec12).as("sq"))
+        .groupBy(col("label")).agg(sum(col("sq")).cast("double").as("nn"))
+      dots
+        .join(norms.select(col("label").as("label_a"), col("nn").as("na")), Seq("label_a"))
+        .join(norms.select(col("label").as("label_b"), col("nn").as("nb")), Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("cosine"),
+          round(col("na") + col("nb") - lit(2.0) * col("dot"), 6).as("l2_sq"))
+        .orderBy(col("label_a"), col("label_b"))
+    }, Some("""
+      WITH e AS (SELECT label,
+          unnest([{'dim': i, 'x': embedding[i]::DOUBLE}
+                  for i in range(1, len(embedding) + 1)]) AS u
+        FROM embeddings),
+      pl AS (SELECT label, u.dim AS dim, count(*) AS n,
+               sum(CAST(u.x AS DECIMAL(38,6))) AS sx
+             FROM e GROUP BY label, u.dim),
+      cent AS (SELECT label, dim, CAST(sx AS DOUBLE) / n AS m FROM pl),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+          CAST(sum(CAST(round(a.m * b.m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2),
+      norms AS (SELECT label,
+          CAST(sum(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS DOUBLE) AS nn
+        FROM cent GROUP BY label)
+      SELECT label_a, label_b,
+        round(dot / (sqrt(x.nn) * sqrt(y.nn)), 6) AS cosine,
+        round(x.nn + y.nn - 2.0 * dot, 6) AS l2_sq
+      FROM dots JOIN norms x ON dots.label_a = x.label
+                JOIN norms y ON dots.label_b = y.label
+      ORDER BY label_a, label_b""")),
+
     CatalogQuery("qe09_fisher_separation", (s, d) => {
       // Per-dimension Fisher class-separation audit: between-class over
       // within-class variance, F_d = Σ_l n_l(μ_ld − μ_d)² / Σ_l n_l σ²_ld
