@@ -4358,6 +4358,81 @@ object PipelineQueries {
         TRUE AS recall_nondecreasing, TRUE AS recall_ge_090_at_max
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs17_nprobe_curve", (s, d) => {
+      // The IVF operating curve: recall vs nprobe from ONE assignment
+      // pass — the tuning run behind every nprobe pin in the IVF plane
+      // (qs02/qd05 probe 4, qs03 probes 8; this measures the curve those
+      // choices sit on). Every query ranks ALL K cells once; the
+      // candidate set at nprobe=m is the prefix of that ranking, so the
+      // corpus assignment, the probe ranking, and the candidate cosines
+      // compute once and every point derives by prefix filter
+      // (qs13's one-scan discipline on the IVF axis).
+      //
+      // Contracts (both provable, so the gate is strict):
+      //  - recall is NONDECREASING in nprobe: candidate sets nest, and a
+      //    truth member has ≤ k−1 globally-better vectors, so it enters
+      //    the candidate top-k the moment its cell is probed;
+      //  - recall at nprobe=K is EXACTLY 1.0: probing every cell IS the
+      //    brute-force scan, so the top-k equals the qs01 truth under
+      //    the same deterministic (cosine DESC, vec_id ASC) order.
+      // The oracle pins the point/query counts + TRUE.
+      val NQueries = 5; val K = 16; val Probes = Seq(1, 2, 4, 8, 16)
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // centroid collect + assignment + candidate cosines
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val bc = s.sparkContext.broadcast(cents)
+      def rankedCells(v: Seq[Double]): Seq[Long] =
+        bc.value.map { case (cid, cv) =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+          (math.sqrt(acc), cid)
+        }.sortBy(identity).map(_._2).toSeq
+      val assigned = e.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v, rankedCells(v).head) }
+        .toDF("vec_id", "v", "cell")
+      // 5 query vectors (bounded collect) rank all K cells driver-side;
+      // the K·NQueries probe table broadcasts
+      val qvecs = e.filter(col("vec_id") < NQueries)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val probeRows = qvecs.toSeq.flatMap { case (qid, qv) =>
+        rankedCells(qv).zipWithIndex.map { case (c, i) => (qid, qv, c, i + 1L) }
+      }
+      val probeDf = probeRows.toDF("query_id", "qv", "cell", "probe_rank")
+      val scored = assigned.join(broadcast(probeDf), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("probe_rank"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+        .persist() // every curve point filters it by probe_rank prefix
+      val pointsDf = Probes.map(_.toLong).toDF("m")
+      val topk = graft.functions.TopKAggregator.topK(AnnTopK)
+      val perPoint = scored.crossJoin(broadcast(pointsDf))
+        .filter(col("probe_rank") <= col("m"))
+        .groupBy(col("m"), col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("m"), col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val recalls = truth.crossJoin(broadcast(pointsDf))
+        .join(perPoint.withColumn("hit", lit(1L)), Seq("m", "query_id", "vec_id"), "left")
+        .groupBy(col("m"), col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+        .groupBy(col("m")).agg(avg(col("recall")).as("r"))
+        .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap // ≤ |Probes| rows
+      val curve = Probes.map(p => recalls(p.toLong))
+      val monotone = curve.zip(curve.tail).forall { case (a, b) => a <= b }
+      Seq((Probes.length.toLong, NQueries.toLong, monotone, curve.last == 1.0))
+        .toDF("n_points", "n_queries", "recall_nondecreasing",
+          "recall_exact_one_at_full_probe")
+    }, Some("""
+      SELECT 5::BIGINT AS n_points,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        TRUE AS recall_nondecreasing, TRUE AS recall_exact_one_at_full_probe
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qp20_cluster_split", (s, d) => {
       // Leakage-free split assignment — the unit of splitting is the
       // NEAR-DUP CLUSTER, not the document: every doc inherits the
