@@ -522,7 +522,7 @@ object PipelineQueries {
             (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold)
       SELECT new_id AS doc_id, count(*) AS n_dups, max(jaccard) AS max_jaccard
       FROM pairs GROUP BY 1 ORDER BY doc_id"""
-    })),
+    }), headline = true),
 
     CatalogQuery("qd16_cross_source_dups", (s, d) => {
       // Duplication PROVENANCE matrix — qd02's verified near-dup pairs
@@ -3659,7 +3659,7 @@ object PipelineQueries {
                         JOIN h y ON cand.id_b = y.doc_id)
       SELECT id_a AS doc_id, count(*) AS n_near, min(hd) AS min_hamming
       FROM ham WHERE hd BETWEEN 1 AND 6
-      GROUP BY 1 ORDER BY doc_id""")),
+      GROUP BY 1 ORDER BY doc_id"""), headline = true),
 
     CatalogQuery("qt17_pmi_collocations", (s, d) => {
       // Collocation mining: the top-20 adjacent bigrams by pointwise

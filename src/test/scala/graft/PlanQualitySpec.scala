@@ -577,6 +577,12 @@ class PlanQualitySpec extends AnyFunSuite {
       s"incremental band probe must stay keyed:\n${plan.take(1500)}")
   }
 
+  test("qm05 image near-dup candidates come from the band equi-join, never cartesian") {
+    val plan = planOf("qm05_image_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"Hamming-LSH banding must stay a keyed join:\n${plan.take(1500)}")
+  }
+
   test("qt21 trigram windows partition by doc; finish is hash aggregation") {
     val plan = planOf("qt21_dup_trigram_fraction")
     val winSpecs = "windowspecdefinition\\(([^,]*)".r
