@@ -268,6 +268,31 @@ object PipelineQueries {
 
   private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
 
+  /** The fixed-query BM25 oracle — shared by qt12 (fused in-query plan)
+    * and qt23 (the same scoring served from the persistent TextIndexStore
+    * artifact): both must produce these exact top-10 rows. */
+  private val oBm25Sql: String = """
+      WITH f AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
+             WHERE token IN ('spark', 'join', 'window')
+             GROUP BY doc_id, dl, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
+        FROM documents),
+      sc AS (SELECT tf.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
+            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tf JOIN df USING (token), stats)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        CAST(sum(sc) AS DOUBLE) AS score
+      FROM sc GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10"""
+
   /** qs16's tombstoned ids — chosen to include served neighbors (so the
     * delete visibly reshapes the result) and a centroid-seed id (7 < 16:
     * its POSTING vanishes, its centroid stays — geometry is fixed at
@@ -2484,27 +2509,26 @@ object PipelineQueries {
           sum(col("sc")).cast("double").as("score"))
         .orderBy(desc("score"), col("doc_id"))
         .limit(AnnTopK)
-    }, Some("""
-      WITH f AS (SELECT doc_id,
-          length(regexp_split_to_array(trim(text), '\s+')) AS dl,
-          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        FROM documents),
-      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
-             WHERE token IN ('spark', 'join', 'window')
-             GROUP BY doc_id, dl, token),
-      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
-        FROM documents),
-      sc AS (SELECT tf.doc_id,
-          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
-            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
-            AS DECIMAL(20,6)) AS sc
-        FROM tf JOIN df USING (token), stats)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-        CAST(sum(sc) AS DOUBLE) AS score
-      FROM sc GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 10"""), headline = true),
+    }, Some(oBm25Sql), headline = true),
+
+    CatalogQuery("qt23_index_bm25", (s, d) => {
+      // The PERSISTENT-inverted-index serving path under the correctness
+      // gate — qs14's story on the sparse axis: build the TextIndexStore
+      // artifact (bucket-partitioned posting lists + corpus stats
+      // manifest) and answer qt12's fixed query FROM THE ARTIFACT. Same
+      // scoring conventions as qt12 (pre-folded constants, 6-decimal
+      // quantized per-term scores), so the oracle is qt12's SQL
+      // verbatim — gating tokenize→post→prune→score end to end against
+      // DuckDB. Scale shape: serving opens only the query terms' bucket
+      // partitions (parquet partition pruning on the token axis,
+      // spec-pinned in TextIndexSpec); df derives from the pruned slice
+      // itself; corpus stats come from the manifest, not a scan.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt23-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      graft.sinks.TextIndexStore.queryBm25(s, idxDir,
+        Seq("spark", "join", "window"), AnnTopK)
+    }, Some(oBm25Sql)),
 
     CatalogQuery("qt13_pii_redact", (s, d) => {
       // PII detection + redaction — the scrubbing pass every released

@@ -1,0 +1,111 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted TEXT index — the sparse-retrieval twin of
+  * [[IvfIndexStore]]: build the posting lists once, serve keyword (BM25)
+  * queries many times without ever re-tokenizing or re-scanning the
+  * corpus text.
+  *
+  * Layout under `path`:
+  * {{{
+  *   manifest.json                    {"buckets":B,"n":N,"sumdl":S}
+  *   postings/bucket=K/<parts>.parquet  (token, doc_id, tf, dl) per bucket
+  * }}}
+  *
+  * Postings are partitioned by `bucket = hash60(token) mod B`, and
+  * [[queryBm25]] filters on the query terms' bucket set, so the parquet
+  * reader opens only ≤ |terms| of the B bucket directories — PARTITION
+  * PRUNING on the token axis, the same serve-time property IvfIndexStore
+  * pins on the cell axis (spec-asserted via the scan's PartitionFilters).
+  * Document frequencies need no side table: a term's df is the row count
+  * of its own (pruned) posting list, so serving derives df from exactly
+  * the slice it already reads. Corpus-level stats (N, Σdl) are fixed at
+  * build time in the manifest — they are properties of the indexed
+  * corpus, not of any query.
+  *
+  * Scoring follows qt12's conventions exactly (Okapi BM25, Lucene's +1
+  * idf, constants pre-folded, per-term scores 6-decimal-quantized so the
+  * per-doc sum is exact decimal arithmetic): the served ranking is
+  * gate-checked against qt12's DuckDB oracle verbatim.
+  */
+object TextIndexStore {
+
+  /** Build the index: one tokenize pass → per-(doc, token) tf rows with
+    * the doc length riding along, bucket-partitioned by token hash.
+    * `docs` must have (doc_id: bigint, text: string). */
+  def build(docs: DataFrame, buckets: Int, path: String): Unit = {
+    require(buckets > 0)
+    val toksAll = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), size(toksAll).cast("long").as("dl"),
+        explode(toksAll).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(TextOps.hash60(col("token")), lit(buckets.toLong)))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    val st = docs.agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl")).head()
+    Files.writeString(Paths.get(path, "manifest.json"),
+      s"""{"buckets":$buckets,"n":${st.getLong(0)},"sumdl":${st.getLong(1)}}""")
+  }
+
+  private def manifest(path: String): (Int, Long, Long) = {
+    val txt = Files.readString(Paths.get(path, "manifest.json"))
+    def field(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"manifest missing $k")).group(1).toLong
+    (field("buckets").toInt, field("n"), field("sumdl"))
+  }
+
+  /** Serve a BM25 query from the prebuilt index: top-`topK` docs by
+    * summed per-term score, opening only the query terms' bucket
+    * partitions. Output is (doc_id, n_terms_hit, score) in qt12's exact
+    * (score DESC, doc_id) order. */
+  def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
+      topK: Int): DataFrame = {
+    val (buckets, n, sumdl) = manifest(path)
+    // JVM-side mirror of the build's bucket arithmetic (hash60 is
+    // nonnegative, so pmod == %); pinned equal by CmsSpec's parity test
+    val termBuckets = terms
+      .map(t => graft.functions.CountMin.hash60(t) % buckets)
+      .distinct.sorted
+    // the posting schema is fixed by the layout, so serving declares it
+    // instead of inferring: no footer reads outside the probed slice (on
+    // a million-file index, schema inference alone would touch unprobed
+    // buckets — TextIndexSpec pins that corrupting them cannot matter)
+    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("token",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    val pruned = spark.read.schema(postingSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(termBuckets))
+      .filter(col("token").isin(terms: _*))
+    val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = lit(sumdl).cast("double") / lit(n)
+    val idf = log(lit(1.0) +
+      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") +
+      lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)
+    pruned.join(broadcast(df), Seq("token"))
+      .select(col("doc_id"),
+        round(((idf * col("tf")) * lit(2.2)) / norm, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("sc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("sc")).cast("double").as("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(topK)
+  }
+}

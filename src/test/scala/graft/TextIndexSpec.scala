@@ -1,0 +1,82 @@
+package graft
+
+import graft.relational.{QueryCatalog, QueryHelpers}
+import graft.sinks.TextIndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent inverted text index: build-once/serve-many must reproduce
+  * the fused in-query BM25 plan (qt12) exactly, and serving must read only
+  * the query terms' bucket partitions (partition pruning at the scan). */
+class TextIndexSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val terms = Seq("spark", "join", "window")
+
+  test("prebuilt index serves qt12's exact ranking; scan prunes to term buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs, buckets = 64, idx)
+
+    // artifact shape: manifest + bucket-partitioned postings whose row
+    // count equals the distinct (doc, token) pairs of the corpus
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "manifest.json")))
+    val postings = spark.read.parquet(s"$idx/postings")
+    val want = docs
+      .select(col("doc_id"), explode(graft.pipeline.TextOps.tokens(col("text"))).as("t"))
+      .distinct().count()
+    assert(postings.count() == want, "one posting per distinct (doc, token)")
+    // every posting sits in the bucket its token hashes to
+    val misplaced = postings.filter(
+      pmod(graft.pipeline.TextOps.hash60(col("token")), lit(64L)) =!= col("bucket")).count()
+    assert(misplaced == 0, "bucket column must equal hash60(token) mod B")
+
+    val served = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+    // partition pruning is the scale property: the bucket filter must
+    // reach the postings scan as a PartitionFilter
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"term-bucket filter must prune partitions:\n${plan.take(2000)}")
+
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fromQuery = QueryCatalog.byName("qt12_bm25").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == fromQuery,
+      s"served BM25 diverges from qt12 (${got.length} vs ${fromQuery.length} rows)")
+  }
+
+  test("serving reads only the probed bucket slice (df derives from it)") {
+    // an index with ONE searchable term per bucket class: scoring "alpha"
+    // must not depend on postings outside its bucket — corrupt every
+    // other bucket directory and the answer must be unchanged
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx2").toString
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha alpha delta"),
+      (3L, "beta gamma delta")).toDF("doc_id", "text")
+    TextIndexStore.build(docs, buckets = 64, idx)
+    val before = TextIndexStore.queryBm25(spark, idx, Seq("alpha"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val keep = graft.functions.CountMin.hash60("alpha") % 64
+    java.nio.file.Files.list(java.nio.file.Paths.get(idx, "postings"))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("bucket=") && name != s"bucket=$keep") {
+          // truncate every parquet part in the non-probed bucket: a read
+          // attempt would now fail loudly
+          java.nio.file.Files.list(p).iterator()
+            .forEachRemaining { f =>
+              if (f.getFileName.toString.endsWith(".parquet"))
+                java.nio.file.Files.write(f, Array[Byte](0, 1, 2))
+            }
+        }
+      }
+    val after = TextIndexStore.queryBm25(spark, idx, Seq("alpha"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after == before, "pruned serving must never touch unprobed buckets")
+  }
+}
