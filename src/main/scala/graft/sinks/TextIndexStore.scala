@@ -40,6 +40,39 @@ object TextIndexStore {
     * `docs` must have (doc_id: bigint, text: string). */
   def build(docs: DataFrame, buckets: Int, path: String): Unit = {
     require(buckets > 0)
+    writePostings(docs, buckets, path, "overwrite")
+    Files.writeString(Paths.get(path, "manifest.json"),
+      s"""{"buckets":$buckets}""")
+    Files.createDirectories(Paths.get(path, "stats"))
+    writeStats(docs, Paths.get(path, "stats", "base.json"))
+  }
+
+  /** Append one batch of new documents to an EXISTING index: postings
+    * append into the same bucket layout (bucket geometry is fixed at
+    * build time), and the batch's corpus-stat increments land in a
+    * batch-keyed stats file. Under `foreachBatch` retries a batch may
+    * run twice (at-least-once): the stats file is OVERWRITTEN by batch
+    * id (idempotent — the increment can never double-count), and
+    * [[queryBm25]] absorbs replayed posting rows by deduplicating the
+    * probed slice on (token, doc_id) — replays are byte-identical, so
+    * serving stays exactly-once (spec-pinned). */
+  def appendBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val (buckets, _, _) = readMeta(path)
+    writePostings(batch, buckets, path, "append")
+    writeStats(batch, Paths.get(path, "stats", s"batch-$batchId.json"))
+  }
+
+  /** Continuous index maintenance: stream arriving documents into the
+    * postings via [[appendBatch]] per micro-batch. */
+  def appendStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, path, id))
+      .start()
+
+  private def writePostings(docs: DataFrame, buckets: Int, path: String,
+      mode: String): Unit = {
     val toksAll = TextOps.tokens(col("text"))
     docs.select(col("doc_id"), size(toksAll).cast("long").as("dl"),
         explode(toksAll).as("token"))
@@ -47,19 +80,30 @@ object TextIndexStore {
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(TextOps.hash60(col("token")), lit(buckets.toLong)))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
+      .write.partitionBy("bucket").mode(mode)
       .parquet(s"$path/postings")
-    val st = docs.agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl")).head()
-    Files.writeString(Paths.get(path, "manifest.json"),
-      s"""{"buckets":$buckets,"n":${st.getLong(0)},"sumdl":${st.getLong(1)}}""")
   }
 
-  private def manifest(path: String): (Int, Long, Long) = {
-    val txt = Files.readString(Paths.get(path, "manifest.json"))
-    def field(k: String): Long =
+  private def writeStats(docs: DataFrame, dst: java.nio.file.Path): Unit = {
+    val toksAll = TextOps.tokens(col("text"))
+    val st = docs.agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl")).head()
+    val sumdl = if (st.isNullAt(1)) 0L else st.getLong(1) // empty batch
+    Files.writeString(dst, s"""{"n":${st.getLong(0)},"sumdl":$sumdl}""")
+  }
+
+  /** Corpus stats = base + every appended batch's increment, summed over
+    * the (small, driver-local) stats directory. */
+  private def readMeta(path: String): (Int, Long, Long) = {
+    def field(txt: String, k: String): Long =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(sys.error(s"manifest missing $k")).group(1).toLong
-    (field("buckets").toInt, field("n"), field("sumdl"))
+    val buckets =
+      field(Files.readString(Paths.get(path, "manifest.json")), "buckets").toInt
+    import scala.jdk.CollectionConverters._
+    val stats = Files.list(Paths.get(path, "stats")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map(Files.readString(_))
+    (buckets, stats.map(field(_, "n")).sum, stats.map(field(_, "sumdl")).sum)
   }
 
   /** Serve a BM25 query from the prebuilt index: top-`topK` docs by
@@ -68,7 +112,7 @@ object TextIndexStore {
     * (score DESC, doc_id) order. */
   def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
       topK: Int): DataFrame = {
-    val (buckets, n, sumdl) = manifest(path)
+    val (buckets, n, sumdl) = readMeta(path)
     // JVM-side mirror of the build's bucket arithmetic (hash60 is
     // nonnegative, so pmod == %); pinned equal by CmsSpec's parity test
     val termBuckets = terms
@@ -89,9 +133,13 @@ object TextIndexStore {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
+    // dedup AFTER pruning absorbs at-least-once appends (replayed
+    // posting rows are byte-identical) over the probed slice only —
+    // IvfIndexStore's serve-time discipline on the token axis
     val pruned = spark.read.schema(postingSchema).parquet(s"$path/postings")
       .filter(col("bucket").isInCollection(termBuckets))
       .filter(col("token").isin(terms: _*))
+      .dropDuplicates("token", "doc_id")
     val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val avgdl = lit(sumdl).cast("double") / lit(n)
     val idf = log(lit(1.0) +

@@ -47,6 +47,26 @@ class TextIndexSpec extends AnyFunSuite {
       s"served BM25 diverges from qt12 (${got.length} vs ${fromQuery.length} rows)")
   }
 
+  test("appended batches reach parity with a full build; replays change nothing") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-app").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs.filter(col("doc_id") < 250), buckets = 64, idx)
+    val tail = docs.filter(col("doc_id") >= 250)
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L)
+    def serve() = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = QueryCatalog.byName("qt12_bm25").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(serve() == want,
+      "build(250) + append(rest) must serve the full-corpus qt12 ranking " +
+        "(df, N and avgdl all reflect the appended docs)")
+    // at-least-once replay: the same micro-batch delivered twice must be
+    // absorbed — stats are idempotent by batch id, postings dedup at serve
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L)
+    assert(serve() == want, "a replayed append batch must change nothing")
+  }
+
   test("serving reads only the probed bucket slice (df derives from it)") {
     // an index with ONE searchable term per bucket class: scoring "alpha"
     // must not depend on postings outside its bucket — corrupt every
