@@ -146,6 +146,24 @@ object DemoWorkflowMain {
       val hits = graft.sinks.IvfIndexStore.query(spark, ivfDir, q, 4, 10).collect()
       println(s"[probe-ivf] queries=2 hits=${hits.length} " +
         s"firstRank=${hits.head.getInt(1)} (expect 20, 1)")
+      // tombstone a served neighbor: it must vanish from the ranks
+      val firstVec = hits.head.getLong(2)
+      graft.sinks.IvfIndexStore.delete(spark, ivfDir, Seq(firstVec))
+      val after = graft.sinks.IvfIndexStore.query(spark, ivfDir, q, 4, 10).collect()
+      val gone = !after.exists(_.getLong(2) == firstVec)
+      println(s"[probe-ivf-del] deleted=$firstVec goneFromRanks=$gone (expect true)")
+    }
+
+    locally {
+      // persistent inverted text index: build, serve a BM25 query from
+      // the bucket-pruned postings
+      val tidxDir = java.nio.file.Files.createTempDirectory("demo-tidx").toString
+      val docs = graft.relational.QueryHelpers.table(spark, "/root/testdata/sf0.001", "documents")
+      graft.sinks.TextIndexStore.build(docs, 64, tidxDir)
+      val top = graft.sinks.TextIndexStore.queryBm25(spark, tidxDir,
+        Seq("spark", "join", "window"), 5).collect()
+      println(s"[probe-tidx] top=${top.length} bestDoc=${top.head.getLong(0)} " +
+        s"hits=${top.head.getLong(1)} (expect 5 rows)")
     }
 
     spark.stop()
