@@ -72,6 +72,39 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(serve() == want, "a replayed append batch must change nothing")
   }
 
+  test("appendStream maintains the index live: post-stream serving == full build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e.filter(col("vec_id") < 400), k = 16, idx)
+    val arrivals = e.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = IvfIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable() // two distinct micro-batches
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = e
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    val got = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = QueryCatalog.byName("qs02_ann_ivf").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want,
+      "an index maintained by appendStream must serve the full-corpus ranks")
+  }
+
   test("tombstone deletes serve as if the corpus never held the ids; compact folds them in") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
     val e = QueryHelpers.table(spark, dir, "embeddings")

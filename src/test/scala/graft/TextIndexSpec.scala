@@ -67,6 +67,34 @@ class TextIndexSpec extends AnyFunSuite {
     assert(serve() == want, "a replayed append batch must change nothing")
   }
 
+  test("appendStream maintains the index live: post-stream serving == full build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tidx-ckpt").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs.filter(col("doc_id") < 200), buckets = 64, idx)
+    val arrivals = docs.filter(col("doc_id") >= 200)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextIndexStore.appendStream(
+      stream.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable() // two distinct micro-batches, two stat files
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = QueryCatalog.byName("qt12_bm25").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want,
+      "an index maintained by appendStream must serve the full-corpus ranking")
+  }
+
   test("serving reads only the probed bucket slice (df derives from it)") {
     // an index with ONE searchable term per bucket class: scoring "alpha"
     // must not depend on postings outside its bucket — corrupt every
