@@ -4721,6 +4721,66 @@ object PipelineQueries {
                 JOIN norms y ON dots.label_b = y.label
       ORDER BY label_a, label_b""")),
 
+    CatalogQuery("qe12_source_shift", (s, d) => {
+      // Per-SOURCE embedding drift — qe04's MMD² audit keyed by the
+      // corpus metadata instead of the label: ‖μ_source − μ‖² for every
+      // source, via the embeddings⋈documents identity join (vec_id ==
+      // doc_id — the same id domain qs08's hybrid rank rides). This is
+      // the actual pre-mix question a curation loop asks ("is this FEED
+      // embedded off-distribution?") — labels are training targets,
+      // sources are the operational unit you admit or drop.
+      //
+      // Scale shape: the metadata join is an equi-join on the id (the
+      // document side projects two columns); everything after is qe04
+      // verbatim — per-(source, dim) decimal sums with map-side
+      // partials, the global mean derived from the SAME aggregated
+      // table and broadcast back, 12-decimal-quantized squared diffs
+      // into exact decimal sums.
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").as("x"))
+        .join(table(s, d, "documents")
+          .select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+      val perSrc = e.groupBy(col("source"), col("dim"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sx"))
+        .persist() // global mean derives from this table, not a re-scan
+      val global = perSrc.groupBy(col("dim"))
+        .agg((sum(col("sx")).cast("double") / sum(col("n_vecs"))).as("gmean"))
+      val diffs = perSrc
+        .select(col("source"), col("dim"), col("n_vecs"),
+          (col("sx").cast("double") / col("n_vecs")).as("smean"))
+        .join(broadcast(global), Seq("dim"))
+        .select(col("source"), col("n_vecs"),
+          round((col("smean") - col("gmean")) * (col("smean") - col("gmean")), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("sq"))
+      diffs.groupBy(col("source"))
+        .agg(max(col("n_vecs")).as("n_vecs"),
+          sum(col("sq")).cast("double").as("mmd_sq"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH j AS (SELECT d.source, e.embedding
+                 FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      ex AS (SELECT source,
+          unnest([{'dim': i, 'x': embedding[i]::DOUBLE}
+                  for i in range(1, len(embedding) + 1)]) AS u
+        FROM j),
+      ps AS (SELECT source, u.dim AS dim, count(*) AS n_vecs,
+               sum(CAST(u.x AS DECIMAL(38,6))) AS sx
+             FROM ex GROUP BY source, u.dim),
+      g AS (SELECT dim,
+              CAST(sum(sx) AS DOUBLE) / sum(n_vecs) AS gmean
+            FROM ps GROUP BY dim),
+      df AS (SELECT ps.source, ps.n_vecs,
+               CAST(round((CAST(ps.sx AS DOUBLE) / ps.n_vecs - g.gmean)
+                 * (CAST(ps.sx AS DOUBLE) / ps.n_vecs - g.gmean), 12)
+                 AS DECIMAL(38,12)) AS sq
+             FROM ps JOIN g USING (dim))
+      SELECT source, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+        CAST(sum(sq) AS DOUBLE) AS mmd_sq
+      FROM df GROUP BY source ORDER BY source""")),
+
     CatalogQuery("qe09_fisher_separation", (s, d) => {
       // Per-dimension Fisher class-separation audit: between-class over
       // within-class variance, F_d = Σ_l n_l(μ_ld − μ_d)² / Σ_l n_l σ²_ld
