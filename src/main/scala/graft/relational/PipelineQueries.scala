@@ -2530,6 +2530,62 @@ object PipelineQueries {
         Seq("spark", "join", "window"), AnnTopK)
     }, Some(oBm25Sql)),
 
+    CatalogQuery("qt24_kwic_snippets", (s, d) => {
+      // Keyword-in-context snippets for the retrieval results — the
+      // presentation half of the BM25 stack: for each of qt12's top-10
+      // docs, the earliest matching query term, its token position, and
+      // the 5-token window around it (what a search UI or a labeling
+      // tool shows next to the hit). Composes qt12 through the catalog
+      // so the doc set can never drift from the ranking it annotates.
+      //
+      // Scale shape: the expensive part IS qt12 (already scale-shaped);
+      // this adds one broadcast-able 10-row join back to the corpus and
+      // pure per-row array expressions (array_position / slice /
+      // concat_ws — codegen'd, no shuffle). Every top doc hits ≥ 1 term
+      // by construction (n_terms_hit ≥ 1), so the absent-term sentinel
+      // can never win the least().
+      val terms = Seq("spark", "join", "window")
+      val top = QueryCatalog.byName("qt12_bm25").build(s, d)
+        .select(col("doc_id"), col("score"))
+      val toks = TextOps.tokens(col("text"))
+      val absent = lit(Long.MaxValue)
+      val ps = terms.map(t =>
+        when(array_position(toks, t) === 0L, absent)
+          .otherwise(array_position(toks, t)))
+      val pmin = least(ps: _*)
+      val firstTerm = when(ps(0) === pmin, terms(0))
+        .when(ps(1) === pmin, terms(1)).otherwise(terms(2))
+      val start = greatest(pmin - 2, lit(1L))
+      top.join(table(s, d, "documents").select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("doc_id"), firstTerm.as("first_term"), pmin.as("first_pos"),
+          concat_ws(" ", slice(toks, start.cast("int"), lit(5))).as("snippet"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT q.doc_id,
+        CASE WHEN ps = pmin THEN 'spark'
+             WHEN pj = pmin THEN 'join' ELSE 'window' END AS first_term,
+        pmin AS first_pos,
+        array_to_string(arr[greatest(pmin - 2, 1) : greatest(pmin - 2, 1) + 4], ' ') AS snippet
+      FROM (
+        SELECT q.doc_id, arr,
+          CASE WHEN list_position(arr, 'spark') = 0 THEN 9223372036854775807
+               ELSE list_position(arr, 'spark') END AS ps,
+          CASE WHEN list_position(arr, 'join') = 0 THEN 9223372036854775807
+               ELSE list_position(arr, 'join') END AS pj,
+          CASE WHEN list_position(arr, 'window') = 0 THEN 9223372036854775807
+               ELSE list_position(arr, 'window') END AS pw,
+          least(
+            CASE WHEN list_position(arr, 'spark') = 0 THEN 9223372036854775807
+                 ELSE list_position(arr, 'spark') END,
+            CASE WHEN list_position(arr, 'join') = 0 THEN 9223372036854775807
+                 ELSE list_position(arr, 'join') END,
+            CASE WHEN list_position(arr, 'window') = 0 THEN 9223372036854775807
+                 ELSE list_position(arr, 'window') END) AS pmin
+        FROM ($oBm25Sql) q
+        JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+              FROM documents) t USING (doc_id)) q
+      ORDER BY doc_id""")),
+
     CatalogQuery("qt13_pii_redact", (s, d) => {
       // PII detection + redaction — the scrubbing pass every released
       // corpus runs (C4 strips lines by blocklist; Dolma/FineWeb mask
