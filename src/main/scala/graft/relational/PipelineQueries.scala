@@ -268,6 +268,37 @@ object PipelineQueries {
 
   private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
 
+  /** The label-scoped filtered-ANN oracle (qs02's geometry with the label
+    * in the posting key) — shared by qs12 (fused in-query plan) and qs18
+    * (the same scope served from a label-partitioned IvfIndexStore
+    * artifact): both must produce these exact rank rows. */
+  private val oFilteredTopkSql: String = """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, v, cid AS cell FROM (
+          SELECT e.vec_id, e.label, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, label, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.label, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell, label) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+
   /** The fixed-query BM25 oracle — shared by qt12 (fused in-query plan)
     * and qt23 (the same scoring served from the persistent TextIndexStore
     * artifact): both must produce these exact top-10 rows. */
@@ -4204,32 +4235,30 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"),
           cosineCol(col("qv"), col("v")).as("cosine"))
       topkRanked(scored)
-    }, Some("""
-      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-      assigned AS (
-        SELECT vec_id, label, v, cid AS cell FROM (
-          SELECT e.vec_id, e.label, e.v, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent) t WHERE rn = 1),
-      q AS (
-        SELECT query_id, label, qv, cid AS cell FROM (
-          SELECT e.vec_id AS query_id, e.label, e.v AS qv, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
-      scored AS (
-        SELECT query_id, vec_id,
-          list_dot_product(qv, v) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
-        FROM assigned JOIN q USING (cell, label) WHERE vec_id <> query_id),
-      ranked AS (
-        SELECT query_id, vec_id,
-          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        FROM scored)
-      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank""")),
+    }, Some(oFilteredTopkSql)),
+
+    CatalogQuery("qs18_filtered_index_serve", (s, d) => {
+      // Filtered serving from the PERSISTENT index — qs12's posting-key
+      // insight materialized in the artifact: the index is built with
+      // the label IN THE PARTITION KEY ((cell, meta) directories), so a
+      // label-scoped query prunes the scan by BOTH probe cells and
+      // predicate value at the parquet-partition level — the multi-
+      // tenant vector-search layout where a tenant's query never opens
+      // another tenant's files. Same deterministic geometry as
+      // qs02/qs12, so the oracle is qs12's SQL verbatim; gates
+      // build→partition→prune→filtered-serve end to end.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs18-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir,
+        metaCol = Some("label"))
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+        .filter(col("query_id") < 5)
+      graft.sinks.IvfIndexStore.queryFiltered(s, idxDir, queries,
+        nProbe = 4, topK = 10)
+    }, Some(oFilteredTopkSql)),
 
     CatalogQuery("qt20_char_entropy", (s, d) => {
       // Character-distribution Shannon entropy per document — the cheap

@@ -33,7 +33,8 @@ object IvfIndexStore {
     * inverted list and persist centroids + cell-partitioned postings.
     * `e` must have (vec_id: bigint, embedding: array<float|double>). */
   def build(e: DataFrame, k: Int, path: String,
-      centroids: Option[Array[Array[Double]]] = None): Unit = {
+      centroids: Option[Array[Array[Double]]] = None,
+      metaCol: Option[String] = None): Unit = {
     require(k > 0)
     val spark = e.sparkSession
     import spark.implicits._
@@ -47,14 +48,33 @@ object IvfIndexStore {
     }
     val dim = cents(0).length
     val bc = spark.sparkContext.broadcast(cents)
-    v.map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
-      .toDF("vec_id", "v", "cell")
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$path/postings")
+    metaCol match {
+      case None =>
+        v.map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
+          .toDF("vec_id", "v", "cell")
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(s"$path/postings")
+      case Some(m) =>
+        // metadata-scoped index (tenant/label/language search): the
+        // predicate value joins the PARTITION KEY, so filtered serving
+        // prunes on (cell, meta) — qs12's posting-key insight, persisted.
+        // Meta is stored as a string (partition dirs are strings anyway).
+        e.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"),
+            col(m).cast("string").as("meta"))
+          .as[(Long, Seq[Double], String)]
+          .map { case (id, vec, mv) =>
+            (id, vec, KMeans.nearest(bc.value, vec).toLong, mv) }
+          .toDF("vec_id", "v", "cell", "meta")
+          .write.partitionBy("cell", "meta").mode("overwrite")
+          .parquet(s"$path/postings")
+    }
     cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv.toSeq) }
       .toSeq.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Files.writeString(Paths.get(path, "manifest.json"), s"""{"k":$k,"dim":$dim}""")
+    val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
+    Files.writeString(Paths.get(path, "manifest.json"),
+      s"""{"k":$k,"dim":$dim$metaField}""")
   }
 
   /** Append one batch of new vectors to an EXISTING index: assignment
@@ -178,6 +198,54 @@ object IvfIndexStore {
     }
     val probeDf = probes.toDF("query_id", "qv", "cell")
     val scored = postings.join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+          (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
+            sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))))
+          .as("cosine"))
+    val topk = graft.functions.TopKAggregator.topK(topK)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.vec_id").as("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Filtered serving from a metadata-scoped index (built with
+    * `metaCol = Some(...)`): top-`topK` per query over the `nProbe`
+    * nearest cells' postings RESTRICTED to the query's own metadata
+    * value — the predicate prunes at the PARTITION level ((cell, meta)
+    * directories), so selective predicates shrink the scan before any
+    * distance computes (qs12's posting-key shape served from the
+    * artifact). `queries` must have (query_id: bigint, qv: array<double>,
+    * meta: string). Tombstones and at-least-once appends are absorbed
+    * exactly as in [[query]]. */
+  def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val qs: Array[(Long, Seq[Double], String)] = queries
+      .select(col("query_id"), col("qv"), col("meta"))
+      .as[(Long, Seq[Double], String)].collect()
+    val probes: Seq[(Long, Seq[Double], Long, String)] =
+      qs.toSeq.flatMap { case (id, qv, mv) =>
+        KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong, mv))
+      }
+    val probeCells = probes.map(_._3).distinct.sorted
+    val probeMetas = probes.map(_._4).distinct.sorted
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isInCollection(probeCells) &&
+        col("meta").isInCollection(probeMetas))
+      .dropDuplicates("cell", "vec_id")
+    val postings = tombstones(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => pruned
+    }
+    val probeDf = probes.toDF("query_id", "qv", "cell", "meta")
+    val scored = postings.join(broadcast(probeDf), Seq("cell", "meta"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /

@@ -105,6 +105,30 @@ class IvfIndexSpec extends AnyFunSuite {
       "an index maintained by appendStream must serve the full-corpus ranks")
   }
 
+  test("label-partitioned index prunes on (cell, meta) and serves qs12's exact results") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-meta").toString
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx, metaCol = Some("label"))
+    val queries = e
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    val served = IvfIndexStore.queryFiltered(spark, idx, queries, nProbe = 4, topK = 10)
+    // BOTH partition axes must reach the scan: probe cells AND the
+    // queries' own metadata values — a tenant's query never opens
+    // another tenant's partition directories
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("cell") && pf.contains("meta"),
+      s"scan must prune on cell AND meta, got $pf")
+    val got = served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = QueryCatalog.byName("qs12_filtered_ann").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want, "filtered serving must equal qs12's fused in-query plan")
+  }
+
   test("tombstone deletes serve as if the corpus never held the ids; compact folds them in") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
     val e = QueryHelpers.table(spark, dir, "embeddings")
