@@ -2561,6 +2561,47 @@ object PipelineQueries {
         Seq("spark", "join", "window"), AnnTopK)
     }, Some(oBm25Sql)),
 
+    CatalogQuery("qt25_oov_rate", (s, d) => {
+      // Out-of-vocabulary rate per document against the corpus's
+      // top-1000 token vocabulary — the coverage audit behind vocab
+      // sizing: a doc whose tokens mostly fall outside the head
+      // vocabulary will fragment into long subword sequences (high
+      // fertility) or <unk> mass, and a SOURCE with systematically high
+      // OOV argues for a bigger vocab or a dedicated tokenizer. The
+      // head-vocab cut is deterministic: (count DESC, token ASC), the
+      // same rounded-rank discipline qt16's Zipf audit uses.
+      //
+      // Scale shape: one token explode feeds both the global counts
+      // (hash agg, map-side partials) and the per-doc accounting; the
+      // vocabulary is a bounded TakeOrdered(1000) set broadcast back as
+      // a semi-join; per-doc OOV is one more hash agg, all integer
+      // (ppm floor division).
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .persist() // global counts + per-doc accounting both read it
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("w")).limit(1000)
+        .select(col("w"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents),
+      vocab AS (SELECT w FROM (
+          SELECT w, count(*) AS c FROM t GROUP BY w
+          ORDER BY c DESC, w LIMIT 1000)),
+      pd AS (SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             FROM t LEFT JOIN vocab ON t.w = vocab.w
+             GROUP BY t.doc_id)
+      SELECT doc_id, n_tokens, n_oov * 1000000 // n_tokens AS oov_ppm
+      FROM pd ORDER BY doc_id""")),
+
     CatalogQuery("qt24_kwic_snippets", (s, d) => {
       // Keyword-in-context snippets for the retrieval results — the
       // presentation half of the BM25 stack: for each of qt12's top-10
