@@ -5171,6 +5171,97 @@ object PipelineQueries {
       FROM f JOIN h USING (doc_id) GROUP BY f.doc_id, f.nf
       ORDER BY f.doc_id""")),
 
+    CatalogQuery("qm06_video_shared_frames", (s, d) => {
+      // Shot-level video dedup — per doc, how many of its DISTINCT frame
+      // hashes also occur in some other document (shared scenes:
+      // re-uploads with new intros, clip compilations, mirrored footage
+      // — the standard frame-fingerprint dedup unit). Frames come
+      // through qm03's REAL image2pipe decode path (encode → stream
+      // decode → aHash of decoded pixels), so this also extends the
+      // codec certification to a second consumer.
+      //
+      // Scale shape: qd08's hashed-row class on the video plane — each
+      // doc contributes ≤ 4 (doc_id, hi, lo) rows, the shared-hash set
+      // is a hash aggregation, and the count-back join keys by the
+      // frame hash; per-DOC output (not pairs), so hot blank-frame
+      // classes cost their posting count, never m² pair rows.
+      import s.implicits._
+      val MaxFrames = 4
+      val frames = table(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, text) =>
+            val cp = text.codePointCount(0, text.length)
+            val nf = math.min(MaxFrames, math.max(1, (cp + 63) / 64))
+            val px = new Array[Byte](nf * 64)
+            java.util.Arrays.fill(px, ' '.toByte)
+            var i = 0; var off = 0
+            while (i < nf * 64 && off < text.length) {
+              val c = text.codePointAt(off)
+              px(i) = math.min(c, 255).toByte
+              off += Character.charCount(c)
+              i += 1
+            }
+            val stream = (0 until nf).flatMap { f =>
+              graft.pipeline.MediaCodecs.encodeNetpbm(
+                graft.pipeline.MediaCodecs.RawImage(8, 8, 1,
+                  java.util.Arrays.copyOfRange(px, f * 64, (f + 1) * 64)))
+            }.toArray
+            val decoded = graft.pipeline.MediaCodecs.decodeNetpbmStream(stream)
+            require(decoded.length == nf, s"frame loss: ${decoded.length} != $nf")
+            decoded.map { img =>
+              var tot = 0L; var j = 0
+              while (j < 64) { tot += img.lumAt(j); j += 1 }
+              var lo = 0L; var hi = 0L
+              j = 0
+              while (j < 64) {
+                if (img.lumAt(j) * 64L > tot) {
+                  if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+                }
+                j += 1
+              }
+              (id, hi, lo)
+            }
+          }
+        }.toDF("doc_id", "hi", "lo")
+        .distinct() // DISTINCT frame hashes per doc — the dedup unit
+        .persist() // shared-set agg + count-back join + per-doc base
+      val dup = frames.groupBy(col("hi"), col("lo"))
+        .agg(count(lit(1)).as("nd")).filter(col("nd") > 1)
+        .select(col("hi"), col("lo"))
+      val base = frames.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frame_hashes"))
+      frames.join(dup, Seq("hi", "lo"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_frames"))
+        .join(base, Seq("doc_id"))
+        .select(col("doc_id"), col("n_frame_hashes"), col("n_shared_frames"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH f AS (SELECT doc_id,
+               least(greatest((length(text) + 63) // 64, 1), 4) AS nf
+             FROM documents),
+      px AS (SELECT d.doc_id, (i - 1) // 64 AS frame, (i - 1) % 64 AS j,
+               CASE WHEN i <= length(d.text)
+                    THEN least(ascii(substr(d.text, i, 1)), 255) ELSE 32 END AS p
+             FROM documents d JOIN f USING (doc_id),
+               (SELECT unnest(range(1, 257)) AS i) ix
+             WHERE i <= f.nf * 64),
+      tot AS (SELECT doc_id, frame, sum(p) AS tot FROM px GROUP BY 1, 2),
+      h AS (SELECT px.doc_id, px.frame,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.j >= 32
+                THEN 1::BIGINT << (px.j - 32) ELSE 0 END) AS BIGINT) AS hi,
+              CAST(sum(CASE WHEN px.p * 64 > tot.tot AND px.j < 32
+                THEN 1::BIGINT << px.j ELSE 0 END) AS BIGINT) AS lo
+            FROM px JOIN tot USING (doc_id, frame) GROUP BY 1, 2),
+      hd AS (SELECT DISTINCT doc_id, hi, lo FROM h),
+      dup AS (SELECT hi, lo FROM hd GROUP BY hi, lo HAVING count(*) > 1),
+      base AS (SELECT doc_id, count(*) AS n_frame_hashes FROM hd GROUP BY doc_id)
+      SELECT hd.doc_id, CAST(max(base.n_frame_hashes) AS BIGINT) AS n_frame_hashes,
+        CAST(count(*) AS BIGINT) AS n_shared_frames
+      FROM hd JOIN dup USING (hi, lo) JOIN base ON hd.doc_id = base.doc_id
+      GROUP BY hd.doc_id ORDER BY hd.doc_id""")),
+
     CatalogQuery("qs15_index_balance", (s, d) => {
       // IVF posting-list balance audit — the operational health check on
       // every inverted-file index this engine builds (qs02/qs04/qs12/qs14,
