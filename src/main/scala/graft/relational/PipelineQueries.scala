@@ -2561,6 +2561,64 @@ object PipelineQueries {
         Seq("spark", "join", "window"), AnnTopK)
     }, Some(oBm25Sql)),
 
+    CatalogQuery("qt26_source_lexical_diversity", (s, d) => {
+      // Per-source lexical diversity — type-token ratio over each
+      // source's pooled token stream: template mills and generated spam
+      // reuse a tiny vocabulary over huge token mass (low TTR), organic
+      // sources don't. The source-level companion to qt03's per-doc
+      // counts and the cheap screen behind qp06-style source weighting.
+      //
+      // Scale shape: one token explode; distinct types per source is a
+      // (source, token)-keyed distinct then a hash agg (the shuffle
+      // carries distinct pairs, never the raw stream); totals are
+      // map-side partial counts; output is S rows, all-integer ppm.
+      val toks = table(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      val types = toks.select(col("source"), col("w")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+      val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      val docs = table(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      docs.join(totals, Seq("source")).join(types, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+          expr("n_types * 1000000L div n_tokens").as("ttr_ppm"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH t AS (SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                 FROM documents),
+      ty AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_types FROM t GROUP BY source),
+      tot AS (SELECT source, count(*) AS n_tokens FROM t GROUP BY source),
+      dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      SELECT source, n_docs, n_tokens, n_types,
+        n_types * 1000000 // n_tokens AS ttr_ppm
+      FROM dc JOIN tot USING (source) JOIN ty USING (source)
+      ORDER BY source""")),
+
+    CatalogQuery("qp22_eval_pool", (s, d) => {
+      // Fixed-SIZE held-out evaluation pool — the N documents with the
+      // smallest identity hashes (N=100 here): where qp01's bucket split
+      // fixes a PROPORTION, an eval pool must fix a COUNT (benchmarks
+      // want "the same 100k docs", not "5% of whatever the corpus is
+      // today"). The hash order makes the pool engine- and partitioning-
+      // invariant, and appends perturb it minimally (a new doc enters
+      // only by displacing the current maximum).
+      //
+      // Scale shape: TakeOrderedAndProject on the stateless per-row
+      // hash — distributed per-partition heads of size N, no global
+      // sort, no sampling state; the pool itself is the only output.
+      val N = 100
+      table(s, d, "documents")
+        .select(col("doc_id"), TextOps.hash60(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(N)
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("h").as("pool_rank_key"))
+    }, Some("""
+      SELECT doc_id, h AS pool_rank_key FROM (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents ORDER BY h, doc_id LIMIT 100)
+      ORDER BY doc_id""")),
+
     CatalogQuery("qt25_oov_rate", (s, d) => {
       // Out-of-vocabulary rate per document against the corpus's
       // top-1000 token vocabulary — the coverage audit behind vocab

@@ -95,6 +95,19 @@ class TextIndexSpec extends AnyFunSuite {
       "an index maintained by appendStream must serve the full-corpus ranking")
   }
 
+  test("a query of absent terms returns empty, not an error") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-abs").toString
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    TextIndexStore.build(docs, buckets = 8, idx)
+    assert(TextIndexStore.queryBm25(spark, idx,
+      Seq("nosuchterm", "alsoabsent"), 10).collect().isEmpty)
+    // mixed present/absent: the absent term simply contributes nothing
+    val hit = TextIndexStore.queryBm25(spark, idx, Seq("alpha", "nosuchterm"), 10)
+      .collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(1L) && hit.head.getLong(1) == 1L)
+  }
+
   test("serving reads only the probed bucket slice (df derives from it)") {
     // an index with ONE searchable term per bucket class: scoring "alpha"
     // must not depend on postings outside its bucket — corrupt every
