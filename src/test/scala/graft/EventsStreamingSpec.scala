@@ -476,6 +476,77 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"online/offline ANN divergence: +${(got -- batch).take(3)} -${(batch -- got).take(3)}")
   }
 
+  test("streamed frame-hash postings reproduce batch qm06 (onlineDupSpans on the video plane)") {
+    // onlineDupSpans is keyed by an opaque 64-bit hash — the same
+    // operator that maintains qd08's text-span dedup online maintains
+    // shot-level video dedup, fed (frame-hash, doc) postings instead:
+    // summed emissions per doc must equal batch qm06's n_shared_frames
+    // exactly, however the micro-batch boundaries fall (3 files,
+    // 1/trigger). Frame hashes combine (hi, lo) into one long
+    // ((hi << 32) | lo — both halves are 32-bit, so the packing is
+    // bijective); per-(h, doc) distinctness comes from the kernel's
+    // per-doc hashes.distinct, as the contract requires.
+    import graft.streaming.{SpanPost, StatefulOps}
+    import spark.implicits._
+    val batch = graft.relational.QueryCatalog.byName("qm06_video_shared_frames")
+      .build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty, "fixture must contain shared frames")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-frame-stream")
+    spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val posts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val cp = text.codePointCount(0, text.length)
+          val nf = math.min(4, math.max(1, (cp + 63) / 64))
+          val px = new Array[Byte](nf * 64)
+          java.util.Arrays.fill(px, ' '.toByte)
+          var i = 0; var off = 0
+          while (i < nf * 64 && off < text.length) {
+            val c = text.codePointAt(off)
+            px(i) = math.min(c, 255).toByte
+            off += Character.charCount(c)
+            i += 1
+          }
+          val stream = (0 until nf).flatMap { f =>
+            graft.pipeline.MediaCodecs.encodeNetpbm(
+              graft.pipeline.MediaCodecs.RawImage(8, 8, 1,
+                java.util.Arrays.copyOfRange(px, f * 64, (f + 1) * 64)))
+          }.toArray
+          graft.pipeline.MediaCodecs.decodeNetpbmStream(stream).map { img =>
+            var tot = 0L; var j = 0
+            while (j < 64) { tot += img.lumAt(j); j += 1 }
+            var lo = 0L; var hi = 0L
+            j = 0
+            while (j < 64) {
+              if (img.lumAt(j) * 64L > tot) {
+                if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+              }
+              j += 1
+            }
+            (hi << 32) | lo
+          }.distinct.map(h => SpanPost(h, id, 1L))
+        }
+      }
+    val q = StatefulOps.onlineDupSpans(posts).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frame_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("frame_stream")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == batch,
+      s"online/offline frame-dedup divergence: +${(got.toSet -- batch.toSet).take(3)} -${(batch.toSet -- got.toSet).take(3)}")
+  }
+
   test("streamed session_window matches the batch gaps-and-islands sessionization") {
     // q18 computes sessions offline (lag + windowed sum, 30 min gap);
     // Structured Streaming's session_window is the online formulation —
