@@ -268,6 +268,41 @@ object PipelineQueries {
 
   private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
 
+  /** The incremental-dedup oracle (arriving bucket ≥ 90 probed against
+    * the existing corpus's bands) — shared by qd15 (fused in-query plan)
+    * and qd17 (the same probe served from the persistent BandIndexStore
+    * artifact): both must produce these exact per-doc rows. */
+  private lazy val oIncrementalDedupSql: String = {
+    val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
+      val parts = Seq(s"'$bnd'") ++
+        (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
+      parts.mkString(" || '|' || ")
+    }.mkString(", ")
+    s"""
+      WITH sh AS (
+        SELECT doc_id,
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+          list_distinct([CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+                         for g in ${oShingles("text")}]) AS hs
+        FROM documents WHERE length(text) >= $ShingleN),
+      sig AS (
+        SELECT doc_id, bucket, ${TextOps.oracleMinhashSignature("hs", NumPerms)} AS mh FROM sh),
+      banded AS (SELECT doc_id, bucket, unnest([$bandExprs]) AS band FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+        FROM banded a JOIN banded b ON a.band = b.band
+        WHERE a.bucket >= 90 AND b.bucket < 90),
+      pairs AS (
+        SELECT new_id,
+          len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+        FROM cand JOIN sh x ON cand.new_id = x.doc_id JOIN sh y ON cand.old_id = y.doc_id
+        WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold)
+      SELECT new_id AS doc_id, count(*) AS n_dups, max(jaccard) AS max_jaccard
+      FROM pairs GROUP BY 1 ORDER BY doc_id"""
+  }
+
   /** The label-scoped filtered-ANN oracle (qs02's geometry with the label
     * in the posting key) — shared by qs12 (fused in-query plan) and qs18
     * (the same scope served from a label-partitioned IvfIndexStore
@@ -549,36 +584,32 @@ object PipelineQueries {
         .agg(sum(col("grp_n")).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
         .select(col("new_id").as("doc_id"), col("n_dups"), col("max_jaccard"))
         .orderBy(col("doc_id"))
-    }, Some({
-      val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
-        val parts = Seq(s"'$bnd'") ++
-          (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
-        parts.mkString(" || '|' || ")
-      }.mkString(", ")
-      s"""
-      WITH sh AS (
-        SELECT doc_id,
-          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
-          list_distinct([CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
-                         for g in ${oShingles("text")}]) AS hs
-        FROM documents WHERE length(text) >= $ShingleN),
-      sig AS (
-        SELECT doc_id, bucket, ${TextOps.oracleMinhashSignature("hs", NumPerms)} AS mh FROM sh),
-      banded AS (SELECT doc_id, bucket, unnest([$bandExprs]) AS band FROM sig),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-        FROM banded a JOIN banded b ON a.band = b.band
-        WHERE a.bucket >= 90 AND b.bucket < 90),
-      pairs AS (
-        SELECT new_id,
-          len(list_intersect(x.hs, y.hs))::DOUBLE /
-            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
-        FROM cand JOIN sh x ON cand.new_id = x.doc_id JOIN sh y ON cand.old_id = y.doc_id
-        WHERE len(list_intersect(x.hs, y.hs))::DOUBLE /
-            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) >= $JaccardThreshold)
-      SELECT new_id AS doc_id, count(*) AS n_dups, max(jaccard) AS max_jaccard
-      FROM pairs GROUP BY 1 ORDER BY doc_id"""
-    }), headline = true),
+    }, Some(oIncrementalDedupSql), headline = true),
+
+    CatalogQuery("qd17_band_index_serve", (s, d) => {
+      // Incremental dedup served from the PERSISTENT band index —
+      // qd15's promise ("the existing side's banded posting table is
+      // the build-once artifact") materialized via
+      // `sinks/BandIndexStore`: build the collapsed band postings from
+      // the existing corpus once, then probe with the arriving batch.
+      // Same split convention, geometry and verification as qd15, so
+      // the oracle is qd15's SQL verbatim — gating
+      // shingle→collapse→band→persist→prune→probe end to end. Scale
+      // shape: the probe opens only the arriving bands' bucket
+      // partitions (parquet partition pruning, spec-pinned in
+      // BandIndexSpec), and postings carry the rep's hash array so
+      // verification needs zero side joins.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qd17-bidx").toString
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
+      graft.sinks.BandIndexStore.build(
+        docs.filter(col("bucket") < 90).select(col("doc_id"), col("text")),
+        idxDir, ShingleN, NumPerms, RowsPerBand)
+      graft.sinks.BandIndexStore.probe(s, idxDir,
+        docs.filter(col("bucket") >= 90).select(col("doc_id"), col("text")),
+        JaccardThreshold)
+    }, Some(oIncrementalDedupSql)),
 
     CatalogQuery("qd16_cross_source_dups", (s, d) => {
       // Duplication PROVENANCE matrix — qd02's verified near-dup pairs

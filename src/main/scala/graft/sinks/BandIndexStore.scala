@@ -1,0 +1,149 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import graft.pipeline.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent MinHash-LSH BAND index — the third build-once/serve-many
+  * artifact next to [[IvfIndexStore]] (dense vectors) and
+  * [[TextIndexStore]] (sparse terms): the banded posting table behind
+  * incremental near-duplicate detection (qd15's continuous-crawl shape),
+  * persisted so an arriving batch probes the corpus WITHOUT recomputing
+  * its signatures.
+  *
+  * Layout under `path`:
+  * {{{
+  *   manifest.json                      {"buckets":B,"shingleN":..,"numPerms":..,"rowsPerBand":..}
+  *   postings/bucket=K/<parts>.parquet  (band, rep_id, hs, grp_n) per bucket
+  * }}}
+  *
+  * Postings carry the representative's full shingle-hash array `hs` IN
+  * the posting row (each rep posts to numPerms/rowsPerBand bands, so the
+  * duplication factor is the band count — a deliberate denormalization
+  * that makes probing a single pruned scan with ZERO side joins: the
+  * pruned slice already holds everything verification needs). Build
+  * exact-collapses identical shingle sets (qd02's hot-band discipline):
+  * one representative per distinct set posts per band, with the group
+  * size `grp_n` riding along so partner counts expand without a member
+  * table.
+  *
+  * [[probe]] filters on the probe bands' bucket set — parquet PARTITION
+  * PRUNING on the band axis (spec-pinned) — verifies candidates by exact
+  * Jaccard over the hash arrays, and returns per-arriving-doc partner
+  * counts in qd15's exact output shape.
+  */
+object BandIndexStore {
+
+  private val DefaultBuckets = 64
+
+  /** Build the index from the existing corpus: shingle, exact-collapse,
+    * band the representatives, persist bucket-partitioned postings.
+    * `docs` must have (doc_id: bigint, text: string). */
+  def build(docs: DataFrame, path: String, shingleN: Int, numPerms: Int,
+      rowsPerBand: Int, buckets: Int = DefaultBuckets): Unit = {
+    import graft.functions.expressions.ShingleExpressions._
+    val grouped = docs
+      .filter(length(col("text")) >= shingleN)
+      .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
+      .groupBy(col("hs"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+    grouped
+      .select(col("rep_id"), col("hs"), col("grp_n"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), numPerms),
+          numPerms, rowsPerBand)).as("band"))
+      .withColumn("bucket", pmod(TextOps.hash60(col("band")), lit(buckets.toLong)))
+      .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings")
+    Files.writeString(Paths.get(path, "manifest.json"),
+      s"""{"buckets":$buckets,"shingleN":$shingleN,"numPerms":$numPerms,"rowsPerBand":$rowsPerBand}""")
+  }
+
+  /** Append one batch of new corpus documents to an EXISTING index: each
+    * arriving doc posts as its own representative (grp_n = 1 — no
+    * cross-batch collapse; collapse is an optimization, not a semantic,
+    * so probing stays exact either way). Replayed batches append
+    * byte-identical rows, absorbed by [[probe]]'s (band, rep_id) dedup
+    * over the pruned slice. */
+  def appendBatch(batch: DataFrame, path: String): Unit = {
+    import graft.functions.expressions.ShingleExpressions._
+    val (buckets, shingleN, numPerms, rowsPerBand) = manifest(path)
+    batch
+      .filter(length(col("text")) >= shingleN)
+      .select(col("doc_id").as("rep_id"),
+        shingleHash60(col("text"), shingleN).as("hs"), lit(1L).as("grp_n"))
+      .select(col("rep_id"), col("hs"), col("grp_n"),
+        explode(TextOps.bandKeys(minhashSig(col("hs"), numPerms),
+          numPerms, rowsPerBand)).as("band"))
+      .withColumn("bucket", pmod(TextOps.hash60(col("band")), lit(buckets.toLong)))
+      .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+      .write.partitionBy("bucket").mode("append")
+      .parquet(s"$path/postings")
+  }
+
+  private def manifest(path: String): (Int, Int, Int, Int) = {
+    val txt = Files.readString(Paths.get(path, "manifest.json"))
+    def field(k: String): Int =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(sys.error(s"manifest missing $k")).group(1).toInt
+    (field("buckets"), field("shingleN"), field("numPerms"), field("rowsPerBand"))
+  }
+
+  /** Probe the index with an arriving batch: per arriving doc, the
+    * number of indexed near-dup partners at `threshold` Jaccard and the
+    * strongest score — qd15's exact output shape, (doc_id, n_dups,
+    * max_jaccard) ordered by doc_id. The scan opens only the probe
+    * bands' bucket partitions; candidates go distinct at (new, rep)
+    * before one verification pass over the posting rows' own hash
+    * arrays. `newDocs` must have (doc_id, text). */
+  def probe(spark: SparkSession, path: String, newDocs: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.expressions.ShingleExpressions._
+    val (buckets, shingleN, numPerms, rowsPerBand) = manifest(path)
+    val arriving = newDocs
+      .filter(length(col("text")) >= shingleN)
+      .select(col("doc_id").as("new_id"),
+        shingleHash60(col("text"), shingleN).as("hs_a"))
+      .persist() // banding + the verify join both read it
+    val newBanded = arriving.select(col("new_id"), col("hs_a"),
+      explode(TextOps.bandKeys(minhashSig(col("hs_a"), numPerms),
+        numPerms, rowsPerBand)).as("band"))
+    // bounded collect: the bucket domain is ≤ B values whatever the
+    // batch size — this drives the partition-pruning filter
+    val probeBuckets = newBanded
+      .select(pmod(TextOps.hash60(col("band")), lit(buckets.toLong)).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rep_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("hs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("grp_n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    val postings = spark.read.schema(postingSchema).parquet(s"$path/postings")
+      .filter(col("bucket").isInCollection(probeBuckets))
+      .dropDuplicates("band", "rep_id") // absorbs replayed appends
+    val cand = newBanded.select(col("new_id"), col("band"))
+      .join(postings, Seq("band"))
+      .select(col("new_id"), col("rep_id"), col("hs").as("hs_b"), col("grp_n"))
+      .dropDuplicates("new_id", "rep_id")
+    cand
+      .join(arriving.select(col("new_id"), col("hs_a")), Seq("new_id"))
+      .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .select(col("new_id"), col("grp_n"),
+        (col("inter").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(sum(col("grp_n")).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
+      .select(col("new_id").as("doc_id"), col("n_dups"), col("max_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.relational.{QueryCatalog, QueryHelpers}
+import graft.sinks.BandIndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent LSH band index: build-once/probe-many must reproduce the
+  * fused in-query incremental dedup (qd15) exactly, and probing must read
+  * only the arriving bands' bucket partitions. */
+class BandIndexSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val bucket =
+    pmod(graft.pipeline.TextOps.hash60(col("doc_id").cast("string")), lit(100))
+
+  test("prebuilt band index probes to qd15's exact results; scan prunes to probe buckets") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("b"))
+    BandIndexStore.build(docs.filter(col("b") < 90).select(col("doc_id"), col("text")),
+      idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    val probed = BandIndexStore.probe(spark, idx,
+      docs.filter(col("b") >= 90).select(col("doc_id"), col("text")), 0.80)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe-bucket filter must prune partitions:\n${plan.take(2000)}")
+    val got = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = QueryCatalog.byName("qd15_incremental_dedup").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want,
+      s"band-index probe diverges from qd15 (${got.length} vs ${want.length} rows)")
+  }
+
+  test("appended corpus batches are probed; replays change nothing") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx-app").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("b"))
+    val existing = docs.filter(col("b") < 90).select(col("doc_id"), col("text"))
+    // build from half the existing corpus, append the other half
+    BandIndexStore.build(existing.filter(col("doc_id") < 250),
+      idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    val tail = existing.filter(col("doc_id") >= 250)
+    BandIndexStore.appendBatch(tail, idx)
+    def serve() = BandIndexStore.probe(spark, idx,
+      docs.filter(col("b") >= 90).select(col("doc_id"), col("text")), 0.80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = QueryCatalog.byName("qd15_incremental_dedup").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(serve() == want,
+      "build(half) + append(half) must probe identically to the full build " +
+        "(appends post uncollapsed — collapse is an optimization, not a semantic)")
+    BandIndexStore.appendBatch(tail, idx)
+    assert(serve() == want, "a replayed append batch must change nothing")
+  }
+}
