@@ -166,6 +166,25 @@ object DemoWorkflowMain {
         s"hits=${top.head.getLong(1)} (expect 5 rows)")
     }
 
+    locally {
+      // persistent LSH band index: build from one half of a tiny corpus,
+      // probe the other half for near-duplicates
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val bidxDir = java.nio.file.Files.createTempDirectory("demo-bidx").toString
+      val existing = Seq((0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "an entirely different sentence about spark pipelines"))
+        .toDF("doc_id", "text")
+      val arriving = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "nothing like anything indexed before at all"))
+        .toDF("doc_id", "text")
+      graft.sinks.BandIndexStore.build(existing, bidxDir, 4, 8, 4)
+      val hitRows = graft.sinks.BandIndexStore.probe(spark, bidxDir, arriving, 0.8)
+        .collect()
+      println(s"[probe-bidx] dupDocs=${hitRows.map(_.getLong(0)).mkString(",")} " +
+        s"maxJ=${hitRows.headOption.map(_.getDouble(2)).getOrElse(-1.0)} (expect 10, 1.0)")
+    }
+
     spark.stop()
   }
 }
