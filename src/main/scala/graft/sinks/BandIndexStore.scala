@@ -83,6 +83,16 @@ object BandIndexStore {
       .parquet(s"$path/postings")
   }
 
+  /** Continuous index maintenance: stream arriving corpus documents into
+    * the postings via [[appendBatch]] per micro-batch (the
+    * IvfIndexStore/TextIndexStore discipline on the band axis). */
+  def appendStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
+      .start()
+
   private def manifest(path: String): (Int, Int, Int, Int) = {
     val txt = Files.readString(Paths.get(path, "manifest.json"))
     def field(k: String): Int =

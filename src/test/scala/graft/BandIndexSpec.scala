@@ -34,6 +34,38 @@ class BandIndexSpec extends AnyFunSuite {
       s"band-index probe diverges from qd15 (${got.length} vs ${want.length} rows)")
   }
 
+  test("appendStream maintains the index live: post-stream probing == full build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bidx-ckpt").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("b"))
+    val existing = docs.filter(col("b") < 90).select(col("doc_id"), col("text"))
+    BandIndexStore.build(existing.filter(col("doc_id") < 200),
+      idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    val arrivals = existing.filter(col("doc_id") >= 200)
+      .as[(Long, String)].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = BandIndexStore.appendStream(
+      stream.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable() // two distinct micro-batches
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = BandIndexStore.probe(spark, idx,
+      docs.filter(col("b") >= 90).select(col("doc_id"), col("text")), 0.80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = QueryCatalog.byName("qd15_incremental_dedup").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want,
+      "an index maintained by appendStream must probe the full-corpus answer")
+  }
+
   test("appended corpus batches are probed; replays change nothing") {
     val idx = java.nio.file.Files.createTempDirectory("graft-bidx-app").toString
     val docs = QueryHelpers.table(spark, dir, "documents")

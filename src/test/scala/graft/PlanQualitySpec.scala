@@ -577,6 +577,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"incremental band probe must stay keyed:\n${plan.take(1500)}")
   }
 
+  test("qp22 eval pool compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("qp22_eval_pool")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"fixed-size pool must use distributed per-partition heads:\n${plan.take(1500)}")
+  }
+
+  test("qt25 head vocabulary is TakeOrdered + a broadcast join back") {
+    val plan = planOf("qt25_oov_rate")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the top-1000 vocab cut must be a bounded TakeOrdered:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the vocab must broadcast back onto the token stream:\n${plan.take(1500)}")
+  }
+
   test("qm05 image near-dup candidates come from the band equi-join, never cartesian") {
     val plan = planOf("qm05_image_neardup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
