@@ -611,6 +611,65 @@ object PipelineQueries {
         JaccardThreshold)
     }, Some(oIncrementalDedupSql)),
 
+    CatalogQuery("qd18_threshold_sweep", (s, d) => {
+      // Near-dup THRESHOLD sweep — pair volume at multiple Jaccard
+      // cutoffs from ONE verification pass: the tuning table behind the
+      // 0.80 production threshold (qs13/qs17's operating-curve idea on
+      // the dedup plane). Candidates come from the SAME fixed banding
+      // qd02 ships, so each row reads "pairs the production blocking
+      // surfaces at cutoff t" — exactly the comparison that matters
+      // when debating a threshold change (recall of the banding itself
+      // degrades below its design point; changing bands is a different
+      // experiment, qd13's).
+      //
+      // Scale shape: qd02's collapsed machinery end to end; the sweep
+      // adds NO work to candidate generation or verification — cross
+      // counts are group-size PRODUCTS per verified representative pair
+      // (never expanded to member rows), intra counts are C(n,2) sums,
+      // and the 4-row threshold table broadcasts. The oracle counts the
+      // uncollapsed pairs one by one — identical by the collapse
+      // equivalence LshSkewSpec pins.
+      import graft.functions.expressions.ShingleExpressions._
+      import s.implicits._
+      val docs0 = table(s, d, "documents")
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
+      val (reps, memb, cand) = collapsedLshCandidates(docs0)
+      val sizes = memb.groupBy(col("rep_id")).agg(count(lit(1)).as("n")).persist()
+      val repPairs = cand
+        .join(reps.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(reps.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+        .select(col("id_a"), col("id_b"),
+          (col("inter").cast("double") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("jaccard"))
+      val cross = repPairs
+        .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .select(col("jaccard"), (col("n_a") * col("n_b")).as("pairs"))
+      val thresholds = Seq(50, 65, 80, 90).toDF("t_pct")
+      val crossByT = cross.crossJoin(broadcast(thresholds))
+        .filter(col("jaccard") >= col("t_pct").cast("double") / 100.0)
+        .groupBy(col("t_pct")).agg(sum(col("pairs")).as("cross_pairs"))
+      // intra-group pairs score exactly 1.0 — they clear every cutoff
+      val intra = sizes.agg(sum(expr("n * (n - 1L) div 2")).as("intra_pairs"))
+      thresholds
+        .join(crossByT, Seq("t_pct"), "left")
+        .crossJoin(broadcast(intra))
+        .select(col("t_pct"),
+          (coalesce(col("cross_pairs"), lit(0L)) + col("intra_pairs")).as("n_pairs"))
+        .orderBy(col("t_pct"))
+    }, Some(s"""
+      WITH $oMinhashCandCtes,
+      pairsAll AS (
+        SELECT len(list_intersect(x.hs, y.hs))::DOUBLE /
+            (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jaccard
+        FROM cand JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id)
+      SELECT t_pct,
+        CAST(sum(CASE WHEN jaccard >= t_pct / 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+      FROM pairsAll, (SELECT unnest([50, 65, 80, 90]) AS t_pct) t
+      GROUP BY t_pct ORDER BY t_pct""")),
+
     CatalogQuery("qd16_cross_source_dups", (s, d) => {
       // Duplication PROVENANCE matrix — qd02's verified near-dup pairs
       // bucketed by unordered source pair: the "who mirrors whom" table
