@@ -750,6 +750,60 @@ object PipelineQueries {
       LEFT JOIN sizes s2 ON cc.canonical_id = s2.canonical_id
       ORDER BY d.doc_id""")),
 
+    CatalogQuery("qp23_effective_tokens", (s, d) => {
+      // Dedup-ADJUSTED token supply per source — the number that mixture
+      // planning should actually use: raw token counts overstate a
+      // source whose mass is near-duplicate (RefinedWeb/FineWeb report
+      // exactly this "tokens after dedup" figure per dump). Effective
+      // tokens = Σ_doc ⌊n_tok · weight_ppm / 10⁶⌋ with qd12's soft-dedup
+      // weights, so a 10-copy cluster contributes ~one document's worth
+      // however its copies spread across sources. Per source: raw vs
+      // effective tokens and the retained fraction, all exact integer
+      // arithmetic (per-doc floor mirrors on both engines).
+      //
+      // Scale shape: composes qd12 through the catalog (pointer-jumping
+      // CC, broadcast cluster table); one token-count projection joins
+      // the weight table keyed by doc_id, and the finish is an S-row
+      // hash agg.
+      val weights = QueryCatalog.byName("qd12_soft_dedup_weights").build(s, d)
+        .select(col("doc_id"), col("weight_ppm"))
+      table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(weights, Seq("doc_id"))
+        .select(col("source"), col("n_tok"),
+          expr("n_tok * weight_ppm div 1000000L").as("eff_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("raw_tokens"),
+          sum(col("eff_tok")).as("effective_tokens"))
+        .select(col("source"), col("raw_tokens"), col("effective_tokens"),
+          expr("effective_tokens * 1000000L div raw_tokens").as("retained_ppm"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      cc AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY id),
+      sizes AS (SELECT canonical_id, count(*) AS csize FROM cc GROUP BY 1),
+      w AS (SELECT d.doc_id, d.source,
+              len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tok,
+              1000000 // COALESCE(s2.csize, 1) AS weight_ppm
+            FROM documents d
+            LEFT JOIN cc ON d.doc_id = cc.doc_id
+            LEFT JOIN sizes s2 ON cc.canonical_id = s2.canonical_id),
+      agg AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+                CAST(sum(n_tok * weight_ppm // 1000000) AS BIGINT) AS effective_tokens
+              FROM w GROUP BY source)
+      SELECT source, raw_tokens, effective_tokens,
+        effective_tokens * 1000000 // raw_tokens AS retained_ppm
+      FROM agg ORDER BY source""")),
+
     CatalogQuery("qd07_containment", (s, d) => {
       // Asymmetric containment dedup: |A∩B| / min(|A|, |B|) ≥ 0.90 over
       // the LSH candidate pairs — the signal Jaccard MISSES when one doc
