@@ -4710,6 +4710,69 @@ object PipelineQueries {
         TRUE AS recall_nondecreasing, TRUE AS recall_ge_090_at_max
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs19_multivector_maxsim", (s, d) => {
+      // Multi-vector LATE-INTERACTION retrieval — the ColBERT/MaxSim
+      // scoring shape (Khattab & Zaharia 2020): documents and queries
+      // are SETS of sub-vectors (here the 64-dim embedding sliced into
+      // 4×16-dim views — deterministic on both engines), and
+      // score(q, d) = Σ_i max_j cos(q_i, d_j): each query sub-vector
+      // matches its best document sub-vector independently, which
+      // single-vector cosine structurally cannot express. The missing
+      // member of the retrieval ladder next to dense (qs01..), sparse
+      // (qt12) and hybrid (qs08).
+      //
+      // Scale shape: qs01's brute-force discipline — 5 queries
+      // broadcast over ONE corpus scan (the scoring is a pure per-row
+      // expression tree, 16 sub-cosines deep, fully codegen'd), bounded
+      // TopKByScore finisher. The IVF/banded candidate generation
+      // (qs02/qs04) slots in front unchanged for the 100 TB path — the
+      // scorer is agnostic to where candidates come from.
+      // Determinism: per-sub-pair cosines are bit-identical across
+      // engines (list_dot_product ≡ the zip_with fold — the qs02
+      // contract), the 4-way max is exact, each max quantizes at 12
+      // decimals, and the 4 terms add in fixed left-assoc order.
+      val Subs = 4; val SubDim = 16
+      def sub(v: Column, i: Int): Column = slice(v, i * SubDim + 1, SubDim)
+      def scos(a: Column, b: Column): Column =
+        vdot(a, b) / (sqrt(greatest(vdot(a, a), lit(1e-30))) *
+          sqrt(greatest(vdot(b, b), lit(1e-30))))
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val maxsim = (0 until Subs).map { i =>
+        round(greatest((0 until Subs).map(j =>
+          scos(sub(col("qv"), i), sub(col("v"), j))): _*), 12)
+      }.reduce(_ + _)
+      val scored = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), maxsim.as("cosine"))
+      topkRanked(scored)
+    }, Some {
+      def oSub(arr: String, i: Int): String =
+        s"$arr[${i * 16 + 1}:${i * 16 + 16}]"
+      def oCos(i: Int, j: Int): String = {
+        val (a, b) = (oSub("q.qv", i), oSub("e.v", j))
+        s"list_dot_product($a, $b) / (sqrt(greatest(list_dot_product($a, $a), 1e-30))" +
+          s" * sqrt(greatest(list_dot_product($b, $b), 1e-30)))"
+      }
+      val terms = (0 until 4).map { i =>
+        s"round(greatest(${(0 until 4).map(j => oCos(i, j)).mkString(", ")}), 12)"
+      }.mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id, ($terms) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+    }),
+
     CatalogQuery("qs17_nprobe_curve", (s, d) => {
       // The IVF operating curve: recall vs nprobe from ONE assignment
       // pass — the tuning run behind every nprobe pin in the IVF plane
