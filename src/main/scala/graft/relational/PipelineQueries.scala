@@ -5043,6 +5043,71 @@ object PipelineQueries {
       SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
       FROM alldeg GROUP BY in_degree ORDER BY in_degree""")),
 
+    CatalogQuery("qe13_knn_label_agreement", (s, d) => {
+      // kNN label-agreement — THE standard embedding-quality metric
+      // (kNN classification accuracy in the embedding space): for every
+      // vector's top-3 neighbors, how often does the neighbor share the
+      // query's label, per label. Low agreement for one class = that
+      // class is scattered (bad labels or bad space); low agreement
+      // everywhere = the space doesn't encode the taxonomy at all.
+      // Complements qe09 (linear separability) and qe11 (centroid
+      // collisions) with the LOCAL-structure view retrieval actually
+      // experiences.
+      //
+      // Scale shape: composes qs04's batch neighbor graph through the
+      // catalog (keyed cell equi-join, bounded top-k — never n²); two
+      // label attaches are keyed joins against the (vec_id, label)
+      // projection; the finish is an L-row hash agg, all-integer ppm.
+      val edges = QueryCatalog.byName("qs04_ann_batch").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val lab = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+      edges
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+          Seq("query_id"))
+        .join(lab.select(col("vec_id"), col("label").as("n_label")), Seq("vec_id"))
+        .groupBy(col("q_label"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("q_label").as("label"), col("n_edges"),
+          expr("n_agree * 1000000L div n_edges").as("agree_ppm"))
+        .orderBy(col("label"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored),
+      edges AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 3),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      agree AS (
+        SELECT ql.label AS q_label, count(*) AS n_edges,
+          CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        FROM edges
+        JOIN lab ql ON edges.query_id = ql.vec_id
+        JOIN lab nl ON edges.vec_id = nl.vec_id
+        GROUP BY ql.label)
+      SELECT q_label AS label, n_edges,
+        n_agree * 1000000 // n_edges AS agree_ppm
+      FROM agree ORDER BY label""")),
+
     CatalogQuery("qe11_centroid_confusion", (s, d) => {
       // Label-centroid CONFUSION structure — pairwise cosine and squared
       // L2 distance between class centroids: the screen for label
