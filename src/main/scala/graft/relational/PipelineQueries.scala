@@ -750,6 +750,43 @@ object PipelineQueries {
       LEFT JOIN sizes s2 ON cc.canonical_id = s2.canonical_id
       ORDER BY d.doc_id""")),
 
+    CatalogQuery("qp24_shard_balance", (s, d) => {
+      // Training-shard balance audit — per-shard document and token
+      // mass under the hash-deterministic 64-shard membership
+      // (ShardSink/TokenShardSink's convention): data-parallel training
+      // reads shards in lockstep, so one token-heavy shard gates every
+      // step (the straggler audit), and a skewed histogram argues for
+      // more shards or size-bounded splitting. qs15's index-balance
+      // table on the export axis.
+      //
+      // Scale shape: one projection with the stateless per-row shard
+      // hash, a 64-row hash agg, and the single-row total broadcast
+      // back; BIGINT ppm floor-division shares throughout.
+      val Shards = 64
+      val perShard = table(s, d, "documents")
+        .select(pmod(TextOps.hash60(col("doc_id").cast("string")), lit(Shards.toLong))
+            .as("shard"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val total = perShard.agg(sum(col("n_tokens")).as("total"))
+      perShard.crossJoin(broadcast(total))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          expr("n_tokens * 1000000L div total").as("token_share_ppm"))
+        .orderBy(col("shard"))
+    }, Some("""
+      WITH s AS (SELECT
+          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 64 AS shard,
+          len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+        FROM documents),
+      per AS (SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens
+              FROM s GROUP BY shard),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+      SELECT shard, n_docs, n_tokens,
+        n_tokens * 1000000 // total AS token_share_ppm
+      FROM per, tot ORDER BY shard""")),
+
     CatalogQuery("qp23_effective_tokens", (s, d) => {
       // Dedup-ADJUSTED token supply per source — the number that mixture
       // planning should actually use: raw token counts overstate a
