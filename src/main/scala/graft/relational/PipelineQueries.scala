@@ -4425,6 +4425,80 @@ object PipelineQueries {
       SELECT id_a, id_b, est, exact, round(abs(est - exact), 6) AS abs_err
       FROM scored ORDER BY id_a, id_b""")),
 
+    CatalogQuery("qd19_perm_curve", (s, d) => {
+      // MinHash signature-SIZE calibration curve — estimator error at
+      // 2/4/8 permutations from ONE signature computation (prefixes of
+      // one signature are valid smaller signatures, so the sweep costs
+      // nothing extra): the sizing table behind NumPerms=8, read next
+      // to qd13's per-candidate calibration and qd18's threshold sweep.
+      // Mean |est_k − exact| over every banding-surfaced pair, per k.
+      //
+      // Scale shape: qd02's collapsed blocking; per-rep-pair work is
+      // one component-match fold + prefix sums; cross-pair means weight
+      // by group-size PRODUCTS (never member expansion), intra pairs
+      // contribute exact zeros. Determinism: est_k and exact are single
+      // divisions (bit-identical both engines), |diff| quantizes at 12
+      // decimals into exact decimal weighted sums, one final double
+      // division rounded to 6.
+      import graft.functions.expressions.ShingleExpressions._
+      import s.implicits._
+      val Ks = Seq(2, 4, 8)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val docs0 = table(s, d, "documents")
+        .filter(length(col("text")) >= ShingleN)
+        .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
+      val (reps, memb, cand) = collapsedLshCandidates(docs0)
+      val sizes = memb.groupBy(col("rep_id")).agg(count(lit(1)).as("n")).persist()
+      val repScored = cand
+        .join(reps.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+        .join(reps.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+        .withColumn("inter", sortedIntersectCount(col("hs_a"), col("hs_b")))
+        .select(col("id_a"), col("id_b"),
+          zip_with(minhashSig(col("hs_a"), NumPerms), minhashSig(col("hs_b"), NumPerms),
+            (x, y) => when(x === y, 1L).otherwise(0L)).as("m"),
+          (col("inter").cast("double") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("inter"))).as("exact"))
+      val errRows = repScored
+        .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .select((col("n_a") * col("n_b")).as("w"),
+          explode(array(Ks.map { k =>
+            struct(lit(k).as("n_perms"),
+              round(abs(aggregate(slice(col("m"), 1, k), lit(0L), _ + _)
+                .cast("double") / k - col("exact")), 12).cast(dec12).as("err"))
+          }: _*)).as("kk"))
+        .select(col("w"), col("kk.n_perms").as("n_perms"), col("kk.err").as("err"))
+      val errAgg = errRows.groupBy(col("n_perms"))
+        .agg(sum(col("err") * col("w")).as("sum_err"))
+      val crossTotal = errRows.filter(col("n_perms") === Ks.head)
+        .agg(coalesce(sum(col("w")), lit(0L)).as("cross_pairs"))
+      val intraTotal = sizes.agg(
+        coalesce(sum(expr("n * (n - 1L) div 2")), lit(0L)).as("intra_pairs"))
+      Ks.toDF("n_perms")
+        .join(errAgg, Seq("n_perms"), "left")
+        .crossJoin(broadcast(crossTotal)).crossJoin(broadcast(intraTotal))
+        .select(col("n_perms"),
+          (col("cross_pairs") + col("intra_pairs")).as("n_pairs"),
+          round(coalesce(col("sum_err"), lit(0).cast(dec12)).cast("double") /
+            (col("cross_pairs") + col("intra_pairs")), 6).as("mean_abs_err"))
+        .orderBy(col("n_perms"))
+    }, Some(s"""
+      WITH $oMinhashCandCtes,
+      errs AS (
+        SELECT kk.k,
+          CAST(round(abs(
+            len([i for i in range(1, kk.k + 1) if sx.mh[i] = sy.mh[i]])::DOUBLE / kk.k
+            - len(list_intersect(x.hs, y.hs))::DOUBLE /
+              (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))), 12)
+            AS DECIMAL(38,12)) AS err
+        FROM cand
+          JOIN sig sx ON cand.id_a = sx.doc_id JOIN sig sy ON cand.id_b = sy.doc_id
+          JOIN sh x ON cand.id_a = x.doc_id JOIN sh y ON cand.id_b = y.doc_id,
+          (SELECT unnest([2, 4, 8]) AS k) kk)
+      SELECT k AS n_perms, CAST(count(*) AS BIGINT) AS n_pairs,
+        round(CAST(sum(err) AS DOUBLE) / count(*), 6) AS mean_abs_err
+      FROM errs GROUP BY k ORDER BY n_perms""")),
+
     CatalogQuery("qe08_quantization_error", (s, d) => {
       // The audit that licenses qs05's int8 memory path: corpus-level
       // reconstruction error of per-vector symmetric int8 quantization
