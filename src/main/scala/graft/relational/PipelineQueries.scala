@@ -5219,6 +5219,79 @@ object PipelineQueries {
         n_agree * 1000000 // n_edges AS agree_ppm
       FROM agree ORDER BY label""")),
 
+    CatalogQuery("qe14_centroid_silhouette", (s, d) => {
+      // Per-label centroid SILHOUETTE — the compactness/separation
+      // ratio: for every vector, a = distance to its own label
+      // centroid, b = distance to the nearest OTHER centroid,
+      // s = (b − a) / max(a, b); the per-label mean is the classic
+      // clustering-quality score read on the label structure. qe11 says
+      // which centroid PAIRS collide; this says whether the vectors of
+      // a label actually live nearer their own centroid than anyone
+      // else's — the dispersion view centroid positions alone miss.
+      //
+      // Scale shape: centroids derive from per-(label, dim) decimal
+      // sums (qe04's one-pass discipline) and collapse to an L-row
+      // array table that BROADCASTS onto a single scoring scan — the
+      // corpus never shuffles; the finish is an L-row agg. Determinism:
+      // centroid means are decimal-sum/count; distances are the same
+      // ordered zip_with fold both engines (the qs02 list_distance
+      // contract); silhouettes quantize at 12 decimals into exact
+      // decimal sums, one final double division rounded to 6.
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // moment pass + scoring pass
+      val cent = e.select(col("label"), posexplode(col("v")))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("x"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("sx"))
+        .select(col("label").as("c_label"), col("dim"),
+          (col("sx").cast("double") / col("n")).as("m"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          p => p.getField("m")).as("cv"))
+      val dist = sqrt(aggregate(zip_with(col("v"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+      val scoredPerLabel = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("c_label"), dist.as("dd"))
+      val perVec = scoredPerLabel.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("label") === col("c_label"), col("dd"))).as("a"),
+          min(when(col("label") =!= col("c_label"), col("dd"))).as("b"))
+        .select(col("label"),
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 12)
+            .cast(dec12).as("sil"))
+      perVec.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("sil")).cast("double") / count(lit(1)), 6)
+            .as("mean_silhouette"))
+        .orderBy(col("label"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      ex AS (SELECT label,
+          unnest([{'dim': i, 'x': v[i]} for i in range(1, len(v) + 1)]) AS u
+        FROM e),
+      pl AS (SELECT label, u.dim AS dim, count(*) AS n,
+               sum(CAST(u.x AS DECIMAL(38,6))) AS sx
+             FROM ex GROUP BY label, u.dim),
+      cent AS (SELECT label AS c_label,
+                 list(CAST(sx AS DOUBLE) / n ORDER BY dim) AS cv
+               FROM pl GROUP BY label),
+      dd AS (SELECT e.vec_id, e.label, cent.c_label,
+               list_distance(e.v, cent.cv) AS dd
+             FROM e CROSS JOIN cent),
+      pv AS (SELECT vec_id, label,
+               max(CASE WHEN label = c_label THEN dd END) AS a,
+               min(CASE WHEN label <> c_label THEN dd END) AS b
+             FROM dd GROUP BY vec_id, label),
+      sil AS (SELECT label,
+                CAST(round((b - a) / greatest(a, b), 12) AS DECIMAL(38,12)) AS sil
+              FROM pv)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_silhouette
+      FROM sil GROUP BY label ORDER BY label""")),
+
     CatalogQuery("qe11_centroid_confusion", (s, d) => {
       // Label-centroid CONFUSION structure — pairwise cosine and squared
       // L2 distance between class centroids: the screen for label
