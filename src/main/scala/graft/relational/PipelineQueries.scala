@@ -705,6 +705,91 @@ object PipelineQueries {
       JOIN documents y ON pairs.id_b = y.doc_id
       GROUP BY 1, 2 ORDER BY source_a, source_b""")),
 
+    CatalogQuery("qd20_ensemble_dedup", (s, d) => {
+      // ENSEMBLE dedup — the production shape: no single signal catches
+      // every duplicate class (MinHash misses paraphrases with low
+      // lexical overlap; embedding cosine misses short boilerplate whose
+      // vectors are noisy), so real pipelines union the edge sets of
+      // several detectors and cluster over the COMBINED graph. Edges here
+      // are qd02's verified lexical pairs ∪ qd05's verified semantic
+      // pairs (vec_id == doc_id is the testdata identity, the qe12
+      // convention); clusters are connected components of the union, and
+      // the output is the per-cluster evidence table — size plus how many
+      // verified pairs each signal contributed — which is what decides
+      // whether a cluster is a mirror family (lexical-heavy), a
+      // paraphrase family (semantic-only), or both.
+      //
+      // Scale shape: both edge generators are keyed candidate pipelines
+      // composed through the catalog (LSH bands / IVF cells — never
+      // all-pairs); the union is a set-union of two id-pair lists;
+      // clustering is qd06's pointer-jumping connected components
+      // (O(log diameter) keyed join rounds); the evidence counts are two
+      // keyed joins of pair lists against the (doc → canonical) map plus
+      // bounded hash aggs. Nothing anywhere is corpus-quadratic — the
+      // whole operator moves id pairs, not documents.
+      val textPairs = QueryCatalog.byName("qd02_minhash_lsh").build(s, d)
+        .select(col("id_a"), col("id_b")).persist() // edges + evidence count
+      val embPairs = QueryCatalog.byName("qd05_embedding_neardup").build(s, d)
+        .select(col("id_a"), col("id_b")).persist() // edges + evidence count
+      val cc = graft.pipeline.Dedup.connectedComponents(
+          textPairs.unionByName(embPairs).distinct()).persist()
+      // evidence: pairs land in exactly one cluster (both endpoints share
+      // a canonical by construction), so counting by id_a's canonical is
+      // exact — a keyed join against the cc map, never a pair expansion
+      def evidence(pairs: DataFrame, out: String): DataFrame = pairs
+        .join(cc.select(col("doc_id").as("id_a"), col("canonical_id")), Seq("id_a"))
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as(out))
+      cc.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_docs"))
+        .join(evidence(textPairs, "n_text_pairs"), Seq("canonical_id"), "left")
+        .join(evidence(embPairs, "n_emb_pairs"), Seq("canonical_id"), "left")
+        .select(col("canonical_id"), col("n_docs"),
+          coalesce(col("n_text_pairs"), lit(0L)).as("n_text_pairs"),
+          coalesce(col("n_emb_pairs"), lit(0L)).as("n_emb_pairs"))
+        .orderBy(col("canonical_id"))
+    }, Some(s"""
+      WITH RECURSIVE $oMinhashPairsCtes,
+      ee AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      ecent AS (SELECT vec_id AS cid, v AS cv FROM ee WHERE vec_id < 16),
+      eposted AS (
+        SELECT vec_id, label, cid AS cell FROM (
+          SELECT ee.vec_id, ee.label, ecent.cid,
+            row_number() OVER (PARTITION BY ee.vec_id
+              ORDER BY list_distance(ee.v, ecent.cv) ASC, ecent.cid ASC) rn
+          FROM ee CROSS JOIN ecent) t WHERE rn <= 4),
+      ecand AS (
+        SELECT DISTINCT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM eposted a JOIN eposted b
+          ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+      epairs AS (
+        SELECT c.id_a, c.id_b
+        FROM ecand c JOIN ee x ON c.id_a = x.vec_id JOIN ee y ON c.id_b = y.vec_id
+        WHERE list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= $CosineThreshold),
+      alledges AS (
+        SELECT id_a, id_b FROM pairs
+        UNION SELECT id_a, id_b FROM epairs),
+      edges AS (
+        SELECT id_a AS a, id_b AS b FROM alledges
+        UNION SELECT id_b, id_a FROM alledges),
+      reach(id, lab) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+      cc AS (SELECT id AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY id),
+      tcnt AS (SELECT cc.canonical_id, count(*) AS n
+               FROM pairs JOIN cc ON pairs.id_a = cc.doc_id GROUP BY 1),
+      ecnt AS (SELECT cc.canonical_id, count(*) AS n
+               FROM epairs JOIN cc ON epairs.id_a = cc.doc_id GROUP BY 1)
+      SELECT cc.canonical_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(coalesce(max(tcnt.n), 0) AS BIGINT) AS n_text_pairs,
+        CAST(coalesce(max(ecnt.n), 0) AS BIGINT) AS n_emb_pairs
+      FROM cc
+      LEFT JOIN tcnt ON cc.canonical_id = tcnt.canonical_id
+      LEFT JOIN ecnt ON cc.canonical_id = ecnt.canonical_id
+      GROUP BY cc.canonical_id
+      ORDER BY cc.canonical_id""")),
+
     CatalogQuery("qd12_soft_dedup_weights", (s, d) => {
       // Soft dedup — REWEIGHT duplicates instead of dropping them
       // (SoftDeDup: down-weight a document by its near-dup cluster size
@@ -1476,6 +1561,75 @@ object PipelineQueries {
           cosineCol(col("qv"), col("v")).as("cosine"))
       topkRanked(scored)
     }, Some(oIvfTopkSql)),
+
+    CatalogQuery("qs20_range_search", (s, d) => {
+      // RANGE (radius) search — the other half of the ANN API surface
+      // next to top-k (FAISS range_search): return EVERY corpus vector
+      // within a fixed cosine radius of each query, however many there
+      // are. Top-k answers "the nearest k whatever their quality"; range
+      // search answers "everything at least this similar" — the right
+      // primitive for recall-critical jobs (takedown sweeps, contamination
+      // checks, near-dup audits around a known-bad exemplar) where a k
+      // cut-off silently drops qualifying neighbors.
+      //
+      // Scale shape: identical IVF probe pruning to qs02 (deterministic
+      // vec_id<K centroids so the oracle mirrors the geometry; a trained
+      // KMeans fit slots in unchanged) — corpus assigned once to its
+      // nearest cell, queries posted to nprobe cells, the join is keyed
+      // by cell with the tiny query side broadcast. The finish is a
+      // STATELESS filter: no per-query sort, no window, no top-k state —
+      // output volume IS the answer set. Radius 0.30 sits below the qd05
+      // near-dup bar (0.35) so the sweep surfaces the wider neighborhood.
+      val K = 16; val NProbe = 4; val Radius = 0.30
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1) // K rows — bounded
+      val bc = s.sparkContext.broadcast(cents)
+      def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+        bc.value.map { case (cid, cv) =>
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+          (math.sqrt(acc), cid)
+        }.sortBy(identity).take(n).map(_._2).toSeq
+      val assigned = e.as[(Long, Seq[Double])]
+        .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
+        .toDF("vec_id", "v", "cell")
+      val queries = e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
+        .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
+        .toDF("query_id", "qv", "cell")
+      assigned.join(broadcast(queries), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosineCol(col("qv"), col("v")).as("cosine"))
+        .filter(col("cosine") >= Radius)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("vec_id"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine
+      FROM scored WHERE cosine >= 0.30
+      ORDER BY query_id, vec_id""")),
 
     CatalogQuery("qs04_ann_batch", (s, d) => {
       // Many-query batch ANN (offline inference over the whole corpus:
