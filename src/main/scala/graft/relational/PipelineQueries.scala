@@ -2929,6 +2929,58 @@ object PipelineQueries {
       FROM dc JOIN tot USING (source) JOIN ty USING (source)
       ORDER BY source""")),
 
+    CatalogQuery("qt27_span_novelty", (s, d) => {
+      // NEW-content yield per source — the crawl-ops number behind "is
+      // this dump worth ingesting": of a source's distinct (doc, span)
+      // instances, how many are the span's FIRST corpus occurrence
+      // (minimum doc_id — the deterministic first-occurrence convention)?
+      // Syndication mirrors and re-crawls score near zero novelty while
+      // still passing per-doc quality screens; FineWeb-style dump
+      // curation keys ingest decisions on exactly this yield. Span unit =
+      // qd08's 8-token hash60, so "novel" here is the complement of the
+      // content qd08/qd09 would flag as duplicated — same row class, the
+      // source-level admission view instead of the per-doc removal view.
+      //
+      // Scale shape: qd08's keys-only discipline — each position ships
+      // one (doc_id, hash60) pair, never span strings; first-occurrence
+      // is a hash agg (min doc_id per span) joined back KEYED by the
+      // span hash; the finish is an S-row all-integer ppm table.
+      val W = DupSpanW
+      val toks = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val pos = toks.select(col("doc_id"),
+        explode(when(size(col("w")) >= W,
+          transform(sequence(lit(1), size(col("w")) - (W - 1)),
+            i => TextOps.hash60(concat_ws(" ", slice(col("w"), i, lit(W))))))
+          .otherwise(array().cast("array<bigint>"))).as("h"))
+      val inst = pos.select(col("doc_id"), col("h")).distinct()
+      val firsts = inst.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val src = table(s, d, "documents").select(col("doc_id"), col("source"))
+      inst.join(firsts, Seq("h")).join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_span_values"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("source"), col("n_span_values"), col("n_novel"),
+          expr("n_novel * 1000000L div n_span_values").as("novelty_ppm"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                 FROM documents),
+      pos AS (SELECT t.doc_id,
+          CAST(('0x' || substr(md5(array_to_string(w[u.i : u.i + ${DupSpanW - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+        FROM t, LATERAL (SELECT unnest(generate_series(1,
+          greatest(len(w) - ${DupSpanW - 1}, 0))) AS i) u),
+      inst AS (SELECT DISTINCT doc_id, h FROM pos),
+      firsts AS (SELECT h, min(doc_id) AS first_doc FROM inst GROUP BY h),
+      j AS (SELECT d.source, inst.doc_id, firsts.first_doc
+            FROM inst JOIN firsts USING (h)
+            JOIN documents d ON inst.doc_id = d.doc_id)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_span_values,
+        CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+          // CAST(count(*) AS BIGINT) AS novelty_ppm
+      FROM j GROUP BY source ORDER BY source""")),
+
     CatalogQuery("qp22_eval_pool", (s, d) => {
       // Fixed-SIZE held-out evaluation pool — the N documents with the
       // smallest identity hashes (N=100 here): where qp01's bucket split
@@ -5707,6 +5759,87 @@ object PipelineQueries {
         CAST(coalesce(zc.zc, 0) AS BIGINT) AS zero_crossings,
         agg.sum_abs, agg.max_abs
       FROM agg LEFT JOIN zc USING (doc_id) ORDER BY agg.doc_id""")),
+
+    CatalogQuery("qm07_audio_dup", (s, d) => {
+      // Audio-plane dedup through the REAL WAV codec — the missing leg of
+      // the multimodal dedup triad (qm05 image, qm06 video): qm04's
+      // synthesis (64 centered 16-bit PCM samples from the first 64
+      // codepoints, encodeWav→decodeWav round trip) feeds a 31-bit
+      // energy-CONTOUR fingerprint — frame f = 2 samples, bit f−1 set iff
+      // E_f > E_{f−1} — the gain-robust compact id an audio pipeline
+      // groups re-uploads by (chromaprint's contour shape, minus the FFT
+      // an integer-exact oracle can't mirror; comparing energy ORDER not
+      // magnitude means re-encoded/rescaled copies of the same clip still
+      // collide). Output: each doc's fingerprint and how many other docs
+      // share it. All-integer end to end.
+      //
+      // Scale shape: one batched mapPartitions kernel pass emits one
+      // (doc_id, fingerprint) row per doc — qd01's exact-dedup row class
+      // on the audio axis; partner counts are a hash agg on the
+      // fingerprint plus one keyed join back (AQE broadcasts the small
+      // class table). Never any pair expansion — hot fingerprint classes
+      // cost their class size, not size².
+      import s.implicits._
+      val fps = table(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val samples = new Array[Short](64)
+            var i = 0; var off = 0
+            while (i < 64 && off < text.length) {
+              val cp = text.codePointAt(off)
+              samples(i) = ((math.min(cp, 255) - 128) * 256).toShort
+              off += Character.charCount(cp)
+              i += 1
+            }
+            while (i < 64) { samples(i) = ((' ' - 128) * 256).toShort; i += 1 }
+            val audio = graft.pipeline.MediaCodecs.decodeWav(
+              graft.pipeline.MediaCodecs.encodeWav(
+                graft.pipeline.MediaCodecs.RawAudio(8000, 1, samples)))
+            require(audio.sampleRate == 8000 && audio.channels == 1,
+              "WAV round-trip corrupted the format header")
+            val ss = audio.samples
+            val e = new Array[Long](32)
+            var f = 0
+            while (f < 32) {
+              val a = ss(2 * f).toLong; val b = ss(2 * f + 1).toLong
+              e(f) = a * a + b * b
+              f += 1
+            }
+            var fp = 0L
+            f = 1
+            while (f < 32) {
+              if (e(f) > e(f - 1)) fp |= 1L << (f - 1)
+              f += 1
+            }
+            (id, fp)
+          }
+        }.toDF("doc_id", "fingerprint")
+      val classes = fps.groupBy(col("fingerprint"))
+        .agg(count(lit(1)).as("n"))
+      fps.join(classes, Seq("fingerprint"))
+        .select(col("doc_id"), col("fingerprint"),
+          (col("n") - 1L).as("n_partners"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH px AS (SELECT doc_id, i,
+               CASE WHEN i <= length(text) THEN least(ascii(substr(text, i, 1)), 255)
+                    ELSE 32 END AS p
+             FROM documents, (SELECT unnest(range(1, 65)) AS i) ix),
+      smp AS (SELECT doc_id, i, (p - 128) * 256 AS s FROM px),
+      en AS (SELECT doc_id, CAST((i - 1) // 2 AS INTEGER) AS f,
+               CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS e
+             FROM smp GROUP BY 1, 2),
+      bits AS (SELECT a.doc_id,
+          CAST(coalesce(sum(CASE WHEN a.e > b.e
+            THEN CAST(1 AS BIGINT) << (a.f - 1) ELSE 0 END), 0) AS BIGINT) AS fingerprint
+        FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.f = a.f - 1
+        GROUP BY 1),
+      cls AS (SELECT fingerprint, count(*) AS n FROM bits GROUP BY 1)
+      SELECT b.doc_id, b.fingerprint,
+        CAST(cls.n - 1 AS BIGINT) AS n_partners
+      FROM bits b JOIN cls USING (fingerprint)
+      ORDER BY b.doc_id""")),
 
     CatalogQuery("qp18_mixture_plan", (s, d) => {
       // Token-budget mixture planning: qp06 decides per-language KEEP
