@@ -268,6 +268,34 @@ object PipelineQueries {
 
   private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
 
+  /** The deterministic-IVF RANGE-search oracle (qs02's geometry, radius
+    * 0.30, rounded-6 cosine output) — shared by qs20 (fused in-query
+    * plan) and qs21 (the same sweep served from the persistent
+    * IvfIndexStore artifact): both must produce these exact rows. */
+  private val oRangeSearchSql: String = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine
+      FROM scored WHERE cosine >= 0.30
+      ORDER BY query_id, vec_id"""
+
   /** The incremental-dedup oracle (arriving bucket ≥ 90 probed against
     * the existing corpus's bands) — shared by qd15 (fused in-query plan)
     * and qd17 (the same probe served from the persistent BandIndexStore
@@ -1607,29 +1635,27 @@ object PipelineQueries {
         .filter(col("cosine") >= Radius)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("vec_id"))
-    }, Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-      assigned AS (
-        SELECT vec_id, v, cid AS cell FROM (
-          SELECT e.vec_id, e.v, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent) t WHERE rn = 1),
-      q AS (
-        SELECT query_id, qv, cid AS cell FROM (
-          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent WHERE e.vec_id < 5) t WHERE rn <= 4),
-      scored AS (
-        SELECT query_id, vec_id,
-          list_dot_product(qv, v) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
-        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id)
-      SELECT query_id, vec_id, round(cosine, 6) AS cosine
-      FROM scored WHERE cosine >= 0.30
-      ORDER BY query_id, vec_id""")),
+    }, Some(oRangeSearchSql)),
+
+    CatalogQuery("qs21_index_range_serve", (s, d) => {
+      // Range search served FROM THE ARTIFACT — qs14's story for the
+      // radius primitive: build the IvfIndexStore once, then answer the
+      // takedown-sweep question from the persisted postings with the
+      // same probe-cell partition pruning (only nprobe/K cell dirs
+      // open), replay dedup, and tombstone semantics as top-k serving.
+      // Same deterministic geometry and radius as qs20, so the oracle is
+      // qs20's SQL verbatim — gating build→persist→prune→filter end to
+      // end on the sweep path a recall-critical job actually runs.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs21-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.IvfIndexStore.rangeQuery(s, idxDir, queries,
+        nProbe = 4, radius = 0.30)
+    }, Some(oRangeSearchSql)),
 
     CatalogQuery("qs04_ann_batch", (s, d) => {
       // Many-query batch ANN (offline inference over the whole corpus:
@@ -5424,6 +5450,79 @@ object PipelineQueries {
       SELECT q_label AS label, n_edges,
         n_agree * 1000000 // n_edges AS agree_ppm
       FROM agree ORDER BY label""")),
+
+    CatalogQuery("qe15_cell_label_purity", (s, d) => {
+      // IVF-cell LABEL PURITY — does the index geometry correlate with
+      // the metadata it will be filtered by? Per cell (qs02's exact
+      // assignment: vec_id<16 centroids, nearest by L2, tie→lower cid):
+      // occupancy, the majority label, and its ppm share. High purity
+      // means label-filtered ANN (qs12) prunes almost as hard as the
+      // label-partitioned artifact (qs18) and a shared index suffices;
+      // low purity is the planning signal that multi-tenant serving
+      // needs the (cell, label) partition layout. qs15 audits cell SIZE
+      // balance; this audits cell/metadata ALIGNMENT.
+      //
+      // Scale shape: assignment is the broadcast-centroid map (corpus
+      // never shuffles for it); the histogram is a (cell, label) hash
+      // agg bounded by K·L rows, and the majority pick is a window over
+      // that K·L-row table (partitioned by cell — never a global
+      // window). All-integer output.
+      val K = 16
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val cents: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < K)
+        .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+        .collect().sortBy(_._1) // K rows — bounded driver gather
+      val bc = s.sparkContext.broadcast(cents)
+      val assigned = e.select(col("vec_id"), col("label"), col("v"))
+        .as[(Long, Int, Seq[Double])]
+        .map { case (id, lab, v) =>
+          var bestD = Double.MaxValue; var bestC = -1L
+          bc.value.foreach { case (cid, cv) =>
+            var acc = 0.0
+            var i = 0
+            while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+            val dist = math.sqrt(acc)
+            if (dist < bestD) { bestD = dist; bestC = cid }
+          }
+          (id, lab, bestC)
+        }.toDF("vec_id", "label", "cell")
+      val hist = assigned.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = hist.groupBy(col("cell")).agg(sum(col("cnt")).as("n_vecs"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col("cnt").desc, col("label").asc)
+      hist.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .join(totals, Seq("cell"))
+        .select(col("cell"), col("n_vecs").cast("long").as("n_vecs"),
+          col("label").cast("long").as("top_label"),
+          expr("cnt * 1000000L div n_vecs").as("purity_ppm"))
+        .orderBy(col("cell"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, cid AS cell FROM (
+          SELECT e.vec_id, e.label, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      hist AS (SELECT cell, label, count(*) AS cnt
+               FROM assigned GROUP BY 1, 2),
+      tot AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs
+              FROM hist GROUP BY 1),
+      top AS (SELECT cell, label, cnt FROM (
+          SELECT cell, label, cnt,
+            row_number() OVER (PARTITION BY cell
+              ORDER BY cnt DESC, label ASC) rn
+          FROM hist) t WHERE rn = 1)
+      SELECT top.cell, tot.n_vecs,
+        CAST(top.label AS BIGINT) AS top_label,
+        CAST(top.cnt AS BIGINT) * 1000000 // tot.n_vecs AS purity_ppm
+      FROM top JOIN tot USING (cell)
+      ORDER BY top.cell""")),
 
     CatalogQuery("qe14_centroid_silhouette", (s, d) => {
       // Per-label centroid SILHOUETTE — the compactness/separation

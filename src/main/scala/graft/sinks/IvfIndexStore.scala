@@ -213,6 +213,46 @@ object IvfIndexStore {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** RANGE (radius) serving from the prebuilt index — the takedown-sweep
+    * / contamination-check primitive next to top-k: every posting within
+    * `radius` cosine of each query, however many there are. Identical
+    * probe pruning, replay dedup, and tombstone semantics to [[query]];
+    * the finish is a STATELESS filter (no per-query sort, no top-k
+    * state), so output volume is exactly the answer set. Output:
+    * (query_id, vec_id, cosine rounded to 6) ordered by (query_id,
+    * vec_id) — the qs20 conventions, so the shared oracle SQL grades
+    * this path verbatim. */
+  def rangeQuery(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, radius: Double): DataFrame = {
+    import spark.implicits._
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val qs: Array[(Long, Seq[Double])] =
+      queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])].collect()
+    val probes: Seq[(Long, Seq[Double], Long)] = qs.toSeq.flatMap { case (id, qv) =>
+      KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
+    }
+    val probeCells = probes.map(_._3).distinct.sorted
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isInCollection(probeCells))
+      .dropDuplicates("cell", "vec_id")
+    val postings = tombstones(spark, path) match {
+      case Some(t) => pruned.join(broadcast(t), Seq("vec_id"), "left_anti")
+      case None => pruned
+    }
+    val probeDf = probes.toDF("query_id", "qv", "cell")
+    postings.join(broadcast(probeDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+          (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
+            sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))))
+          .as("cosine"))
+      .filter(col("cosine") >= radius)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
   /** Filtered serving from a metadata-scoped index (built with
     * `metaCol = Some(...)`): top-`topK` per query over the `nProbe`
     * nearest cells' postings RESTRICTED to the query's own metadata

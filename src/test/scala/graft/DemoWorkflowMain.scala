@@ -152,6 +152,12 @@ object DemoWorkflowMain {
       val after = graft.sinks.IvfIndexStore.query(spark, ivfDir, q, 4, 10).collect()
       val gone = !after.exists(_.getLong(2) == firstVec)
       println(s"[probe-ivf-del] deleted=$firstVec goneFromRanks=$gone (expect true)")
+      // radius sweep from the same artifact: stateless filter finish,
+      // respects the tombstone like top-k serving does
+      val swept = graft.sinks.IvfIndexStore.rangeQuery(spark, ivfDir, q, 4, 0.25)
+        .collect()
+      val sweptClean = !swept.exists(_.getLong(1) == firstVec)
+      println(s"[probe-ivf-range] rows=${swept.length} tombstoneExcluded=$sweptClean (expect >0, true)")
     }
 
     locally {

@@ -46,6 +46,40 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == want, s"served ranks diverge from qs02 (${got.length} vs ${want.length} rows)")
   }
 
+  test("range serving prunes to probe cells and equals the fused qs20 plan") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-rng").toString
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    val queries = e
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    val served = IvfIndexStore.rangeQuery(spark, idx, queries,
+      nProbe = 4, radius = 0.30)
+    // same scale property as top-k serving: the radius sweep must still
+    // open only the probed cell directories
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"range serving must prune partitions:\n${plan.take(2000)}")
+    // and no top-k state anywhere: the finish is a stateless filter
+    assert(!plan.contains("TopKByScore") && !plan.contains("Window"),
+      "range serving must not carry top-k or window state")
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = QueryCatalog.byName("qs20_range_search").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want, s"range serving diverges from qs20 (${got.length} vs ${want.length} rows)")
+    // tombstoned ids leave the radius sweep like they leave top-k
+    val victim = want.head._2
+    IvfIndexStore.delete(spark, idx, Seq(victim))
+    val after = IvfIndexStore.rangeQuery(spark, idx, queries,
+      nProbe = 4, radius = 0.30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == want.filterNot(_._2 == victim),
+      "a tombstoned id must vanish from range results and nothing else may move")
+  }
+
   test("streamed appends reach parity with a full build; replays change nothing") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
     val e = QueryHelpers.table(spark, dir, "embeddings")
