@@ -863,6 +863,45 @@ object PipelineQueries {
       LEFT JOIN sizes s2 ON cc.canonical_id = s2.canonical_id
       ORDER BY d.doc_id""")),
 
+    CatalogQuery("qp25_packing_curve", (s, d) => {
+      // Packing-efficiency curve — the sizing table behind the seq-len
+      // choice qp04/qp11/qp16 then execute: for each candidate training
+      // sequence length, how many sequences does doc-boundary packing
+      // (each doc padded to a multiple of L — the no-cross-doc-attention
+      // regime) emit, and what fraction of the token grid is padding?
+      // Short-L wastes little but caps context; long-L wastes more on a
+      // short-doc corpus — this is the one-scan table that prices the
+      // trade before committing a packing run.
+      //
+      // Scale shape: ONE token-count projection (the corpus collapses to
+      // an int per doc at the scan); the 4-point curve explodes the
+      // 4-element length array per doc-count row and finishes in a
+      // 4-row hash agg — all-integer ceil/floor-division arithmetic on
+      // both engines, no float surface.
+      val Ls = Seq(32, 64, 128, 256)
+      val tok = table(s, d, "documents")
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      tok.select(col("n"),
+          explode(array(Ls.map(l => lit(l.toLong)): _*)).as("seq_len"))
+        .groupBy(col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("(n + seq_len - 1L) div seq_len")).as("n_seqs"),
+          sum(expr("((n + seq_len - 1L) div seq_len) * seq_len - n")).as("n_pad_tokens"))
+        .select(col("seq_len"), col("n_docs"), col("n_seqs"), col("n_pad_tokens"),
+          expr("n_pad_tokens * 1000000L div (n_seqs * seq_len)").as("waste_ppm"))
+        .orderBy(col("seq_len"))
+    }, Some("""
+      WITH tok AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+                   FROM documents),
+      ls(l) AS (VALUES (CAST(32 AS BIGINT)), (64), (128), (256)),
+      g AS (SELECT l AS seq_len, count(*) AS n_docs,
+              CAST(sum((n + l - 1) // l) AS BIGINT) AS n_seqs,
+              CAST(sum(((n + l - 1) // l) * l - n) AS BIGINT) AS n_pad_tokens
+            FROM tok CROSS JOIN ls GROUP BY l)
+      SELECT seq_len, n_docs, n_seqs, n_pad_tokens,
+        n_pad_tokens * 1000000 // (n_seqs * seq_len) AS waste_ppm
+      FROM g ORDER BY seq_len""")),
+
     CatalogQuery("qp24_shard_balance", (s, d) => {
       // Training-shard balance audit — per-shard document and token
       // mass under the hash-deterministic 64-shard membership

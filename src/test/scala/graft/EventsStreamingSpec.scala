@@ -547,6 +547,72 @@ class EventsStreamingSpec extends AnyFunSuite {
       s"online/offline frame-dedup divergence: +${(got.toSet -- batch.toSet).take(3)} -${(batch.toSet -- got.toSet).take(3)}")
   }
 
+  test("streamed audio fingerprints reproduce batch qm07's partnered-doc set (onlineDupSpans on the audio plane)") {
+    // the third plane for the same keyed-state operator (text spans qd08,
+    // video frames qm06, audio fingerprints qm07): each arriving doc
+    // posts its single 31-bit energy-contour fingerprint through the
+    // REAL WAV round trip; onlineDupSpans emits exactly-once per
+    // (fingerprint, doc) once the class holds ≥ 2 docs, so the emitted
+    // doc set must equal batch qm07's n_partners>0 docs exactly,
+    // however the micro-batch boundaries fall (3 files, 1/trigger).
+    import graft.streaming.{SpanPost, StatefulOps}
+    import spark.implicits._
+    val batch = graft.relational.QueryCatalog.byName("qm07_audio_dup")
+      .build(spark, dir).collect()
+      .filter(_.getLong(2) > 0).map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    assert(batch.nonEmpty, "fixture must contain shared audio fingerprints")
+
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-audio-stream")
+    spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+      .repartition(3).write.mode("overwrite").parquet(streamDir.toString)
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val posts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val samples = new Array[Short](64)
+          var i = 0; var off = 0
+          while (i < 64 && off < text.length) {
+            val cp = text.codePointAt(off)
+            samples(i) = ((math.min(cp, 255) - 128) * 256).toShort
+            off += Character.charCount(cp)
+            i += 1
+          }
+          while (i < 64) { samples(i) = ((' ' - 128) * 256).toShort; i += 1 }
+          val audio = graft.pipeline.MediaCodecs.decodeWav(
+            graft.pipeline.MediaCodecs.encodeWav(
+              graft.pipeline.MediaCodecs.RawAudio(8000, 1, samples)))
+          val ss = audio.samples
+          val e = new Array[Long](32)
+          var f = 0
+          while (f < 32) {
+            val a = ss(2 * f).toLong; val b = ss(2 * f + 1).toLong
+            e(f) = a * a + b * b
+            f += 1
+          }
+          var fp = 0L
+          f = 1
+          while (f < 32) {
+            if (e(f) > e(f - 1)) fp |= 1L << (f - 1)
+            f += 1
+          }
+          SpanPost(fp, id, 1L)
+        }
+      }
+    val q = StatefulOps.onlineDupSpans(posts).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("audio_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("audio_stream")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == batch,
+      s"online/offline audio-dup divergence: +${(got -- batch).take(3)} -${(batch -- got).take(3)}")
+  }
+
   test("streamed session_window matches the batch gaps-and-islands sessionization") {
     // q18 computes sessions offline (lag + windowed sum, 30 min gap);
     // Structured Streaming's session_window is the online formulation —
