@@ -597,6 +597,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"Hamming-LSH banding must stay a keyed join:\n${plan.take(1500)}")
   }
 
+  test("qs20 range search stays keyed and stateless: no window, no top-k, no cartesian") {
+    val plan = planOf("qs20_range_search")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"probe join must stay keyed by cell:\n${plan.take(1500)}")
+    assert(!plan.contains("Window") && !plan.contains("TopKByScore"),
+      s"the radius finish must be a stateless filter:\n${plan.take(1500)}")
+  }
+
+  test("qt27 span novelty is hash aggregation over keyed joins, never cartesian") {
+    val plan = planOf("qt27_span_novelty")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"first-occurrence join must key on the span hash:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"novelty must come from hash aggs, not windows:\n${plan.take(1500)}")
+  }
+
+  test("qe15 cell-purity window partitions by cell, never global") {
+    val plan = planOf("qe15_cell_label_purity")
+    val winSpecs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.startsWith("cell#")),
+      s"majority pick must partition by cell, got $winSpecs:\n${plan.take(1500)}")
+  }
+
   test("qt21 trigram windows partition by doc; finish is hash aggregation") {
     val plan = planOf("qt21_dup_trigram_fraction")
     val winSpecs = "windowspecdefinition\\(([^,]*)".r
