@@ -78,10 +78,10 @@ object PipelineQueries {
     * with few queries, a single-task sort of ~nprobe/K of the corpus).
     * Rank order (cosine DESC, vec_id ASC) is identical to the window
     * formulation, so the oracle SQL keeps its row_number form. */
-  private def topkRanked(scored: DataFrame): DataFrame = {
+  private def topkRanked(scored: DataFrame, score: String = "cosine"): DataFrame = {
     val topk = graft.functions.TopKAggregator.topK(AnnTopK)
     scored.groupBy(col("query_id"))
-      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .agg(topk(col(score), col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.vec_id").as("vec_id"))
       .orderBy(col("query_id"), col("rank"))
@@ -1675,6 +1675,45 @@ object PipelineQueries {
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("vec_id"))
     }, Some(oRangeSearchSql)),
+
+    CatalogQuery("qs22_mips_topk", (s, d) => {
+      // Max-inner-product search (MIPS) — the recommender / two-tower
+      // serving primitive (FAISS IndexFlatIP): rank by the RAW dot
+      // product, not cosine. Under varying corpus norms the two orders
+      // genuinely differ — a longer vector outranks a better-aligned
+      // short one — and that is the point: a trained two-tower scorer
+      // bakes popularity/propensity into the norm, so normalizing it
+      // away (cosine) changes the model's answer. Completes the scoring
+      // ladder next to cosine (qs01), quantized (qs05/qs07/qs11) and
+      // late-interaction MaxSim (qs19).
+      //
+      // Scale shape: qs01's discipline — the tiny query set broadcasts
+      // onto ONE corpus scan (pinned no-corpus-shuffle class), the dot
+      // is a codegen'd zip_with fold, and the finish is the bounded
+      // TopKByScore aggregator (map-side ≤k partials), never a
+      // per-query window sort. IVF candidate generation slots in front
+      // unchanged (with the standard MIPS-to-L2 reduction caveats).
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          vdot(col("qv"), col("v")).as("dot"))
+      topkRanked(scored, "dot")
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, vec_id, list_dot_product(qv, v) AS dot
+        FROM e CROSS JOIN q WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
 
     CatalogQuery("qs21_index_range_serve", (s, d) => {
       // Range search served FROM THE ARTIFACT — qs14's story for the
