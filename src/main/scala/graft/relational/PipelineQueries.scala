@@ -2580,6 +2580,45 @@ object PipelineQueries {
       FROM sorted ORDER BY doc_id"""
     }),
 
+    CatalogQuery("qt28_langid_confusion", (s, d) => {
+      // Language-ID CONFUSION MATRIX — the standard langid evaluation,
+      // read against the corpus's declared lang metadata: (declared,
+      // predicted) doc counts. Off-diagonal mass says which language
+      // pairs the n-gram heuristic conflates (qt22's margin says which
+      // DOCS are uncertain; this says which CLASSES collide — the table
+      // that decides where the expensive classifier is actually needed,
+      // and whether a source's declared labels can be trusted at all).
+      //
+      // Scale shape: composes qt01 through the catalog (per-row
+      // codegen'd marker counters inside the scan, no shuffle before
+      // the agg); the finish is one hash agg bounded by L² language
+      // pairs. All-integer.
+      QueryCatalog.byName("qt01_langid").build(s, d)
+        .groupBy(col("declared_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("declared_lang"), col("predicted_lang"))
+    }, Some {
+      val scoreExprs = TextOps.langMarkers.map { case (lang, markers) =>
+        val cnt = markers.map(m =>
+          s"(length(p) - length(replace(p, '$m', ''))) // ${m.length}").mkString(" + ")
+        s"CAST($cnt AS BIGINT) AS score_$lang"
+      }.mkString(", ")
+      val langsAsc = TextOps.langMarkers.map(_._1)
+      val caseExpr = langsAsc.map { l =>
+        val strictlyBeatsEarlier = langsAsc.takeWhile(_ != l).map(o => s"score_$l > score_$o")
+        val atLeastLater = langsAsc.dropWhile(_ != l).drop(1).map(o => s"score_$l >= score_$o")
+        val conds = (Seq(s"score_$l > 0") ++ strictlyBeatsEarlier ++ atLeastLater).mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""
+      WITH padded AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+      scored AS (SELECT doc_id, lang, $scoreExprs FROM padded),
+      pred AS (SELECT lang AS declared_lang,
+        CASE $caseExpr ELSE 'und' END AS predicted_lang FROM scored)
+      SELECT declared_lang, predicted_lang, count(*) AS n_docs
+      FROM pred GROUP BY 1, 2 ORDER BY declared_lang, predicted_lang"""
+    }),
+
     CatalogQuery("qt02_quality_score", (s, d) => {
       val txt = col("text")
       val nTokens = size(TextOps.tokens(txt))
