@@ -300,7 +300,7 @@ object PipelineQueries {
     * the existing corpus's bands) — shared by qd15 (fused in-query plan)
     * and qd17 (the same probe served from the persistent BandIndexStore
     * artifact): both must produce these exact per-doc rows. */
-  private lazy val oIncrementalDedupSql: String = {
+  private def oIncrementalDedupSqlWhere(oldPred: String): String = {
     val bandExprs = (0 until NumPerms / RowsPerBand).map { bnd =>
       val parts = Seq(s"'$bnd'") ++
         (0 until RowsPerBand).map(r => s"mh[${bnd * RowsPerBand + r + 1}]::VARCHAR")
@@ -319,7 +319,7 @@ object PipelineQueries {
       cand AS (
         SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
         FROM banded a JOIN banded b ON a.band = b.band
-        WHERE a.bucket >= 90 AND b.bucket < 90),
+        WHERE a.bucket >= 90 AND b.bucket < 90 AND ($oldPred)),
       pairs AS (
         SELECT new_id,
           len(list_intersect(x.hs, y.hs))::DOUBLE /
@@ -330,6 +330,16 @@ object PipelineQueries {
       SELECT new_id AS doc_id, count(*) AS n_dups, max(jaccard) AS max_jaccard
       FROM pairs GROUP BY 1 ORDER BY doc_id"""
   }
+
+  private lazy val oIncrementalDedupSql: String = oIncrementalDedupSqlWhere("TRUE")
+
+  /** qd21's tombstoned ids — chosen so at least one is a REAL
+    * existing-side near-dup partner at every test SF (doc-id spaces
+    * differ per generation: 50/82 hit at sf0.001, 70/387 at sf0.01,
+    * 1285/3958 at sf0.1) — the delete visibly reshapes that SF's
+    * output while the rest stay inert but exactly mirrored. */
+  private val BandDeletedDocIds: Seq[Long] =
+    Seq(50L, 70L, 82L, 387L, 1285L, 3958L)
 
   /** The label-scoped filtered-ANN oracle (qs02's geometry with the label
     * in the posting key) — shared by qs12 (fused in-query plan) and qs18
@@ -638,6 +648,33 @@ object PipelineQueries {
         docs.filter(col("bucket") >= 90).select(col("doc_id"), col("text")),
         JaccardThreshold)
     }, Some(oIncrementalDedupSql)),
+
+    CatalogQuery("qd21_band_index_delete_serve", (s, d) => {
+      // Band-index deletion under the gate — the takedown path on the
+      // DEDUP artifact (qs16's story for the band axis): build the
+      // collapsed posting store, TOMBSTONE a fixed doc list (O(|ids|),
+      // no store rewrite — the member map decrements each affected
+      // group's count over the tombstoned ids' pruned hash buckets
+      // only), then probe with the arriving batch. The oracle is qd15's
+      // SQL with the deleted docs filtered from the EXISTING side only —
+      // exactly the decrement semantics, because identical content means
+      // a representative's hash array still stands for its surviving
+      // members. The id list is chosen so at least one deletion visibly
+      // reshapes every test SF's output (doc-id spaces differ per
+      // generation); the rest are inert but exactly mirrored.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qd21-bidx").toString
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
+      graft.sinks.BandIndexStore.build(
+        docs.filter(col("bucket") < 90).select(col("doc_id"), col("text")),
+        idxDir, ShingleN, NumPerms, RowsPerBand)
+      graft.sinks.BandIndexStore.delete(s, idxDir, BandDeletedDocIds)
+      graft.sinks.BandIndexStore.probe(s, idxDir,
+        docs.filter(col("bucket") >= 90).select(col("doc_id"), col("text")),
+        JaccardThreshold)
+    }, Some(oIncrementalDedupSqlWhere(
+      s"b.doc_id NOT IN (${BandDeletedDocIds.mkString(", ")})"))),
 
     CatalogQuery("qd18_threshold_sweep", (s, d) => {
       // Near-dup THRESHOLD sweep — pair volume at multiple Jaccard

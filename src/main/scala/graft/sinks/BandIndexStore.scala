@@ -33,6 +33,21 @@ import org.apache.spark.sql.functions._
   * PRUNING on the band axis (spec-pinned) — verifies candidates by exact
   * Jaccard over the hash arrays, and returns per-arriving-doc partner
   * counts in qd15's exact output shape.
+  *
+  * DELETES (the takedown path, [[IvfIndexStore]]'s tombstone semantics on
+  * the band axis): because build collapses identical-content groups into
+  * one posting with a member count, doc-level deletion needs the member
+  * map — build and append therefore persist `members/` (rep_id, doc_id,
+  * id-hash bucket) alongside the postings. [[delete]] is O(|ids|)
+  * (tombstones append; nothing rewrites), and [[probe]] folds them in by
+  * DECREMENTING each affected representative's group count (identical
+  * content ⇒ the rep's hash array still represents the survivors) and
+  * dropping fully-deleted groups — byte-exactly "as if the corpus never
+  * held those docs". The member scan is pruned to the tombstoned ids'
+  * hash buckets, so serving cost scales with the takedown list, not the
+  * corpus. Re-appending a tombstoned id does not resurrect it (its fresh
+  * posting arrives with group count 1 and is decremented straight to 0 —
+  * the IvfIndexStore no-resurrection contract, for free).
   */
 object BandIndexStore {
 
@@ -44,9 +59,11 @@ object BandIndexStore {
   def build(docs: DataFrame, path: String, shingleN: Int, numPerms: Int,
       rowsPerBand: Int, buckets: Int = DefaultBuckets): Unit = {
     import graft.functions.expressions.ShingleExpressions._
-    val grouped = docs
+    val shingled = docs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
+      .persist() // grouping + the member map both read it
+    val grouped = shingled
       .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
     grouped
@@ -57,6 +74,16 @@ object BandIndexStore {
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$path/postings")
+    // member map (doc → its group's representative), partitioned by the
+    // doc-id hash so a tombstone fold opens only the deleted ids' buckets
+    shingled
+      .join(grouped.select(col("hs"), col("rep_id")), Seq("hs"))
+      .select(col("rep_id"), col("doc_id"),
+        pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
+          .as("mbucket"))
+      .write.partitionBy("mbucket").mode("overwrite")
+      .parquet(s"$path/members")
+    shingled.unpersist()
     Files.writeString(Paths.get(path, "manifest.json"),
       s"""{"buckets":$buckets,"shingleN":$shingleN,"numPerms":$numPerms,"rowsPerBand":$rowsPerBand}""")
   }
@@ -81,6 +108,26 @@ object BandIndexStore {
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
       .write.partitionBy("bucket").mode("append")
       .parquet(s"$path/postings")
+    // member map rows for the arrivals (each its own representative);
+    // replays append duplicates, absorbed by the tombstone fold's distinct
+    batch
+      .filter(length(col("text")) >= shingleN)
+      .select(col("doc_id").as("rep_id"), col("doc_id"),
+        pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
+          .as("mbucket"))
+      .write.partitionBy("mbucket").mode("append")
+      .parquet(s"$path/members")
+  }
+
+  /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
+    * index size ([[IvfIndexStore.delete]]'s contract on the band axis):
+    * tombstones append; [[probe]] folds them in by decrementing the
+    * affected groups' member counts over the pruned member slice only.
+    * Repeated deletes and delete-then-re-append are both absorbed. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
   }
 
   /** Continuous index maintenance: stream arriving corpus documents into
@@ -137,9 +184,43 @@ object BandIndexStore {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
-    val postings = spark.read.schema(postingSchema).parquet(s"$path/postings")
+    val pruned = spark.read.schema(postingSchema).parquet(s"$path/postings")
       .filter(col("bucket").isInCollection(probeBuckets))
       .dropDuplicates("band", "rep_id") // absorbs replayed appends
+    // tombstone fold: decrement each affected representative's group
+    // count (identical content ⇒ the rep's hash array still stands for
+    // the survivors); fully-deleted groups drop out. The member scan
+    // opens only the tombstoned ids' hash-bucket partitions, so the cost
+    // scales with the takedown list, not the corpus.
+    val postings =
+      if (!Files.exists(Paths.get(path, "tombstones"))) pruned
+      else {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct()
+        // bounded collect: takedown lists are small by nature; the same
+        // hash60 expression as the write side drives the pruning filter
+        val tombBuckets = tomb
+          .select(pmod(TextOps.hash60(col("doc_id").cast("string")),
+            lit(buckets.toLong)).as("mbucket"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val memberSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("rep_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("mbucket",
+            org.apache.spark.sql.types.LongType)))
+        val dead = spark.read.schema(memberSchema).parquet(s"$path/members")
+          .filter(col("mbucket").isInCollection(tombBuckets))
+          .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+          .select(col("rep_id"), col("doc_id")).distinct() // absorbs replays
+        val dec = dead.groupBy(col("rep_id"))
+          .agg(count(lit(1)).as("dead_n"))
+        pruned.join(broadcast(dec), Seq("rep_id"), "left")
+          .withColumn("grp_n", col("grp_n") - coalesce(col("dead_n"), lit(0L)))
+          .filter(col("grp_n") > 0)
+          .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+      }
     val cand = newBanded.select(col("new_id"), col("band"))
       .join(postings, Seq("band"))
       .select(col("new_id"), col("rep_id"), col("hs").as("hs_b"), col("grp_n"))

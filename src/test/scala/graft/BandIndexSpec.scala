@@ -34,6 +34,49 @@ class BandIndexSpec extends AnyFunSuite {
       s"band-index probe diverges from qd15 (${got.length} vs ${want.length} rows)")
   }
 
+  test("tombstone deletes probe as if the corpus never held the docs") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx-del").toString
+    // duplicate-heavy fixture: one boilerplate page in 5 copies (a
+    // collapsed group), one near-dup pair, one unique page — exercises
+    // partial-group decrement, full-group drop, and inert postings
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val near = page + " tail"
+    val existing = (
+      (0L until 5L).map(i => (i, page)) ++
+      Seq((10L, near), (20L, "completely unrelated content lives here"))
+    ).toDF("doc_id", "text")
+    val arriving = Seq((100L, page), (101L, near)).toDF("doc_id", "text")
+    BandIndexStore.build(existing, idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    def serve() = BandIndexStore.probe(spark, idx, arriving, 0.80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def truth(deleted: Set[Long]) = {
+      val t = java.nio.file.Files.createTempDirectory("graft-bidx-del-truth").toString
+      BandIndexStore.build(existing.filter(!col("doc_id").isin(deleted.toSeq: _*)),
+        t, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+      BandIndexStore.probe(spark, t, arriving, 0.80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val before = serve()
+    assert(before == truth(Set.empty))
+    // partial-group delete: 2 of 5 boilerplate copies — counts decrement,
+    // the group's representative still serves for the survivors
+    BandIndexStore.delete(spark, idx, Seq(0L, 3L))
+    assert(serve() == truth(Set(0L, 3L)),
+      "partial-group deletion must decrement partner counts exactly")
+    assert(serve() != before, "the deletion must visibly change the answer")
+    // delete the remaining group members (incl. the representative id) —
+    // the whole group must vanish; the near-dup pair must be untouched
+    BandIndexStore.delete(spark, idx, Seq(1L, 2L, 4L))
+    assert(serve() == truth(Set(0L, 1L, 2L, 3L, 4L)),
+      "a fully-deleted group must drop out of probing entirely")
+    // repeated deletes are absorbed; re-append does not resurrect
+    BandIndexStore.delete(spark, idx, Seq(1L))
+    BandIndexStore.appendBatch(Seq((2L, page)).toDF("doc_id", "text"), idx)
+    assert(serve() == truth(Set(0L, 1L, 2L, 3L, 4L)),
+      "re-appending a tombstoned doc must not resurrect it")
+  }
+
   test("appendStream maintains the index live: post-stream probing == full build") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

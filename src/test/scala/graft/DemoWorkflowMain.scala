@@ -189,6 +189,12 @@ object DemoWorkflowMain {
         .collect()
       println(s"[probe-bidx] dupDocs=${hitRows.map(_.getLong(0)).mkString(",")} " +
         s"maxJ=${hitRows.headOption.map(_.getDouble(2)).getOrElse(-1.0)} (expect 10, 1.0)")
+      // takedown: tombstone the indexed duplicate — the probe must stop
+      // flagging against it, without rewriting the store
+      graft.sinks.BandIndexStore.delete(spark, bidxDir, Seq(0L))
+      val afterDel = graft.sinks.BandIndexStore.probe(spark, bidxDir, arriving, 0.8)
+        .collect()
+      println(s"[probe-bidx-del] hitsAfterDelete=${afterDel.length} (expect 0)")
     }
 
     spark.stop()
