@@ -372,21 +372,25 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
 
-  /** The fixed-query BM25 oracle — shared by qt12 (fused in-query plan)
-    * and qt23 (the same scoring served from the persistent TextIndexStore
-    * artifact): both must produce these exact top-10 rows. */
-  private val oBm25Sql: String = """
+  /** The fixed-query BM25 oracle — shared by qt12 (fused in-query plan),
+    * qt23 (the same scoring served from the persistent TextIndexStore
+    * artifact) and qt29 (serving after tombstone deletes: `docPred`
+    * filters the corpus on BOTH the posting and the stats side — exactly
+    * the store's fold semantics, since df derives from the pruned slice
+    * and (N, Σdl) subtract the deleted docs' contributions): all must
+    * produce these exact top-10 rows. */
+  private def oBm25SqlWhere(docPred: String): String = s"""
       WITH f AS (SELECT doc_id,
-          length(regexp_split_to_array(trim(text), '\s+')) AS dl,
-          unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        FROM documents),
+          length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents WHERE $docPred),
       tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
              WHERE token IN ('spark', 'join', 'window')
              GROUP BY doc_id, dl, token),
       df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sumdl
-        FROM documents),
+          CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
+        FROM documents WHERE $docPred),
       sc AS (SELECT tf.doc_id,
           CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
             / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
@@ -396,6 +400,15 @@ object PipelineQueries {
         CAST(sum(sc) AS DOUBLE) AS score
       FROM sc GROUP BY doc_id
       ORDER BY score DESC, doc_id LIMIT 10"""
+
+  private val oBm25Sql: String = oBm25SqlWhere("TRUE")
+
+  /** qt29's tombstoned ids — two of qt12's served top-10 docs per test SF
+    * (doc-id spaces differ per generation: 206/477 at sf0.001, 38/174 at
+    * sf0.01, 166/1868 at sf0.1), so the delete visibly reshapes every
+    * SF's ranking while the off-SF ids stay inert but exactly mirrored. */
+  private val TextDeletedDocIds: Seq[Long] =
+    Seq(38L, 166L, 174L, 206L, 477L, 1868L)
 
   /** qs16's tombstoned ids — chosen to include served neighbors (so the
     * delete visibly reshapes the result) and a centroid-seed id (7 < 16:
@@ -3117,6 +3130,29 @@ object PipelineQueries {
       graft.sinks.TextIndexStore.queryBm25(s, idxDir,
         Seq("spark", "join", "window"), AnnTopK)
     }, Some(oBm25Sql)),
+
+    CatalogQuery("qt29_index_bm25_delete_serve", (s, d) => {
+      // Text-index deletion under the gate — the takedown path on the
+      // sparse artifact (qs16/qd21's story on the token axis): build the
+      // TextIndexStore, TOMBSTONE a fixed doc list (O(|ids|), no store
+      // rewrite), and serve qt12's fixed query. Deletion must reshape
+      // EVERYTHING BM25 reads: the deleted docs vanish from the ranking,
+      // their postings stop counting toward df (df derives from the
+      // pruned slice, so the anti-join shrinks both at once), and the
+      // corpus stats (N, Σdl) subtract their contributions via the
+      // id-hash-pruned doc-length map — so every surviving score shifts.
+      // The oracle is qt12's SQL with the corpus filtered on BOTH the
+      // posting and the stats side — exactly those semantics. The id
+      // list holds two served top docs per test SF (visible reshaping
+      // everywhere); off-SF ids are inert but exactly mirrored.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt29-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      graft.sinks.TextIndexStore.delete(s, idxDir, TextDeletedDocIds)
+      graft.sinks.TextIndexStore.queryBm25(s, idxDir,
+        Seq("spark", "join", "window"), AnnTopK)
+    }, Some(oBm25SqlWhere(
+      s"doc_id NOT IN (${TextDeletedDocIds.mkString(", ")})"))),
 
     CatalogQuery("qt26_source_lexical_diversity", (s, d) => {
       // Per-source lexical diversity — type-token ratio over each

@@ -41,6 +41,7 @@ object TextIndexStore {
   def build(docs: DataFrame, buckets: Int, path: String): Unit = {
     require(buckets > 0)
     writePostings(docs, buckets, path, "overwrite")
+    writeDoclens(docs, buckets, path, "overwrite", batchId = -1L)
     Files.writeString(Paths.get(path, "manifest.json"),
       s"""{"buckets":$buckets}""")
     Files.createDirectories(Paths.get(path, "stats"))
@@ -59,7 +60,27 @@ object TextIndexStore {
   def appendBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
     val (buckets, _, _) = readMeta(path)
     writePostings(batch, buckets, path, "append")
+    writeDoclens(batch, buckets, path, "append", batchId)
     writeStats(batch, Paths.get(path, "stats", s"batch-$batchId.json"))
+  }
+
+  /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
+    * index size ([[IvfIndexStore.delete]]'s contract on the token axis):
+    * tombstones append; [[queryBm25]] folds them in by anti-joining the
+    * probed posting slice (df shrinks with it, since df derives from the
+    * pruned slice) and subtracting the deleted docs' (count, Σdl) from
+    * the corpus stats via the doc-length map, pruned to the tombstoned
+    * ids' hash buckets — serving cost scales with the takedown list, not
+    * the corpus. Doc-length rows are keyed by batch id, so a replayed
+    * append (same batch id, idempotent in stats) subtracts once while a
+    * genuine re-append (new batch id, stats counted again) subtracts per
+    * contribution — the adjustment always mirrors what the stats files
+    * actually accumulated. Repeated deletes are absorbed; a re-appended
+    * tombstoned doc stays deleted. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
   }
 
   /** Continuous index maintenance: stream arriving documents into the
@@ -83,6 +104,19 @@ object TextIndexStore {
       .write.partitionBy("bucket").mode(mode)
       .parquet(s"$path/postings")
   }
+
+  /** Per-doc length map (the takedown side table): one (doc_id, dl,
+    * batch_id) row per stats contribution, partitioned by the doc-id
+    * hash so a tombstone fold opens only the deleted ids' buckets. */
+  private def writeDoclens(docs: DataFrame, buckets: Int, path: String,
+      mode: String, batchId: Long): Unit =
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+        lit(batchId).as("batch_id"),
+        pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
+          .as("dbucket"))
+      .write.partitionBy("dbucket").mode(mode)
+      .parquet(s"$path/doclens")
 
   private def writeStats(docs: DataFrame, dst: java.nio.file.Path): Unit = {
     val toksAll = TextOps.tokens(col("text"))
@@ -112,7 +146,40 @@ object TextIndexStore {
     * (score DESC, doc_id) order. */
   def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
       topK: Int): DataFrame = {
-    val (buckets, n, sumdl) = readMeta(path)
+    val (buckets, n0, sumdl0) = readMeta(path)
+    // tombstone fold: subtract the deleted docs' stats contributions
+    // (pruned to their id-hash buckets; one row per batch contribution,
+    // distinct-by-(doc, batch) so append replays subtract once) and
+    // remember the id set for the posting anti-join below
+    val tomb: Option[DataFrame] =
+      if (!Files.exists(Paths.get(path, "tombstones"))) None
+      else Some(spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id")).distinct())
+    val (n, sumdl) = tomb match {
+      case None => (n0, sumdl0)
+      case Some(t) =>
+        val tombBuckets = t
+          .select(pmod(TextOps.hash60(col("doc_id").cast("string")),
+            lit(buckets.toLong)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val doclenSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dl",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dbucket",
+            org.apache.spark.sql.types.LongType)))
+        val dead = spark.read.schema(doclenSchema).parquet(s"$path/doclens")
+          .filter(col("dbucket").isInCollection(tombBuckets))
+          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("dl"), col("batch_id")).distinct()
+          .agg(count(lit(1)).as("c"), sum(col("dl")).as("s")).head()
+        val c = dead.getLong(0)
+        val s = if (dead.isNullAt(1)) 0L else dead.getLong(1)
+        (n0 - c, sumdl0 - s)
+    }
     // JVM-side mirror of the build's bucket arithmetic (hash60 is
     // nonnegative, so pmod == %); pinned equal by CmsSpec's parity test
     val termBuckets = terms
@@ -136,10 +203,17 @@ object TextIndexStore {
     // dedup AFTER pruning absorbs at-least-once appends (replayed
     // posting rows are byte-identical) over the probed slice only —
     // IvfIndexStore's serve-time discipline on the token axis
-    val pruned = spark.read.schema(postingSchema).parquet(s"$path/postings")
+    val live = spark.read.schema(postingSchema).parquet(s"$path/postings")
       .filter(col("bucket").isInCollection(termBuckets))
       .filter(col("token").isin(terms: _*))
       .dropDuplicates("token", "doc_id")
+    // tombstoned docs never serve and never count toward df (df derives
+    // from the pruned slice, so the anti-join shrinks both at once); it
+    // runs AFTER partition pruning — only the probed slice pays for it
+    val pruned = tomb match {
+      case Some(t) => live.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => live
+    }
     val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val avgdl = lit(sumdl).cast("double") / lit(n)
     val idf = log(lit(1.0) +

@@ -170,6 +170,14 @@ object DemoWorkflowMain {
         Seq("spark", "join", "window"), 5).collect()
       println(s"[probe-tidx] top=${top.length} bestDoc=${top.head.getLong(0)} " +
         s"hits=${top.head.getLong(1)} (expect 5 rows)")
+      // takedown: tombstone the best doc — it must leave the ranking
+      // (and df / corpus stats) without rewriting the store
+      val best = top.head.getLong(0)
+      graft.sinks.TextIndexStore.delete(spark, tidxDir, Seq(best))
+      val after = graft.sinks.TextIndexStore.queryBm25(spark, tidxDir,
+        Seq("spark", "join", "window"), 5).collect()
+      val gone = !after.exists(_.getLong(0) == best)
+      println(s"[probe-tidx-del] deleted=$best goneFromRanks=$gone (expect true)")
     }
 
     locally {

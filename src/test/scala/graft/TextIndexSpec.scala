@@ -47,6 +47,32 @@ class TextIndexSpec extends AnyFunSuite {
       s"served BM25 diverges from qt12 (${got.length} vs ${fromQuery.length} rows)")
   }
 
+  test("tombstone deletes serve as if the corpus never held the docs") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-del").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs, buckets = 64, idx)
+    def serve() = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // delete two of the served top docs (+ one absent id, which must be
+    // inert) — df, corpus stats (N, Σdl) and the ranking must all match
+    // an index built from the corpus WITHOUT those docs
+    val victims = serve().take(2).map(_._1)
+    TextIndexStore.delete(spark, idx, victims :+ 999999L)
+    val truthIdx = java.nio.file.Files.createTempDirectory("graft-tidx-del-t").toString
+    TextIndexStore.build(docs.filter(!col("doc_id").isin(victims: _*)),
+      buckets = 64, truthIdx)
+    val want = TextIndexStore.queryBm25(spark, truthIdx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(serve() == want,
+      "deleted docs must vanish from ranking, df, and the corpus stats")
+    // repeated deletes are absorbed; a re-appended tombstoned doc stays
+    // deleted (its new stats contribution is subtracted per batch id)
+    TextIndexStore.delete(spark, idx, Seq(victims.head))
+    TextIndexStore.appendBatch(docs.filter(col("doc_id") === victims.head),
+      idx, batchId = 7L)
+    assert(serve() == want, "re-append of a tombstoned doc must not resurrect it")
+  }
+
   test("appended batches reach parity with a full build; replays change nothing") {
     val idx = java.nio.file.Files.createTempDirectory("graft-tidx-app").toString
     val docs = QueryHelpers.table(spark, dir, "documents")
