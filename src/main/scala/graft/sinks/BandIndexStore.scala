@@ -130,6 +130,52 @@ object BandIndexStore {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Fold tombstones and replayed appends into the store
+    * ([[IvfIndexStore.compact]]'s contract on the band axis): rewrite
+    * postings with group counts decremented by their deleted members
+    * (fully-deleted groups dropped) and duplicate (band, rep_id) rows
+    * collapsed, rewrite the member map without the deleted docs, then
+    * drop the tombstone set. Probing is identical before and after
+    * (spec-pinned); each rewrite stages into a `.compact` directory and
+    * swaps only after the write commits, so a crash mid-compact leaves
+    * the live index untouched. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!Files.exists(Paths.get(path, "tombstones"))) return
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .select(col("doc_id")).distinct()
+    val liveMembers = spark.read.parquet(s"$path/members")
+      .select(col("rep_id"), col("doc_id"), col("mbucket")).distinct()
+    val dec = liveMembers.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("dead_n"))
+    val keptPostings = spark.read.parquet(s"$path/postings")
+      .dropDuplicates("band", "rep_id")
+      .join(broadcast(dec), Seq("rep_id"), "left")
+      .withColumn("grp_n", col("grp_n") - coalesce(col("dead_n"), lit(0L)))
+      .filter(col("grp_n") > 0)
+      .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+    val keptMembers = liveMembers
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    keptPostings.write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings.compact")
+    keptMembers.write.partitionBy("mbucket").mode("overwrite")
+      .parquet(s"$path/members.compact")
+    def swap(name: String): Unit = {
+      val dst = Paths.get(path, name)
+      val old = Paths.get(path, s"$name.old")
+      Files.move(dst, old)
+      Files.move(Paths.get(path, s"$name.compact"), dst)
+      rmTree(old)
+    }
+    swap("postings")
+    swap("members")
+    rmTree(Paths.get(path, "tombstones"))
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
   /** Continuous index maintenance: stream arriving corpus documents into
     * the postings via [[appendBatch]] per micro-batch (the
     * IvfIndexStore/TextIndexStore discipline on the band axis). */

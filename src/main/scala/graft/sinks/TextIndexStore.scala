@@ -83,6 +83,61 @@ object TextIndexStore {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** Fold tombstones and replayed appends into the store
+    * ([[IvfIndexStore.compact]]'s contract on the token axis): rewrite
+    * postings without the deleted docs (duplicate (token, doc_id) rows
+    * collapsed), rewrite the doc-length map without them (batch-id rows
+    * kept distinct — a doc appended twice still counts twice, matching
+    * the stats), collapse the stats directory to a single adjusted base
+    * file, and drop the tombstone set. Serving is identical before and
+    * after (spec-pinned). Directory rewrites stage into `.compact` and
+    * swap after the write commits; the stats file swaps last via an
+    * atomic same-directory move. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!Files.exists(Paths.get(path, "tombstones"))) return
+    val (_, n0, sumdl0) = readMeta(path)
+    val tomb = spark.read.parquet(s"$path/tombstones")
+      .select(col("doc_id")).distinct()
+    val liveLens = spark.read.parquet(s"$path/doclens")
+      .select(col("doc_id"), col("dl"), col("batch_id"), col("dbucket"))
+      .distinct() // absorbs replayed appends (stats counted those once)
+    val deadRow = liveLens.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("c"), sum(col("dl")).as("s")).head()
+    val deadC = deadRow.getLong(0)
+    val deadS = if (deadRow.isNullAt(1)) 0L else deadRow.getLong(1)
+    spark.read.parquet(s"$path/postings")
+      .dropDuplicates("token", "doc_id")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$path/postings.compact")
+    liveLens.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .write.partitionBy("dbucket").mode("overwrite")
+      .parquet(s"$path/doclens.compact")
+    def swap(name: String): Unit = {
+      val dst = Paths.get(path, name)
+      val old = Paths.get(path, s"$name.old")
+      Files.move(dst, old)
+      Files.move(Paths.get(path, s"$name.compact"), dst)
+      rmTree(old)
+    }
+    swap("postings")
+    swap("doclens")
+    val tmp = Paths.get(path, "stats", "base.json.new")
+    Files.writeString(tmp, s"""{"n":${n0 - deadC},"sumdl":${sumdl0 - deadS}}""")
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(path, "stats")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach(Files.delete)
+    Files.move(tmp, Paths.get(path, "stats", "base.json"))
+    rmTree(Paths.get(path, "tombstones"))
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
   /** Continuous index maintenance: stream arriving documents into the
     * postings via [[appendBatch]] per micro-batch. */
   def appendStream(stream: DataFrame, path: String,

@@ -73,8 +73,13 @@ class BandIndexSpec extends AnyFunSuite {
     // repeated deletes are absorbed; re-append does not resurrect
     BandIndexStore.delete(spark, idx, Seq(1L))
     BandIndexStore.appendBatch(Seq((2L, page)).toDF("doc_id", "text"), idx)
-    assert(serve() == truth(Set(0L, 1L, 2L, 3L, 4L)),
+    val afterDeletes = truth(Set(0L, 1L, 2L, 3L, 4L))
+    assert(serve() == afterDeletes,
       "re-appending a tombstoned doc must not resurrect it")
+    // compact folds the tombstones in: probing identical, tombstones gone
+    BandIndexStore.compact(spark, idx)
+    assert(serve() == afterDeletes, "probing must be identical across compact")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "tombstones")))
   }
 
   test("appendStream maintains the index live: post-stream probing == full build") {

@@ -71,6 +71,11 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndexStore.appendBatch(docs.filter(col("doc_id") === victims.head),
       idx, batchId = 7L)
     assert(serve() == want, "re-append of a tombstoned doc must not resurrect it")
+    // compact folds the tombstones in: serving identical (score equality
+    // covers the collapsed stats arithmetic), tombstones gone
+    TextIndexStore.compact(spark, idx)
+    assert(serve() == want, "serving must be identical across compact")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "tombstones")))
   }
 
   test("appended batches reach parity with a full build; replays change nothing") {
