@@ -1,0 +1,210 @@
+package graft.sinks
+
+import scala.util.matching.Regex
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared maintenance core for the persistent artifact stores
+  * ([[IvfIndexStore]], [[BandIndexStore]], [[TextIndexStore]]) and the
+  * binary sinks: ALL filesystem metadata I/O goes through the Hadoop
+  * `FileSystem` API resolved from the path's own scheme, so the stores
+  * run unchanged on `file://`, HDFS, or any object-store connector on the
+  * cluster classpath — nothing in the build/serve/compact path touches
+  * `java.nio.Files` (which would pin the whole plane to a driver-local
+  * POSIX filesystem).
+  *
+  * EPOCHED LAYOUT + ATOMIC COMMIT. Every rewritable component of a store
+  * lives in an epoch-suffixed directory (`postings` at epoch 0,
+  * `postings@3` at epoch 3); the live epoch is the max `epoch-N` marker
+  * file in the store root (no marker = epoch 0). Compaction stages EVERY
+  * folded component at epoch e+1 and then commits by creating the single
+  * `epoch-(e+1)` marker — one atomic file create. A crash at ANY point
+  * leaves the store readable and correct:
+  *   - before the marker: the live view is fully pre-compact (old dirs +
+  *     tombstones untouched; stale staging at e+1 is swept by the next
+  *     [[beginCompact]]);
+  *   - after the marker: the live view is fully post-compact (tombstones
+  *     and old dirs are invisible the instant the marker exists — cleanup
+  *     of their bytes is garbage collection, not correctness).
+  * This closes the partial-swap crash windows a multi-directory
+  * move-based swap cannot avoid (decrement-twice after a postings swap
+  * that dies before tombstone removal; a live-dir-missing window between
+  * two moves; served-stats drift between a doclens swap and the stats
+  * rewrite).
+  *
+  * SINGLE-MAINTAINER CONTRACT, ENFORCED. Appends and deletes that land
+  * while a compaction is folding would be silently discarded with the old
+  * epoch, so the protocol makes the race loud instead: [[beginCompact]]
+  * writes a `_COMPACTING` guard carrying the epoch being folded, and
+  * every mutating entry point calls [[assertNotCompacting]], which throws
+  * while the guard names the live epoch. A guard naming an OLDER epoch is
+  * the footprint of a compact that committed its marker but crashed
+  * before cleanup — provably harmless (the flip already happened), so it
+  * is swept, not thrown. A compact that crashed BEFORE its commit leaves
+  * the guard at the live epoch: mutations keep failing loudly until
+  * `compact()` is re-run, which recovers (re-stages from the intact live
+  * view) and completes. Serving against a store UNDER ACTIVE COMPACTION
+  * remains a documented single-maintainer exclusion (an in-flight read of
+  * epoch-e files can race their post-commit garbage collection); crashed
+  * compactions, by contrast, never block or corrupt serving.
+  */
+object ArtifactStore {
+
+  private val EpochMarker: Regex = """epoch-(\d+)""".r
+
+  /** Hadoop `Configuration` is not `Serializable`; executor-side raw-byte
+    * writers (TokenShardSink/WebDatasetSink tasks) ship the driver's conf
+    * through this wrapper so `Path.getFileSystem` resolves the same
+    * filesystem on every node. */
+  final class SerializableConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** The Hadoop filesystem owning `root` (scheme-resolved: `file:`,
+    * `hdfs:`, `s3a:`, ... — bare paths follow `fs.defaultFS`). */
+  def fileSystem(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A store handle pinned to the live epoch AT OPEN. Each public store
+    * operation opens one context and resolves every component through it,
+    * so one operation never mixes epochs. */
+  final case class Ctx(fs: FileSystem, root: String, epoch: Long) {
+    /** Live directory (or file) path of an epoched component. Epoch 0 is
+      * unsuffixed — a store that has never compacted keeps the plain
+      * `postings/` layout. */
+    def dir(name: String): String =
+      if (epoch == 0L) s"$root/$name" else s"$root/$name@$epoch"
+    def path(name: String): Path = new Path(dir(name))
+    def rootPath: Path = new Path(root)
+    def exists(name: String): Boolean = fs.exists(path(name))
+  }
+
+  def open(spark: SparkSession, root: String): Ctx = {
+    val fs = fileSystem(spark, root)
+    Ctx(fs, root, currentEpoch(fs, new Path(root)))
+  }
+
+  private def currentEpoch(fs: FileSystem, root: Path): Long =
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).iterator.map(_.getPath.getName).collect {
+      case EpochMarker(n) => n.toLong
+    }.foldLeft(0L)(math.max)
+
+  // ---- small string-file helpers (manifests, stats, markers) ----
+
+  def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** File names directly under `dir` (empty when the dir is absent). */
+  def listNames(fs: FileSystem, dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).iterator.map(_.getPath.getName).toSeq
+
+  // ---- tombstones (shared delete plane) ----
+
+  /** O(|ids|) tombstone append into the live epoch's tombstone set.
+    * Mutating, so it respects the compaction guard. */
+  def appendTombstones(spark: SparkSession, root: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    val ctx = open(spark, root)
+    assertNotCompacting(ctx)
+    ids.toDF("doc_id").coalesce(1)
+      .write.mode("append").parquet(ctx.dir("tombstones"))
+  }
+
+  /** The live epoch's distinct tombstoned ids, if any (column `doc_id`). */
+  def readTombstones(spark: SparkSession, ctx: Ctx): Option[DataFrame] =
+    if (!ctx.exists("tombstones"))
+      None
+    else
+      Some(spark.read.parquet(ctx.dir("tombstones"))
+        .select(col("doc_id")).distinct())
+
+  // ---- compaction protocol ----
+
+  private def guardPath(ctx: Ctx): Path = new Path(ctx.root, "_COMPACTING")
+
+  /** Throw if a compaction of the LIVE epoch is (or crashed while)
+    * in-flight; sweep a stale guard left by a compact that committed but
+    * died before cleanup. Every mutating store entry point calls this. */
+  def assertNotCompacting(ctx: Ctx): Unit = {
+    val g = guardPath(ctx)
+    if (ctx.fs.exists(g)) {
+      val folded = readString(ctx.fs, g).trim.toLong
+      if (folded >= ctx.epoch)
+        throw new IllegalStateException(
+          s"store ${ctx.root} is compacting epoch $folded (or a compaction " +
+            "of it crashed before commit); mutations would be silently " +
+            "discarded by the fold — re-run compact() to complete it, then retry")
+      ctx.fs.delete(g, false) // post-commit crash footprint: flip already happened
+    }
+  }
+
+  /** Start a compaction of `ctx.epoch`: sweep any non-live versions of
+    * the named components (staging left by a crashed attempt, or old-epoch
+    * garbage a crashed cleanup missed), then raise the guard. Idempotent —
+    * re-running after a pre-commit crash recovers and proceeds. */
+  def beginCompact(ctx: Ctx, names: Seq[String]): Unit = {
+    val g = guardPath(ctx)
+    if (ctx.fs.exists(g) && readString(ctx.fs, g).trim.toLong < ctx.epoch)
+      ctx.fs.delete(g, false)
+    sweepStale(ctx, names)
+    writeString(ctx.fs, g, ctx.epoch.toString)
+  }
+
+  /** Staging path of a component for the NEXT epoch (compact writes
+    * here; [[commitCompact]] makes it live). */
+  def stagingDir(ctx: Ctx, name: String): String = s"${ctx.root}/$name@${ctx.epoch + 1}"
+
+  /** THE commit point: one atomic marker create flips the live view to
+    * epoch+1 (tombstones and every old component version become invisible
+    * together). Everything after the marker is garbage collection. */
+  def commitCompact(ctx: Ctx, names: Seq[String]): Unit = {
+    val fs = ctx.fs
+    writeString(fs, new Path(ctx.root, s"epoch-${ctx.epoch + 1}"), "")
+    // -- live view is now fully post-compact; best-effort cleanup below --
+    fs.delete(guardPath(ctx), false)
+    names.foreach { n => fs.delete(ctx.path(n), true) }
+    fs.delete(ctx.path("tombstones"), true)
+    if (ctx.epoch > 0L) fs.delete(new Path(ctx.root, s"epoch-${ctx.epoch}"), false)
+  }
+
+  /** Delete every version of `names` that is not the live epoch's. */
+  private def sweepStale(ctx: Ctx, names: Seq[String]): Unit = {
+    val versioned = names.toSet + "tombstones"
+    listNames(ctx.fs, ctx.rootPath).foreach { entry =>
+      val (base, ep) = entry.split('@') match {
+        case Array(b, e) if e.forall(_.isDigit) => (b, e.toLong)
+        case _ => (entry, 0L)
+      }
+      if (versioned.contains(base) && ep != ctx.epoch)
+        ctx.fs.delete(new Path(ctx.root, entry), true)
+    }
+  }
+}

@@ -1,7 +1,5 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
-
 import graft.pipeline.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,10 +11,14 @@ import org.apache.spark.sql.functions._
   * persisted so an arriving batch probes the corpus WITHOUT recomputing
   * its signatures.
   *
-  * Layout under `path`:
+  * Layout under `path` (epoched components via [[ArtifactStore]] — all
+  * metadata I/O through the Hadoop `FileSystem` API):
   * {{{
   *   manifest.json                      {"buckets":B,"shingleN":..,"numPerms":..,"rowsPerBand":..}
   *   postings/bucket=K/<parts>.parquet  (band, rep_id, hs, grp_n) per bucket
+  *   members/mbucket=K/<parts>.parquet  (rep_id, doc_id) per id-hash bucket
+  *   tombstones/                        parquet (doc_id) — folded by compact
+  *   epoch-N, _COMPACTING               ArtifactStore commit/guard markers
   * }}}
   *
   * Postings carry the representative's full shingle-hash array `hs` IN
@@ -33,6 +35,20 @@ import org.apache.spark.sql.functions._
   * PRUNING on the band axis (spec-pinned) — verifies candidates by exact
   * Jaccard over the hash arrays, and returns per-arriving-doc partner
   * counts in qd15's exact output shape.
+  *
+  * Replay/duplicate-posting folding is a DETERMINISTIC reduction, never a
+  * row pick: duplicate (band, rep_id) posting rows collapse via
+  * `max(grp_n)` over the (band, rep_id, hs) group. Identical content ⇒
+  * identical `hs`, so the group key is total, and `max` makes the
+  * re-append-of-a-representative case safe: a rep of an n-member group
+  * re-appended as a fresh grp_n=1 posting folds back to n (a
+  * nondeterministic dropDuplicates could keep the 1 and, with the rep
+  * tombstoned, decrement the whole surviving group to zero). An append
+  * of an id already indexed as a REPRESENTATIVE is therefore absorbed
+  * (idempotent); an append of an id indexed as a non-rep member posts as
+  * its own new group and counts per contribution — the same
+  * per-contribution semantic TextIndexStore documents for genuine
+  * re-appends.
   *
   * DELETES (the takedown path, [[IvfIndexStore]]'s tombstone semantics on
   * the band axis): because build collapses identical-content groups into
@@ -53,12 +69,24 @@ object BandIndexStore {
 
   private val DefaultBuckets = 64
 
+  private val Components = Seq("postings", "members")
+
+  /** Deterministic fold of duplicate (band, rep_id) posting rows — see
+    * the class doc's replay-folding contract. */
+  private def foldPostings(p: DataFrame): DataFrame =
+    p.groupBy(col("band"), col("rep_id"), col("hs"), col("bucket"))
+      .agg(max(col("grp_n")).as("grp_n"))
+      .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+
   /** Build the index from the existing corpus: shingle, exact-collapse,
     * band the representatives, persist bucket-partitioned postings.
     * `docs` must have (doc_id: bigint, text: string). */
   def build(docs: DataFrame, path: String, shingleN: Int, numPerms: Int,
       rowsPerBand: Int, buckets: Int = DefaultBuckets): Unit = {
     import graft.functions.expressions.ShingleExpressions._
+    val spark = docs.sparkSession
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.assertNotCompacting(ctx)
     val shingled = docs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
@@ -73,7 +101,7 @@ object BandIndexStore {
       .withColumn("bucket", pmod(TextOps.hash60(col("band")), lit(buckets.toLong)))
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings")
+      .parquet(ctx.dir("postings"))
     // member map (doc → its group's representative), partitioned by the
     // doc-id hash so a tombstone fold opens only the deleted ids' buckets
     shingled
@@ -82,9 +110,10 @@ object BandIndexStore {
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
           .as("mbucket"))
       .write.partitionBy("mbucket").mode("overwrite")
-      .parquet(s"$path/members")
+      .parquet(ctx.dir("members"))
     shingled.unpersist()
-    Files.writeString(Paths.get(path, "manifest.json"),
+    ArtifactStore.writeString(ctx.fs,
+      new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"buckets":$buckets,"shingleN":$shingleN,"numPerms":$numPerms,"rowsPerBand":$rowsPerBand}""")
   }
 
@@ -92,11 +121,14 @@ object BandIndexStore {
     * arriving doc posts as its own representative (grp_n = 1 — no
     * cross-batch collapse; collapse is an optimization, not a semantic,
     * so probing stays exact either way). Replayed batches append
-    * byte-identical rows, absorbed by [[probe]]'s (band, rep_id) dedup
-    * over the pruned slice. */
+    * byte-identical rows, absorbed by the deterministic max-fold over the
+    * pruned slice. Refused loudly while a compaction folds. */
   def appendBatch(batch: DataFrame, path: String): Unit = {
     import graft.functions.expressions.ShingleExpressions._
-    val (buckets, shingleN, numPerms, rowsPerBand) = manifest(path)
+    val spark = batch.sparkSession
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.assertNotCompacting(ctx)
+    val (buckets, shingleN, numPerms, rowsPerBand) = manifest(ctx)
     batch
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id").as("rep_id"),
@@ -107,7 +139,7 @@ object BandIndexStore {
       .withColumn("bucket", pmod(TextOps.hash60(col("band")), lit(buckets.toLong)))
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
       .write.partitionBy("bucket").mode("append")
-      .parquet(s"$path/postings")
+      .parquet(ctx.dir("postings"))
     // member map rows for the arrivals (each its own representative);
     // replays append duplicates, absorbed by the tombstone fold's distinct
     batch
@@ -116,7 +148,7 @@ object BandIndexStore {
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
           .as("mbucket"))
       .write.partitionBy("mbucket").mode("append")
-      .parquet(s"$path/members")
+      .parquet(ctx.dir("members"))
   }
 
   /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
@@ -124,31 +156,30 @@ object BandIndexStore {
     * tombstones append; [[probe]] folds them in by decrementing the
     * affected groups' member counts over the pruned member slice only.
     * Repeated deletes and delete-then-re-append are both absorbed. */
-  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    ids.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
-  }
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    ArtifactStore.appendTombstones(spark, path, ids)
 
   /** Fold tombstones and replayed appends into the store
     * ([[IvfIndexStore.compact]]'s contract on the band axis): rewrite
     * postings with group counts decremented by their deleted members
     * (fully-deleted groups dropped) and duplicate (band, rep_id) rows
-    * collapsed, rewrite the member map without the deleted docs, then
-    * drop the tombstone set. Probing is identical before and after
-    * (spec-pinned); each rewrite stages into a `.compact` directory and
-    * swaps only after the write commits, so a crash mid-compact leaves
-    * the live index untouched. */
+    * max-folded, rewrite the member map without the deleted docs, then
+    * retire the tombstone set. Probing is identical before and after
+    * (spec-pinned); both rewrites stage at epoch+1 and commit via ONE
+    * atomic marker create, so a crash at any point leaves the live view
+    * fully pre- or fully post-compact — no partial-swap window where
+    * postings are decremented but tombstones still apply. */
   def compact(spark: SparkSession, path: String): Unit = {
-    if (!Files.exists(Paths.get(path, "tombstones"))) return
-    val tomb = spark.read.parquet(s"$path/tombstones")
+    val ctx = ArtifactStore.open(spark, path)
+    if (!ctx.exists("tombstones")) return
+    ArtifactStore.beginCompact(ctx, Components)
+    val tomb = spark.read.parquet(ctx.dir("tombstones"))
       .select(col("doc_id")).distinct()
-    val liveMembers = spark.read.parquet(s"$path/members")
+    val liveMembers = spark.read.parquet(ctx.dir("members"))
       .select(col("rep_id"), col("doc_id"), col("mbucket")).distinct()
     val dec = liveMembers.join(broadcast(tomb), Seq("doc_id"), "left_semi")
       .groupBy(col("rep_id")).agg(count(lit(1)).as("dead_n"))
-    val keptPostings = spark.read.parquet(s"$path/postings")
-      .dropDuplicates("band", "rep_id")
+    val keptPostings = foldPostings(spark.read.parquet(ctx.dir("postings")))
       .join(broadcast(dec), Seq("rep_id"), "left")
       .withColumn("grp_n", col("grp_n") - coalesce(col("dead_n"), lit(0L)))
       .filter(col("grp_n") > 0)
@@ -156,24 +187,10 @@ object BandIndexStore {
     val keptMembers = liveMembers
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
     keptPostings.write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings.compact")
+      .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     keptMembers.write.partitionBy("mbucket").mode("overwrite")
-      .parquet(s"$path/members.compact")
-    def swap(name: String): Unit = {
-      val dst = Paths.get(path, name)
-      val old = Paths.get(path, s"$name.old")
-      Files.move(dst, old)
-      Files.move(Paths.get(path, s"$name.compact"), dst)
-      rmTree(old)
-    }
-    swap("postings")
-    swap("members")
-    rmTree(Paths.get(path, "tombstones"))
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      .parquet(ArtifactStore.stagingDir(ctx, "members"))
+    ArtifactStore.commitCompact(ctx, Components)
   }
 
   /** Continuous index maintenance: stream arriving corpus documents into
@@ -186,8 +203,9 @@ object BandIndexStore {
       .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
       .start()
 
-  private def manifest(path: String): (Int, Int, Int, Int) = {
-    val txt = Files.readString(Paths.get(path, "manifest.json"))
+  private def manifest(ctx: ArtifactStore.Ctx): (Int, Int, Int, Int) = {
+    val txt = ArtifactStore.readString(ctx.fs,
+      new org.apache.hadoop.fs.Path(ctx.root, "manifest.json"))
     def field(k: String): Int =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(sys.error(s"manifest missing $k")).group(1).toInt
@@ -204,7 +222,8 @@ object BandIndexStore {
   def probe(spark: SparkSession, path: String, newDocs: DataFrame,
       threshold: Double): DataFrame = {
     import graft.functions.expressions.ShingleExpressions._
-    val (buckets, shingleN, numPerms, rowsPerBand) = manifest(path)
+    val ctx = ArtifactStore.open(spark, path)
+    val (buckets, shingleN, numPerms, rowsPerBand) = manifest(ctx)
     val arriving = newDocs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id").as("new_id"),
@@ -230,19 +249,17 @@ object BandIndexStore {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
-    val pruned = spark.read.schema(postingSchema).parquet(s"$path/postings")
-      .filter(col("bucket").isInCollection(probeBuckets))
-      .dropDuplicates("band", "rep_id") // absorbs replayed appends
+    val pruned = foldPostings( // deterministic replay/duplicate fold
+      spark.read.schema(postingSchema).parquet(ctx.dir("postings"))
+        .filter(col("bucket").isInCollection(probeBuckets)))
     // tombstone fold: decrement each affected representative's group
     // count (identical content ⇒ the rep's hash array still stands for
     // the survivors); fully-deleted groups drop out. The member scan
     // opens only the tombstoned ids' hash-bucket partitions, so the cost
     // scales with the takedown list, not the corpus.
-    val postings =
-      if (!Files.exists(Paths.get(path, "tombstones"))) pruned
-      else {
-        val tomb = spark.read.parquet(s"$path/tombstones")
-          .select(col("doc_id")).distinct()
+    val postings = ArtifactStore.readTombstones(spark, ctx) match {
+      case None => pruned
+      case Some(tomb) =>
         // bounded collect: takedown lists are small by nature; the same
         // hash60 expression as the write side drives the pruning filter
         val tombBuckets = tomb
@@ -256,7 +273,7 @@ object BandIndexStore {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("mbucket",
             org.apache.spark.sql.types.LongType)))
-        val dead = spark.read.schema(memberSchema).parquet(s"$path/members")
+        val dead = spark.read.schema(memberSchema).parquet(ctx.dir("members"))
           .filter(col("mbucket").isInCollection(tombBuckets))
           .join(broadcast(tomb), Seq("doc_id"), "left_semi")
           .select(col("rep_id"), col("doc_id")).distinct() // absorbs replays
@@ -266,7 +283,7 @@ object BandIndexStore {
           .withColumn("grp_n", col("grp_n") - coalesce(col("dead_n"), lit(0L)))
           .filter(col("grp_n") > 0)
           .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
-      }
+    }
     val cand = newBanded.select(col("new_id"), col("band"))
       .join(postings, Seq("band"))
       .select(col("new_id"), col("rep_id"), col("hs").as("hs_b"), col("grp_n"))

@@ -1,9 +1,7 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
-
 import graft.pipeline.KMeans
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent IVF index artifact — build the inverted-list structure once,
@@ -11,11 +9,15 @@ import org.apache.spark.sql.functions._
   * re-assigning the corpus (the production split the in-query IVF paths
   * qs02/qs03 fuse into one plan).
   *
-  * Layout under `path`:
+  * Layout under `path` (epoched components via [[ArtifactStore]] — all
+  * I/O through the Hadoop `FileSystem` API, so the store runs unchanged
+  * on `file://`, HDFS, or an object-store connector):
   * {{{
   *   manifest.json                  {"k":K,"dim":D}
-  *   centroids/                     parquet (cid, cv array<double>)
-  *   postings/cell=C/<parts>.parquet  (vec_id, v array<double>) per cell
+  *   centroids/                     parquet (cid, cv array<double>) — immutable
+  *   postings/cell=C/<parts>.parquet  (vec_id, v array<double>, vnorm) per cell
+  *   tombstones/                    parquet (doc_id) — folded by compact
+  *   epoch-N, _COMPACTING           ArtifactStore commit/guard markers
   * }}}
   *
   * The scale property is PARTITION PRUNING at serve time: postings are
@@ -26,8 +28,26 @@ import org.apache.spark.sql.functions._
   * Centroids default to the deterministic lowest-k vec_ids (the
   * qs02/qd05 oracle-mirrorable convention); a [[KMeans.fit]] result slots
   * in unchanged via `centroids`.
+  *
+  * Norms are NEVER recomputed per candidate: each posting stores its own
+  * `vnorm` (written by the same `sqrt(aggregate(zip_with(v,v,*),0,+))`
+  * expression serving would use, so the stored double is bit-identical
+  * to an inline evaluation and every rank-order mirror contract holds),
+  * and the query-side norm is projected ONCE onto the tiny broadcast
+  * probe table instead of per posting row — together they halve the
+  * FLOPs of the hot serve kernel.
   */
 object IvfIndexStore {
+
+  /** The norm expression shared by build, append, and the query side —
+    * ONE definition so stored and inline evaluations are the same IEEE
+    * double op sequence (left fold over squared elements, one sqrt). */
+  private def normExpr(v: Column): Column =
+    sqrt(aggregate(zip_with(v, v, _ * _), lit(0.0), _ + _))
+
+  private def cosineExpr: Column =
+    (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+      (col("qnorm") * col("vnorm"))).as("cosine")
 
   /** Build the index: assign every vector to its nearest centroid's
     * inverted list and persist centroids + cell-partitioned postings.
@@ -38,6 +58,8 @@ object IvfIndexStore {
     require(k > 0)
     val spark = e.sparkSession
     import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.assertNotCompacting(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
@@ -52,8 +74,10 @@ object IvfIndexStore {
       case None =>
         v.map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
           .toDF("vec_id", "v", "cell")
+          .withColumn("vnorm", normExpr(col("v")))
+          .select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
           .write.partitionBy("cell").mode("overwrite")
-          .parquet(s"$path/postings")
+          .parquet(ctx.dir("postings"))
       case Some(m) =>
         // metadata-scoped index (tenant/label/language search): the
         // predicate value joins the PARTITION KEY, so filtered serving
@@ -66,14 +90,17 @@ object IvfIndexStore {
           .map { case (id, vec, mv) =>
             (id, vec, KMeans.nearest(bc.value, vec).toLong, mv) }
           .toDF("vec_id", "v", "cell", "meta")
+          .withColumn("vnorm", normExpr(col("v")))
+          .select(col("vec_id"), col("v"), col("vnorm"), col("cell"), col("meta"))
           .write.partitionBy("cell", "meta").mode("overwrite")
-          .parquet(s"$path/postings")
+          .parquet(ctx.dir("postings"))
     }
     cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv.toSeq) }
       .toSeq.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
-    Files.writeString(Paths.get(path, "manifest.json"),
+    ArtifactStore.writeString(ctx.fs,
+      new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"k":$k,"dim":$dim$metaField}""")
   }
 
@@ -84,10 +111,14 @@ object IvfIndexStore {
     * retries a batch may append twice (at-least-once); [[query]] absorbs
     * replays by deduplicating the probed postings on (cell, vec_id) —
     * replayed rows are byte-identical, so dedup restores exactly-once
-    * serving (spec-pinned: double-append changes nothing). */
+    * serving (spec-pinned: double-append changes nothing). Appending
+    * while a compaction folds is refused loudly ([[ArtifactStore]]'s
+    * single-maintainer guard) — the fold would silently discard it. */
   def appendBatch(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.assertNotCompacting(ctx)
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val bc = spark.sparkContext.broadcast(cents)
@@ -96,62 +127,52 @@ object IvfIndexStore {
       .as[(Long, Seq[Double])]
       .map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
       .toDF("vec_id", "v", "cell")
+      .withColumn("vnorm", normExpr(col("v")))
+      .select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
       .write.partitionBy("cell").mode("append")
-      .parquet(s"$path/postings")
+      .parquet(ctx.dir("postings"))
   }
 
   /** Delete vectors from the index by TOMBSTONE — O(|ids|) whatever the
     * index size (the GDPR/takedown path: a delete must not rewrite a
-    * 100 TB posting store). Tombstones append into `tombstones/` and
-    * [[query]] anti-joins the (small, broadcast) tombstone set against
-    * the probed slice only, AFTER partition pruning — so serving cost is
-    * unchanged and deleted vectors stop appearing immediately. Deletion
-    * is terminal for a vec_id until [[compact]]: re-appending a
-    * tombstoned id does NOT resurrect it (the tombstone outranks the
-    * posting — the unambiguous semantic when appends replay
-    * at-least-once). Repeated deletes of the same id are absorbed the
-    * same way duplicate appends are. Deleting a vector that seeded a
-    * centroid removes its POSTING only; the geometry is fixed at build
-    * time, exactly like appends. */
-  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
-  }
-
-  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(path, "tombstones")))
-      Some(spark.read.parquet(s"$path/tombstones").select("vec_id").distinct())
-    else None
+    * 100 TB posting store). Tombstones append and [[query]] anti-joins
+    * the (small, broadcast) tombstone set against the probed slice only,
+    * AFTER partition pruning — so serving cost is unchanged and deleted
+    * vectors stop appearing immediately. Deletion is terminal for a
+    * vec_id until [[compact]]: re-appending a tombstoned id does NOT
+    * resurrect it (the tombstone outranks the posting — the unambiguous
+    * semantic when appends replay at-least-once). Repeated deletes of
+    * the same id are absorbed the same way duplicate appends are.
+    * Deleting a vector that seeded a centroid removes its POSTING only;
+    * the geometry is fixed at build time, exactly like appends. */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    ArtifactStore.appendTombstones(spark, path, ids)
 
   /** Fold tombstones and replayed appends into the posting store: rewrite
     * postings without tombstoned ids or duplicate (cell, vec_id) rows,
-    * then drop the tombstone set. Serving is identical before and after
+    * then retire the tombstone set. Serving is identical before and after
     * (spec-pinned) — compaction buys back storage and the serve-time
     * dedup/anti-join work, on whatever cadence the deploy prefers. The
-    * rewrite stages into `postings.compact` and swaps directories only
-    * after the write commits, so a crash mid-compact leaves the live
-    * index untouched. */
+    * rewrite stages at epoch+1 and commits via [[ArtifactStore]]'s single
+    * atomic marker create, so a crash at any point leaves the live index
+    * either fully pre- or fully post-compact; concurrent appends/deletes
+    * fail loudly behind the compaction guard instead of being silently
+    * folded away. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val live = spark.read.parquet(s"$path/postings")
+    val ctx = ArtifactStore.open(spark, path)
+    val names = Seq("postings")
+    ArtifactStore.beginCompact(ctx, names)
+    val live = spark.read.parquet(ctx.dir("postings"))
       .dropDuplicates("cell", "vec_id")
-    val kept = tombstones(spark, path) match {
-      case Some(t) => live.join(broadcast(t), Seq("vec_id"), "left_anti")
+    val kept = ArtifactStore.readTombstones(spark, ctx) match {
+      case Some(t) => live.join(broadcast(t.withColumnRenamed("doc_id", "vec_id")),
+        Seq("vec_id"), "left_anti")
       case None => live
     }
-    val tmp = s"$path/postings.compact"
-    kept.select("vec_id", "v", "cell")
-      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
-    val dst = Paths.get(path, "postings")
-    val old = Paths.get(path, "postings.old")
-    Files.move(dst, old)
-    Files.move(Paths.get(tmp), dst)
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
-    rmTree(old)
-    rmTree(Paths.get(path, "tombstones"))
+    kept.select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(ArtifactStore.stagingDir(ctx, "postings"))
+    ArtifactStore.commitCompact(ctx, names)
   }
 
   /** Continuous index maintenance: stream arriving vectors into the
@@ -163,6 +184,32 @@ object IvfIndexStore {
       .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
       .start()
 
+  /** The probed + replay-deduped + tombstone-folded posting slice every
+    * serve kernel starts from. */
+  private def servedPostings(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      probeCells: Seq[Long], metaFilter: Option[Seq[String]]): DataFrame = {
+    // partition pruning: the isInCollection filter on the partition column
+    // keeps every non-probed cell directory unopened (spec asserts the
+    // scan's PartitionFilters carry it)
+    // dropDuplicates absorbs at-least-once streaming appends (replayed
+    // postings are identical rows); it runs AFTER the partition filter,
+    // so the dedup shuffle touches only the probed nprobe/K slice
+    val base = spark.read.parquet(ctx.dir("postings"))
+      .filter(col("cell").isInCollection(probeCells))
+    val scoped = metaFilter match {
+      case Some(ms) => base.filter(col("meta").isInCollection(ms))
+      case None => base
+    }
+    val pruned = scoped.dropDuplicates("cell", "vec_id")
+    // tombstoned ids never serve: broadcast anti-join against the (small)
+    // delete set, after pruning — only the probed slice pays for it
+    ArtifactStore.readTombstones(spark, ctx) match {
+      case Some(t) => pruned.join(broadcast(t.withColumnRenamed("doc_id", "vec_id")),
+        Seq("vec_id"), "left_anti")
+      case None => pruned
+    }
+  }
+
   /** Serve a query batch from the prebuilt index: cosine top-`topK` per
     * query over the `nProbe` nearest cells' postings only. `queries` must
     * have (query_id: bigint, qv: array<double>); output is
@@ -173,6 +220,7 @@ object IvfIndexStore {
   def query(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val qs: Array[(Long, Seq[Double])] =
@@ -181,29 +229,14 @@ object IvfIndexStore {
       KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
     }
     val probeCells = probes.map(_._3).distinct.sorted
-    // partition pruning: the isInCollection filter on the partition column
-    // keeps every non-probed cell directory unopened (spec asserts the
-    // scan's PartitionFilters carry it)
-    // dropDuplicates absorbs at-least-once streaming appends (replayed
-    // postings are identical rows); it runs AFTER the partition filter,
-    // so the dedup shuffle touches only the probed nprobe/K slice
-    val pruned = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isInCollection(probeCells))
-      .dropDuplicates("cell", "vec_id")
-    // tombstoned ids never serve: broadcast anti-join against the (small)
-    // delete set, after pruning — only the probed slice pays for it
-    val postings = tombstones(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None => pruned
-    }
+    val postings = servedPostings(spark, ctx, probeCells, None)
+    // query-side norm projected ONCE onto the tiny probe table (same
+    // expression as an inline evaluation — bit-identical ranks)
     val probeDf = probes.toDF("query_id", "qv", "cell")
+      .withColumn("qnorm", normExpr(col("qv")))
     val scored = postings.join(broadcast(probeDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
-          (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
-            sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))))
-          .as("cosine"))
+      .select(col("query_id"), col("vec_id"), cosineExpr)
     val topk = graft.functions.TopKAggregator.topK(topK)
     scored.groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("vec_id")).as("top"))
@@ -225,6 +258,7 @@ object IvfIndexStore {
   def rangeQuery(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, radius: Double): DataFrame = {
     import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val qs: Array[(Long, Seq[Double])] =
@@ -233,21 +267,12 @@ object IvfIndexStore {
       KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
     }
     val probeCells = probes.map(_._3).distinct.sorted
-    val pruned = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isInCollection(probeCells))
-      .dropDuplicates("cell", "vec_id")
-    val postings = tombstones(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None => pruned
-    }
+    val postings = servedPostings(spark, ctx, probeCells, None)
     val probeDf = probes.toDF("query_id", "qv", "cell")
+      .withColumn("qnorm", normExpr(col("qv")))
     postings.join(broadcast(probeDf), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
-          (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
-            sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))))
-          .as("cosine"))
+      .select(col("query_id"), col("vec_id"), cosineExpr)
       .filter(col("cosine") >= radius)
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("query_id"), col("vec_id"))
@@ -265,6 +290,7 @@ object IvfIndexStore {
   def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
     val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val qs: Array[(Long, Seq[Double], String)] = queries
@@ -276,22 +302,12 @@ object IvfIndexStore {
       }
     val probeCells = probes.map(_._3).distinct.sorted
     val probeMetas = probes.map(_._4).distinct.sorted
-    val pruned = spark.read.parquet(s"$path/postings")
-      .filter(col("cell").isInCollection(probeCells) &&
-        col("meta").isInCollection(probeMetas))
-      .dropDuplicates("cell", "vec_id")
-    val postings = tombstones(spark, path) match {
-      case Some(t) => pruned.join(broadcast(t), Seq("vec_id"), "left_anti")
-      case None => pruned
-    }
+    val postings = servedPostings(spark, ctx, probeCells, Some(probeMetas))
     val probeDf = probes.toDF("query_id", "qv", "cell", "meta")
+      .withColumn("qnorm", normExpr(col("qv")))
     val scored = postings.join(broadcast(probeDf), Seq("cell", "meta"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
-          (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
-            sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))))
-          .as("cosine"))
+      .select(col("query_id"), col("vec_id"), cosineExpr)
     val topk = graft.functions.TopKAggregator.topK(topK)
     scored.groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("vec_id")).as("top"))

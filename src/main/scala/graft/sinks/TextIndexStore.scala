@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 
 import graft.pipeline.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * queries many times without ever re-tokenizing or re-scanning the
   * corpus text.
   *
-  * Layout under `path`:
+  * Layout under `path` (epoched components via [[ArtifactStore]] — all
+  * metadata I/O through the Hadoop `FileSystem` API):
   * {{{
-  *   manifest.json                    {"buckets":B,"n":N,"sumdl":S}
+  *   manifest.json                      {"buckets":B}
   *   postings/bucket=K/<parts>.parquet  (token, doc_id, tf, dl) per bucket
+  *   doclens/dbucket=K/<parts>.parquet  (doc_id, dl, batch_id) per id-hash bucket
+  *   stats/base.json + batch-N.json     corpus stats, one file per contribution
+  *   tombstones/                        parquet (doc_id) — folded by compact
+  *   epoch-N, _COMPACTING               ArtifactStore commit/guard markers
   * }}}
   *
   * Postings are partitioned by `bucket = hash60(token) mod B`, and
@@ -24,9 +29,18 @@ import org.apache.spark.sql.functions._
   * pins on the cell axis (spec-asserted via the scan's PartitionFilters).
   * Document frequencies need no side table: a term's df is the row count
   * of its own (pruned) posting list, so serving derives df from exactly
-  * the slice it already reads. Corpus-level stats (N, Σdl) are fixed at
-  * build time in the manifest — they are properties of the indexed
-  * corpus, not of any query.
+  * the slice it already reads.
+  *
+  * Corpus stats (N, Σdl) are BASE + PER-BATCH increments: build writes
+  * `stats/base.json`, every append writes (OVERWRITES, so a replayed
+  * batch can never double-count) `stats/batch-<id>.json`, and serving
+  * sums the directory. Compaction folds the batch files into an adjusted
+  * base and RECORDS THE FOLDED BATCH IDS in it: a batch replayed AFTER a
+  * compact that absorbed it (crash before the stream's checkpoint
+  * commit) re-creates its batch file, but [[readMeta]] ignores stats
+  * files whose id the base already folded — the idempotent-replay
+  * invariant survives compaction. Replayed posting/doclen rows are
+  * absorbed by serve-time dedup/distinct as always.
   *
   * Scoring follows qt12's conventions exactly (Okapi BM25, Lucene's +1
   * idf, constants pre-folded, per-term scores 6-decimal-quantized so the
@@ -35,17 +49,20 @@ import org.apache.spark.sql.functions._
   */
 object TextIndexStore {
 
+  private val Components = Seq("postings", "doclens", "stats")
+
   /** Build the index: one tokenize pass → per-(doc, token) tf rows with
     * the doc length riding along, bucket-partitioned by token hash.
     * `docs` must have (doc_id: bigint, text: string). */
   def build(docs: DataFrame, buckets: Int, path: String): Unit = {
     require(buckets > 0)
-    writePostings(docs, buckets, path, "overwrite")
-    writeDoclens(docs, buckets, path, "overwrite", batchId = -1L)
-    Files.writeString(Paths.get(path, "manifest.json"),
+    val ctx = ArtifactStore.open(docs.sparkSession, path)
+    ArtifactStore.assertNotCompacting(ctx)
+    writePostings(docs, buckets, ctx.dir("postings"), "overwrite")
+    writeDoclens(docs, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
+    ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
       s"""{"buckets":$buckets}""")
-    Files.createDirectories(Paths.get(path, "stats"))
-    writeStats(docs, Paths.get(path, "stats", "base.json"))
+    writeStats(docs, ctx, "base.json", folded = Some(Seq.empty))
   }
 
   /** Append one batch of new documents to an EXISTING index: postings
@@ -53,15 +70,20 @@ object TextIndexStore {
     * build time), and the batch's corpus-stat increments land in a
     * batch-keyed stats file. Under `foreachBatch` retries a batch may
     * run twice (at-least-once): the stats file is OVERWRITTEN by batch
-    * id (idempotent — the increment can never double-count), and
+    * id (idempotent — the increment can never double-count, even when
+    * the replay lands after a compact folded the batch: the folded-id
+    * record in base.json keeps the re-created file inert), and
     * [[queryBm25]] absorbs replayed posting rows by deduplicating the
     * probed slice on (token, doc_id) — replays are byte-identical, so
-    * serving stays exactly-once (spec-pinned). */
+    * serving stays exactly-once (spec-pinned). Refused loudly while a
+    * compaction folds. */
   def appendBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
-    val (buckets, _, _) = readMeta(path)
-    writePostings(batch, buckets, path, "append")
-    writeDoclens(batch, buckets, path, "append", batchId)
-    writeStats(batch, Paths.get(path, "stats", s"batch-$batchId.json"))
+    val ctx = ArtifactStore.open(batch.sparkSession, path)
+    ArtifactStore.assertNotCompacting(ctx)
+    val (buckets, _, _) = readMeta(ctx)
+    writePostings(batch, buckets, ctx.dir("postings"), "append")
+    writeDoclens(batch, buckets, ctx.dir("doclens"), "append", batchId)
+    writeStats(batch, ctx, s"batch-$batchId.json", folded = None)
   }
 
   /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
@@ -77,65 +99,53 @@ object TextIndexStore {
     * contribution — the adjustment always mirrors what the stats files
     * actually accumulated. Repeated deletes are absorbed; a re-appended
     * tombstoned doc stays deleted. */
-  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    ids.toDF("doc_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
-  }
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    ArtifactStore.appendTombstones(spark, path, ids)
 
   /** Fold tombstones and replayed appends into the store
     * ([[IvfIndexStore.compact]]'s contract on the token axis): rewrite
     * postings without the deleted docs (duplicate (token, doc_id) rows
     * collapsed), rewrite the doc-length map without them (batch-id rows
     * kept distinct — a doc appended twice still counts twice, matching
-    * the stats), collapse the stats directory to a single adjusted base
-    * file, and drop the tombstone set. Serving is identical before and
-    * after (spec-pinned). Directory rewrites stage into `.compact` and
-    * swap after the write commits; the stats file swaps last via an
-    * atomic same-directory move. */
+    * the stats), fold the stats directory into a single adjusted base
+    * file that remembers which batch ids it absorbed, and retire the
+    * tombstone set. Serving is identical before and after (spec-pinned).
+    * All three components stage at epoch+1 and commit via ONE atomic
+    * marker create, so a crash at any point leaves the live view fully
+    * pre- or fully post-compact — no window where doclens are swapped
+    * but stats aren't (which would serve every score wrong), and no
+    * window with zero stats files. */
   def compact(spark: SparkSession, path: String): Unit = {
-    if (!Files.exists(Paths.get(path, "tombstones"))) return
-    val (_, n0, sumdl0) = readMeta(path)
-    val tomb = spark.read.parquet(s"$path/tombstones")
+    val ctx = ArtifactStore.open(spark, path)
+    if (!ctx.exists("tombstones")) return
+    ArtifactStore.beginCompact(ctx, Components)
+    val (_, n0, sumdl0) = readMeta(ctx)
+    val tomb = spark.read.parquet(ctx.dir("tombstones"))
       .select(col("doc_id")).distinct()
-    val liveLens = spark.read.parquet(s"$path/doclens")
+    val liveLens = spark.read.parquet(ctx.dir("doclens"))
       .select(col("doc_id"), col("dl"), col("batch_id"), col("dbucket"))
       .distinct() // absorbs replayed appends (stats counted those once)
     val deadRow = liveLens.join(broadcast(tomb), Seq("doc_id"), "left_semi")
       .agg(count(lit(1)).as("c"), sum(col("dl")).as("s")).head()
     val deadC = deadRow.getLong(0)
     val deadS = if (deadRow.isNullAt(1)) 0L else deadRow.getLong(1)
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(ctx.dir("postings"))
       .dropDuplicates("token", "doc_id")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"$path/postings.compact")
+      .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     liveLens.join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .write.partitionBy("dbucket").mode("overwrite")
-      .parquet(s"$path/doclens.compact")
-    def swap(name: String): Unit = {
-      val dst = Paths.get(path, name)
-      val old = Paths.get(path, s"$name.old")
-      Files.move(dst, old)
-      Files.move(Paths.get(path, s"$name.compact"), dst)
-      rmTree(old)
-    }
-    swap("postings")
-    swap("doclens")
-    val tmp = Paths.get(path, "stats", "base.json.new")
-    Files.writeString(tmp, s"""{"n":${n0 - deadC},"sumdl":${sumdl0 - deadS}}""")
-    import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(path, "stats")).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .foreach(Files.delete)
-    Files.move(tmp, Paths.get(path, "stats", "base.json"))
-    rmTree(Paths.get(path, "tombstones"))
-  }
-
-  private def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      .parquet(ArtifactStore.stagingDir(ctx, "doclens"))
+    // fold every live stats file into the next epoch's base, remembering
+    // the absorbed batch ids (plus all previously absorbed ones) so a
+    // post-compact replay of any of them stays inert
+    val folded = (foldedIds(ctx) ++ batchIds(ctx)).distinct.sorted
+    ArtifactStore.writeString(ctx.fs,
+      new Path(ArtifactStore.stagingDir(ctx, "stats"), "base.json"),
+      statsJson(n0 - deadC, sumdl0 - deadS, Some(folded)))
+    ArtifactStore.commitCompact(ctx, Components)
   }
 
   /** Continuous index maintenance: stream arriving documents into the
@@ -147,7 +157,7 @@ object TextIndexStore {
       .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, path, id))
       .start()
 
-  private def writePostings(docs: DataFrame, buckets: Int, path: String,
+  private def writePostings(docs: DataFrame, buckets: Int, dir: String,
       mode: String): Unit = {
     val toksAll = TextOps.tokens(col("text"))
     docs.select(col("doc_id"), size(toksAll).cast("long").as("dl"),
@@ -157,13 +167,13 @@ object TextIndexStore {
       .withColumn("bucket", pmod(TextOps.hash60(col("token")), lit(buckets.toLong)))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
       .write.partitionBy("bucket").mode(mode)
-      .parquet(s"$path/postings")
+      .parquet(dir)
   }
 
   /** Per-doc length map (the takedown side table): one (doc_id, dl,
     * batch_id) row per stats contribution, partitioned by the doc-id
     * hash so a tombstone fold opens only the deleted ids' buckets. */
-  private def writeDoclens(docs: DataFrame, buckets: Int, path: String,
+  private def writeDoclens(docs: DataFrame, buckets: Int, dir: String,
       mode: String, batchId: Long): Unit =
     docs.select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("dl"),
@@ -171,27 +181,53 @@ object TextIndexStore {
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
           .as("dbucket"))
       .write.partitionBy("dbucket").mode(mode)
-      .parquet(s"$path/doclens")
+      .parquet(dir)
 
-  private def writeStats(docs: DataFrame, dst: java.nio.file.Path): Unit = {
+  private def statsJson(n: Long, sumdl: Long, folded: Option[Seq[Long]]): String = {
+    val f = folded.map(ids => s""","folded":[${ids.mkString(",")}]""").getOrElse("")
+    s"""{"n":$n,"sumdl":$sumdl$f}"""
+  }
+
+  private def writeStats(docs: DataFrame, ctx: ArtifactStore.Ctx,
+      fname: String, folded: Option[Seq[Long]]): Unit = {
     val toksAll = TextOps.tokens(col("text"))
     val st = docs.agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl")).head()
     val sumdl = if (st.isNullAt(1)) 0L else st.getLong(1) // empty batch
-    Files.writeString(dst, s"""{"n":${st.getLong(0)},"sumdl":$sumdl}""")
+    ArtifactStore.writeString(ctx.fs, new Path(ctx.dir("stats"), fname),
+      statsJson(st.getLong(0), sumdl, folded))
   }
 
-  /** Corpus stats = base + every appended batch's increment, summed over
-    * the (small, driver-local) stats directory. */
-  private def readMeta(path: String): (Int, Long, Long) = {
+  /** Batch ids the live base.json already folded (empty until a compact). */
+  private def foldedIds(ctx: ArtifactStore.Ctx): Seq[Long] = {
+    val base = new Path(ctx.dir("stats"), "base.json")
+    if (!ctx.fs.exists(base)) Seq.empty
+    else """"folded":\[([0-9,]*)\]""".r
+      .findFirstMatchIn(ArtifactStore.readString(ctx.fs, base))
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(_.toLong)).getOrElse(Seq.empty)
+  }
+
+  /** Ids of the live per-batch stats files. */
+  private def batchIds(ctx: ArtifactStore.Ctx): Seq[Long] =
+    ArtifactStore.listNames(ctx.fs, ctx.path("stats")).collect {
+      case s if s.startsWith("batch-") && s.endsWith(".json") =>
+        s.stripPrefix("batch-").stripSuffix(".json").toLong
+    }
+
+  /** Corpus stats = base + every NOT-YET-FOLDED batch increment, summed
+    * over the (small, driver-local-size) stats directory. */
+  private def readMeta(ctx: ArtifactStore.Ctx): (Int, Long, Long) = {
     def field(txt: String, k: String): Long =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(sys.error(s"manifest missing $k")).group(1).toLong
-    val buckets =
-      field(Files.readString(Paths.get(path, "manifest.json")), "buckets").toInt
-    import scala.jdk.CollectionConverters._
-    val stats = Files.list(Paths.get(path, "stats")).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map(Files.readString(_))
+    val buckets = field(ArtifactStore.readString(ctx.fs,
+      new Path(ctx.root, "manifest.json")), "buckets").toInt
+    val folded = foldedIds(ctx).toSet
+    val stats = ArtifactStore.listNames(ctx.fs, ctx.path("stats"))
+      .filter(_.endsWith(".json"))
+      .filter(s => s == "base.json" ||
+        !folded.contains(s.stripPrefix("batch-").stripSuffix(".json").toLong))
+      .map(s => ArtifactStore.readString(ctx.fs, new Path(ctx.dir("stats"), s)))
     (buckets, stats.map(field(_, "n")).sum, stats.map(field(_, "sumdl")).sum)
   }
 
@@ -201,15 +237,13 @@ object TextIndexStore {
     * (score DESC, doc_id) order. */
   def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
       topK: Int): DataFrame = {
-    val (buckets, n0, sumdl0) = readMeta(path)
+    val ctx = ArtifactStore.open(spark, path)
+    val (buckets, n0, sumdl0) = readMeta(ctx)
     // tombstone fold: subtract the deleted docs' stats contributions
     // (pruned to their id-hash buckets; one row per batch contribution,
     // distinct-by-(doc, batch) so append replays subtract once) and
     // remember the id set for the posting anti-join below
-    val tomb: Option[DataFrame] =
-      if (!Files.exists(Paths.get(path, "tombstones"))) None
-      else Some(spark.read.parquet(s"$path/tombstones")
-        .select(col("doc_id")).distinct())
+    val tomb: Option[DataFrame] = ArtifactStore.readTombstones(spark, ctx)
     val (n, sumdl) = tomb match {
       case None => (n0, sumdl0)
       case Some(t) =>
@@ -226,7 +260,7 @@ object TextIndexStore {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("dbucket",
             org.apache.spark.sql.types.LongType)))
-        val dead = spark.read.schema(doclenSchema).parquet(s"$path/doclens")
+        val dead = spark.read.schema(doclenSchema).parquet(ctx.dir("doclens"))
           .filter(col("dbucket").isInCollection(tombBuckets))
           .join(broadcast(t), Seq("doc_id"), "left_semi")
           .select(col("doc_id"), col("dl"), col("batch_id")).distinct()
@@ -258,7 +292,7 @@ object TextIndexStore {
     // dedup AFTER pruning absorbs at-least-once appends (replayed
     // posting rows are byte-identical) over the probed slice only —
     // IvfIndexStore's serve-time discipline on the token axis
-    val live = spark.read.schema(postingSchema).parquet(s"$path/postings")
+    val live = spark.read.schema(postingSchema).parquet(ctx.dir("postings"))
       .filter(col("bucket").isInCollection(termBuckets))
       .filter(col("token").isin(terms: _*))
       .dropDuplicates("token", "doc_id")

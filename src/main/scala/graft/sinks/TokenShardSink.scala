@@ -1,8 +1,8 @@
 package graft.sinks
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -28,21 +28,33 @@ import org.apache.spark.sql.functions._
   * straight to the store — the driver sees ONE bounded n-row count table
   * for the manifest, never token data.
   *
+  * All byte I/O goes through the Hadoop `FileSystem` resolved from the
+  * path's own scheme (the driver's configuration ships to the write tasks
+  * via [[ArtifactStore.SerializableConf]]), so the sink targets `file://`,
+  * HDFS, or any object-store connector on the classpath — no shared-POSIX
+  * assumption.
+  *
   * Commit protocol: this sink writes raw bytes outside Spark's file
   * committer, so it implements the same task-commit discipline itself —
-  * each task writes to an attempt-unique temp file and atomically renames
-  * it into place when the shard's rows are exhausted. A retried task
-  * racing a still-running zombie attempt therefore can never interleave
-  * two writers into one stream: both produce byte-identical content (the
-  * rows are a deterministic sort of a deterministic partition), and rename
-  * is all-or-nothing, so whichever attempt commits last installs a
-  * complete, correct file. REMAINING ASSUMPTION (asserted at write):
-  * driver and executors share one filesystem under `path` — true in
-  * local/NFS deployments; an object-store deployment swaps the
-  * `Files`-based writer for a store client with the same temp+rename (or
-  * multipart-commit) shape.
+  * each task writes to an attempt-unique temp file and renames it into
+  * place when the shard's rows are exhausted. A retried task racing a
+  * still-running zombie attempt therefore can never interleave two
+  * writers into one stream: both produce byte-identical content (the rows
+  * are a deterministic sort of a deterministic partition), so whichever
+  * attempt commits installs a complete, correct file; a rename refused
+  * because the other attempt already committed just drops its own temp.
   */
 object TokenShardSink {
+
+  /** Rename `tmp` into `dst`, tolerating a racing attempt that committed
+    * identical bytes first (filesystems differ on rename-over-existing:
+    * POSIX overwrites, HDFS refuses — both outcomes leave one complete
+    * committed file, which is all the protocol needs). */
+  private[sinks] def commitRename(fs: FileSystem, tmp: Path, dst: Path): Unit =
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      require(fs.exists(dst), s"rename $tmp -> $dst failed with no committed file")
+    }
 
   /** Write `df(seqCol: bigint, tokensCol: array<int>)` as `n` binary
     * shards. `tokenBytes` ∈ {2, 4}; out-of-range tokens fail the write
@@ -52,6 +64,7 @@ object TokenShardSink {
       n: Int, path: String, tokenBytes: Int = 2): Unit = {
     require(n > 0, s"shard count must be positive, got $n")
     require(tokenBytes == 2 || tokenBytes == 4, s"tokenBytes must be 2 or 4")
+    val spark = df.sparkSession
     val sharded = df
       .select(col(seqCol).cast("long").as("seq_id"),
         col(tokensCol).cast("array<int>").as("toks"))
@@ -59,14 +72,12 @@ object TokenShardSink {
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col("seq_id"))
       .persist() // bin write + manifest counts
-    val root = Paths.get(path)
-    Files.createDirectories(root)
-    (0 until n).foreach(k => Files.createDirectories(root.resolve(s"shard=$k")))
-
-    // the raw-byte writer assumes one shared filesystem (doc above): fail
-    // fast if the driver can't see the directory executors will write
-    require(Files.isDirectory(root),
-      s"TokenShardSink needs a filesystem shared by driver and executors: $path")
+    val fs = ArtifactStore.fileSystem(spark, path)
+    val root = new Path(path)
+    fs.mkdirs(root)
+    (0 until n).foreach(k => fs.mkdirs(new Path(root, s"shard=$k")))
+    val conf = new ArtifactStore.SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
 
     val (pathStr, w, len) = (path, tokenBytes, seqLen)
     import org.apache.spark.sql.Row
@@ -75,20 +86,19 @@ object TokenShardSink {
       // rows arrive sorted by (shard, seq_id); hash partitioning may route
       // SEVERAL shards to one task (hash(shard) mod n is not identity), so
       // roll the output stream on shard boundaries. Task-commit discipline:
-      // bytes stream into an attempt-unique temp file; the atomic rename
-      // into place happens only when the shard's rows are exhausted, so a
+      // bytes stream into an attempt-unique temp file; the rename into
+      // place happens only when the shard's rows are exhausted, so a
       // zombie attempt and its retry can never interleave in tokens.bin.
+      val tfs = new Path(pathStr).getFileSystem(conf.value)
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       var out: java.io.DataOutputStream = null
-      var tmp: java.nio.file.Path = null
-      var dst: java.nio.file.Path = null
+      var tmp: Path = null
+      var dst: Path = null
       val limit = if (w == 2) 1 << 16 else Int.MaxValue
       def commit(): Unit = if (out != null) {
         out.close(); out = null
-        Files.move(tmp, dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        commitRename(tfs, tmp, dst)
         tmp = null
       }
       try {
@@ -98,10 +108,11 @@ object TokenShardSink {
           if (s != shard) {
             commit()
             shard = s
-            dst = Paths.get(pathStr, s"shard=$s", "tokens.bin")
-            tmp = dst.resolveSibling(s".tokens.bin.attempt-$attempt.tmp")
+            val dir = new Path(pathStr, s"shard=$s")
+            dst = new Path(dir, "tokens.bin")
+            tmp = new Path(dir, s".tokens.bin.attempt-$attempt.tmp")
             out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-              Files.newOutputStream(tmp)))
+              tfs.create(tmp, true)))
           }
           val toks = r.getAs[scala.collection.Seq[Int]]("toks")
           require(toks.length == len,
@@ -117,7 +128,7 @@ object TokenShardSink {
       } finally {
         // abort path: never leave a half-written temp behind
         if (out != null) out.close()
-        if (tmp != null) Files.deleteIfExists(tmp)
+        if (tmp != null) tfs.delete(tmp, false)
       }
     }
 
@@ -126,7 +137,7 @@ object TokenShardSink {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val shardsJson = (0 until n)
       .map(k => s""""$k":${counts.getOrElse(k.toLong, 0L)}""").mkString(",")
-    Files.writeString(root.resolve("manifest.json"),
+    ArtifactStore.writeString(fs, new Path(root, "manifest.json"),
       s"""{"seq_len":$seqLen,"token_bytes":$tokenBytes,"shards":{$shardsJson}}""")
     // deterministic cache release even when a write task fails (the
     // memory-discipline suites assert a clean slate after ANY sink call)
@@ -136,7 +147,8 @@ object TokenShardSink {
   /** Read one shard back as (seq_index_within_shard, tokens) rows — the
     * trainer-loader view, used by the round-trip spec. */
   def readShard(spark: SparkSession, path: String, shard: Int): Seq[Array[Int]] = {
-    val manifest = Files.readString(Paths.get(path, "manifest.json"))
+    val fs = ArtifactStore.fileSystem(spark, path)
+    val manifest = ArtifactStore.readString(fs, new Path(path, "manifest.json"))
     val L = """"seq_len":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toInt
     val w = """"token_bytes":(\d+)""".r.findFirstMatchIn(manifest).get.group(1).toInt
     // an empty shard has a 0-count manifest entry and no tokens.bin (tasks
@@ -144,7 +156,15 @@ object TokenShardSink {
     // empty shard, not a missing file
     val cnt = ("\"" + shard + "\":(\\d+)").r.findFirstMatchIn(manifest)
     if (cnt.exists(_.group(1).toLong == 0L)) return Seq.empty
-    val bytes = Files.readAllBytes(Paths.get(path, s"shard=$shard", "tokens.bin"))
+    val file = new Path(path, s"shard=$shard/tokens.bin")
+    val in = fs.open(file)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](1 << 16)
+      var r = in.read(chunk)
+      while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
     require(bytes.length % (L * w) == 0, "shard byte length must be a multiple of one sequence")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     (0 until bytes.length / (L * w)).map { _ =>

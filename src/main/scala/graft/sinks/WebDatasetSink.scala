@@ -1,9 +1,9 @@
 package graft.sinks
 
 import java.nio.charset.StandardCharsets.US_ASCII
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WebDataset-style tar shard exporter — the interchange format multimodal
@@ -22,12 +22,14 @@ import org.apache.spark.sql.functions._
   * the same data are byte-identical archives (spec-pinned) — trainer-side
   * caches keyed by shard content stay valid across re-exports.
   *
-  * Commit protocol: TokenShardSink's — raw bytes stream to an
-  * attempt-unique temp file, atomically renamed into place when the
-  * shard's rows are exhausted, so a retried task racing a zombie attempt
-  * can never interleave two writers; both attempts produce byte-identical
-  * content and rename is all-or-nothing. Same shared-filesystem
-  * assumption, asserted at write.
+  * All byte I/O goes through the Hadoop `FileSystem` resolved from the
+  * path's own scheme ([[TokenShardSink]]'s discipline — the driver conf
+  * ships to write tasks via [[ArtifactStore.SerializableConf]]), and the
+  * commit protocol is TokenShardSink's: raw bytes stream to an
+  * attempt-unique temp file, renamed into place when the shard's rows are
+  * exhausted, so a retried task racing a zombie attempt can never
+  * interleave two writers — both attempts produce byte-identical content
+  * and exactly one complete file ends up committed.
   */
 object WebDatasetSink {
 
@@ -40,6 +42,7 @@ object WebDatasetSink {
   def write(df: DataFrame, key: Column, fields: Seq[(String, Column)],
       n: Int, path: String): Unit = {
     require(fields.nonEmpty, "at least one (extension, column) field required")
+    val spark = df.sparkSession
     // resolve the field types via analysis (no execution) — binary columns
     // pass through verbatim, everything else round-trips text as UTF-8
     val resolved = df.select(fields.map(_._2): _*).schema.fields
@@ -53,24 +56,24 @@ object WebDatasetSink {
         df.select((key.cast("string").as("k") +: payloadCols): _*), col("k"), n)
       .repartition(n, col("shard"))
       .sortWithinPartitions(col("shard"), col("k"))
-    val root = Paths.get(path)
-    Files.createDirectories(root)
-    require(Files.isDirectory(root),
-      s"WebDatasetSink needs a filesystem shared by driver and executors: $path")
+    val fs = ArtifactStore.fileSystem(spark, path)
+    fs.mkdirs(new Path(path))
+    val conf = new ArtifactStore.SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
     val (pathStr, exts) = (path, fields.map(_._1))
     sharded.foreachPartition { (it: Iterator[Row]) =>
       // hash partitioning may route several shards to one task — roll the
       // stream on shard boundaries (TokenShardSink's loop shape)
+      val tfs = new Path(pathStr).getFileSystem(conf.value)
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       var out: java.io.BufferedOutputStream = null
-      var tmp: java.nio.file.Path = null
-      var dst: java.nio.file.Path = null
+      var tmp: Path = null
+      var dst: Path = null
       def commit(): Unit = if (out != null) {
         out.write(new Array[Byte](1024)) // archive trailer: two zero blocks
         out.close(); out = null
-        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        TokenShardSink.commitRename(tfs, tmp, dst)
         tmp = null
       }
       try {
@@ -80,9 +83,9 @@ object WebDatasetSink {
           if (s != shard) {
             commit()
             shard = s
-            dst = Paths.get(pathStr, f"shard-$s%05d.tar")
-            tmp = dst.resolveSibling(f".shard-$s%05d.attempt-$attempt.tmp")
-            out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+            dst = new Path(pathStr, f"shard-$s%05d.tar")
+            tmp = new Path(pathStr, f".shard-$s%05d.attempt-$attempt.tmp")
+            out = new java.io.BufferedOutputStream(tfs.create(tmp, true))
           }
           val k = r.getAs[String]("k")
           exts.foreach { ext =>
@@ -93,7 +96,7 @@ object WebDatasetSink {
         commit()
       } finally {
         if (out != null) out.close()
-        if (tmp != null) Files.deleteIfExists(tmp)
+        if (tmp != null) tfs.delete(tmp, false)
       }
     }
   }
@@ -130,11 +133,19 @@ object WebDatasetSink {
 
   /** Read one shard back as (memberName, payload) rows in archive order —
     * the loader view, used by the round-trip spec. */
-  def readShard(path: String, shard: Long): Seq[(String, Array[Byte])] = {
-    val file = Paths.get(path, f"shard-$shard%05d.tar")
+  def readShard(spark: SparkSession, path: String, shard: Long): Seq[(String, Array[Byte])] = {
+    val fs = ArtifactStore.fileSystem(spark, path)
+    val file = new Path(path, f"shard-$shard%05d.tar")
     // a shard no sample hashed into writes no tar — a valid empty shard
-    if (!Files.exists(file)) return Seq.empty
-    val bytes = Files.readAllBytes(file)
+    if (!fs.exists(file)) return Seq.empty
+    val in = fs.open(file)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](1 << 16)
+      var r = in.read(chunk)
+      while (r >= 0) { buf.write(chunk, 0, r); r = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
     val members = Seq.newBuilder[(String, Array[Byte])]
     var off = 0
     while (off + 512 <= bytes.length && bytes(off) != 0) {

@@ -79,7 +79,44 @@ class BandIndexSpec extends AnyFunSuite {
     // compact folds the tombstones in: probing identical, tombstones gone
     BandIndexStore.compact(spark, idx)
     assert(serve() == afterDeletes, "probing must be identical across compact")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "tombstones")))
+    assert(!graft.sinks.ArtifactStore.open(spark, idx).exists("tombstones"))
+  }
+
+  test("re-appending a group's REPRESENTATIVE folds deterministically; deleting it keeps the survivors") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-bidx-rep").toString
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = (
+      (0L until 5L).map(i => (i, page)) ++
+        Seq((20L, "completely unrelated content lives here"))
+    ).toDF("doc_id", "text")
+    val arriving = Seq((100L, page)).toDF("doc_id", "text")
+    BandIndexStore.build(existing, idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    def serve() = BandIndexStore.probe(spark, idx, arriving, 0.80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def truth(deleted: Set[Long]) = {
+      val t = java.nio.file.Files.createTempDirectory("graft-bidx-rep-t").toString
+      BandIndexStore.build(existing.filter(!col("doc_id").isin(deleted.toSeq: _*)),
+        t, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+      BandIndexStore.probe(spark, t, arriving, 0.80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    // doc 0 is the 5-member group's representative (min doc_id). Re-append
+    // it: its fresh grp_n=1 posting must fold back into the group's count
+    // via max (a nondeterministic row pick could keep the 1)
+    BandIndexStore.appendBatch(Seq((0L, page)).toDF("doc_id", "text"), idx)
+    assert(serve() == truth(Set.empty),
+      "re-appending a representative must be absorbed (deterministic max fold)")
+    // ...and tombstoning that representative must decrement, not destroy:
+    // the 4 surviving members still answer (1 - 1 = 0 would drop them all)
+    BandIndexStore.delete(spark, idx, Seq(0L))
+    assert(serve() == truth(Set(0L)),
+      "deleting a re-appended representative must keep the surviving members")
+    // the same fold must hold through compact's rewrite
+    BandIndexStore.compact(spark, idx)
+    assert(serve() == truth(Set(0L)),
+      "compact must apply the same deterministic grp_n fold")
+    spark.catalog.clearCache()
   }
 
   test("appendStream maintains the index live: post-stream probing == full build") {

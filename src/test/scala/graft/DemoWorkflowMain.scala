@@ -128,7 +128,7 @@ object DemoWorkflowMain {
       graft.sinks.WebDatasetSink.write(docs, format_string("%09d", col("doc_id")),
         Seq("txt" -> col("text"), "len" -> org.apache.spark.sql.functions.length(col("text"))),
         1, wdsDir)
-      val members = graft.sinks.WebDatasetSink.readShard(wdsDir, 0L)
+      val members = graft.sinks.WebDatasetSink.readShard(spark, wdsDir, 0L)
       println(s"[probe-wds] members=${members.map(_._1).mkString(",")} " +
         s"payload2=${new String(members(5)._2, "UTF-8")} (expect 6 names, 3)")
     }

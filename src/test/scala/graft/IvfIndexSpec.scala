@@ -205,12 +205,15 @@ class IvfIndexSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       "probe-cell pruning must survive the tombstone anti-join")
 
-    // compact: serving identical, tombstones gone, store holds exactly
+    // compact: serving identical, tombstones gone (from the live epoch's
+    // view — the commit marker flips atomically), store holds exactly
     // the surviving vectors once
     IvfIndexStore.compact(spark, idx)
     assert(serve() == want, "serving must be identical across compact")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "tombstones")))
-    val n = spark.read.parquet(s"$idx/postings").count()
+    val ctx = graft.sinks.ArtifactStore.open(spark, idx)
+    assert(ctx.epoch == 1L, "compact must advance the live epoch")
+    assert(!ctx.exists("tombstones"))
+    val n = spark.read.parquet(ctx.dir("postings")).count()
     assert(n == e.count() - deleted.size,
       s"compacted store must hold each surviving vector exactly once (got $n)")
   }

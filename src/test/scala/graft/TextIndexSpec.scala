@@ -75,7 +75,7 @@ class TextIndexSpec extends AnyFunSuite {
     // covers the collapsed stats arithmetic), tombstones gone
     TextIndexStore.compact(spark, idx)
     assert(serve() == want, "serving must be identical across compact")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "tombstones")))
+    assert(!graft.sinks.ArtifactStore.open(spark, idx).exists("tombstones"))
   }
 
   test("appended batches reach parity with a full build; replays change nothing") {
@@ -96,6 +96,28 @@ class TextIndexSpec extends AnyFunSuite {
     // absorbed — stats are idempotent by batch id, postings dedup at serve
     TextIndexStore.appendBatch(tail, idx, batchId = 1L)
     assert(serve() == want, "a replayed append batch must change nothing")
+  }
+
+  test("a batch replayed AFTER compact folded it stays inert (no stats double-count)") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-tidx-foldrep").toString
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs.filter(col("doc_id") < 250), buckets = 64, idx)
+    val tail = docs.filter(col("doc_id") >= 250)
+    TextIndexStore.appendBatch(tail, idx, batchId = 3L)
+    def serve() = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val victim = serve().head._1
+    TextIndexStore.delete(spark, idx, Seq(victim))
+    TextIndexStore.compact(spark, idx) // folds batch-3's stats into base
+    val want = serve()
+    // a foreachBatch replay of batch 3 landing after the compact (crash
+    // before the stream's checkpoint commit) re-creates batch-3.json —
+    // the folded-id record in base.json must keep it out of (N, Σdl),
+    // and the replayed postings dedup away at serve time
+    TextIndexStore.appendBatch(tail, idx, batchId = 3L)
+    assert(serve() == want,
+      "a replay of a batch the compact already folded must change nothing")
+    spark.catalog.clearCache()
   }
 
   test("appendStream maintains the index live: post-stream serving == full build") {

@@ -42,7 +42,7 @@ class WebDatasetSpec extends AnyFunSuite {
       (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))).toSeq
     val byShard = rows.groupBy(r => expectedShard(r._1))
     (0L until N).foreach { k =>
-      val got = WebDatasetSink.readShard(dir, k)
+      val got = WebDatasetSink.readShard(spark, dir, k)
       val want = byShard.getOrElse(k, Seq.empty).sortBy(_._1).flatMap {
         case (id, txt, blob) => Seq(
           (f"$id%09d.txt", txt.getBytes("UTF-8").toSeq),
@@ -99,7 +99,7 @@ class WebDatasetSpec extends AnyFunSuite {
     // not throw
     WebDatasetSink.write(df, format_string("%09d", col("doc_id")),
       Seq("txt" -> col("text")), 97, dir)
-    val all = (0L until 97L).flatMap(k => WebDatasetSink.readShard(dir, k))
+    val all = (0L until 97L).flatMap(k => WebDatasetSink.readShard(spark, dir, k))
     assert(all.map(_._1) == Seq("000000000.txt"),
       "null payload must emit no member")
     assert(new String(all.head._2, "UTF-8") == "has text")
