@@ -46,25 +46,49 @@ object Bench {
     // latency, GC pause, page-cache miss), never spuriously fast — so the
     // minimum is the unbiased estimate of the plan's true cost (same
     // reasoning as python timeit). Observed stalls on this host reach
-    // 10-600 s on queries whose clean runs take 0.3 s. Round 4 showed 3
-    // fixed runs can ALL land in one bad window (qs01: 373/206/20.5 s vs
-    // ~1 s clean), so the loop now extends adaptively: until the two
-    // fastest runs agree within 1.5x (i.e. the minimum is corroborated,
-    // not a lone lucky/unlucky reading), up to 6 runs.
-    val results = benched.map { q =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try { q.build(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // queries may cache intermediates
-        sec
+    // 10-600 s on queries whose clean runs take 0.3 s. The repetitions are
+    // ROUND-ROBINED across the whole suite (run everything once, then
+    // again, then again) rather than run back-to-back per query: the
+    // host's stall windows last minutes, so three consecutive runs of one
+    // query can ALL land inside one window (round 7 manufactured two
+    // phantom 3-4x regressions exactly that way), while interleaved
+    // rounds put suite-lengths of wall clock between a query's samples.
+    // After the three sweeps, any query whose two fastest readings still
+    // disagree by >1.5x (minimum uncorroborated) gets up to three more
+    // interleaved sweeps over just the suspect set.
+    def timed(q: graft.relational.CatalogQuery): Double = {
+      val t0 = System.nanoTime()
+      try { q.build(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // queries may cache intermediates
+      sec
+    }
+    val samples = scala.collection.mutable.LinkedHashMap(
+      benched.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    (1 to 3).foreach { round =>
+      benched.foreach { q =>
+        val sec = timed(q)
+        samples(q.name) += sec
+        System.err.println(f"[bench] round $round ${q.name}%-24s $sec%8.3f s")
       }
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      while (times.length < 3 ||
-        (times.length < 6 && { val s = times.sorted; s(1) > s(0) * 1.5 }))
-        times += timed()
+    }
+    def uncorroborated(name: String): Boolean = {
+      val s = samples(name).sorted
+      s(1) > s(0) * 1.5
+    }
+    var extra = 0
+    while (extra < 3 && benched.exists(q => uncorroborated(q.name))) {
+      extra += 1
+      benched.filter(q => uncorroborated(q.name)).foreach { q =>
+        val sec = timed(q)
+        samples(q.name) += sec
+        System.err.println(f"[bench] extra $extra ${q.name}%-24s $sec%8.3f s")
+      }
+    }
+    val results = benched.map { q =>
+      val times = samples(q.name)
       val sec = times.min
       System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s (runs: ${
         times.map(t => f"$t%.3f").mkString(" ")})")

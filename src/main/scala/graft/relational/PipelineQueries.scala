@@ -58,6 +58,20 @@ object PipelineQueries {
   private def cosineCol(q: Column, v: Column): Column =
     vdot(q, v) / (sqrt(vdot(q, q)) * sqrt(vdot(v, v)))
 
+  /** Hoisted-norm cosine for the hot ANN paths (candidates >> rows): each
+    * side's norm is projected ONCE onto its own relation BEFORE the join
+    * (`hoistNorm`), instead of being recomputed inside every joined
+    * candidate pair as `cosineCol` does. The norm column is the very same
+    * sqrt-of-left-fold expression, and the final multiply/divide are the
+    * same IEEE ops on the same values, so every cosine — and therefore
+    * every rank, threshold decision, and oracle hash — is bit-identical
+    * to the inline form (IvfIndexStore's serve kernels share this
+    * discipline with a vnorm column persisted in the postings). */
+  private def hoistNorm(df: DataFrame, vcol: String, name: String): DataFrame =
+    df.withColumn(name, sqrt(vdot(col(vcol), col(vcol))))
+  private def cosineHoisted: Column =
+    vdot(col("qv"), col("v")) / (col("qnorm") * col("vnorm"))
+
   /** Per-vector symmetric int8 quantization: scale = max|x|/127, so values
     * land in [-127, 127]. Cosine is scale-invariant, so the quantized
     * cosine needs no de-scaling — it is the cosine of the int vectors. */
@@ -182,7 +196,11 @@ object PipelineQueries {
     * candidates at the representative level; capping or dropping those
     * would be UNSOUND here (near-dup pairs are exactly what this operator
     * exists to find), so that residual is left to AQE skew-split.
-    * `LshSkewSpec` pins both properties on a duplicate-heavy fixture.
+    * Measured (LshSkewSpec, 600 one-edit-apart template variants,
+    * J >= ~0.87): candidates = 0.877 x C(m,2) — i.e. the banding recall
+    * curve 1-(1-J^4)^2, exactly as designed — and EVERY candidate
+    * verifies above threshold, so the m^2 is answer volume, not waste.
+    * `LshSkewSpec` pins both properties on duplicate-heavy fixtures.
     *
     * Returns (reps, memb, repCand):
     *  - reps   (doc_id, hs): one row per distinct shingle set;
@@ -660,7 +678,7 @@ object PipelineQueries {
       graft.sinks.BandIndexStore.probe(s, idxDir,
         docs.filter(col("bucket") >= 90).select(col("doc_id"), col("text")),
         JaccardThreshold)
-    }, Some(oIncrementalDedupSql)),
+    }, Some(oIncrementalDedupSql), headline = true),
 
     CatalogQuery("qd21_band_index_delete_serve", (s, d) => {
       // Band-index deletion under the gate — the takedown path on the
@@ -1579,14 +1597,15 @@ object PipelineQueries {
     // ---------- similarity search ----------
 
     CatalogQuery("qs01_ann_topk", (s, d) => {
-      val e = table(s, d, "embeddings")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val e = hoistNorm(table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+        "v", "vnorm")
       val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("vnorm").as("qnorm"))
       val scored = e.crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       topkRanked(scored)
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1620,7 +1639,7 @@ object PipelineQueries {
           transform(col("embedding"), _.cast("double")).as("qv"))
         .filter(col("query_id") < 5)
       graft.sinks.IvfIndexStore.query(s, idxDir, queries, nProbe = 4, topK = 10)
-    }, Some(oIvfTopkSql)),
+    }, Some(oIvfTopkSql), headline = true),
 
     CatalogQuery("qs16_index_delete_serve", (s, d) => {
       // Index deletion under the correctness gate — the takedown/GDPR
@@ -1666,16 +1685,15 @@ object PipelineQueries {
           while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
           (math.sqrt(acc), cid)
         }.sortBy(identity).take(n).map(_._2).toSeq
-      val assigned = e.as[(Long, Seq[Double])]
+      val assigned = hoistNorm(e.as[(Long, Seq[Double])]
         .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
-        .toDF("vec_id", "v", "cell")
-      val queries = e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
+        .toDF("vec_id", "v", "cell"), "v", "vnorm")
+      val queries = hoistNorm(e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
         .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
-        .toDF("query_id", "qv", "cell")
+        .toDF("query_id", "qv", "cell"), "qv", "qnorm")
       val scored = assigned.join(broadcast(queries), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       topkRanked(scored)
     }, Some(oIvfTopkSql)),
 
@@ -1810,16 +1828,15 @@ object PipelineQueries {
           while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
           (math.sqrt(acc), cid)
         }.sortBy(identity).take(n).map(_._2).toSeq
-      val assigned = e.as[(Long, Seq[Double])]
+      val assigned = hoistNorm(e.as[(Long, Seq[Double])]
         .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
-        .toDF("vec_id", "v", "cell")
-      val queries = e.as[(Long, Seq[Double])]
+        .toDF("vec_id", "v", "cell"), "v", "vnorm")
+      val queries = hoistNorm(e.as[(Long, Seq[Double])]
         .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
-        .toDF("query_id", "qv", "cell")
+        .toDF("query_id", "qv", "cell"), "qv", "qnorm")
       val scored = assigned.join(queries, Seq("cell")) // keyed, NOT broadcast
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       val topk = graft.functions.TopKAggregator.topK(TopK)
       scored.groupBy(col("query_id"))
         .agg(topk(col("cosine"), col("vec_id")).as("top"))
@@ -3129,7 +3146,7 @@ object PipelineQueries {
       graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
       graft.sinks.TextIndexStore.queryBm25(s, idxDir,
         Seq("spark", "join", "window"), AnnTopK)
-    }, Some(oBm25Sql)),
+    }, Some(oBm25Sql), headline = true),
 
     CatalogQuery("qt29_index_bm25_delete_serve", (s, d) => {
       // Text-index deletion under the gate — the takedown path on the

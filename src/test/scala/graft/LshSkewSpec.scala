@@ -106,6 +106,61 @@ class LshSkewSpec extends AnyFunSuite {
     } finally deleteRecursively(dir)
   }
 
+  test("near-identical variants: the residual m^2 stays at the representative level and IS the answer") {
+    // The residual skew class pre-collapse cannot absorb: m templated
+    // variants differing by one small edit (distinct shingle SETS, so
+    // every variant is its own representative) share most bands and
+    // produce O(m^2) representative candidates. This is measured here,
+    // not capped: with shingle overlap J >= ~0.87 by construction, every
+    // candidate pair verifies above the 0.80 threshold, so the m^2
+    // candidates ARE the operator's answer — a band-frequency cap would
+    // silently drop true near-dup pairs (unsound; see the
+    // collapsedLshCandidates doc). What the measurement pins:
+    //  - candidate volume ~= banding recall x C(m,2), with recall
+    //    1-(1-J^4)^2 in [0.6, 1.0] for this fixture (measured ~0.8-0.95);
+    //  - zero candidate waste: verified pairs == candidates (every
+    //    generated pair is a real answer row — no quadratic intermediate
+    //    that verification then discards).
+    val m = 600
+    val base = content(0) * 2 // ~240 chars, ~230 distinct 4-shingles
+    // variant i: replace 4 chars at a per-variant offset with a unique
+    // 4-char block drawn from i — one-edit-apart template pages
+    val variants = (0 until m).map { i =>
+      val off = 8 + (i % 50) * 4
+      val block = f"${i}%04d"
+      (i.toLong, base.substring(0, off) + block + base.substring(off + 4))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-near").toString
+    try {
+      val rows = variants ++ (0 until 20).map(j => (1000L + j, content(100 + j)))
+      rows.map { case (id, t) => (id, t, "en", s"src${id % 3}", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          ShingleExpressions.shingleHash60(col("text"), 4).as("hs"))
+      val (reps, _, repCand) = PipelineQueries.collapsedLshCandidates(docs0)
+      try {
+        assert(reps.count() >= m, "every variant must be its own representative")
+        val nCand = repCand.filter(col("id_a") < m && col("id_b") < m).count()
+        val allPairs = m.toLong * (m - 1) / 2
+        assert(nCand >= (allPairs * 0.6).toLong && nCand <= allPairs,
+          s"banding recall out of the expected range: $nCand of $allPairs")
+        // zero waste: every candidate is a true >= 0.80 near-dup, so the
+        // answer set equals the candidate set (plus nothing)
+        val t0 = System.nanoTime()
+        val out = QueryCatalog.byName("qd02_minhash_lsh").build(spark, dir)
+          .filter(col("id_a") < m && col("id_b") < m)
+        val nOut = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        info(f"m=$m variants: candidates=$nCand of C(m,2)=$allPairs " +
+          f"(recall ${nCand.toDouble / allPairs}%.3f), verified=$nOut, qd02 in $sec%.1f s")
+        assert(nOut == nCand,
+          "every near-identical candidate must verify (candidates == answers)")
+      } finally spark.catalog.clearCache()
+    } finally deleteRecursively(dir)
+  }
+
   test("qd15 incremental probe matches all-member truth on a duplicate-heavy corpus") {
     // Hot existing-side content is qd15's risk class: the existing side
     // is exact-collapsed, so 60 copies of one page band ONCE and partner
