@@ -77,6 +77,13 @@ object ArtifactStore {
   def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Scheme-resolved filesystem for driver-side utility readers that have
+    * no session at hand (round-trip test readers); a default
+    * `Configuration` resolves explicit URIs identically and bare paths to
+    * the local FS. */
+  def fileSystem(root: String): FileSystem =
+    new Path(root).getFileSystem(new Configuration())
+
   /** A store handle pinned to the live epoch AT OPEN. Each public store
     * operation opens one context and resolves every component through it,
     * so one operation never mixes epochs. */

@@ -1,8 +1,8 @@
 package graft.sinks
 
-import java.io.File
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
 
 import graft.core.{Block, BlockIndex, DeisaArray, NDArray}
 import org.apache.spark.sql.functions.col
@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions.col
   * ON THE EXECUTORS (each task writes the blocks it holds — the same
   * write-where-the-data-lives pattern dask uses); only the tiny metadata
   * file is written from the driver. Append mode: multiple components share
-  * one store, like the reference's `mode="a"`.
+  * one store, like the reference's `mode="a"`. All I/O goes through the
+  * Hadoop `FileSystem` API ([[ArtifactStore]]'s discipline), so the store
+  * targets `file://`, HDFS, or an object-store connector.
   *
   * Edge chunks are padded to the full chunk shape with `fillValue`,
   * as zarr v2 requires; uncompressed (`compressor: null`).
@@ -85,11 +87,14 @@ object ZarrSink {
       Option(row.getAs[Any](s"c$d")).fold(row.getAs[Int](s"m$d"))(_.asInstanceOf[Int])
     }
 
-    val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)
-    Files.createDirectories(dir)
+    val spark = arr.df.sparkSession
+    val dirStr = if (component.isEmpty) store else s"$store/$component"
+    val fs = ArtifactStore.fileSystem(spark, dirStr)
+    fs.mkdirs(new Path(dirStr))
     if (component.nonEmpty) {
-      val zgroup = Paths.get(store, ".zgroup")
-      if (!Files.exists(zgroup)) Files.writeString(zgroup, """{"zarr_format":2}""")
+      val zgroup = new Path(store, ".zgroup")
+      if (!fs.exists(zgroup))
+        ArtifactStore.writeString(fs, zgroup, """{"zarr_format":2}""")
     }
     // integral dtypes get an integral fill_value literal, per zarr v2
     val fillJson = if (codec.integral) fillValue.toLong.toString else fillValue.toString
@@ -97,13 +102,14 @@ object ZarrSink {
       s"""{"chunks":[${chunkShape.mkString(",")}],"compressor":null,"dtype":"${codec.zname}",""" +
       s""""fill_value":$fillJson,"filters":null,"order":"C",""" +
       s""""shape":[${gs.mkString(",")}],"zarr_format":2}"""
-    Files.writeString(dir.resolve(".zarray"), meta)
+    ArtifactStore.writeString(fs, new Path(dirStr, ".zarray"), meta)
     // named dims via the public xarray convention: .zattrs _ARRAY_DIMENSIONS
     if (arr.dims.nonEmpty)
-      Files.writeString(dir.resolve(".zattrs"),
+      ArtifactStore.writeString(fs, new Path(dirStr, ".zattrs"),
         s"""{"_ARRAY_DIMENSIONS":[${arr.dims.map(d => "\"" + d + "\"").mkString(",")}]}""")
 
-    val dirStr = dir.toString
+    val conf = new ArtifactStore.SerializableConf(
+      spark.sparkContext.hadoopConfiguration)
     val cs = chunkShape.toArray
     val gsArr = gs.toArray
     import arr.df.sparkSession.implicits._
@@ -143,18 +149,21 @@ object ZarrSink {
         val buf = ByteBuffer.allocate(padded.length * codec.width)
           .order(ByteOrder.LITTLE_ENDIAN)
         padded.foreach(v => codec.put(buf, v))
-        Files.write(Paths.get(dirStr, gridIdx.mkString(".")), buf.array())
+        val p = new Path(dirStr, gridIdx.mkString("."))
+        val out = p.getFileSystem(conf.value).create(p, true)
+        try out.write(buf.array()) finally out.close()
       }
     }
   }
 
   /** Axis names from .zattrs `_ARRAY_DIMENSIONS` (empty when unnamed). */
   def readDims(store: String, component: String = ""): Seq[String] = {
-    val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)
-    val f = dir.resolve(".zattrs")
-    if (!Files.exists(f)) Seq.empty
+    val dirStr = if (component.isEmpty) store else s"$store/$component"
+    val fs = ArtifactStore.fileSystem(dirStr)
+    val f = new Path(dirStr, ".zattrs")
+    if (!fs.exists(f)) Seq.empty
     else "\"_ARRAY_DIMENSIONS\":\\[([^\\]]*)\\]".r
-      .findFirstMatchIn(Files.readString(f)) match {
+      .findFirstMatchIn(ArtifactStore.readString(fs, f)) match {
         case Some(g) =>
           "\"([^\"]*)\"".r.findAllMatchIn(g.group(1)).map(_.group(1)).toSeq
         case None => Seq.empty
@@ -163,8 +172,9 @@ object ZarrSink {
 
   /** Driver-side reader for round-trip tests. */
   def read(store: String, component: String = ""): NDArray = {
-    val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)
-    val metaStr = Files.readString(dir.resolve(".zarray"))
+    val dirStr = if (component.isEmpty) store else s"$store/$component"
+    val fs = ArtifactStore.fileSystem(dirStr)
+    val metaStr = ArtifactStore.readString(fs, new Path(dirStr, ".zarray"))
     def intList(key: String): Seq[Int] = {
       val m = (s""""$key":\\[([0-9, ]*)\\]""").r.findFirstMatchIn(metaStr).get
       m.group(1).split(",").map(_.trim.toInt).toSeq
@@ -180,9 +190,9 @@ object ZarrSink {
       case h :: t => (0 until h).flatMap(i => walk(i :: idx, t))
     }
     walk(Nil, grid.toList).foreach { gi =>
-      val f = new File(dir.toFile, gi.mkString("."))
-      if (f.exists()) {
-        val bytes = Files.readAllBytes(f.toPath)
+      val f = new Path(dirStr, gi.mkString("."))
+      if (fs.exists(f)) {
+        val bytes = ManifestSink.readAllBytes(fs, f)
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
         val data = Array.fill(chunks.product)(codec.get(buf))
         var i = 0

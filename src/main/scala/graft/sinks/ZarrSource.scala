@@ -1,7 +1,8 @@
 package graft.sinks
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
 
 import graft.core.{Block, BlockIndex, DeisaArray}
 import org.apache.spark.sql.SparkSession
@@ -27,8 +28,9 @@ object ZarrSource {
 
   def read(spark: SparkSession, store: String, component: String = "",
       t: Long = 0, name: String = "array"): DeisaArray = {
-    val dir = if (component.isEmpty) Paths.get(store) else Paths.get(store, component)
-    val metaStr = Files.readString(dir.resolve(".zarray"))
+    val dirStr = if (component.isEmpty) store else s"$store/$component"
+    val metaStr = ArtifactStore.readString(
+      ArtifactStore.fileSystem(spark, dirStr), new Path(dirStr, ".zarray"))
     def intList(key: String): Seq[Int] = {
       val m = (s""""$key":\\[([0-9, ]*)\\]""").r.findFirstMatchIn(metaStr).get
       m.group(1).split(",").map(_.trim.toInt).toSeq
@@ -59,7 +61,7 @@ object ZarrSource {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array, concat_ws, substring_index}
     val chunkNamePattern = "^[0-9]+(\\.[0-9]+){" + (chunkArr.length - 1) + "}$"
-    val files = spark.read.format("binaryFile").load(dir.toString)
+    val files = spark.read.format("binaryFile").load(dirStr)
       .withColumn("fname", substring_index(col("path"), "/", -1))
       .where(col("fname").rlike(chunkNamePattern))
     val present = files
