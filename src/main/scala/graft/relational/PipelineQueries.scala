@@ -286,6 +286,38 @@ object PipelineQueries {
 
   private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
 
+  /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
+    * nprobe=4 geometry, EVERY vector as a query, k=3) — shared by qs04
+    * (fused keyed-join plan) and qs24 (the same batch served from the
+    * persistent IvfIndexStore artifact via the distributed
+    * `queryBatch` path): both must produce these exact rank rows. */
+  private val oBatchAnnSql: String = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank"""
+
   /** The deterministic-IVF RANGE-search oracle (qs02's geometry, radius
     * 0.30, rounded-6 cosine output) — shared by qs20 (fused in-query
     * plan) and qs21 (the same sweep served from the persistent
@@ -1843,32 +1875,30 @@ object PipelineQueries {
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.vec_id").as("vec_id"))
         .orderBy(col("query_id"), col("rank"))
-    }, Some("""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-      assigned AS (
-        SELECT vec_id, v, cid AS cell FROM (
-          SELECT e.vec_id, e.v, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent) t WHERE rn = 1),
-      q AS (
-        SELECT query_id, qv, cid AS cell FROM (
-          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
-          FROM e CROSS JOIN cent) t WHERE rn <= 4),
-      scored AS (
-        SELECT query_id, vec_id,
-          list_dot_product(qv, v) /
-            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
-        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id),
-      ranked AS (
-        SELECT query_id, vec_id,
-          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        FROM scored)
-      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
-      ORDER BY query_id, rank""")),
+    }, Some(oBatchAnnSql)),
+
+    CatalogQuery("qs24_index_batch_serve", (s, d) => {
+      // The DISTRIBUTED large-batch serve path of the persistent IVF
+      // store under the correctness gate — qs14's story at qs04's scale:
+      // build the IvfIndexStore artifact once, then answer "top-3 for
+      // EVERY vector" from it via IvfIndexStore.queryBatch, which never
+      // collects the query batch (centroids broadcast, map-side cell
+      // assignment, KEYED join against the pruned postings — the fused
+      // qs04 plan reading from the artifact). Same deterministic
+      // vec_id<16 / nprobe=4 geometry as qs04, so the oracle is qs04's
+      // SQL verbatim — gating that the store's large-batch path ranks
+      // bit-identically to the fused plan a driver-side collect could
+      // never survive. Scale shape: the only serve-time collect is the
+      // probed CELL domain (≤ K values whatever the batch size).
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs24-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      graft.sinks.IvfIndexStore.queryBatch(s, idxDir, queries,
+        nProbe = 4, topK = 3)
+    }, Some(oBatchAnnSql)),
 
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come

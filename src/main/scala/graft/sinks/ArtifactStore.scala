@@ -157,29 +157,73 @@ object ArtifactStore {
 
   private def guardPath(ctx: Ctx): Path = new Path(ctx.root, "_COMPACTING")
 
+  /** The epoch named by an existing `_COMPACTING` guard, parsed
+    * DEFENSIVELY: a crash mid-write of the guard file on a non-atomic
+    * filesystem can leave it empty or truncated, and an unparsable guard
+    * must degrade to "assume the live epoch is compacting" (mutations
+    * fail loudly; [[beginCompact]] overwrites it so compact() still
+    * recovers) — never to a NumberFormatException that wedges both the
+    * mutation AND the recovery path until someone hand-deletes the file. */
+  private def guardEpoch(ctx: Ctx): Option[Long] =
+    scala.util.Try(readString(ctx.fs, guardPath(ctx)).trim.toLong).toOption
+
   /** Throw if a compaction of the LIVE epoch is (or crashed while)
     * in-flight; sweep a stale guard left by a compact that committed but
     * died before cleanup. Every mutating store entry point calls this. */
   def assertNotCompacting(ctx: Ctx): Unit = {
     val g = guardPath(ctx)
     if (ctx.fs.exists(g)) {
-      val folded = readString(ctx.fs, g).trim.toLong
-      if (folded >= ctx.epoch)
-        throw new IllegalStateException(
-          s"store ${ctx.root} is compacting epoch $folded (or a compaction " +
-            "of it crashed before commit); mutations would be silently " +
-            "discarded by the fold — re-run compact() to complete it, then retry")
-      ctx.fs.delete(g, false) // post-commit crash footprint: flip already happened
+      guardEpoch(ctx) match {
+        case Some(folded) if folded < ctx.epoch =>
+          ctx.fs.delete(g, false) // post-commit crash footprint: flip already happened
+        case folded => // live-epoch guard, or unparsable (treated as live)
+          throw new IllegalStateException(
+            s"store ${ctx.root} is compacting epoch ${folded.getOrElse(ctx.epoch)} " +
+              "(or a compaction of it crashed before commit); mutations would " +
+              "be silently discarded by the fold — re-run compact() to " +
+              "complete it, then retry")
+      }
+    }
+  }
+
+  /** Reset the MUTATION PLANE when a store is REBUILT in place: build()
+    * overwrites the data components, so tombstones recorded against the
+    * previous corpus must not survive to silently delete fresh docs that
+    * happen to reuse an id (and, for TextIndexStore, stale per-batch
+    * stats files must not double-count — it passes its stats dir here).
+    * Called by every store's build() after [[assertNotCompacting]]. */
+  def resetMutationPlane(ctx: Ctx, extraDirs: Seq[String] = Seq.empty): Unit =
+    ("tombstones" +: extraDirs).foreach { n => ctx.fs.delete(ctx.path(n), true) }
+
+  /** Run a serve-path DataFrame construction with RETRY-ONCE-AT-NEW-EPOCH:
+    * a serve racing a compaction commit can open ctx at epoch e and then
+    * lose e's files to the post-commit garbage collection before (or
+    * while) `spark.read.parquet` lists them. If construction fails AND
+    * the live epoch has advanced past the one we opened, the race is
+    * proven — reopen at the new epoch and retry once (the post-compact
+    * view serves identically by the compact contract). Any other failure
+    * rethrows untouched. Failures of already-constructed plans at ACTION
+    * time remain the documented single-maintainer exclusion — this
+    * converts the common planning-time window into a liveness guarantee. */
+  def serving[T](spark: SparkSession, root: String)(f: Ctx => T): T = {
+    val ctx = open(spark, root)
+    try f(ctx)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val nowLive = currentEpoch(ctx.fs, ctx.rootPath)
+        if (nowLive > ctx.epoch) f(Ctx(ctx.fs, root, nowLive))
+        else throw e
     }
   }
 
   /** Start a compaction of `ctx.epoch`: sweep any non-live versions of
     * the named components (staging left by a crashed attempt, or old-epoch
     * garbage a crashed cleanup missed), then raise the guard. Idempotent —
-    * re-running after a pre-commit crash recovers and proceeds. */
+    * re-running after a pre-commit crash recovers and proceeds (an
+    * unparsable crashed guard is simply overwritten). */
   def beginCompact(ctx: Ctx, names: Seq[String]): Unit = {
     val g = guardPath(ctx)
-    if (ctx.fs.exists(g) && readString(ctx.fs, g).trim.toLong < ctx.epoch)
+    if (ctx.fs.exists(g) && guardEpoch(ctx).exists(_ < ctx.epoch))
       ctx.fs.delete(g, false)
     sweepStale(ctx, names)
     writeString(ctx.fs, g, ctx.epoch.toString)

@@ -87,6 +87,9 @@ object BandIndexStore {
     val spark = docs.sparkSession
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild replaces the corpus: tombstones recorded against the OLD
+    // corpus must not survive to silently delete fresh docs reusing an id
+    ArtifactStore.resetMutationPlane(ctx)
     val shingled = docs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
@@ -171,21 +174,27 @@ object BandIndexStore {
     * postings are decremented but tombstones still apply. */
   def compact(spark: SparkSession, path: String): Unit = {
     val ctx = ArtifactStore.open(spark, path)
-    if (!ctx.exists("tombstones")) return
     ArtifactStore.beginCompact(ctx, Components)
-    val tomb = spark.read.parquet(ctx.dir("tombstones"))
-      .select(col("doc_id")).distinct()
+    // replayed appends fold even when NO tombstones exist — the max-fold
+    // and member distinct below are exactly what serving pays per probe
+    // until compact buys them back, so a store that saw at-least-once
+    // replays but no deletes still reclaims its duplicate rows here
+    val tombOpt = ArtifactStore.readTombstones(spark, ctx)
     val liveMembers = spark.read.parquet(ctx.dir("members"))
       .select(col("rep_id"), col("doc_id"), col("mbucket")).distinct()
-    val dec = liveMembers.join(broadcast(tomb), Seq("doc_id"), "left_semi")
-      .groupBy(col("rep_id")).agg(count(lit(1)).as("dead_n"))
-    val keptPostings = foldPostings(spark.read.parquet(ctx.dir("postings")))
-      .join(broadcast(dec), Seq("rep_id"), "left")
-      .withColumn("grp_n", col("grp_n") - coalesce(col("dead_n"), lit(0L)))
-      .filter(col("grp_n") > 0)
-      .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
-    val keptMembers = liveMembers
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val folded = foldPostings(spark.read.parquet(ctx.dir("postings")))
+    val (keptPostings, keptMembers) = tombOpt match {
+      case None => (folded, liveMembers)
+      case Some(tomb) =>
+        val dec = liveMembers.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+          .groupBy(col("rep_id")).agg(count(lit(1)).as("dead_n"))
+        val p = folded
+          .join(broadcast(dec), Seq("rep_id"), "left")
+          .withColumn("grp_n", col("grp_n") - coalesce(col("dead_n"), lit(0L)))
+          .filter(col("grp_n") > 0)
+          .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+        (p, liveMembers.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    }
     keptPostings.write.partitionBy("bucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     keptMembers.write.partitionBy("mbucket").mode("overwrite")
@@ -222,7 +231,7 @@ object BandIndexStore {
   def probe(spark: SparkSession, path: String, newDocs: DataFrame,
       threshold: Double): DataFrame = {
     import graft.functions.expressions.ShingleExpressions._
-    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.serving(spark, path) { ctx =>
     val (buckets, shingleN, numPerms, rowsPerBand) = manifest(ctx)
     val arriving = newDocs
       .filter(length(col("text")) >= shingleN)
@@ -299,5 +308,6 @@ object BandIndexStore {
       .agg(sum(col("grp_n")).as("n_dups"), max(col("jaccard")).as("max_jaccard"))
       .select(col("new_id").as("doc_id"), col("n_dups"), col("max_jaccard"))
       .orderBy(col("doc_id"))
+    }
   }
 }

@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndexStore {
 
+  /** Driver-side serve paths ([[query]]/[[rangeQuery]]/[[queryFiltered]])
+    * collect the query batch to compute probe cells and build the
+    * broadcast probe table — bounded by construction for ONLINE serving,
+    * and now enforced: a batch larger than this throws with a pointer at
+    * [[queryBatch]], the distributed path, instead of silently OOMing the
+    * driver. */
+  private val MaxDriverBatch = 65536
+
   /** The norm expression shared by build, append, and the query side —
     * ONE definition so stored and inline evaluations are the same IEEE
     * double op sequence (left fold over squared elements, one sqrt). */
@@ -48,6 +56,25 @@ object IvfIndexStore {
   private def cosineExpr: Column =
     (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
       (col("qnorm") * col("vnorm"))).as("cosine")
+
+  /** The meta column name a metadata-scoped store was built with (from
+    * the manifest), if any — compact must know it to carry the column
+    * and the (cell, meta) partition layout through the rewrite. */
+  private def manifestMeta(ctx: ArtifactStore.Ctx): Option[String] =
+    """"meta":"([^"]+)"""".r
+      .findFirstMatchIn(ArtifactStore.readString(ctx.fs,
+        new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
+      .map(_.group(1))
+
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+      what: String): Array[T] = {
+    val rows = ds.take(MaxDriverBatch + 1)
+    require(rows.length <= MaxDriverBatch,
+      s"$what exceeds $MaxDriverBatch rows — the driver-side serve paths " +
+        "collect the batch to compute probes; use IvfIndexStore.queryBatch " +
+        "(distributed map-side cell assignment + keyed join) for large batches")
+    rows
+  }
 
   /** Build the index: assign every vector to its nearest centroid's
     * inverted list and persist centroids + cell-partitioned postings.
@@ -60,6 +87,9 @@ object IvfIndexStore {
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild replaces the corpus: tombstones recorded against the OLD
+    // corpus must not survive to silently delete fresh docs reusing an id
+    ArtifactStore.resetMutationPlane(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
@@ -169,8 +199,15 @@ object IvfIndexStore {
         Seq("vec_id"), "left_anti")
       case None => live
     }
-    kept.select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
+    // metadata-scoped stores carry the meta column (a PARTITION key —
+    // queryFiltered prunes on it) through the rewrite; dropping it would
+    // destroy the (cell, meta) layout and break filtered serving
+    val (cols, parts) = manifestMeta(ctx) match {
+      case Some(_) => (Seq("vec_id", "v", "vnorm", "cell", "meta"), Seq("cell", "meta"))
+      case None => (Seq("vec_id", "v", "vnorm", "cell"), Seq("cell"))
+    }
+    kept.select(cols.map(col): _*)
+      .write.partitionBy(parts: _*).mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     ArtifactStore.commitCompact(ctx, names)
   }
@@ -220,30 +257,82 @@ object IvfIndexStore {
   def query(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     import spark.implicits._
-    val ctx = ArtifactStore.open(spark, path)
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val qs: Array[(Long, Seq[Double])] =
-      queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])].collect()
-    val probes: Seq[(Long, Seq[Double], Long)] = qs.toSeq.flatMap { case (id, qv) =>
-      KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
+    ArtifactStore.serving(spark, path) { ctx =>
+      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val qs: Array[(Long, Seq[Double])] = collectBounded(
+        queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])],
+        "query batch")
+      val probes: Seq[(Long, Seq[Double], Long)] = qs.toSeq.flatMap { case (id, qv) =>
+        KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
+      }
+      val probeCells = probes.map(_._3).distinct.sorted
+      val postings = servedPostings(spark, ctx, probeCells, None)
+      // query-side norm projected ONCE onto the tiny probe table (same
+      // expression as an inline evaluation — bit-identical ranks)
+      val probeDf = probes.toDF("query_id", "qv", "cell")
+        .withColumn("qnorm", normExpr(col("qv")))
+      val scored = postings.join(broadcast(probeDf), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+      val topk = graft.functions.TopKAggregator.topK(topK)
+      scored.groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
     }
-    val probeCells = probes.map(_._3).distinct.sorted
-    val postings = servedPostings(spark, ctx, probeCells, None)
-    // query-side norm projected ONCE onto the tiny probe table (same
-    // expression as an inline evaluation — bit-identical ranks)
-    val probeDf = probes.toDF("query_id", "qv", "cell")
-      .withColumn("qnorm", normExpr(col("qv")))
-    val scored = postings.join(broadcast(probeDf), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineExpr)
-    val topk = graft.functions.TopKAggregator.topK(topK)
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("cosine"), col("vec_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.vec_id").as("vec_id"))
-      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DISTRIBUTED serving for LARGE query batches — the offline-inference
+    * shape ("top-k neighbors for every vector of a second corpus") where
+    * [[query]]'s driver-side collect would OOM: nothing about the batch
+    * ever lands on the driver. Centroids (K rows — small by construction)
+    * broadcast to the executors, each query row is posted to its `nProbe`
+    * nearest cells MAP-SIDE, and candidates come from an ordinary KEYED
+    * equi-join on cell against the pruned postings (both sides shuffle on
+    * cell — no broadcast of either), finished by the bounded top-k
+    * aggregator. Identical assignment, scoring, and rank conventions to
+    * [[query]] (same `KMeans.nearestK` geometry, same hoisted-norm cosine
+    * expression), so the two paths return bit-identical rows on the same
+    * batch — the fused qs04 plan served from the artifact. Partition
+    * pruning still applies: the probed-cell set is a ≤K-value domain
+    * whatever the batch size, so the one bounded collect here is over
+    * cells, never queries. Tombstones and at-least-once appends are
+    * absorbed exactly as in [[query]]. */
+  def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val bc = spark.sparkContext.broadcast(cents)
+      // map-side cell assignment; persisted because both the probe-cell
+      // domain scan and the join read it (callers clearCache per query)
+      val posted = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])]
+        .flatMap { case (id, qv) =>
+          KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong)) }
+        .toDF("query_id", "qv", "cell")
+        .withColumn("qnorm", normExpr(col("qv")))
+        .persist()
+      // bounded collect over the CELL DOMAIN (≤ K values regardless of
+      // batch size) — drives the same partition-pruning filter as query()
+      val probeCells = posted.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val postings = servedPostings(spark, ctx, probeCells, None)
+      val scored = postings.join(posted, Seq("cell")) // keyed, NOT broadcast
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+      val topk = graft.functions.TopKAggregator.topK(topK)
+      scored.groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 
   /** RANGE (radius) serving from the prebuilt index — the takedown-sweep
@@ -258,24 +347,26 @@ object IvfIndexStore {
   def rangeQuery(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, radius: Double): DataFrame = {
     import spark.implicits._
-    val ctx = ArtifactStore.open(spark, path)
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val qs: Array[(Long, Seq[Double])] =
-      queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])].collect()
-    val probes: Seq[(Long, Seq[Double], Long)] = qs.toSeq.flatMap { case (id, qv) =>
-      KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
+    ArtifactStore.serving(spark, path) { ctx =>
+      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val qs: Array[(Long, Seq[Double])] = collectBounded(
+        queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])],
+        "query batch")
+      val probes: Seq[(Long, Seq[Double], Long)] = qs.toSeq.flatMap { case (id, qv) =>
+        KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong))
+      }
+      val probeCells = probes.map(_._3).distinct.sorted
+      val postings = servedPostings(spark, ctx, probeCells, None)
+      val probeDf = probes.toDF("query_id", "qv", "cell")
+        .withColumn("qnorm", normExpr(col("qv")))
+      postings.join(broadcast(probeDf), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+        .filter(col("cosine") >= radius)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("vec_id"))
     }
-    val probeCells = probes.map(_._3).distinct.sorted
-    val postings = servedPostings(spark, ctx, probeCells, None)
-    val probeDf = probes.toDF("query_id", "qv", "cell")
-      .withColumn("qnorm", normExpr(col("qv")))
-    postings.join(broadcast(probeDf), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineExpr)
-      .filter(col("cosine") >= radius)
-      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
-      .orderBy(col("query_id"), col("vec_id"))
   }
 
   /** Filtered serving from a metadata-scoped index (built with
@@ -290,30 +381,31 @@ object IvfIndexStore {
   def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     import spark.implicits._
-    val ctx = ArtifactStore.open(spark, path)
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val qs: Array[(Long, Seq[Double], String)] = queries
-      .select(col("query_id"), col("qv"), col("meta"))
-      .as[(Long, Seq[Double], String)].collect()
-    val probes: Seq[(Long, Seq[Double], Long, String)] =
-      qs.toSeq.flatMap { case (id, qv, mv) =>
-        KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong, mv))
-      }
-    val probeCells = probes.map(_._3).distinct.sorted
-    val probeMetas = probes.map(_._4).distinct.sorted
-    val postings = servedPostings(spark, ctx, probeCells, Some(probeMetas))
-    val probeDf = probes.toDF("query_id", "qv", "cell", "meta")
-      .withColumn("qnorm", normExpr(col("qv")))
-    val scored = postings.join(broadcast(probeDf), Seq("cell", "meta"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosineExpr)
-    val topk = graft.functions.TopKAggregator.topK(topK)
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("cosine"), col("vec_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.vec_id").as("vec_id"))
-      .orderBy(col("query_id"), col("rank"))
+    ArtifactStore.serving(spark, path) { ctx =>
+      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val qs: Array[(Long, Seq[Double], String)] = collectBounded(queries
+        .select(col("query_id"), col("qv"), col("meta"))
+        .as[(Long, Seq[Double], String)], "query batch")
+      val probes: Seq[(Long, Seq[Double], Long, String)] =
+        qs.toSeq.flatMap { case (id, qv, mv) =>
+          KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong, mv))
+        }
+      val probeCells = probes.map(_._3).distinct.sorted
+      val probeMetas = probes.map(_._4).distinct.sorted
+      val postings = servedPostings(spark, ctx, probeCells, Some(probeMetas))
+      val probeDf = probes.toDF("query_id", "qv", "cell", "meta")
+        .withColumn("qnorm", normExpr(col("qv")))
+      val scored = postings.join(broadcast(probeDf), Seq("cell", "meta"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+      val topk = graft.functions.TopKAggregator.topK(topK)
+      scored.groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }
   }
 }

@@ -35,12 +35,14 @@ import org.apache.spark.sql.functions._
   * `stats/base.json`, every append writes (OVERWRITES, so a replayed
   * batch can never double-count) `stats/batch-<id>.json`, and serving
   * sums the directory. Compaction folds the batch files into an adjusted
-  * base and RECORDS THE FOLDED BATCH IDS in it: a batch replayed AFTER a
-  * compact that absorbed it (crash before the stream's checkpoint
-  * commit) re-creates its batch file, but [[readMeta]] ignores stats
-  * files whose id the base already folded — the idempotent-replay
-  * invariant survives compaction. Replayed posting/doclen rows are
-  * absorbed by serve-time dedup/distinct as always.
+  * base and RECORDS THE FOLDED-BATCH WATERMARK (max absorbed id; ids are
+  * monotone per checkpoint) in it: a batch replayed AFTER a compact that
+  * absorbed it (crash before the stream's checkpoint commit) re-creates
+  * its batch file, but [[readMeta]] ignores stats files at or below the
+  * watermark — the idempotent-replay invariant survives compaction at
+  * O(1) manifest size however long the index streams. Replayed
+  * posting/doclen rows are absorbed by serve-time dedup/distinct as
+  * always.
   *
   * Scoring follows qt12's conventions exactly (Okapi BM25, Lucene's +1
   * idf, constants pre-folded, per-term scores 6-decimal-quantized so the
@@ -58,11 +60,17 @@ object TextIndexStore {
     require(buckets > 0)
     val ctx = ArtifactStore.open(docs.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild replaces the corpus: old tombstones must not delete fresh
+    // docs reusing an id, and stale per-batch stats files must not
+    // double-count on top of the fresh base — reset the whole mutation
+    // plane (postings/doclens are mode=overwrite; stats is file-per-batch
+    // and needs the explicit sweep)
+    ArtifactStore.resetMutationPlane(ctx, Seq("stats"))
     writePostings(docs, buckets, ctx.dir("postings"), "overwrite")
     writeDoclens(docs, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
     ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
       s"""{"buckets":$buckets}""")
-    writeStats(docs, ctx, "base.json", folded = Some(Seq.empty))
+    writeStats(docs, ctx, "base.json", foldedUpto = Some(-1L))
   }
 
   /** Append one batch of new documents to an EXISTING index: postings
@@ -83,7 +91,7 @@ object TextIndexStore {
     val (buckets, _, _) = readMeta(ctx)
     writePostings(batch, buckets, ctx.dir("postings"), "append")
     writeDoclens(batch, buckets, ctx.dir("doclens"), "append", batchId)
-    writeStats(batch, ctx, s"batch-$batchId.json", folded = None)
+    writeStats(batch, ctx, s"batch-$batchId.json", foldedUpto = None)
   }
 
   /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
@@ -117,34 +125,42 @@ object TextIndexStore {
     * window with zero stats files. */
   def compact(spark: SparkSession, path: String): Unit = {
     val ctx = ArtifactStore.open(spark, path)
-    if (!ctx.exists("tombstones")) return
     ArtifactStore.beginCompact(ctx, Components)
     val (_, n0, sumdl0) = readMeta(ctx)
-    val tomb = spark.read.parquet(ctx.dir("tombstones"))
-      .select(col("doc_id")).distinct()
+    // replayed appends fold even when NO tombstones exist — the posting
+    // and doclen dedups below are exactly what serving pays per query
+    // until compact buys them back, and the stats fold collapses the
+    // batch-file directory either way
+    val tombOpt = ArtifactStore.readTombstones(spark, ctx)
     val liveLens = spark.read.parquet(ctx.dir("doclens"))
       .select(col("doc_id"), col("dl"), col("batch_id"), col("dbucket"))
       .distinct() // absorbs replayed appends (stats counted those once)
-    val deadRow = liveLens.join(broadcast(tomb), Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)).as("c"), sum(col("dl")).as("s")).head()
-    val deadC = deadRow.getLong(0)
-    val deadS = if (deadRow.isNullAt(1)) 0L else deadRow.getLong(1)
-    spark.read.parquet(ctx.dir("postings"))
+    val livePostings = spark.read.parquet(ctx.dir("postings"))
       .dropDuplicates("token", "doc_id")
-      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
       .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite")
+    val (keptPostings, keptLens, deadC, deadS) = tombOpt match {
+      case None => (livePostings, liveLens, 0L, 0L)
+      case Some(tomb) =>
+        val deadRow = liveLens.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("c"), sum(col("dl")).as("s")).head()
+        (livePostings.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+          liveLens.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+          deadRow.getLong(0),
+          if (deadRow.isNullAt(1)) 0L else deadRow.getLong(1))
+    }
+    keptPostings.write.partitionBy("bucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
-    liveLens.join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .write.partitionBy("dbucket").mode("overwrite")
+    keptLens.write.partitionBy("dbucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "doclens"))
-    // fold every live stats file into the next epoch's base, remembering
-    // the absorbed batch ids (plus all previously absorbed ones) so a
-    // post-compact replay of any of them stays inert
-    val folded = (foldedIds(ctx) ++ batchIds(ctx)).distinct.sorted
+    // fold every live stats file into the next epoch's base, advancing
+    // the folded-batch WATERMARK so a post-compact replay of any absorbed
+    // batch stays inert (ids are monotone per checkpoint, so "≤ max
+    // folded id" identifies exactly the absorbed set — recording the max
+    // keeps the manifest O(1) instead of growing per batch forever)
+    val upto = (foldedUpto(ctx) +: batchIds(ctx)).max
     ArtifactStore.writeString(ctx.fs,
       new Path(ArtifactStore.stagingDir(ctx, "stats"), "base.json"),
-      statsJson(n0 - deadC, sumdl0 - deadS, Some(folded)))
+      statsJson(n0 - deadC, sumdl0 - deadS, Some(upto)))
     ArtifactStore.commitCompact(ctx, Components)
   }
 
@@ -183,28 +199,33 @@ object TextIndexStore {
       .write.partitionBy("dbucket").mode(mode)
       .parquet(dir)
 
-  private def statsJson(n: Long, sumdl: Long, folded: Option[Seq[Long]]): String = {
-    val f = folded.map(ids => s""","folded":[${ids.mkString(",")}]""").getOrElse("")
+  private def statsJson(n: Long, sumdl: Long, foldedUpto: Option[Long]): String = {
+    val f = foldedUpto.map(u => s""","folded_upto":$u""").getOrElse("")
     s"""{"n":$n,"sumdl":$sumdl$f}"""
   }
 
   private def writeStats(docs: DataFrame, ctx: ArtifactStore.Ctx,
-      fname: String, folded: Option[Seq[Long]]): Unit = {
+      fname: String, foldedUpto: Option[Long]): Unit = {
     val toksAll = TextOps.tokens(col("text"))
     val st = docs.agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl")).head()
     val sumdl = if (st.isNullAt(1)) 0L else st.getLong(1) // empty batch
     ArtifactStore.writeString(ctx.fs, new Path(ctx.dir("stats"), fname),
-      statsJson(st.getLong(0), sumdl, folded))
+      statsJson(st.getLong(0), sumdl, foldedUpto))
   }
 
-  /** Batch ids the live base.json already folded (empty until a compact). */
-  private def foldedIds(ctx: ArtifactStore.Ctx): Seq[Long] = {
+  /** The folded-batch WATERMARK: every batch id ≤ this has been absorbed
+    * into the live base.json (−1 until a compact absorbs one). Batch ids
+    * are monotone per checkpoint (Structured Streaming's contract, and
+    * the documented requirement for manual [[appendBatch]] callers), so
+    * one long identifies the absorbed set — O(1) manifest size however
+    * long the index streams, where a recorded id LIST would grow and be
+    * re-parsed per serve forever. */
+  private def foldedUpto(ctx: ArtifactStore.Ctx): Long = {
     val base = new Path(ctx.dir("stats"), "base.json")
-    if (!ctx.fs.exists(base)) Seq.empty
-    else """"folded":\[([0-9,]*)\]""".r
+    if (!ctx.fs.exists(base)) -1L
+    else """"folded_upto":(-?\d+)""".r
       .findFirstMatchIn(ArtifactStore.readString(ctx.fs, base))
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(',').toSeq.map(_.toLong)).getOrElse(Seq.empty)
+      .map(_.group(1).toLong).getOrElse(-1L)
   }
 
   /** Ids of the live per-batch stats files. */
@@ -214,19 +235,20 @@ object TextIndexStore {
         s.stripPrefix("batch-").stripSuffix(".json").toLong
     }
 
-  /** Corpus stats = base + every NOT-YET-FOLDED batch increment, summed
-    * over the (small, driver-local-size) stats directory. */
+  /** Corpus stats = base + every NOT-YET-FOLDED batch increment (batch
+    * id > the folded watermark), summed over the (small,
+    * driver-local-size) stats directory. */
   private def readMeta(ctx: ArtifactStore.Ctx): (Int, Long, Long) = {
     def field(txt: String, k: String): Long =
       s""""$k":(-?\\d+)""".r.findFirstMatchIn(txt)
         .getOrElse(sys.error(s"manifest missing $k")).group(1).toLong
     val buckets = field(ArtifactStore.readString(ctx.fs,
       new Path(ctx.root, "manifest.json")), "buckets").toInt
-    val folded = foldedIds(ctx).toSet
+    val upto = foldedUpto(ctx)
     val stats = ArtifactStore.listNames(ctx.fs, ctx.path("stats"))
       .filter(_.endsWith(".json"))
       .filter(s => s == "base.json" ||
-        !folded.contains(s.stripPrefix("batch-").stripSuffix(".json").toLong))
+        s.stripPrefix("batch-").stripSuffix(".json").toLong > upto)
       .map(s => ArtifactStore.readString(ctx.fs, new Path(ctx.dir("stats"), s)))
     (buckets, stats.map(field(_, "n")).sum, stats.map(field(_, "sumdl")).sum)
   }
@@ -237,7 +259,7 @@ object TextIndexStore {
     * (score DESC, doc_id) order. */
   def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
       topK: Int): DataFrame = {
-    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.serving(spark, path) { ctx =>
     val (buckets, n0, sumdl0) = readMeta(ctx)
     // tombstone fold: subtract the deleted docs' stats contributions
     // (pruned to their id-hash buckets; one row per batch contribution,
@@ -318,5 +340,6 @@ object TextIndexStore {
         sum(col("sc")).cast("double").as("score"))
       .orderBy(desc("score"), col("doc_id"))
       .limit(topK)
+    }
   }
 }
