@@ -1,0 +1,315 @@
+package graft
+
+import graft.relational.{QueryCatalog, QueryHelpers}
+import graft.sinks.{ArtifactStore, BandIndexStore, IvfIndexStore, TextIndexStore}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 hardening contracts across the persistent artifact plane:
+  * the distributed IVF batch serve path, the driver-batch bound, compact
+  * folding replays WITHOUT tombstones, metadata-scoped compaction,
+  * rebuild resetting the mutation plane, corrupt-guard recovery, the
+  * serve retry-at-new-epoch protocol, and the crash-protocol trio pushed
+  * through IvfIndexStore and TextIndexStore (ArtifactStoreSpec pins it
+  * through BandIndexStore). */
+class StoreHardeningSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+  private val terms = Seq("spark", "join", "window")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- distributed batch serving ----
+
+  test("queryBatch serves the fused qs04 plan bit-identically without collecting the batch") {
+    val idx = tmp("graft-qbatch")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    val queries = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val served = IvfIndexStore.queryBatch(spark, idx, queries, nProbe = 4, topK = 3)
+    // the scale property survives: even the large-batch path drives a
+    // probe-cell PartitionFilter into the postings scan (the cell domain
+    // is ≤ K values whatever the batch size)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"batch serving must still prune partitions:\n${plan.take(2000)}")
+    val got = served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = QueryCatalog.byName("qs04_ann_batch").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want, s"queryBatch diverges from qs04 (${got.length} vs ${want.length} rows)")
+  }
+
+  test("driver-side serve paths refuse an oversized query batch with a pointer at queryBatch") {
+    val idx = tmp("graft-qbound")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    // 65537 rows trips the bound before any vector math touches qv
+    val big = spark.range(0, 65537)
+      .select(col("id").as("query_id"), array(lit(0.0)).as("qv"))
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndexStore.query(spark, idx, big, nProbe = 4, topK = 10)
+    }
+    assert(ex.getMessage.contains("queryBatch"),
+      "the bound violation must point the caller at the distributed path")
+  }
+
+  // ---- compact folds replays even without tombstones ----
+
+  test("BandIndexStore.compact reclaims replayed postings when no tombstones exist") {
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = ((0L until 5L).map(i => (i, page)) ++
+      Seq((10L, page + " tail"), (20L, "completely unrelated content lives here")))
+      .toDF("doc_id", "text")
+    val arriving = Seq((100L, page)).toDF("doc_id", "text")
+    val batch = Seq((200L, page + " fresh"), (201L, "another brand new page"))
+      .toDF("doc_id", "text")
+    val idx = tmp("graft-bidx-replay")
+    BandIndexStore.build(existing, idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    def serve() = {
+      val got = BandIndexStore.probe(spark, idx, arriving, 0.80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      got
+    }
+    BandIndexStore.appendBatch(batch, idx)
+    BandIndexStore.appendBatch(batch, idx) // at-least-once replay
+    val want = serve()
+    val before = spark.read.parquet(
+      ArtifactStore.open(spark, idx).dir("postings")).count()
+    BandIndexStore.compact(spark, idx) // NO tombstones — must still fold
+    val ctx = ArtifactStore.open(spark, idx)
+    assert(ctx.epoch == 1L, "a replay-only compact must still commit an epoch")
+    val after = spark.read.parquet(ctx.dir("postings")).count()
+    assert(after < before,
+      s"compact must reclaim the duplicated posting rows ($before -> $after)")
+    assert(serve() == want, "probing must be identical across a replay-only compact")
+  }
+
+  test("TextIndexStore.compact reclaims replayed postings and folds batch stats without tombstones") {
+    val idx = tmp("graft-tidx-replay")
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs.filter(col("doc_id") < 250), buckets = 64, idx)
+    val tail = docs.filter(col("doc_id") >= 250)
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L)
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L) // at-least-once replay
+    def serve() = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = serve()
+    val before = spark.read.parquet(
+      ArtifactStore.open(spark, idx).dir("postings")).count()
+    TextIndexStore.compact(spark, idx) // NO tombstones — must still fold
+    val ctx = ArtifactStore.open(spark, idx)
+    assert(ctx.epoch == 1L)
+    val after = spark.read.parquet(ctx.dir("postings")).count()
+    assert(after < before,
+      s"compact must reclaim the duplicated posting rows ($before -> $after)")
+    // batch stats fold into the base: the stats dir collapses to one file
+    assert(ArtifactStore.listNames(ctx.fs, ctx.path("stats")) == Seq("base.json"),
+      "batch stats files must fold into base.json")
+    assert(serve() == want, "serving must be identical across a replay-only compact")
+    // and the folded watermark keeps a post-compact replay of batch 1 inert
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L)
+    assert(serve() == want, "a replay of a folded batch must stay inert after compact")
+  }
+
+  // ---- metadata-scoped compaction ----
+
+  test("compact preserves the meta partition axis of a metadata-scoped IVF store") {
+    val idx = tmp("graft-ivf-metacompact")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx, metaCol = Some("label"))
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    def serve() = IvfIndexStore.queryFiltered(spark, idx, queries, nProbe = 4, topK = 10)
+    val want = serve().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    IvfIndexStore.delete(spark, idx, Seq(want.head._3))
+    val afterDelete = serve().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    IvfIndexStore.compact(spark, idx)
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    val served = serve()
+    // filtered serving still works AND still prunes on BOTH partition axes
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(served.queryExecution.executedPlan.toString).getOrElse("")
+    assert(pf.contains("cell") && pf.contains("meta"),
+      s"compacted store must keep the (cell, meta) layout, got $pf")
+    val got = served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == afterDelete, "filtered serving must be identical across compact")
+  }
+
+  // ---- rebuild resets the mutation plane ----
+
+  test("rebuilding a store in place clears tombstones recorded against the old corpus") {
+    // IVF: a fresh corpus reusing a tombstoned vec_id must serve
+    val ivf = tmp("graft-ivf-rebuild")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, ivf)
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    def ivfServe() = IvfIndexStore.query(spark, ivf, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = ivfServe()
+    IvfIndexStore.delete(spark, ivf, Seq(want.head._3))
+    assert(ivfServe() != want, "sanity: the tombstone visibly reshapes serving")
+    IvfIndexStore.build(e, k = 16, ivf) // rebuild with the same ids
+    assert(ivfServe() == want,
+      "a rebuild must not inherit tombstones from the previous corpus")
+
+    // Text: stale per-batch stats files must not double-count on rebuild
+    val tidx = tmp("graft-tidx-rebuild")
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs, buckets = 64, tidx)
+    def tServe() = TextIndexStore.queryBm25(spark, tidx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val tWant = tServe()
+    TextIndexStore.delete(spark, tidx, Seq(tWant.head._1))
+    TextIndexStore.appendBatch(docs.limit(5), tidx, batchId = 9L)
+    TextIndexStore.build(docs, buckets = 64, tidx) // rebuild in place
+    assert(tServe() == tWant,
+      "a rebuild must reset tombstones AND stale batch stats (scores depend on N, Σdl)")
+  }
+
+  // ---- corrupt guard recovery ----
+
+  test("an empty/corrupt _COMPACTING guard fails mutations loudly but compact still recovers") {
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = ((0L until 5L).map(i => (i, page)) ++
+      Seq((20L, "completely unrelated content lives here"))).toDF("doc_id", "text")
+    val arriving = Seq((100L, page)).toDF("doc_id", "text")
+    val idx = tmp("graft-corrupt-guard")
+    BandIndexStore.build(existing, idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    def serve() = {
+      val got = BandIndexStore.probe(spark, idx, arriving, 0.80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      got
+    }
+    val want = serve()
+    // crash mid-write of the guard on a non-atomic FS: an EMPTY file
+    val fs = ArtifactStore.fileSystem(spark, idx)
+    ArtifactStore.writeString(fs, new Path(idx, "_COMPACTING"), "")
+    intercept[IllegalStateException] { // loud, not NumberFormatException
+      BandIndexStore.appendBatch(Seq((300L, "fresh text")).toDF("doc_id", "text"), idx)
+    }
+    assert(serve() == want, "a corrupt guard must not disturb serving")
+    // the documented recovery path works: compact() overwrites the junk
+    BandIndexStore.compact(spark, idx)
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    assert(serve() == want, "recovery through a corrupt guard must serve identically")
+    BandIndexStore.appendBatch(Seq((300L, "fresh text")).toDF("doc_id", "text"), idx)
+  }
+
+  // ---- serve retry-at-new-epoch ----
+
+  test("serving() retries once when the live epoch advanced; rethrows otherwise") {
+    val root = tmp("graft-serve-retry")
+    val fs = ArtifactStore.fileSystem(spark, root)
+    fs.mkdirs(new Path(root))
+    var calls = 0
+    val got = ArtifactStore.serving(spark, root) { ctx =>
+      calls += 1
+      if (calls == 1) {
+        // a compact commits between our open and the component read: its
+        // GC deletes the epoch-0 files out from under the listing
+        ArtifactStore.writeString(fs, new Path(root, "epoch-1"), "")
+        throw new RuntimeException("simulated: epoch-0 files lost to GC")
+      }
+      ctx.epoch
+    }
+    assert(calls == 2 && got == 1L,
+      "a proven commit race must retry exactly once at the new epoch")
+    // no epoch advance → a genuine failure propagates untouched
+    val ex = intercept[RuntimeException] {
+      ArtifactStore.serving(spark, root) { _ => throw new RuntimeException("real failure") }
+    }
+    assert(ex.getMessage == "real failure")
+  }
+
+  // ---- crash-protocol trio through IvfIndexStore and TextIndexStore ----
+
+  test("IVF store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
+    val idx = tmp("graft-ivf-crash")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    IvfIndexStore.delete(spark, idx, Seq(42L, 137L))
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    def serve() = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = serve()
+    // pre-commit crash: guard raised, staging garbage half-written
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.beginCompact(ctx, Seq("postings"))
+    val staged = java.nio.file.Paths.get(ArtifactStore.stagingDir(ctx, "postings"))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("part-junk.parquet"), "not parquet")
+    intercept[IllegalStateException] {
+      IvfIndexStore.appendBatch(e.filter(col("vec_id") === 450L), idx)
+    }
+    intercept[IllegalStateException] { IvfIndexStore.delete(spark, idx, Seq(1L)) }
+    assert(serve() == want, "a crashed compaction must not disturb IVF serving")
+    IvfIndexStore.compact(spark, idx) // sweeps staging junk, folds, commits
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    assert(serve() == want, "IVF serving must be identical across the recovered compact")
+    // post-commit crash: stale guard + resurrected old-epoch dir
+    val root = java.nio.file.Paths.get(idx)
+    java.nio.file.Files.writeString(root.resolve("_COMPACTING"), "0")
+    val stale = root.resolve("postings")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("part-junk.parquet"), "not parquet")
+    assert(serve() == want, "serving resolves the live epoch, never stale dirs")
+    IvfIndexStore.appendBatch(e.filter(col("vec_id") === 450L), idx) // sweeps the guard
+    val fs = ArtifactStore.fileSystem(spark, idx)
+    assert(!fs.exists(new Path(idx, "_COMPACTING")),
+      "a stale post-commit guard must be swept by the next mutation")
+  }
+
+  test("text store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
+    val idx = tmp("graft-tidx-crash")
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs, buckets = 64, idx)
+    def serve() = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val victims = serve().take(1).map(_._1)
+    TextIndexStore.delete(spark, idx, victims)
+    val want = serve()
+    // pre-commit crash: guard raised, staging garbage half-written (the
+    // text store's compact has store-specific fold logic — doclens +
+    // stats — that the shared BandIndexStore pin doesn't reach)
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.beginCompact(ctx, Seq("postings", "doclens", "stats"))
+    val staged = java.nio.file.Paths.get(ArtifactStore.stagingDir(ctx, "stats"))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("base.json"), "{corrupt")
+    intercept[IllegalStateException] {
+      TextIndexStore.appendBatch(docs.limit(3), idx, batchId = 5L)
+    }
+    intercept[IllegalStateException] { TextIndexStore.delete(spark, idx, Seq(1L)) }
+    assert(serve() == want, "a crashed compaction must not disturb BM25 serving")
+    TextIndexStore.compact(spark, idx) // sweeps staging junk, folds, commits
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    assert(serve() == want,
+      "BM25 serving (scores included — the folded stats arithmetic) must be identical across the recovered compact")
+    // post-commit crash: stale guard + resurrected old-epoch stats dir
+    // (would double-count N and Σdl if the live view ever read it)
+    val root = java.nio.file.Paths.get(idx)
+    java.nio.file.Files.writeString(root.resolve("_COMPACTING"), "0")
+    val stale = root.resolve("stats")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("base.json"),
+      """{"n":999999,"sumdl":999999}""")
+    assert(serve() == want, "serving resolves the live epoch's stats, never stale dirs")
+    TextIndexStore.appendBatch(docs.limit(3), idx, batchId = 6L) // sweeps the guard
+    val fs = ArtifactStore.fileSystem(spark, idx)
+    assert(!fs.exists(new Path(idx, "_COMPACTING")),
+      "a stale post-commit guard must be swept by the next mutation")
+  }
+}
