@@ -1761,16 +1761,15 @@ object PipelineQueries {
           while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
           (math.sqrt(acc), cid)
         }.sortBy(identity).take(n).map(_._2).toSeq
-      val assigned = e.as[(Long, Seq[Double])]
+      val assigned = hoistNorm(e.as[(Long, Seq[Double])]
         .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
-        .toDF("vec_id", "v", "cell")
-      val queries = e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
+        .toDF("vec_id", "v", "cell"), "v", "vnorm")
+      val queries = hoistNorm(e.filter(col("vec_id") < 5).as[(Long, Seq[Double])]
         .flatMap { case (id, v) => nearestCells(v, NProbe).map(c => (id, v, c)) }
-        .toDF("query_id", "qv", "cell")
+        .toDF("query_id", "qv", "cell"), "qv", "qnorm")
       assigned.join(broadcast(queries), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
         .filter(col("cosine") >= Radius)
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("vec_id"))
@@ -1926,17 +1925,16 @@ object PipelineQueries {
         .persist() // training passes + cell posting + truth scan reuse it
       val cents = KMeans.fit(e.as[(Long, Seq[Double])], K, Iters)
       val bc = s.sparkContext.broadcast(cents)
-      val assigned = e.as[(Long, Seq[Double])]
+      val assigned = hoistNorm(e.as[(Long, Seq[Double])]
         .map { case (id, v) => (id, v, KMeans.nearest(bc.value, v).toLong) }
-        .toDF("vec_id", "v", "cell")
-      val queries = e.filter(col("vec_id") < NQueries).as[(Long, Seq[Double])]
+        .toDF("vec_id", "v", "cell"), "v", "vnorm")
+      val queries = hoistNorm(e.filter(col("vec_id") < NQueries).as[(Long, Seq[Double])]
         .flatMap { case (id, v) =>
           KMeans.nearestK(bc.value, v, NProbe).map(c => (id, v, c.toLong)) }
-        .toDF("query_id", "qv", "cell")
+        .toDF("query_id", "qv", "cell"), "qv", "qnorm")
       val scored = assigned.join(broadcast(queries), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       val ivf = topkRanked(scored).select(col("query_id"), col("vec_id"))
       val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
         .select(col("query_id"), col("vec_id"))
@@ -2023,12 +2021,14 @@ object PipelineQueries {
       val cand = qscored.groupBy(col("query_id"))
         .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
-      val exactQueries = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val rescored = e.join(broadcast(cand), Seq("vec_id"))
+      val exactQueries = hoistNorm(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), "qv", "qnorm")
+      // hoist AFTER the candidate join: vnorm once per surviving
+      // candidate row (bounded CandK × queries), qnorm once per query —
+      // never per pair (bit-identical expression, same IEEE ops)
+      val rescored = hoistNorm(e.join(broadcast(cand), Seq("vec_id")), "v", "vnorm")
         .join(broadcast(exactQueries), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       val reranked = topkRanked(rescored).select(col("query_id"), col("vec_id"))
       val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
         .select(col("query_id"), col("vec_id"))
@@ -2056,14 +2056,14 @@ object PipelineQueries {
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
           transform(col("embedding"), _.cast("double")).as("v"))
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = hoistNorm(e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
-          col("v").as("qv"))
-      val scored = e.crossJoin(broadcast(queries))
+          col("v").as("qv")), "qv", "qnorm")
+      val scored = hoistNorm(e, "v", "vnorm").crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"),
           when(col("label") === col("qlabel"), "pos").otherwise("neg").as("kind"),
-          col("vec_id"), cosineCol(col("qv"), col("v")).as("cosine"))
+          col("vec_id"), cosineHoisted.as("cosine"))
       val topk = graft.functions.TopKAggregator.topK(PairK)
       scored.groupBy(col("query_id"), col("kind"))
         .agg(topk(col("cosine"), col("vec_id")).as("top"))
@@ -2157,12 +2157,14 @@ object PipelineQueries {
       val cand = scored.groupBy(col("query_id"))
         .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
-      val exactQueries = e.toDF("vec_id", "v").filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val rescored = e.toDF("vec_id", "v").join(broadcast(cand), Seq("vec_id"))
+      val exactQueries = hoistNorm(e.toDF("vec_id", "v").filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), "qv", "qnorm")
+      // hoist AFTER the candidate join — same per-candidate/per-query
+      // (never per-pair) norm discipline as qs05/qs11, bit-identical
+      val rescored = hoistNorm(e.toDF("vec_id", "v")
+          .join(broadcast(cand), Seq("vec_id")), "v", "vnorm")
         .join(broadcast(exactQueries), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       val reranked = topkRanked(rescored).select(col("query_id"), col("vec_id"))
       val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
         .select(col("query_id"), col("vec_id"))
@@ -2200,13 +2202,13 @@ object PipelineQueries {
           (lit(1.0) / (lit(1.0) +
             round(nPunct.cast("double") / length(txt), 6) +
             round(nStop.cast("double") / nTokens, 6))).as("prior"))
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val scored = e.join(prior, Seq("vec_id"))
+      val queries = hoistNorm(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), "qv", "qnorm")
+      val scored = hoistNorm(e, "v", "vnorm").join(prior, Seq("vec_id"))
         .crossJoin(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
-          (cosineCol(col("qv"), col("v")) * col("prior")).as("cosine"))
+          (cosineHoisted * col("prior")).as("cosine"))
       topkRanked(scored)
     }, Some("""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2584,18 +2586,26 @@ object PipelineQueries {
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
         .withColumn("p", slice(col("v"), 1, PrefixD))
-      val queries = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("p").as("qp"))
-      val pscored = e.crossJoin(broadcast(queries.select(col("query_id"), col("qp"))))
+      val queries = hoistNorm(hoistNorm(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("p").as("qp")),
+        "qp", "qpnorm"), "qv", "qnorm")
+      // prefix-stage norms hoisted per SIDE (corpus pnorm once per row,
+      // query qpnorm once per query — never per pair; bit-identical
+      // expression, same IEEE ops as the inline form)
+      val pscored = hoistNorm(e, "p", "pnorm")
+        .crossJoin(broadcast(queries.select(col("query_id"), col("qp"), col("qpnorm"))))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosineCol(col("qp"), col("p")).as("cosine"))
+        .select(col("query_id"), col("vec_id"),
+          (vdot(col("qp"), col("p")) / (col("qpnorm") * col("pnorm"))).as("cosine"))
       val candTopK = graft.functions.TopKAggregator.topK(CandK)
       val cand = pscored.groupBy(col("query_id"))
         .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
-      val rescored = e.join(broadcast(cand), Seq("vec_id"))
-        .join(broadcast(queries.select(col("query_id"), col("qv"))), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"), cosineCol(col("qv"), col("v")).as("cosine"))
+      // rerank: vnorm once per surviving candidate row, after the join
+      val rescored = hoistNorm(e.join(broadcast(cand), Seq("vec_id")), "v", "vnorm")
+        .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnorm"))),
+          Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       topkRanked(rescored)
     }, Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -4783,12 +4793,14 @@ object PipelineQueries {
       val cand = hammed.groupBy(col("query_id"))
         .agg(candTopK(col("score"), col("vec_id")).as("top"))
         .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
-      val exactQueries = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val rescored = e.join(broadcast(cand), Seq("vec_id"))
+      val exactQueries = hoistNorm(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), "qv", "qnorm")
+      // hoist AFTER the candidate join: vnorm once per surviving
+      // candidate row (bounded CandK × queries), qnorm once per query —
+      // never per pair (bit-identical expression, same IEEE ops)
+      val rescored = hoistNorm(e.join(broadcast(cand), Seq("vec_id")), "v", "vnorm")
         .join(broadcast(exactQueries), Seq("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       val reranked = topkRanked(rescored).select(col("query_id"), col("vec_id"))
       val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
         .select(col("query_id"), col("vec_id"))
@@ -5089,16 +5101,15 @@ object PipelineQueries {
           while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
           (math.sqrt(acc), cid)
         }.sortBy(identity).take(n).map(_._2).toSeq
-      val assigned = e.as[(Long, Int, Seq[Double])]
+      val assigned = hoistNorm(e.as[(Long, Int, Seq[Double])]
         .map { case (id, lb, v) => (id, lb, v, nearestCells(v, 1).head) }
-        .toDF("vec_id", "label", "v", "cell")
-      val queries = e.filter(col("vec_id") < 5).as[(Long, Int, Seq[Double])]
+        .toDF("vec_id", "label", "v", "cell"), "v", "vnorm")
+      val queries = hoistNorm(e.filter(col("vec_id") < 5).as[(Long, Int, Seq[Double])]
         .flatMap { case (id, lb, v) => nearestCells(v, NProbe).map(c => (id, lb, v, c)) }
-        .toDF("query_id", "label", "qv", "cell")
+        .toDF("query_id", "label", "qv", "cell"), "qv", "qnorm")
       val scored = assigned.join(broadcast(queries), Seq("cell", "label"))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       topkRanked(scored)
     }, Some(oFilteredTopkSql)),
 
@@ -5297,12 +5308,14 @@ object PipelineQueries {
         .agg(candTopK(col("score"), col("vec_id")).as("top"))
         .select(col("query_id"), posexplode(col("top")))
         .select(col("query_id"), col("pos").as("r"), col("col.vec_id").as("vec_id"))
-      val exactQueries = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv"))
-      val cosined = e.join(broadcast(cand), Seq("vec_id"))
+      val exactQueries = hoistNorm(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")), "qv", "qnorm")
+      // hoist AFTER the candidate join — vnorm once per surviving
+      // candidate row, qnorm once per query, never per pair
+      val cosined = hoistNorm(e.join(broadcast(cand), Seq("vec_id")), "v", "vnorm")
         .join(broadcast(exactQueries), Seq("query_id"))
         .select(col("query_id"), col("vec_id"), col("r"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+          cosineHoisted.as("cosine"))
         .persist() // every margin's rerank reads it
       import s.implicits._
       val marginDf = Margins.toDF("m")
@@ -5437,11 +5450,13 @@ object PipelineQueries {
       val probeRows = qvecs.toSeq.flatMap { case (qid, qv) =>
         rankedCells(qv).zipWithIndex.map { case (c, i) => (qid, qv, c, i + 1L) }
       }
-      val probeDf = probeRows.toDF("query_id", "qv", "cell", "probe_rank")
-      val scored = assigned.join(broadcast(probeDf), Seq("cell"))
+      val probeDf = hoistNorm(
+        probeRows.toDF("query_id", "qv", "cell", "probe_rank"), "qv", "qnorm")
+      val scored = hoistNorm(assigned, "v", "vnorm")
+        .join(broadcast(probeDf), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), col("probe_rank"),
-          cosineCol(col("qv"), col("v")).as("cosine"))
+          cosineHoisted.as("cosine"))
         .persist() // every curve point filters it by probe_rank prefix
       val pointsDf = Probes.map(_.toLong).toDF("m")
       val topk = graft.functions.TopKAggregator.topK(AnnTopK)
