@@ -1,12 +1,49 @@
 package graft
 
-import graft.relational.QueryCatalog
+import graft.relational.{PipelineQueries, QueryCatalog}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline query subset on SPARK_GRAFT_SF_DIR
   * and prints one JSON line. Queries run through the same catalog the
   * correctness gate uses — no bench-only fast paths. */
 object Bench {
+
+  /** CALIBRATION CANARY: a fixed pure-CPU computation (no IO, no Spark)
+    * timed at the start of every sweep, reported verbatim in the JSON
+    * line. The host-stall noise this bench is exposed to (see CLAUDE.md
+    * gotchas) is strictly one-sided and can span an entire run at a mild
+    * level — which uniform-shifts every per-query min and masquerades as
+    * an across-the-board regression (round 8's apparent 20-90% deltas
+    * were exactly this). A reader comparing BENCH_rN to BENCH_rM divides
+    * by the canary ratio first: the workload is constant across rounds,
+    * so any canary delta IS ambient contention, not code. ~2.5e8 xorshift
+    * steps ≈ 0.5 s calm. */
+  private def cpuCanary(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0
+    while (i < 250000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("") // defeat dead-code elimination
+    sec
+  }
+
+  /** SCHEDULER CANARY: one trivial many-task Spark job (no data read) —
+    * times the task-dispatch RPC round-trips that the documented
+    * hypervisor wakeup-latency stalls inflate first. Pure-CPU stays calm
+    * while this degrades ⇒ the window is a scheduler-RPC stall; both
+    * elevated ⇒ general CPU contention. */
+  private def schedCanary(spark: SparkSession, slots: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(0 until slots * 4, slots * 4).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -67,7 +104,15 @@ object Bench {
     }
     val samples = scala.collection.mutable.LinkedHashMap(
       benched.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val schedCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sweepCanary(): Unit = {
+      val c = cpuCanary(); val sc = schedCanary(spark, slots)
+      canaries += c; schedCanaries += sc
+      System.err.println(f"[bench] canary cpu=$c%.3f s sched=$sc%.3f s")
+    }
     (1 to 3).foreach { round =>
+      sweepCanary()
       benched.foreach { q =>
         val sec = timed(q)
         samples(q.name) += sec
@@ -81,11 +126,47 @@ object Bench {
     var extra = 0
     while (extra < 3 && benched.exists(q => uncorroborated(q.name))) {
       extra += 1
+      sweepCanary()
       benched.filter(q => uncorroborated(q.name)).foreach { q =>
         val sec = timed(q)
         samples(q.name) += sec
         System.err.println(f"[bench] extra $extra ${q.name}%-24s $sec%8.3f s")
       }
+    }
+
+    // SERVE-ONLY timings for the persistent-store paths: the gate rows
+    // qd17/qs14/qt23 time BUILD+serve from scratch (and stay — they gate
+    // the whole pipeline), but the build dominates them, so a regression
+    // in the serve kernel — what a production deploy cares about — would
+    // hide inside build noise. Build each store ONCE (untimed), then
+    // min-of-3 the serve alone.
+    val servePaths: Seq[(String, () => org.apache.spark.sql.DataFrame)] = {
+      val bandIdx = PipelineQueries.Serve.buildBandIndex(spark, sfDir)
+      val ivfIdx = PipelineQueries.Serve.buildIvfIndex(spark, sfDir)
+      val textIdx = PipelineQueries.Serve.buildTextIndex(spark, sfDir)
+      spark.catalog.clearCache()
+      Seq(
+        "qd17_probe_only" -> (() => PipelineQueries.Serve.probeBandIndex(spark, sfDir, bandIdx)),
+        "qs14_query_only" -> (() => PipelineQueries.Serve.queryIvfIndex(spark, sfDir, ivfIdx)),
+        "qt23_bm25_only" -> (() => PipelineQueries.Serve.queryTextIndex(spark, textIdx)))
+    }
+    val serveSamples = scala.collection.mutable.LinkedHashMap(
+      servePaths.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    (1 to 3).foreach { _ =>
+      servePaths.foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        try f().count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        serveSamples(name) += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+      }
+    }
+    val serveResults = servePaths.map { case (name, _) =>
+      val times = serveSamples(name)
+      System.err.println(f"[bench] ${name}%-24s ${times.min}%8.3f s (serve-only; runs: ${
+        times.map(t => f"$t%.3f").mkString(" ")})")
+      name -> times.min
     }
     val results = benched.map { q =>
       val times = samples(q.name)
@@ -96,8 +177,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val serveJson = serveResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val schedJson = schedCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"serve_only":$serveJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

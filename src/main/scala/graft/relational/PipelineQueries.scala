@@ -23,6 +23,55 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import QueryHelpers._
 
+  /** Build/serve split of the three persistent-store headline paths —
+    * ONE definition feeding both the catalog gate rows qd17/qs14/qt23
+    * (which time BUILD+serve from scratch, gating the whole
+    * build→persist→prune→serve pipeline) and Bench's serve-only rows
+    * (build once untimed, then time the serve alone): the regression a
+    * production deploy actually cares about is the serve latency, and in
+    * a joint row it hides inside the one-off build's noise. */
+  object Serve {
+    def buildBandIndex(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qd17-bidx").toString
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
+      graft.sinks.BandIndexStore.build(
+        docs.filter(col("bucket") < 90).select(col("doc_id"), col("text")),
+        idxDir, ShingleN, NumPerms, RowsPerBand)
+      idxDir
+    }
+    def probeBandIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
+      graft.sinks.BandIndexStore.probe(s, idxDir,
+        docs.filter(col("bucket") >= 90).select(col("doc_id"), col("text")),
+        JaccardThreshold)
+    }
+    def buildIvfIndex(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs14-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
+      idxDir
+    }
+    def queryIvfIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.IvfIndexStore.query(s, idxDir, queries, nProbe = 4, topK = 10)
+    }
+    def buildTextIndex(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt23-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      idxDir
+    }
+    def queryTextIndex(s: SparkSession, idxDir: String): DataFrame =
+      graft.sinks.TextIndexStore.queryBm25(s, idxDir,
+        Seq("spark", "join", "window"), AnnTopK)
+  }
+
   private val ShingleN = 4
   private val NumPerms = 8
   private val RowsPerBand = 4 // 2 bands of 4 rows: P(candidate | j) = 1-(1-j^4)^2
@@ -700,16 +749,7 @@ object PipelineQueries {
       // partitions (parquet partition pruning, spec-pinned in
       // BandIndexSpec), and postings carry the rep's hash array so
       // verification needs zero side joins.
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-qd17-bidx").toString
-      val docs = table(s, d, "documents")
-        .select(col("doc_id"), col("text"), splitBucket.as("bucket"))
-      graft.sinks.BandIndexStore.build(
-        docs.filter(col("bucket") < 90).select(col("doc_id"), col("text")),
-        idxDir, ShingleN, NumPerms, RowsPerBand)
-      graft.sinks.BandIndexStore.probe(s, idxDir,
-        docs.filter(col("bucket") >= 90).select(col("doc_id"), col("text")),
-        JaccardThreshold)
+      Serve.probeBandIndex(s, d, Serve.buildBandIndex(s, d))
     }, Some(oIncrementalDedupSql), headline = true),
 
     CatalogQuery("qd21_band_index_delete_serve", (s, d) => {
@@ -1663,14 +1703,7 @@ object PipelineQueries {
       // layout, dedup, rank order) against DuckDB, not just against
       // specs. Scale shape: serving opens only the probed nprobe/K cell
       // partitions (PartitionFilters, pinned in IvfIndexSpec).
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-qs14-ivf").toString
-      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
-      val queries = table(s, d, "embeddings")
-        .select(col("vec_id").as("query_id"),
-          transform(col("embedding"), _.cast("double")).as("qv"))
-        .filter(col("query_id") < 5)
-      graft.sinks.IvfIndexStore.query(s, idxDir, queries, nProbe = 4, topK = 10)
+      Serve.queryIvfIndex(s, d, Serve.buildIvfIndex(s, d))
     }, Some(oIvfTopkSql), headline = true),
 
     CatalogQuery("qs16_index_delete_serve", (s, d) => {
@@ -3181,11 +3214,7 @@ object PipelineQueries {
       // partitions (parquet partition pruning on the token axis,
       // spec-pinned in TextIndexSpec); df derives from the pruned slice
       // itself; corpus stats come from the manifest, not a scan.
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-qt23-tidx").toString
-      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
-      graft.sinks.TextIndexStore.queryBm25(s, idxDir,
-        Seq("spark", "join", "window"), AnnTopK)
+      Serve.queryTextIndex(s, Serve.buildTextIndex(s, d))
     }, Some(oBm25Sql), headline = true),
 
     CatalogQuery("qt29_index_bm25_delete_serve", (s, d) => {
