@@ -158,6 +158,14 @@ object DemoWorkflowMain {
         .collect()
       val sweptClean = !swept.exists(_.getLong(1) == firstVec)
       println(s"[probe-ivf-range] rows=${swept.length} tombstoneExcluded=$sweptClean (expect >0, true)")
+      // distributed large-batch serving from the same artifact: never
+      // collects the batch (map-side cell assignment + keyed join) and
+      // must agree with the driver-side path on the same queries
+      val batched = graft.sinks.IvfIndexStore.queryBatch(spark, ivfDir, q, 4, 10).collect()
+      spark.catalog.clearCache() // queryBatch persists its posted queries
+      val agree = batched.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+        after.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      println(s"[probe-ivf-batch] rows=${batched.length} agreesWithDriverPath=$agree (expect 20, true)")
     }
 
     locally {
