@@ -163,6 +163,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"batch ANN must never go cartesian:\n${plan.take(1500)}")
   }
 
+  test("qs24 store batch serving keys candidates by cell — no cartesian, no per-query window") {
+    // qs04's plan served from the persistent IVF artifact: the
+    // corpus-sized query batch joins the pruned postings by the cell key
+    // (the join KEY is the pin — AQE may broadcast at toy SFs), ranking
+    // is the bounded top-k aggregator, and the probe-cell filter reaches
+    // the postings scan as a PartitionFilter even at batch scale
+    val plan = planOf("qs24_index_batch_serve")
+    assert(plan.contains("cell"), "candidate join must be keyed by cell")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"store batch serving must never go cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      "ranking must be the bounded top-k aggregator, not a per-query window")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "the probe-cell filter must prune partitions at batch scale")
+  }
+
   test("qt06 top-bigram statistic is hash aggregations, never a per-doc scan or window") {
     // the tempting formulations are quadratic (a per-row O(distinct × n)
     // expression over the token array) or a per-doc window sort of bigram
