@@ -97,6 +97,8 @@ object BandIndexStore {
     val grouped = shingled
       .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+      .persist() // the corpus-wide set-keyed shuffle runs ONCE: both the
+                 // posting write and the member-map join read this
     grouped
       .select(col("rep_id"), col("hs"), col("grp_n"),
         explode(TextOps.bandKeys(minhashSig(col("hs"), numPerms),
@@ -115,6 +117,7 @@ object BandIndexStore {
       .write.partitionBy("mbucket").mode("overwrite")
       .parquet(ctx.dir("members"))
     shingled.unpersist()
+    grouped.unpersist()
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"buckets":$buckets,"shingleN":$shingleN,"numPerms":$numPerms,"rowsPerBand":$rowsPerBand}""")

@@ -53,8 +53,11 @@ object TextIndexStore {
 
   private val Components = Seq("postings", "doclens", "stats")
 
-  /** Build the index: one tokenize pass → per-(doc, token) tf rows with
-    * the doc length riding along, bucket-partitioned by token hash.
+  /** Build the index: ONE tokenize pass over the corpus feeds postings,
+    * the doc-length map, and the corpus stats (tokenization dominates the
+    * build at scale — the per-doc token arrays persist across the three
+    * writes instead of being recomputed per component; MEMORY_AND_DISK,
+    * so an over-memory corpus spills rather than re-tokenizes).
     * `docs` must have (doc_id: bigint, text: string). */
   def build(docs: DataFrame, buckets: Int, path: String): Unit = {
     require(buckets > 0)
@@ -66,11 +69,14 @@ object TextIndexStore {
     // plane (postings/doclens are mode=overwrite; stats is file-per-batch
     // and needs the explicit sweep)
     ArtifactStore.resetMutationPlane(ctx, Seq("stats"))
-    writePostings(docs, buckets, ctx.dir("postings"), "overwrite")
-    writeDoclens(docs, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
-    ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
-      s"""{"buckets":$buckets}""")
-    writeStats(docs, ctx, "base.json", foldedUpto = Some(-1L))
+    val toks = tokenized(docs).persist()
+    try {
+      writePostings(toks, buckets, ctx.dir("postings"), "overwrite")
+      writeDoclens(toks, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
+      ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
+        s"""{"buckets":$buckets}""")
+      writeStats(toks, ctx, "base.json", foldedUpto = Some(-1L))
+    } finally toks.unpersist()
   }
 
   /** Append one batch of new documents to an EXISTING index: postings
@@ -89,9 +95,12 @@ object TextIndexStore {
     val ctx = ArtifactStore.open(batch.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
     val (buckets, _, _) = readMeta(ctx)
-    writePostings(batch, buckets, ctx.dir("postings"), "append")
-    writeDoclens(batch, buckets, ctx.dir("doclens"), "append", batchId)
-    writeStats(batch, ctx, s"batch-$batchId.json", foldedUpto = None)
+    val toks = tokenized(batch).persist() // one tokenize pass per batch
+    try {
+      writePostings(toks, buckets, ctx.dir("postings"), "append")
+      writeDoclens(toks, buckets, ctx.dir("doclens"), "append", batchId)
+      writeStats(toks, ctx, s"batch-$batchId.json", foldedUpto = None)
+    } finally toks.unpersist()
   }
 
   /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
@@ -173,26 +182,32 @@ object TextIndexStore {
       .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, path, id))
       .start()
 
-  private def writePostings(docs: DataFrame, buckets: Int, dir: String,
-      mode: String): Unit = {
-    val toksAll = TextOps.tokens(col("text"))
-    docs.select(col("doc_id"), size(toksAll).cast("long").as("dl"),
-        explode(toksAll).as("token"))
+  /** The single tokenize pass every build/append component derives from:
+    * (doc_id, toks array, dl). `dl` is the same `size(tokens(text))`
+    * value the per-component tokenizations produced, so postings,
+    * doclens, and stats stay bit-identical to the old three-pass form —
+    * including zero-token docs, which keep their (doc_id, dl=0) doclen
+    * row and stats contribution while contributing no postings. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+  private def writePostings(toks: DataFrame, buckets: Int, dir: String,
+      mode: String): Unit =
+    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(TextOps.hash60(col("token")), lit(buckets.toLong)))
       .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
       .write.partitionBy("bucket").mode(mode)
       .parquet(dir)
-  }
 
   /** Per-doc length map (the takedown side table): one (doc_id, dl,
     * batch_id) row per stats contribution, partitioned by the doc-id
     * hash so a tombstone fold opens only the deleted ids' buckets. */
-  private def writeDoclens(docs: DataFrame, buckets: Int, dir: String,
+  private def writeDoclens(toks: DataFrame, buckets: Int, dir: String,
       mode: String, batchId: Long): Unit =
-    docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+    toks.select(col("doc_id"), col("dl"),
         lit(batchId).as("batch_id"),
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
           .as("dbucket"))
@@ -204,10 +219,9 @@ object TextIndexStore {
     s"""{"n":$n,"sumdl":$sumdl$f}"""
   }
 
-  private def writeStats(docs: DataFrame, ctx: ArtifactStore.Ctx,
+  private def writeStats(toks: DataFrame, ctx: ArtifactStore.Ctx,
       fname: String, foldedUpto: Option[Long]): Unit = {
-    val toksAll = TextOps.tokens(col("text"))
-    val st = docs.agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl")).head()
+    val st = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val sumdl = if (st.isNullAt(1)) 0L else st.getLong(1) // empty batch
     ArtifactStore.writeString(ctx.fs, new Path(ctx.dir("stats"), fname),
       statsJson(st.getLong(0), sumdl, foldedUpto))
