@@ -367,6 +367,33 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
       ORDER BY query_id, rank"""
 
+  /** qs25's oracle — the range sweep with EVERY vector as a query
+    * (qs20's geometry and radius, query filter dropped): the
+    * corpus-wide takedown sweep served distributively from the store. */
+  private val oBatchRangeSql: String = """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT e.vec_id, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine
+      FROM scored WHERE cosine >= 0.30
+      ORDER BY query_id, vec_id"""
+
   /** The deterministic-IVF RANGE-search oracle (qs02's geometry, radius
     * 0.30, rounded-6 cosine output) — shared by qs20 (fused in-query
     * plan) and qs21 (the same sweep served from the persistent
@@ -1931,6 +1958,73 @@ object PipelineQueries {
       graft.sinks.IvfIndexStore.queryBatch(s, idxDir, queries,
         nProbe = 4, topK = 3)
     }, Some(oBatchAnnSql)),
+
+    CatalogQuery("qs25_index_batch_range_serve", (s, d) => {
+      // The distributed-serve matrix completed on the RANGE axis: the
+      // corpus-wide takedown sweep ("everything within r of ANY corpus
+      // vector" — the self-audit that surfaces every near-dup
+      // neighborhood at once) served from the persistent IVF store via
+      // IvfIndexStore.rangeQueryBatch — map-side cell assignment, keyed
+      // join, STATELESS filter finish, and no driver-side collect of the
+      // corpus-sized query batch. qs20's geometry and radius with EVERY
+      // vector as a query, so the oracle is qs20's SQL with the query
+      // filter dropped — output volume IS the answer set on both engines.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs25-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      graft.sinks.IvfIndexStore.rangeQueryBatch(s, idxDir, queries,
+        nProbe = 4, radius = 0.30)
+    }, Some(oBatchRangeSql)),
+
+    CatalogQuery("qs26_index_batch_filtered_serve", (s, d) => {
+      // The distributed-serve matrix completed on the FILTERED axis:
+      // every vector queries WITHIN ITS OWN LABEL from the
+      // metadata-scoped store via IvfIndexStore.queryFilteredBatch —
+      // map-side (cell, meta) posting, keyed join on BOTH axes (the
+      // predicate lives in the join key, qs12's insight at batch
+      // scale), no driver-side collect of the corpus-sized batch; the
+      // label domain is small here, so the meta partition axis prunes
+      // too. qs12's deterministic geometry with all queries and k=3,
+      // so the oracle is qs12's SQL with the query filter dropped.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs26-ivf").toString
+      graft.sinks.IvfIndexStore.build(table(s, d, "embeddings"), 16, idxDir,
+        metaCol = Some("label"))
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+      graft.sinks.IvfIndexStore.queryFilteredBatch(s, idxDir, queries,
+        nProbe = 4, topK = 3)
+    }, Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, label, v, cid AS cell FROM (
+          SELECT e.vec_id, e.label, e.v, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, label, qv, cid AS cell FROM (
+          SELECT e.vec_id AS query_id, e.label, e.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.v, cent.cv) ASC, cent.cid ASC) rn
+          FROM e CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell, label) WHERE vec_id <> query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
+      ORDER BY query_id, rank""")),
 
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come

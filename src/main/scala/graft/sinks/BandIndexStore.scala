@@ -94,11 +94,15 @@ object BandIndexStore {
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
       .persist() // grouping + the member map both read it
+    // NOT persisted (measured, r9): both the posting write and the
+    // member-map join re-run this groupBy from the persisted `shingled`,
+    // which is ~3x cheaper end-to-end than materializing the grouped
+    // rows' nested arrays (hs + member lists) into the block cache —
+    // columnar-encoding corpus-wide nested arrays dominates the saved
+    // shuffle at every measured SF
     val grouped = shingled
       .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
-      .persist() // the corpus-wide set-keyed shuffle runs ONCE: both the
-                 // posting write and the member-map join read this
     grouped
       .select(col("rep_id"), col("hs"), col("grp_n"),
         explode(TextOps.bandKeys(minhashSig(col("hs"), numPerms),
@@ -117,7 +121,6 @@ object BandIndexStore {
       .write.partitionBy("mbucket").mode("overwrite")
       .parquet(ctx.dir("members"))
     shingled.unpersist()
-    grouped.unpersist()
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"buckets":$buckets,"shingleN":$shingleN,"numPerms":$numPerms,"rowsPerBand":$rowsPerBand}""")

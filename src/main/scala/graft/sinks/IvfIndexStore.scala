@@ -335,6 +335,90 @@ object IvfIndexStore {
     }
   }
 
+  /** DISTRIBUTED RANGE serving for LARGE query batches — [[queryBatch]]'s
+    * discipline on the radius primitive (the corpus-wide takedown sweep /
+    * contamination audit: "everything within r of ANY of these vectors",
+    * where the probe list is itself corpus-sized): map-side cell
+    * assignment, keyed join on cell against the pruned postings, and a
+    * STATELESS filter finish — no per-query state anywhere, so output
+    * volume is exactly the answer set. Identical probe geometry, scoring
+    * and output conventions to [[rangeQuery]] (the two paths return
+    * bit-identical rows on the same batch); the only serve-time collect
+    * is the ≤K-value probed-cell domain. */
+  def rangeQueryBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, radius: Double): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val bc = spark.sparkContext.broadcast(cents)
+      val posted = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])]
+        .flatMap { case (id, qv) =>
+          KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong)) }
+        .toDF("query_id", "qv", "cell")
+        .withColumn("qnorm", normExpr(col("qv")))
+        .persist() // cell-domain scan + the join both read it
+      val probeCells = posted.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val postings = servedPostings(spark, ctx, probeCells, None)
+      postings.join(posted, Seq("cell")) // keyed, NOT broadcast
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+        .filter(col("cosine") >= radius)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("vec_id"))
+    }
+  }
+
+  /** DISTRIBUTED FILTERED serving for LARGE query batches on a
+    * metadata-scoped store — [[queryBatch]]'s discipline with the
+    * predicate IN THE JOIN KEY: each query posts to (cell, its own meta
+    * value) map-side and joins the postings on BOTH axes, so candidates
+    * shrink by predicate selectivity before any distance computes
+    * (qs12's posting-key shape at batch scale). Partition pruning uses
+    * the probed-cell domain (≤K values) and, when the batch's distinct
+    * meta values are few enough to enumerate (≤1024 — the tenant/label/
+    * language case), the meta axis too; a high-cardinality meta domain
+    * falls back to cell-only directory pruning while the join still
+    * keys on (cell, meta) — graceful degradation, never a driver OOM.
+    * Bit-identical rows to [[queryFiltered]] on the same batch. */
+  def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    val MaxMetaFilter = 1024
+    ArtifactStore.serving(spark, path) { ctx =>
+      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
+        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val bc = spark.sparkContext.broadcast(cents)
+      val posted = queries.select(col("query_id"), col("qv"), col("meta"))
+        .as[(Long, Seq[Double], String)]
+        .flatMap { case (id, qv, mv) =>
+          KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong, mv)) }
+        .toDF("query_id", "qv", "cell", "meta")
+        .withColumn("qnorm", normExpr(col("qv")))
+        .persist()
+      val probeCells = posted.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val probeMetas = posted.select(col("meta")).distinct()
+        .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
+      val metaFilter =
+        if (probeMetas.length > MaxMetaFilter) None
+        else Some(probeMetas.sorted.toSeq)
+      val postings = servedPostings(spark, ctx, probeCells, metaFilter)
+      val scored = postings.join(posted, Seq("cell", "meta")) // keyed, NOT broadcast
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+      val topk = graft.functions.TopKAggregator.topK(topK)
+      scored.groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+
   /** RANGE (radius) serving from the prebuilt index — the takedown-sweep
     * / contamination-check primitive next to top-k: every posting within
     * `radius` cosine of each query, however many there are. Identical

@@ -44,6 +44,51 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(got == want, s"queryBatch diverges from qs04 (${got.length} vs ${want.length} rows)")
   }
 
+  test("rangeQueryBatch agrees bit-identically with the driver-side range path; stateless finish") {
+    val idx = tmp("graft-rbatch")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    val queries = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val served = IvfIndexStore.rangeQueryBatch(spark, idx, queries,
+      nProbe = 4, radius = 0.30)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKByScore") && !plan.contains("Window"),
+      "batch range serving must not carry top-k or window state")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"batch range serving must still prune partitions:\n${plan.take(2000)}")
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.catalog.clearCache()
+    val want = IvfIndexStore.rangeQuery(spark, idx, queries, nProbe = 4, radius = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want,
+      s"batch range path diverges from the driver-side path (${got.length} vs ${want.length} rows)")
+  }
+
+  test("queryFilteredBatch agrees bit-identically with the driver-side filtered path; prunes both axes") {
+    val idx = tmp("graft-fbatch")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx, metaCol = Some("label"))
+    val queries = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"),
+      col("label").cast("string").as("meta"))
+    val served = IvfIndexStore.queryFilteredBatch(spark, idx, queries,
+      nProbe = 4, topK = 3)
+    // the label domain is small, so BOTH partition axes prune even at
+    // batch scale (high-cardinality meta degrades to cell-only pruning)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(served.queryExecution.executedPlan.toString).getOrElse("")
+    assert(pf.contains("cell") && pf.contains("meta"),
+      s"batch filtered serving must prune on cell AND meta, got $pf")
+    val got = served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val want = IvfIndexStore.queryFiltered(spark, idx, queries, nProbe = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want,
+      s"batch filtered path diverges from the driver-side path (${got.length} vs ${want.length} rows)")
+  }
+
   test("driver-side serve paths refuse an oversized query batch with a pointer at queryBatch") {
     val idx = tmp("graft-qbound")
     val e = QueryHelpers.table(spark, dir, "embeddings")
