@@ -166,6 +166,33 @@ object DemoWorkflowMain {
       val agree = batched.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
         after.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
       println(s"[probe-ivf-batch] rows=${batched.length} agreesWithDriverPath=$agree (expect 20, true)")
+      // distributed range sweep: stateless finish, same rows as the
+      // driver-side radius path on the same batch
+      val batchSwept = graft.sinks.IvfIndexStore.rangeQueryBatch(spark, ivfDir, q, 4, 0.25)
+        .collect()
+      spark.catalog.clearCache()
+      val sweepAgree = batchSwept.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        swept.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      println(s"[probe-ivf-batch-range] rows=${batchSwept.length} agreesWithDriverPath=$sweepAgree (expect true)")
+    }
+
+    locally {
+      // metadata-scoped IVF store: the distributed filtered batch path
+      // (predicate in the join key) agrees with driver-side serving
+      import org.apache.spark.sql.functions.{col, transform}
+      val ivfDir = java.nio.file.Files.createTempDirectory("demo-ivf-meta").toString
+      val emb = graft.relational.QueryHelpers.table(spark, "/root/testdata/sf0.001", "embeddings")
+      graft.sinks.IvfIndexStore.build(emb, 16, ivfDir, metaCol = Some("label"))
+      val q = emb.select(col("vec_id").as("query_id"),
+          transform(col("embedding"), (x: org.apache.spark.sql.Column) => x.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+        .filter(col("query_id") < 4)
+      val driver = graft.sinks.IvfIndexStore.queryFiltered(spark, ivfDir, q, 4, 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      val batch = graft.sinks.IvfIndexStore.queryFilteredBatch(spark, ivfDir, q, 4, 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      println(s"[probe-ivf-filtered-batch] rows=${batch.length} agreesWithDriverPath=${batch == driver} (expect true)")
     }
 
     locally {
