@@ -155,18 +155,23 @@ object Bench {
     (1 to 3).foreach { _ =>
       servePaths.foreach { case (name, f) =>
         val t0 = System.nanoTime()
-        try f().count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        serveSamples(name) += (System.nanoTime() - t0) / 1e9
+        // a failed serve must NOT contribute a (fast, bogus) sample —
+        // time-to-exception entering the min would report breakage as a
+        // dramatic improvement; the row goes absent/sentinel instead
+        val ok =
+          try { f().count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) serveSamples(name) += (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
       }
     }
     val serveResults = servePaths.map { case (name, _) =>
       val times = serveSamples(name)
-      System.err.println(f"[bench] ${name}%-24s ${times.min}%8.3f s (serve-only; runs: ${
+      val sec = if (times.isEmpty) -1.0 else times.min // -1 = every run failed
+      System.err.println(f"[bench] ${name}%-24s $sec%8.3f s (serve-only; runs: ${
         times.map(t => f"$t%.3f").mkString(" ")})")
-      name -> times.min
+      name -> sec
     }
     val results = benched.map { q =>
       val times = samples(q.name)

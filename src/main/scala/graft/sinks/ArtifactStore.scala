@@ -189,11 +189,13 @@ object ArtifactStore {
   /** Reset the MUTATION PLANE when a store is REBUILT in place: build()
     * overwrites the data components, so tombstones recorded against the
     * previous corpus must not survive to silently delete fresh docs that
-    * happen to reuse an id (and, for TextIndexStore, stale per-batch
-    * stats files must not double-count — it passes its stats dir here).
-    * Called by every store's build() after [[assertNotCompacting]]. */
-  def resetMutationPlane(ctx: Ctx, extraDirs: Seq[String] = Seq.empty): Unit =
-    ("tombstones" +: extraDirs).foreach { n => ctx.fs.delete(ctx.path(n), true) }
+    * happen to reuse an id. Every store's build() calls this LAST, after
+    * all data writes have succeeded — a failed or crashed rebuild leaves
+    * the delete plane intact, so the worst partial state over-suppresses
+    * (conservative for a takedown plane) instead of resurrecting deleted
+    * documents. */
+  def resetMutationPlane(ctx: Ctx): Unit =
+    ctx.fs.delete(ctx.path("tombstones"), true)
 
   /** Run a serve-path DataFrame construction with RETRY-ONCE-AT-NEW-EPOCH:
     * a serve racing a compaction commit can open ctx at epoch e and then

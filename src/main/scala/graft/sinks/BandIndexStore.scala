@@ -87,9 +87,6 @@ object BandIndexStore {
     val spark = docs.sparkSession
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
-    // a rebuild replaces the corpus: tombstones recorded against the OLD
-    // corpus must not survive to silently delete fresh docs reusing an id
-    ArtifactStore.resetMutationPlane(ctx)
     val shingled = docs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
@@ -124,6 +121,12 @@ object BandIndexStore {
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"buckets":$buckets,"shingleN":$shingleN,"numPerms":$numPerms,"rowsPerBand":$rowsPerBand}""")
+    // a rebuild replaces the corpus, so tombstones recorded against the
+    // OLD corpus must not survive to delete fresh docs reusing an id —
+    // cleared LAST, after every write has succeeded: a failed or crashed
+    // rebuild leaves the delete plane intact (over-suppression, the
+    // conservative failure for a takedown plane — never resurrection)
+    ArtifactStore.resetMutationPlane(ctx)
   }
 
   /** Append one batch of new corpus documents to an EXISTING index: each

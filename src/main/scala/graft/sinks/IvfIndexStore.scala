@@ -76,6 +76,59 @@ object IvfIndexStore {
     rows
   }
 
+  /** The stored centroid array, sorted by cid — ONE definition for every
+    * serve/append path so the assignment geometry can never drift
+    * between them (bounded: K rows). */
+  private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** Map-side cell assignment of a (query_id, qv[, meta]) batch: each
+    * query posts to its `nProbe` nearest stored cells on the executors
+    * (centroids broadcast; the batch never touches the driver) with the
+    * query norm projected once per posted row — the shared preamble of
+    * every `*Batch` serve path, persisted because both the probe-cell
+    * domain scan and the candidate join read it (callers clearCache). */
+  private def postQueries(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int, withMeta: Boolean): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(loadCentroids(spark, path))
+    val posted =
+      if (withMeta)
+        queries.select(col("query_id"), col("qv"), col("meta"))
+          .as[(Long, Seq[Double], String)]
+          .flatMap { case (id, qv, mv) =>
+            KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong, mv)) }
+          .toDF("query_id", "qv", "cell", "meta")
+      else
+        queries.select(col("query_id"), col("qv"))
+          .as[(Long, Seq[Double])]
+          .flatMap { case (id, qv) =>
+            KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong)) }
+          .toDF("query_id", "qv", "cell")
+    posted.withColumn("qnorm", normExpr(col("qv"))).persist()
+  }
+
+  /** The probed cell domain of a posted batch — ≤ K values whatever the
+    * batch size, so this collect is bounded by the index geometry. */
+  private def probedCells(posted: DataFrame): Seq[Long] =
+    posted.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** The bounded top-k rank finish shared by every top-k serve path —
+    * (score DESC, vec_id ASC) order, (query_id, rank, vec_id) output. */
+  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(topK)
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.vec_id").as("vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Build the index: assign every vector to its nearest centroid's
     * inverted list and persist centroids + cell-partitioned postings.
     * `e` must have (vec_id: bigint, embedding: array<float|double>). */
@@ -87,9 +140,6 @@ object IvfIndexStore {
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
-    // a rebuild replaces the corpus: tombstones recorded against the OLD
-    // corpus must not survive to silently delete fresh docs reusing an id
-    ArtifactStore.resetMutationPlane(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
@@ -132,6 +182,13 @@ object IvfIndexStore {
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"k":$k,"dim":$dim$metaField}""")
+    // a rebuild replaces the corpus, so tombstones recorded against the
+    // OLD corpus must not survive to delete fresh docs reusing an id —
+    // cleared LAST, after every write has succeeded: a build that fails
+    // validation (or crashes mid-write) leaves the delete plane intact,
+    // so a half-rebuilt store can only over-suppress (the conservative
+    // failure for a takedown plane), never resurrect deleted documents
+    ArtifactStore.resetMutationPlane(ctx)
   }
 
   /** Append one batch of new vectors to an EXISTING index: assignment
@@ -149,18 +206,39 @@ object IvfIndexStore {
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
-    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-    val bc = spark.sparkContext.broadcast(cents)
-    batch.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
-      .toDF("vec_id", "v", "cell")
-      .withColumn("vnorm", normExpr(col("v")))
-      .select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
-      .write.partitionBy("cell").mode("append")
-      .parquet(ctx.dir("postings"))
+    val bc = spark.sparkContext.broadcast(loadCentroids(spark, path))
+    // a metadata-scoped store's postings live under (cell, meta)
+    // directories — an append must carry the same meta column, or the
+    // mixed layout would break partition discovery for every later
+    // serve; the manifest says which column the store was built with
+    manifestMeta(ctx) match {
+      case None =>
+        batch.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
+          .toDF("vec_id", "v", "cell")
+          .withColumn("vnorm", normExpr(col("v")))
+          .select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
+          .write.partitionBy("cell").mode("append")
+          .parquet(ctx.dir("postings"))
+      case Some(m) =>
+        require(batch.columns.contains(m),
+          s"store at $path is metadata-scoped on '$m'; the append batch " +
+            s"must carry that column (appending without it would corrupt " +
+            "the (cell, meta) partition layout)")
+        batch.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"),
+            col(m).cast("string").as("meta"))
+          .as[(Long, Seq[Double], String)]
+          .map { case (id, vec, mv) =>
+            (id, vec, KMeans.nearest(bc.value, vec).toLong, mv) }
+          .toDF("vec_id", "v", "cell", "meta")
+          .withColumn("vnorm", normExpr(col("v")))
+          .select(col("vec_id"), col("v"), col("vnorm"), col("cell"), col("meta"))
+          .write.partitionBy("cell", "meta").mode("append")
+          .parquet(ctx.dir("postings"))
+    }
   }
 
   /** Delete vectors from the index by TOMBSTONE — O(|ids|) whatever the
@@ -258,8 +336,7 @@ object IvfIndexStore {
       nProbe: Int, topK: Int): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
-      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val cents = loadCentroids(spark, path)
       val qs: Array[(Long, Seq[Double])] = collectBounded(
         queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])],
         "query batch")
@@ -275,13 +352,7 @@ object IvfIndexStore {
       val scored = postings.join(broadcast(probeDf), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), cosineExpr)
-      val topk = graft.functions.TopKAggregator.topK(topK)
-      scored.groupBy(col("query_id"))
-        .agg(topk(col("cosine"), col("vec_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.vec_id").as("vec_id"))
-        .orderBy(col("query_id"), col("rank"))
+      rankTopK(scored, topK)
     }
   }
 
@@ -302,38 +373,15 @@ object IvfIndexStore {
     * cells, never queries. Tombstones and at-least-once appends are
     * absorbed exactly as in [[query]]. */
   def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int, topK: Int): DataFrame = {
-    import spark.implicits._
+      nProbe: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
-      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-      val bc = spark.sparkContext.broadcast(cents)
-      // map-side cell assignment; persisted because both the probe-cell
-      // domain scan and the join read it (callers clearCache per query)
-      val posted = queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])]
-        .flatMap { case (id, qv) =>
-          KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong)) }
-        .toDF("query_id", "qv", "cell")
-        .withColumn("qnorm", normExpr(col("qv")))
-        .persist()
-      // bounded collect over the CELL DOMAIN (≤ K values regardless of
-      // batch size) — drives the same partition-pruning filter as query()
-      val probeCells = posted.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
-      val postings = servedPostings(spark, ctx, probeCells, None)
+      val posted = postQueries(spark, path, queries, nProbe, withMeta = false)
+      val postings = servedPostings(spark, ctx, probedCells(posted), None)
       val scored = postings.join(posted, Seq("cell")) // keyed, NOT broadcast
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), cosineExpr)
-      val topk = graft.functions.TopKAggregator.topK(topK)
-      scored.groupBy(col("query_id"))
-        .agg(topk(col("cosine"), col("vec_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.vec_id").as("vec_id"))
-        .orderBy(col("query_id"), col("rank"))
+      rankTopK(scored, topK)
     }
-  }
 
   /** DISTRIBUTED RANGE serving for LARGE query batches — [[queryBatch]]'s
     * discipline on the radius primitive (the corpus-wide takedown sweep /
@@ -346,22 +394,10 @@ object IvfIndexStore {
     * bit-identical rows on the same batch); the only serve-time collect
     * is the ≤K-value probed-cell domain. */
   def rangeQueryBatch(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int, radius: Double): DataFrame = {
-    import spark.implicits._
+      nProbe: Int, radius: Double): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
-      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-      val bc = spark.sparkContext.broadcast(cents)
-      val posted = queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])]
-        .flatMap { case (id, qv) =>
-          KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong)) }
-        .toDF("query_id", "qv", "cell")
-        .withColumn("qnorm", normExpr(col("qv")))
-        .persist() // cell-domain scan + the join both read it
-      val probeCells = posted.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
-      val postings = servedPostings(spark, ctx, probeCells, None)
+      val posted = postQueries(spark, path, queries, nProbe, withMeta = false)
+      val postings = servedPostings(spark, ctx, probedCells(posted), None)
       postings.join(posted, Seq("cell")) // keyed, NOT broadcast
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), cosineExpr)
@@ -369,7 +405,6 @@ object IvfIndexStore {
         .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("vec_id"))
     }
-  }
 
   /** DISTRIBUTED FILTERED serving for LARGE query batches on a
     * metadata-scoped store — [[queryBatch]]'s discipline with the
@@ -385,37 +420,19 @@ object IvfIndexStore {
     * Bit-identical rows to [[queryFiltered]] on the same batch. */
   def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
-    import spark.implicits._
     val MaxMetaFilter = 1024
     ArtifactStore.serving(spark, path) { ctx =>
-      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
-      val bc = spark.sparkContext.broadcast(cents)
-      val posted = queries.select(col("query_id"), col("qv"), col("meta"))
-        .as[(Long, Seq[Double], String)]
-        .flatMap { case (id, qv, mv) =>
-          KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong, mv)) }
-        .toDF("query_id", "qv", "cell", "meta")
-        .withColumn("qnorm", normExpr(col("qv")))
-        .persist()
-      val probeCells = posted.select(col("cell")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
+      val posted = postQueries(spark, path, queries, nProbe, withMeta = true)
       val probeMetas = posted.select(col("meta")).distinct()
         .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
       val metaFilter =
         if (probeMetas.length > MaxMetaFilter) None
         else Some(probeMetas.sorted.toSeq)
-      val postings = servedPostings(spark, ctx, probeCells, metaFilter)
+      val postings = servedPostings(spark, ctx, probedCells(posted), metaFilter)
       val scored = postings.join(posted, Seq("cell", "meta")) // keyed, NOT broadcast
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), cosineExpr)
-      val topk = graft.functions.TopKAggregator.topK(topK)
-      scored.groupBy(col("query_id"))
-        .agg(topk(col("cosine"), col("vec_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.vec_id").as("vec_id"))
-        .orderBy(col("query_id"), col("rank"))
+      rankTopK(scored, topK)
     }
   }
 
@@ -432,8 +449,7 @@ object IvfIndexStore {
       nProbe: Int, radius: Double): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
-      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val cents = loadCentroids(spark, path)
       val qs: Array[(Long, Seq[Double])] = collectBounded(
         queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])],
         "query batch")
@@ -466,8 +482,7 @@ object IvfIndexStore {
       nProbe: Int, topK: Int): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
-      val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
-        .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val cents = loadCentroids(spark, path)
       val qs: Array[(Long, Seq[Double], String)] = collectBounded(queries
         .select(col("query_id"), col("qv"), col("meta"))
         .as[(Long, Seq[Double], String)], "query batch")
@@ -483,13 +498,7 @@ object IvfIndexStore {
       val scored = postings.join(broadcast(probeDf), Seq("cell", "meta"))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), cosineExpr)
-      val topk = graft.functions.TopKAggregator.topK(topK)
-      scored.groupBy(col("query_id"))
-        .agg(topk(col("cosine"), col("vec_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.vec_id").as("vec_id"))
-        .orderBy(col("query_id"), col("rank"))
+      rankTopK(scored, topK)
     }
   }
 }

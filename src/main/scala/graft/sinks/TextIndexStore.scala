@@ -63,18 +63,25 @@ object TextIndexStore {
     require(buckets > 0)
     val ctx = ArtifactStore.open(docs.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
-    // a rebuild replaces the corpus: old tombstones must not delete fresh
-    // docs reusing an id, and stale per-batch stats files must not
-    // double-count on top of the fresh base — reset the whole mutation
-    // plane (postings/doclens are mode=overwrite; stats is file-per-batch
-    // and needs the explicit sweep)
-    ArtifactStore.resetMutationPlane(ctx, Seq("stats"))
     val toks = tokenized(docs).persist()
     try {
       writePostings(toks, buckets, ctx.dir("postings"), "overwrite")
       writeDoclens(toks, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
       ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
         s"""{"buckets":$buckets}""")
+      // the mutation plane resets LAST, after every data write has
+      // succeeded: old tombstones must not delete fresh docs reusing an
+      // id, and stale per-batch stats files must not double-count on top
+      // of the fresh base — but a build that fails validation (or
+      // crashes mid-write) must leave the delete plane and the old stats
+      // intact. The stale batch files are swept file-by-file (never the
+      // whole stats dir), so no crash point leaves the store with ZERO
+      // stats; the worst crash outcome is the pre-r9 one — stale stats
+      // until the rebuild is re-run.
+      ArtifactStore.resetMutationPlane(ctx)
+      batchIds(ctx).foreach { id =>
+        ctx.fs.delete(new Path(ctx.dir("stats"), s"batch-$id.json"), false)
+      }
       writeStats(toks, ctx, "base.json", foldedUpto = Some(-1L))
     } finally toks.unpersist()
   }
@@ -82,15 +89,20 @@ object TextIndexStore {
   /** Append one batch of new documents to an EXISTING index: postings
     * append into the same bucket layout (bucket geometry is fixed at
     * build time), and the batch's corpus-stat increments land in a
-    * batch-keyed stats file. Under `foreachBatch` retries a batch may
-    * run twice (at-least-once): the stats file is OVERWRITTEN by batch
-    * id (idempotent — the increment can never double-count, even when
-    * the replay lands after a compact folded the batch: the folded-id
-    * record in base.json keeps the re-created file inert), and
-    * [[queryBm25]] absorbs replayed posting rows by deduplicating the
-    * probed slice on (token, doc_id) — replays are byte-identical, so
-    * serving stays exactly-once (spec-pinned). Refused loudly while a
-    * compaction folds. */
+    * batch-keyed stats file. `batchId`s MUST be monotone increasing per
+    * store (Structured Streaming's epoch ids satisfy this; manual
+    * callers must too): compaction records the max absorbed id as a
+    * watermark, and any batch file at or below it is treated as a
+    * replay of an absorbed batch and ignored — a genuinely NEW batch
+    * reusing a low id would have its stats silently discarded. Under
+    * `foreachBatch` retries a batch may run twice (at-least-once): the
+    * stats file is OVERWRITTEN by batch id (idempotent — the increment
+    * can never double-count, even when the replay lands after a compact
+    * folded the batch: the watermark keeps the re-created file inert),
+    * and [[queryBm25]] absorbs replayed posting rows by deduplicating
+    * the probed slice on (token, doc_id) — replays are byte-identical,
+    * so serving stays exactly-once (spec-pinned). Refused loudly while
+    * a compaction folds. */
   def appendBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
     val ctx = ArtifactStore.open(batch.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)

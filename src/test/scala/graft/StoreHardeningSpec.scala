@@ -188,6 +188,38 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(got == afterDelete, "filtered serving must be identical across compact")
   }
 
+  test("appendBatch on a metadata-scoped store carries the meta partition axis; refuses a meta-less batch") {
+    val idx = tmp("graft-ivf-metaappend")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e.filter(col("vec_id") < 400), k = 16, idx,
+      metaCol = Some("label"))
+    // a batch without the store's meta column must be refused loudly —
+    // appending it plain would corrupt the (cell, meta) directory layout
+    val ex = intercept[IllegalArgumentException] {
+      IvfIndexStore.appendBatch(
+        e.filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding")), idx)
+    }
+    assert(ex.getMessage.contains("label"))
+    // a batch carrying it appends into the same layout: serving reaches
+    // parity with a full build and still prunes both partition axes
+    IvfIndexStore.appendBatch(e.filter(col("vec_id") >= 400), idx)
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    val served = IvfIndexStore.queryFiltered(spark, idx, queries, nProbe = 4, topK = 10)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(served.queryExecution.executedPlan.toString).getOrElse("")
+    assert(pf.contains("cell") && pf.contains("meta"),
+      s"appended meta store must keep pruning on cell AND meta, got $pf")
+    val got = served.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val fullIdx = tmp("graft-ivf-metaappend-full")
+    IvfIndexStore.build(e, k = 16, fullIdx, metaCol = Some("label"))
+    val want = IvfIndexStore.queryFiltered(spark, fullIdx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want, "build(400) + meta append(rest) must serve the full-build ranks")
+  }
+
   // ---- rebuild resets the mutation plane ----
 
   test("rebuilding a store in place clears tombstones recorded against the old corpus") {
@@ -219,6 +251,29 @@ class StoreHardeningSpec extends AnyFunSuite {
     TextIndexStore.build(docs, buckets = 64, tidx) // rebuild in place
     assert(tServe() == tWant,
       "a rebuild must reset tombstones AND stale batch stats (scores depend on N, Σdl)")
+  }
+
+  test("a rebuild that fails validation leaves the delete plane intact (no resurrection)") {
+    val idx = tmp("graft-ivf-failedrebuild")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    def serve() = IvfIndexStore.query(spark, idx, queries, nProbe = 4, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val victim = serve().head._3
+    IvfIndexStore.delete(spark, idx, Seq(victim))
+    val want = serve()
+    assert(!want.exists(_._3 == victim))
+    // rebuild with a corpus lacking the deterministic centroid ids
+    // 0..k-1 fails validation — the mutation plane resets only AFTER all
+    // writes succeed, so the tombstone must survive the failed attempt
+    intercept[IllegalArgumentException] {
+      IvfIndexStore.build(e.filter(col("vec_id") >= 100), k = 16, idx)
+    }
+    assert(serve() == want,
+      "a failed rebuild must not resurrect tombstoned documents")
   }
 
   // ---- corrupt guard recovery ----
