@@ -3311,6 +3311,60 @@ object PipelineQueries {
       Serve.queryTextIndex(s, Serve.buildTextIndex(s, d))
     }, Some(oBm25Sql), headline = true),
 
+    CatalogQuery("qt30_index_bm25_batch", (s, d) => {
+      // MANY keyword queries served from the persistent inverted index
+      // in ONE pass — the eval-set / relevance-sweep shape (qs24's
+      // batch-serving story on the sparse axis): the posting slice opens
+      // once for the union of the three fixed queries' terms, per-term
+      // df derives from that slice (global, query-independent), each
+      // query scores only its own terms via a broadcast (query_id,
+      // token) join, and ranking is the bounded top-k aggregator per
+      // query. Scoring is qt12's exact convention (pre-folded constants,
+      // 6-decimal quantized per-term decimals), so the oracle mirrors it
+      // with a VALUES query table + per-query row_number. Query 0 IS
+      // qt12's fixed query — its rows double-check the batch path
+      // against the single-query gate row.
+      import s.implicits._
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt30-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      val queries = Seq(
+        (0L, Seq("spark", "join", "window")),
+        (1L, Seq("merge", "column")),
+        (2L, Seq("scan", "filter", "hash"))).toDF("query_id", "terms")
+      graft.sinks.TextIndexStore.queryBm25Batch(s, idxDir, queries, AnnTopK)
+    }, Some(s"""
+      WITH q(query_id, term) AS (
+        SELECT * FROM (VALUES
+          (0, 'spark'), (0, 'join'), (0, 'window'),
+          (1, 'merge'), (1, 'column'),
+          (2, 'scan'), (2, 'filter'), (2, 'hash')) v(query_id, term)),
+      f AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
+             WHERE token IN (SELECT DISTINCT term FROM q)
+             GROUP BY doc_id, dl, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
+        FROM documents),
+      sc AS (SELECT q.query_id, tf.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
+            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tf JOIN df USING (token) JOIN q ON q.term = tf.token, stats),
+      agg AS (SELECT query_id, doc_id, CAST(sum(sc) AS DOUBLE) AS score
+              FROM sc GROUP BY query_id, doc_id),
+      ranked AS (SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rank
+        FROM agg)
+      SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score
+      FROM ranked WHERE rank <= $AnnTopK
+      ORDER BY query_id, rank""")),
+
     CatalogQuery("qt29_index_bm25_delete_serve", (s, d) => {
       // Text-index deletion under the gate — the takedown path on the
       // sparse artifact (qs16/qd21's story on the token axis): build the

@@ -279,13 +279,15 @@ object TextIndexStore {
     (buckets, stats.map(field(_, "n")).sum, stats.map(field(_, "sumdl")).sum)
   }
 
-  /** Serve a BM25 query from the prebuilt index: top-`topK` docs by
-    * summed per-term score, opening only the query terms' bucket
-    * partitions. Output is (doc_id, n_terms_hit, score) in qt12's exact
-    * (score DESC, doc_id) order. */
-  def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
-      topK: Int): DataFrame = {
-    ArtifactStore.serving(spark, path) { ctx =>
+  /** The tombstone-folded pruned posting slice + corpus stats every BM25
+    * serve starts from, for a given term set: opens only the terms'
+    * bucket partitions (declared schema — no footer reads outside the
+    * slice), dedups replayed appends, anti-joins tombstoned docs with
+    * their stats contributions subtracted via the id-hash-pruned
+    * doc-length map. Shared by [[queryBm25]] and [[queryBm25Batch]] so
+    * the two paths can never drift. */
+  private def servedTermSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      terms: Seq[String]): (DataFrame, Long, Long) = {
     val (buckets, n0, sumdl0) = readMeta(ctx)
     // tombstone fold: subtract the deleted docs' stats contributions
     // (pruned to their id-hash buckets; one row per batch contribution,
@@ -351,21 +353,83 @@ object TextIndexStore {
       case Some(t) => live.join(broadcast(t), Seq("doc_id"), "left_anti")
       case None => live
     }
-    val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    (pruned, n, sumdl)
+  }
+
+  /** qt12's pre-folded Okapi BM25 per-(posting) score expression — 6-
+    * decimal quantized so the per-doc sum is exact decimal arithmetic
+    * (the one definition both serve paths score with). */
+  private def bm25Sc(n: Long, sumdl: Long): org.apache.spark.sql.Column = {
     val avgdl = lit(sumdl).cast("double") / lit(n)
     val idf = log(lit(1.0) +
       (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") +
       lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)
-    pruned.join(broadcast(df), Seq("token"))
-      .select(col("doc_id"),
-        round(((idf * col("tf")) * lit(2.2)) / norm, 6)
-          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("sc"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_hit"),
-        sum(col("sc")).cast("double").as("score"))
-      .orderBy(desc("score"), col("doc_id"))
-      .limit(topK)
+    round(((idf * col("tf")) * lit(2.2)) / norm, 6)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 6))
+  }
+
+  /** Serve a BM25 query from the prebuilt index: top-`topK` docs by
+    * summed per-term score, opening only the query terms' bucket
+    * partitions. Output is (doc_id, n_terms_hit, score) in qt12's exact
+    * (score DESC, doc_id) order. */
+  def queryBm25(spark: SparkSession, path: String, terms: Seq[String],
+      topK: Int): DataFrame = {
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (pruned, n, sumdl) = servedTermSlice(spark, ctx, terms)
+      val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      pruned.join(broadcast(df), Seq("token"))
+        .select(col("doc_id"), bm25Sc(n, sumdl).as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("sc")).cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(topK)
+    }
+  }
+
+  /** Serve MANY keyword queries from the index in ONE pass — the
+    * eval-set / offline relevance-sweep shape next to
+    * [[graft.sinks.IvfIndexStore.queryBatch]] on the dense axis.
+    * `queries` must have (query_id: bigint, terms: array<string>). The
+    * posting slice is opened ONCE for the union of all queries' terms
+    * (still only those terms' bucket partitions); per-term df derives
+    * from that slice and is global — independent of which query asked —
+    * so every per-posting score is bit-identical to a standalone
+    * [[queryBm25]] of the same query; each query then scores only its
+    * own terms through a broadcast (query_id, token) join, and ranking
+    * is the bounded top-k aggregator per query (no per-query window).
+    * Keyword query sets are eval-sized by nature — the batch is
+    * collected (bounded, loud) to build the term union and the
+    * broadcast join table. Output: (query_id, rank, doc_id, score) in
+    * qt12's (score DESC, doc_id) order per query. */
+  def queryBm25Batch(spark: SparkSession, path: String, queries: DataFrame,
+      topK: Int): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val qterms: Array[(Long, Seq[String])] =
+        queries.select(col("query_id"), col("terms"))
+          .as[(Long, Seq[String])].take(65537)
+      require(qterms.length <= 65536,
+        "keyword query batch exceeds 65536 rows — split the eval set")
+      val termUnion = qterms.flatMap(_._2).distinct.toSeq.sorted
+      val (pruned, n, sumdl) = servedTermSlice(spark, ctx, termUnion)
+      val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val qx = qterms.toSeq
+        .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "token")
+      val scored = pruned.join(broadcast(df), Seq("token"))
+        .join(broadcast(qx), Seq("token"))
+        .select(col("query_id"), col("doc_id"), bm25Sc(n, sumdl).as("sc"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("sc")).cast("double").as("score"))
+      val topk = graft.functions.TopKAggregator.topK(topK)
+      scored.groupBy(col("query_id"))
+        .agg(topk(col("score"), col("doc_id")).as("top"))
+        .select(col("query_id"), posexplode(col("top")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("col.vec_id").as("doc_id"), col("col.cosine").as("score"))
+        .orderBy(col("query_id"), col("rank"))
     }
   }
 }

@@ -196,6 +196,23 @@ object DemoWorkflowMain {
     }
 
     locally {
+      // multi-query BM25 from the persistent text index: one pruned pass
+      // for the whole eval set, per-query rows identical to queryBm25
+      import spark.implicits._
+      val tidxDir = java.nio.file.Files.createTempDirectory("demo-tidx-batch").toString
+      val docs = graft.relational.QueryHelpers.table(spark, "/root/testdata/sf0.001", "documents")
+      graft.sinks.TextIndexStore.build(docs, 64, tidxDir)
+      val evalSet = Seq((0L, Seq("spark", "join", "window")), (1L, Seq("merge", "column")))
+        .toDF("query_id", "terms")
+      val got = graft.sinks.TextIndexStore.queryBm25Batch(spark, tidxDir, evalSet, 5).collect()
+      val q0 = got.filter(_.getLong(0) == 0L).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      val single = graft.sinks.TextIndexStore.queryBm25(spark, tidxDir,
+          Seq("spark", "join", "window"), 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      println(s"[probe-tidx-batch] rows=${got.length} q0AgreesWithSingle=${q0 == single} (expect 10, true)")
+    }
+
+    locally {
       // persistent inverted text index: build, serve a BM25 query from
       // the bucket-pruned postings
       val tidxDir = java.nio.file.Files.createTempDirectory("demo-tidx").toString

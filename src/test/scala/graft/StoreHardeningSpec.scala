@@ -103,6 +103,28 @@ class StoreHardeningSpec extends AnyFunSuite {
       "the bound violation must point the caller at the distributed path")
   }
 
+  test("queryBm25Batch serves each keyword query bit-identically to standalone queryBm25") {
+    import spark.implicits._
+    val idx = tmp("graft-bm25batch")
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    TextIndexStore.build(docs, buckets = 64, idx)
+    val querySet = Seq(
+      (0L, Seq("spark", "join", "window")),
+      (1L, Seq("merge", "column")),
+      (2L, Seq("scan", "filter", "hash")))
+    val batch = TextIndexStore.queryBm25Batch(spark, idx,
+        querySet.toDF("query_id", "terms"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    querySet.foreach { case (qid, terms) =>
+      val single = TextIndexStore.queryBm25(spark, idx, terms, topK = 10)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(2)) }.toSeq
+      assert(batch.getOrElse(qid, Array.empty).toSeq == single,
+        s"batch path diverges from standalone queryBm25 for query $qid")
+    }
+  }
+
   // ---- compact folds replays even without tombstones ----
 
   test("BandIndexStore.compact reclaims replayed postings when no tombstones exist") {
