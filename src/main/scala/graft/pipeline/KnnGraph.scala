@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbour search — the
+  * navigable-small-world family (NSW; HNSW minus the level hierarchy),
+  * completing the index-paradigm matrix next to IVF (qs02/qs04), PQ
+  * (qs07), int8 (qs05), sign sketches (qs11) and LSH (qd02): a
+  * bounded-degree kNN graph over the corpus plus a beam search that, per
+  * hop, touches only `frontier × degree` candidate rows — after the
+  * one-off build, query cost is independent of corpus size.
+  *
+  * Scale shape (the 100 TB story):
+  *  - **Build is never all-pairs.** Candidate generation is cell-blocked
+  *    (each vector posts to its `assign` nearest IVF cells; pairs form
+  *    only within a cell — the same bounded-blocking discipline as the
+  *    qd02 LSH bands and the qs02 IVF probe), then ONE neighbour-of-
+  *    neighbour refinement round (NN-descent's core step) which touches
+  *    ≤ n × degree² keyed-join rows. Everything is an equi-join on
+  *    `cell` / `src` / `dst`; per-node truncation is the bounded
+  *    [[graft.functions.TopKByScore]] aggregator — no window, no sort of
+  *    a full candidate set anywhere.
+  *  - **Search moves only the frontier.** The graph (n × degree edge
+  *    rows, partitioned by `src`) stays put; each hop joins the
+  *    ≤ queries × beam frontier against it by key, anti-joins the
+  *    visited set, and rescores ≤ queries × beam × degree rows against
+  *    the broadcast query table. Visited state is bounded by
+  *    queries × (entries + hops × beam × degree).
+  *
+  * Determinism: candidate cosines are fixed left-fold expressions (the
+  * same hoisted-norm kernel as the qs ANN paths — norms projected once
+  * per side, never per pair), all truncations order by (cosine DESC,
+  * vec_id ASC), and entry points are pinned ids — so the graph, the
+  * walk, and the final ranking are reproducible across partitionings.
+  */
+object KnnGraph {
+
+  private def vdot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+
+  /** Same hoisted-norm discipline as PipelineQueries: the norm is the
+    * identical sqrt-of-left-fold expression projected once per relation,
+    * so cosines match the inline form bit-for-bit. */
+  private def hoist(df: DataFrame, vcol: String, name: String): DataFrame =
+    df.withColumn(name, sqrt(vdot(col(vcol), col(vcol))))
+
+  private val cosineHoisted: Column =
+    vdot(col("qv"), col("v")) / (col("qnorm") * col("vnorm"))
+
+  private def topPerKey(scored: DataFrame, key: String, k: Int,
+      idCol: String): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(k)
+    scored.groupBy(col(key))
+      .agg(topk(col("cosine"), col(idCol)).as("top"))
+      .select(col(key), explode(col("top")).as("hit"))
+      .select(col(key), col("hit.vec_id").as(idCol), col("hit.cosine").as("cosine"))
+  }
+
+  /** Build a bounded-out-degree kNN graph over `e` (`vec_id`, `v`) rows.
+    *
+    * `cents` are the blocking centroids (deterministic `vec_id < K` rows
+    * or a [[KMeans.fit]] result — either slots in); each vector posts to
+    * its `assign` nearest cells (multi-assignment supplies the cross-cell
+    * edges that keep the graph navigable), pairs form within cells, and
+    * one NN-descent round (neighbours-of-neighbours, ≤ degree² candidates
+    * per node) repairs neighbourhoods the cell blocking split. Returns
+    * (src, dst, cosine) with ≤ `degree` rows per src, ordered
+    * (cosine DESC, dst ASC) within each src by the aggregator contract.
+    */
+  def build(e: DataFrame, cents: Array[(Long, Seq[Double])], assign: Int,
+      degree: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1))
+    def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
+      bc.value.map { case (cid, cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
+        (math.sqrt(acc), cid)
+      }.sortBy(identity).take(n).map(_._2).toSeq
+    val posted = hoist(e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .flatMap { case (id, v) => nearestCells(v, assign).map(c => (id, v, c)) }
+      .toDF("vec_id", "v", "cell"), "v", "vnorm")
+      .persist() // both sides of the in-cell pair join + the rescore side
+    posted.count() // materialize: downstream plans read the cached relation
+    val left = posted.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("qv"), col("vnorm").as("qnorm"))
+    val right = posted.select(col("cell"), col("vec_id").as("dst"),
+      col("v"), col("vnorm"))
+    // in-cell candidates, scored in the join, then collapsed: a pair that
+    // met in both shared cells carries the identical deterministic cosine,
+    // so distinct() dedups exactly
+    val cellCand = left.join(right, Seq("cell"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), cosineHoisted.as("cosine"))
+      .distinct()
+    val edges0 = topPerKey(cellCand, "src", degree, "dst").persist()
+    edges0.count() // materialize before the two self-join uses below
+    // one NN-descent round: src→mid→dst two-hop candidates, rescored via
+    // keyed joins against the posted vectors (vnorm rides along — never
+    // recomputed per pair), unioned with the round-0 scores, re-truncated
+    val twoHop = edges0.select(col("src"), col("dst").as("mid"))
+      .join(edges0.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val vecs = posted.select(col("vec_id"), col("v"), col("vnorm")).distinct()
+    val rescored = twoHop
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("vnorm").as("qnorm")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v"), col("vnorm")),
+        Seq("dst"))
+      .select(col("src"), col("dst"), cosineHoisted.as("cosine"))
+    val refined = topPerKey(
+      edges0.select(col("src"), col("dst"), col("cosine")).union(rescored)
+        .distinct(), // a two-hop pair may already be an edge: same cosine
+      "src", degree, "dst")
+    refined
+  }
+
+  /** Beam search over a built graph. `queries` rows are
+    * (query_id, qv); `entries` are the pinned entry-point vec_ids. Per
+    * hop: expand the frontier along graph edges (keyed join on src),
+    * drop already-visited nodes (anti-join), score survivors against the
+    * broadcast query table, keep the per-query best `beam` NEW nodes as
+    * the next frontier. Returns every visited (query_id, vec_id, cosine)
+    * — callers rank or filter it (top-k, range, recall gates). */
+  def search(e: DataFrame, edges: DataFrame, queries: DataFrame,
+      entries: Seq[Long], beam: Int, hops: Int): DataFrame = {
+    val ev = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
+    val q = hoist(queries.select(col("query_id"), col("qv")), "qv", "qnorm")
+    val edgeTab = edges.select(col("src"), col("dst"))
+    // entry scoring: |entries| × |queries| rows — bounded, broadcast side
+    var visited = ev.filter(col("vec_id").isInCollection(entries))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+      .persist()
+    visited.count() // each hop's plan starts from the cached relation —
+    // without eager materialization the iterative lineage compounds and
+    // Catalyst re-optimizes an exponentially growing composite plan
+    var frontier = visited.select(col("query_id"), col("vec_id"))
+    for (_ <- 1 to hops) {
+      val cand = frontier
+        .join(edgeTab, frontier("vec_id") === edgeTab("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      val scored = cand.join(ev, Seq("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+        .persist()
+      scored.count() // frontier AND the union below read the cached rows
+      visited = visited.union(scored).persist()
+      visited.count()
+      frontier = topPerKey(scored, "query_id", beam, "vec_id")
+        .select(col("query_id"), col("vec_id"))
+    }
+    visited
+  }
+}

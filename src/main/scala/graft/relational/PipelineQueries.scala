@@ -2026,6 +2026,68 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 3
       ORDER BY query_id, rank""")),
 
+    CatalogQuery("qs27_graph_ann_search", (s, d) => {
+      // GRAPH-based ANN — the navigable-small-world family (NSW; HNSW
+      // minus the level hierarchy), completing the index-paradigm matrix
+      // next to IVF (qs02), PQ (qs07), int8 (qs05), sign sketches (qs11)
+      // and LSH (qd02): a bounded-degree kNN graph built with CELL-BLOCKED
+      // candidate generation (multi-assign to 2 nearest cells for
+      // cross-cell edges; pairs only within a cell — never all-pairs)
+      // plus one NN-descent neighbour-of-neighbour refinement round
+      // (≤ n × degree² keyed-join rows), then a beam search whose per-hop
+      // cost is frontier × degree — after the one-off build, query cost
+      // is independent of corpus size (graft.pipeline.KnnGraph has the
+      // full 100 TB shape: edges partitioned by src stay put, only the
+      // ≤ queries × beam frontier moves per hop, ranking is the bounded
+      // TopKByScore aggregator throughout).
+      //
+      // Graph navigation is float-geometry-dependent (which neighbours a
+      // walk reaches depends on every truncation along the way), so like
+      // qs03/qs05/qs07 the oracle can't mirror the plan; the gate is the
+      // bounded recall contract vs the exact brute-force truth (qs01's
+      // plan): top-10-after-search must recover ≥90% of the true top-10.
+      // Degree=12 / beam=32 / hops=4 / entries={0..3}: measured avg
+      // recall 1.000 (min-query 1.000) at ALL of sf0.001/sf0.01/sf0.1.
+      // The neighbouring configs FAIL the margin discipline — hops=3
+      // reads avg 0.92 / min 0.60 at sf0.1, degree=8 hops=4 reads
+      // 0.96 / 0.90, degree=8 hops=3 sits AT avg 0.90 (min 0.60) at
+      // sf0.01 — re-measure (GraphAnnProbeMain) before shrinking ANY
+      // constant.
+      val Assign = 2; val Degree = 12; val Beam = 32
+      val Hops = 4; val NQueries = 5
+      import s.implicits._
+      val e = table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .persist() // graph build + search + truth scan reuse it
+      // Cell COUNT scales with the corpus (~400 rows/cell) so the in-cell
+      // pair join stays O(n × cellWidth) = linear in n — a fixed K would
+      // make build cost quadratic (Σ cell² = 4n²/K). At sf0.001/sf0.01
+      // this resolves to the measured K=16 geometry; at sf0.1 to K=160.
+      val K = math.max(16L, e.count() / 400L)
+      val cents = e.filter(col("vec_id") < K)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      val edges = graft.pipeline.KnnGraph.build(e, cents, Assign, Degree)
+        .persist() // each of the Hops beam expansions joins against it
+      val queries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val visited = graft.pipeline.KnnGraph
+        .search(e, edges, queries, Seq(0L, 1L, 2L, 3L), Beam, Hops)
+      val graphTopk = topkRanked(
+          visited.filter(col("vec_id") =!= col("query_id")))
+        .select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(graphTopk.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

@@ -1,0 +1,101 @@
+package graft
+
+import graft.pipeline.KnnGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the graph-ANN engine behind qs27: the builder's degree
+  * bound, bit-determinism of both build and search across input
+  * partitionings (every truncation orders by (cosine DESC, id ASC), every
+  * cosine is the same left-fold expression — so the graph and the walk
+  * cannot depend on how Spark split the input), and the end-to-end recall
+  * contract the gate row relies on.
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 8
+  private val N = 240
+
+  /** Seeded gaussian-ish cloud: deterministic, no ties in practice. */
+  private def vecs(parts: Int): DataFrame = {
+    val rnd = new scala.util.Random(0xD1CE)
+    val rows = (0 until N).map { i =>
+      (i.toLong, Seq.fill(Dim)(rnd.nextGaussian()))
+    }
+    rows.toDF("vec_id", "v").repartition(parts)
+  }
+
+  private def cents(e: DataFrame, k: Int): Array[(Long, Seq[Double])] =
+    e.filter(col("vec_id") < k).as[(Long, Seq[Double])].collect().sortBy(_._1)
+
+  /** Collect to a comparable set; cosines rounded to 12 places only to keep
+    * the assertion message readable — determinism is actually bit-level,
+    * which the exact-equality variant below pins. */
+  private def edgeSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select(col("src"), col("dst"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("build bounds out-degree and orders each neighbourhood deterministically") {
+    val e = vecs(7).persist()
+    val edges = KnnGraph.build(e, cents(e, 4), assign = 2, degree = 6)
+    val perSrc = edges.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), count(lit(1)).as("srcs")).collect()(0)
+    assert(perSrc.getLong(0) <= 6, "out-degree bound")
+    assert(perSrc.getLong(1) == N.toLong, "every vector gets a neighbourhood")
+    // no (src,dst) appears twice (the distinct()s collapse multi-cell meets)
+    assert(edges.groupBy(col("src"), col("dst")).count()
+      .filter(col("count") > 1).isEmpty, "edge rows are unique")
+    spark.catalog.clearCache()
+  }
+
+  test("build and search are bit-identical across input partitionings") {
+    val e1 = vecs(1).persist()
+    val e7 = vecs(7).persist()
+    val g1 = edgeSet(KnnGraph.build(e1, cents(e1, 4), 2, 6))
+    val g7 = edgeSet(KnnGraph.build(e7, cents(e7, 4), 2, 6))
+    assert(g1 == g7, "graph independent of partitioning")
+    val q1 = e1.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val q7 = e7.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def visitedSet(e: DataFrame, q: DataFrame): Set[(Long, Long, Double)] =
+      KnnGraph.search(e, KnnGraph.build(e, cents(e, 4), 2, 6), q,
+          Seq(0L, 1L), beam = 8, hops = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(visitedSet(e1, q1) == visitedSet(e7, q7),
+      "walk independent of partitioning")
+    spark.catalog.clearCache()
+  }
+
+  test("beam search recovers the brute-force top-k (recall contract)") {
+    val e = vecs(5).persist()
+    val edges = KnnGraph.build(e, cents(e, 4), assign = 2, degree = 8).persist()
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val visited = KnnGraph.search(e, edges, q, Seq(0L, 1L, 2L, 3L),
+      beam = 16, hops = 3)
+    val topk = graft.functions.TopKAggregator.topK(5)
+    def top5(scored: DataFrame): Set[(Long, Long)] =
+      scored.filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = top5(visited)
+    // exact truth: brute force over the tiny fixture
+    val qb = broadcast(q)
+    val truth = top5(e.crossJoin(qb).select(col("query_id"), col("vec_id"),
+      (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+        (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
+          sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _))))
+        .as("cosine")))
+    val recall = (got intersect truth).size.toDouble / truth.size
+    // measured 1.0 on this fixture; the gate constant (0.90 avg) keeps a
+    // margin below the worst measured config — see GraphAnnProbeMain
+    assert(recall >= 0.9, s"recall $recall (got ${got.size}, truth ${truth.size})")
+    spark.catalog.clearCache()
+  }
+}
