@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, ShingleHash60, SignSketch, SortedLongIntersectCount}
+import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, ShingleHash60, SignSketch, SimHashPack, SortedLongIntersectCount, VecDot, VecDotLong}
 import graft.pipeline.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,6 +43,9 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   *   SELECT nfc_normalize(s)                         -- Unicode NFC (ASCII fast path)
   *   SELECT bloom_might_contain(h, bits, 4)          -- Bloom probe (bits: constant array)
   *   SELECT sign_sketch(v, 0, 32)                    -- sign-bit half-sketch (binary ANN)
+  *   SELECT vec_dot(x, y)                            -- fused dot product (ANN hot kernel)
+  *   SELECT vec_dot_long(x, y)                       -- integer twin (int8-quantized ANN)
+  *   SELECT simhash_pack(hs, 16)                     -- one-pass simhash bit vote
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -108,6 +111,24 @@ object GraftExtensions {
         require(args.length == 3, "sign_sketch(v, start, len) takes 3 arguments")
         SignSketch(args.head, intLiteral(args(1), "sign_sketch start"),
           intLiteral(args(2), "sign_sketch len"))
+      }),
+    (FunctionIdentifier("vec_dot"),
+      info(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(x, y) takes 2 arguments")
+        VecDot(args.head, args(1))
+      }),
+    (FunctionIdentifier("vec_dot_long"),
+      info(classOf[VecDotLong].getName, "vec_dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot_long(x, y) takes 2 arguments")
+        VecDotLong(args.head, args(1))
+      }),
+    (FunctionIdentifier("simhash_pack"),
+      info(classOf[SimHashPack].getName, "simhash_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_pack(hashes, bits) takes 2 arguments")
+        SimHashPack(args.head, intLiteral(args(1), "simhash_pack bits"))
       }))
 
   private def info(className: String, name: String) =

@@ -281,6 +281,65 @@ case class SignSketch(child: Expression, start: Int, len: Int) extends Expressio
     copy(child = c.head)
 }
 
+/** SimHash bit-pack over a token-hash array in ONE pass: per bit j, the
+  * sign of the vote Σ over hashes of (2·bit_j(h) − 1); set bits OR into the
+  * result. Bit-identical to the composed per-bit formulation in
+  * [[graft.pipeline.TextOps.simhash]] —
+  * `Σ_j when(aggregate(hashes, 0L, (acc,h) -> acc + ((h>>j)&1)*2-1) > 0, 2^j, 0)`
+  * — on the full surface (pure integer arithmetic, so equality is exact):
+  * a null array or any null element zeroes EVERY vote's `when` branch in
+  * the composed form (null comparison → otherwise(0)), so both yield 0L;
+  * empty arrays vote 0 everywhere → 0L. The composed form runs `bits`
+  * interpreted CodegenFallback folds per document, each a full pass over
+  * the hash array with two lambda dispatches per element; this is one
+  * fused pass inside whole-stage codegen. */
+case class SimHashPack(child: Expression, bits: Int) extends Expression {
+  require(bits > 0 && bits <= 62, s"simhash bits must be in [1, 62], got $bits")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  // the composed form yields 0L (never null) on null input — see above
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else computePack(v.asInstanceOf[ArrayData])
+  }
+
+  def computePack(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < n) {
+      // one null hash nullifies every per-bit vote in the composed form
+      if (arr.isNullAt(i)) return 0L
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < bits) { votes(j) += ((h >> j) & 1L) * 2 - 1; j += 1 }
+      i += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) acc += 1L << j; j += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHashPack", this, classOf[SimHashPack].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = false;
+      long ${ev.value} = 0L;
+      if (!${childGen.isNull}) {
+        ${ev.value} = $ref.computePack(${childGen.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
 object ShingleExpressions {
   import graft.pipeline.TextOps
   import org.apache.spark.sql.GraftSqlShim
@@ -300,4 +359,7 @@ object ShingleExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlShim.column(SortedLongIntersectCount(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  def simHashPack(hashes: Column, bits: Int): Column =
+    GraftSqlShim.column(SimHashPack(GraftSqlShim.expression(hashes), bits))
 }

@@ -1,0 +1,131 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Dot product of two double-array columns as ONE fused loop.
+  *
+  * Bit-identical to the composed-builtin formulation
+  * `aggregate(zip_with(x, y, (a,b) -> a*b), 0.0D, (acc,p) -> acc+p)` —
+  * the repo-wide dot-product convention every cosine mirror contract is
+  * written against — on the full semantic surface, not just the happy
+  * path ([[graft.ShingleExpressionsSpec]] pins all of it):
+  *  - equal-length arrays: the SAME left-to-right IEEE sequence
+  *    (acc += x(i)*y(i) from a 0.0 seed — no reassociation, no FMA), so
+  *    every cosine, rank and oracle hash is unchanged;
+  *  - unequal lengths: null (zip_with null-pads the shorter side, the
+  *    null product nullifies the builtin sum);
+  *  - a null element on either side: null (same propagation);
+  *  - two empty arrays: 0.0 (the fold's seed).
+  *
+  * Why it exists: the builtin higher-order functions are CodegenFallback
+  * — every candidate pair pays two lambda dispatches PER ELEMENT plus an
+  * intermediate product array. This is the single hottest scalar kernel
+  * in the engine (every ANN scan, every norm projection, the kNN-graph
+  * build's in-cell pair scoring), so it gets the ShingleHash60 treatment:
+  * a custom Expression with `doGenCode` emitting a reference-object call
+  * into [[compute]], staying inside whole-stage codegen (SURVEY §7.1
+  * preference case (b)).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  // non-null children can still yield null (length mismatch / null element)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  /** Boxed so the length-mismatch / null-element cases can return null —
+    * one box per PAIR (not per element) is noise next to the interpreted
+    * per-element dispatch it replaces. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDot", this, classOf[VecDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Integer dot product of two int-array columns (the int8-quantized ANN
+  * path): ONE fused loop, identical to
+  * `aggregate(zip_with(x, y, (a,b) -> CAST(a*b AS BIGINT)), 0L, (acc,p) -> acc+p)`
+  * on the non-overflowing-product domain (null on length mismatch / null
+  * element, 0 on empty arrays, exact integer sums otherwise) — which is
+  * the builtin's ENTIRE value domain under the session's ANSI mode (an
+  * int-overflowing a*b throws there; legacy mode would wrap where this
+  * kernel computes the exact wide product). The int8 path's products are
+  * bounded by ±127², far inside the shared domain.
+  * Same rationale as [[VecDot]]: the builtin pair is CodegenFallback.
+  */
+case class VecDotLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      // exact wide product: equals the builtin everywhere the builtin
+      // yields a value (ANSI throws on int-overflowing products)
+      acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecDotLong", this, classOf[VecDotLong].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.longValue();
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  /** The engine-wide dot-product kernel; see [[VecDot]]. */
+  def vecDot(x: Column, y: Column): Column =
+    GraftSqlShim.column(VecDot(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
+
+  /** Integer twin for the int8-quantized path; see [[VecDotLong]]. */
+  def vecDotLong(x: Column, y: Column): Column =
+    GraftSqlShim.column(VecDotLong(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
+}

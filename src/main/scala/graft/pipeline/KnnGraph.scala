@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 object KnnGraph {
 
   private def vdot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    graft.functions.expressions.VectorExpressions.vecDot(x, y)
 
   /** Same hoisted-norm discipline as PipelineQueries: the norm is the
     * identical sqrt-of-left-fold expression projected once per relation,

@@ -74,16 +74,15 @@ object TextOps {
   }
 
   /** SimHash over distinct whitespace tokens with `bits` bits: per bit, the
-    * sign of the sum of (2*bit(h)-1) votes across token hashes. */
+    * sign of the sum of (2*bit(h)-1) votes across token hashes — one fused
+    * codegen pass ([[graft.functions.expressions.SimHashPack]], spec-pinned
+    * bit-identical to the per-bit composed formulation
+    * `Σ_j when(aggregate(hashes, 0L, (acc,h) -> acc+((h>>j)&1)*2-1) > 0, 2^j, 0)`,
+    * which pays `bits` interpreted folds per document). */
   def simhash(text: Column, bits: Int): Column = {
     val toks = array_distinct(tokens(text))
     val hashes = transform(toks, t => hash60(t))
-    val bitCols = (0 until bits).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(vote > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    graft.functions.expressions.ShingleExpressions.simHashPack(hashes, bits)
   }
 
   /** Count occurrences of a literal marker substring (no regex):

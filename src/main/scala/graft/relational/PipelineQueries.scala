@@ -101,8 +101,15 @@ object PipelineQueries {
   private val PackSeqLen = 64 // qp11: training-sequence length, in tokens
   private val PackBuckets = 32 // qp11: prefix-sum parallelism (≈ cluster tasks)
 
+  /** The engine-wide dot-product kernel: a codegen'd fused loop
+    * ([[graft.functions.expressions.VecDot]]) bit-identical — same
+    * left-fold IEEE sequence, same null/length semantics, spec-pinned —
+    * to the composed-builtin `aggregate(zip_with(x,y,_*_), 0.0, _+_)`
+    * every oracle mirror contract was written against, minus the
+    * builtins' interpreted per-element lambda dispatch (higher-order
+    * functions are CodegenFallback). */
   private def vdot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+    graft.functions.expressions.VectorExpressions.vecDot(x, y)
 
   private def cosineCol(q: Column, v: Column): Column =
     vdot(q, v) / (sqrt(vdot(q, q)) * sqrt(vdot(v, v)))
@@ -129,9 +136,12 @@ object PipelineQueries {
     transform(v, x => round(x / scale).cast("int"))
   }
 
-  /** Integer dot product (products fit an int at ±127²; accumulated long). */
+  /** Integer dot product (products fit an int at ±127²; accumulated long) —
+    * the codegen'd [[graft.functions.expressions.VecDotLong]] kernel,
+    * spec-pinned bit-identical to the composed-builtin
+    * `aggregate(zip_with(x,y,(a,b)->CAST(a*b AS BIGINT)), 0L, _+_)`. */
   private def idot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => (a * b).cast("long")), lit(0L), _ + _)
+    graft.functions.expressions.VectorExpressions.vecDotLong(x, y)
 
   /** Final ANN ranking WITHOUT a per-query window sort: a bounded top-k
     * [[graft.functions.TopKByScore]] aggregation (map-side partials hold ≤k
@@ -1346,8 +1356,7 @@ object PipelineQueries {
       val b = posted.select(col("label"), col("cell"), col("vec_id").as("id_b"))
       val cand = a.join(b, Seq("label", "cell")).filter(col("id_a") < col("id_b"))
         .select(col("label"), col("id_a"), col("id_b")).distinct()
-      val dot = (x: Column, y: Column) =>
-        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+      val dot = (x: Column, y: Column) => vdot(x, y)
       cand
         .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
         .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
@@ -1848,7 +1857,7 @@ object PipelineQueries {
       //
       // Scale shape: qs01's discipline — the tiny query set broadcasts
       // onto ONE corpus scan (pinned no-corpus-shuffle class), the dot
-      // is a codegen'd zip_with fold, and the finish is the bounded
+      // is the codegen'd VecDot kernel, and the finish is the bounded
       // TopKByScore aggregator (map-side ≤k partials), never a
       // per-query window sort. IVF candidate generation slots in front
       // unchanged (with the standard MIPS-to-L2 reduction caveats).
@@ -2197,15 +2206,23 @@ object PipelineQueries {
       val NQueries = 5; val CandK = 4 * AnnTopK
       val e = table(s, d, "embeddings")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      // int norms HOISTED once per side (the same discipline as hoistNorm
+      // on the double paths, and trivially exact here: the hoisted idot is
+      // integer arithmetic, the sqrt/multiply/divide that follow are the
+      // identical IEEE ops on identical values) — the corpus-scan stage
+      // pays 1 dot per pair instead of 3
+      val inorm = (qv: Column) =>
+        sqrt(greatest(idot(qv, qv), lit(1L)).cast("double"))
       val qe = e.select(col("vec_id"), int8Quantize(col("v")).as("qv"))
+        .withColumn("qvn", inorm(col("qv")))
       val quantQueries = qe.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+          col("qvn").as("qqn"))
       val qscored = qe.crossJoin(broadcast(quantQueries))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           (idot(col("qq"), col("qv")).cast("double") /
-            (sqrt(greatest(idot(col("qq"), col("qq")), lit(1L)).cast("double")) *
-             sqrt(greatest(idot(col("qv"), col("qv")), lit(1L)).cast("double")))).as("cosine"))
+            (col("qqn") * col("qvn"))).as("cosine"))
       val candTopK = graft.functions.TopKAggregator.topK(CandK)
       val cand = qscored.groupBy(col("query_id"))
         .agg(candTopK(col("cosine"), col("vec_id")).as("top"))
@@ -2830,7 +2847,7 @@ object PipelineQueries {
       // sum), exact min/max norms, and the count of degenerate
       // (‖v‖ < 1e-6) vectors. One pass, per-row norm expression, one
       // bounded aggregation — no shuffle beyond the agg partials.
-      val dot = (x: Column) => aggregate(zip_with(x, x, _ * _), lit(0.0), _ + _)
+      val dot = (x: Column) => vdot(x, x)
       val dec = org.apache.spark.sql.types.DecimalType(25, 6)
       table(s, d, "embeddings")
         .select(col("vec_id"),

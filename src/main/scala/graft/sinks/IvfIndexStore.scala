@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * in unchanged via `centroids`.
   *
   * Norms are NEVER recomputed per candidate: each posting stores its own
-  * `vnorm` (written by the same `sqrt(aggregate(zip_with(v,v,*),0,+))`
-  * expression serving would use, so the stored double is bit-identical
-  * to an inline evaluation and every rank-order mirror contract holds),
+  * `vnorm` (written by the same sqrt-of-[[graft.functions.expressions.VecDot]]
+  * expression serving would use — itself pinned bit-identical to the
+  * `sqrt(aggregate(zip_with(v,v,*),0,+))` left fold — so the stored
+  * double is bit-identical to an inline evaluation and every rank-order
+  * mirror contract holds),
   * and the query-side norm is projected ONCE onto the tiny broadcast
   * probe table instead of per posting row — together they halve the
   * FLOPs of the hot serve kernel.
@@ -51,10 +53,10 @@ object IvfIndexStore {
     * ONE definition so stored and inline evaluations are the same IEEE
     * double op sequence (left fold over squared elements, one sqrt). */
   private def normExpr(v: Column): Column =
-    sqrt(aggregate(zip_with(v, v, _ * _), lit(0.0), _ + _))
+    sqrt(graft.functions.expressions.VectorExpressions.vecDot(v, v))
 
   private def cosineExpr: Column =
-    (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+    (graft.functions.expressions.VectorExpressions.vecDot(col("qv"), col("v")) /
       (col("qnorm") * col("vnorm"))).as("cosine")
 
   /** The meta column name a metadata-scoped store was built with (from

@@ -143,4 +143,150 @@ class ShingleExpressionsSpec extends AnyFunSuite {
       assert(sv == 4L)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("VecDot == aggregate(zip_with(...)) builtin fold, bit for bit (codegen)") {
+    // the engine-wide dot-product kernel (every cosine/norm in the ANN
+    // paths, the IVF store's persisted vnorm, the kNN-graph build): the
+    // fused loop must reproduce the CodegenFallback builtin left fold on
+    // the FULL semantic surface — same IEEE sequence on equal-length
+    // arrays (raw-bit equality, not epsilon), null on length mismatch,
+    // null propagation from null elements, 0.0 seed on empty arrays
+    import graft.functions.expressions.VectorExpressions.vecDot
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ref = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(x, y, _ * _), lit(0.0), _ + _)
+      // seeded vectors incl. exact zeros, denormal-scale and huge values —
+      // any reassociation or FMA contraction in the fused loop would show
+      val rng = new scala.util.Random(7)
+      val vecs = (0L until 40L).map { i =>
+        (i, Seq.tabulate(64)(j => rng.nextGaussian() *
+            (if (j % 13 == 0) 1e-300 else if (j % 17 == 0) 1e300 else 1.0)),
+          Seq.tabulate(64)(_ => rng.nextGaussian()))
+      }.toDF("id", "x", "y")
+      val rows = vecs.select(vecDot(col("x"), col("y")).as("fast"),
+        ref(col("x"), col("y")).as("slow")).collect()
+      assert(rows.length == 40)
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"IEEE sequence diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+      // edge surface: empty → 0.0; length mismatch → null; null element →
+      // null; null array → null — each checked against the builtin
+      val edges = spark.sql("""
+        SELECT * FROM VALUES
+          (CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)),
+          (array(1.0D, 2.0D), array(3.0D)),
+          (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)),
+          (CAST(NULL AS ARRAY<DOUBLE>), array(3.0D)) t(x, y)""")
+      val er = edges.select(vecDot(col("x"), col("y")).as("fast"),
+        ref(col("x"), col("y")).as("slow")).collect()
+      assert(er(0).getDouble(0) == 0.0 && er(0).getDouble(1) == 0.0)
+      (1 to 3).foreach { i =>
+        assert(er(i).isNullAt(0) == er(i).isNullAt(1) && er(i).isNullAt(0),
+          s"edge row $i: fast=${er(i)} must be null like the builtin")
+      }
+      // SQL registration parity
+      graft.functions.GraftExtensions.sqlFunctions.foreach { case (id, fi, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+      }
+      vecs.createOrReplaceTempView("vecdot_probe")
+      val sqlRows = spark.sql(
+        "SELECT vec_dot(x, y) FROM vecdot_probe ORDER BY id").collect()
+      sqlRows.zip(vecs.orderBy(col("id"))
+          .select(ref(col("x"), col("y"))).collect()).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(0)))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("VecDotLong == aggregate(zip_with(cast long)) builtin fold (codegen)") {
+    // the int8-quantized path's kernel (qs05's corpus-scan stage): same
+    // equivalence discipline as VecDot on the non-overflowing-product
+    // domain — the builtin's entire value domain under ANSI mode (values
+    // here reach ~1.4e8 products, 1000× the int8 range, without
+    // overflowing)
+    import graft.functions.expressions.VectorExpressions.vecDotLong
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ref = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(x, y, (a, b) => (a * b).cast("long")), lit(0L), _ + _)
+      val rng = new scala.util.Random(11)
+      // large values on DISJOINT positions (j≡5 mod 19 vs j≡7 mod 23 never
+      // coincide below 64): products reach ~1.4e8 without overflowing INT
+      // — ANSI mode throws on an overflowing a*b, so the shared domain is
+      // exactly the non-overflow one
+      val vecs = (0L until 40L).map { i =>
+        (i, Seq.tabulate(64)(j => if (j % 19 == 5) 100000 + rng.nextInt(1000000)
+             else rng.nextInt(255) - 127),
+          Seq.tabulate(64)(j => if (j % 23 == 7) -100000 - rng.nextInt(1000000)
+             else rng.nextInt(255) - 127))
+      }.toDF("id", "x", "y")
+      val rows = vecs.select(vecDotLong(col("x"), col("y")).as("fast"),
+        ref(col("x"), col("y")).as("slow")).collect()
+      assert(rows.length == 40)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"int fold diverged: ${r.getLong(0)} vs ${r.getLong(1)}"))
+      // edges: empty → 0; length mismatch → null; null element → null
+      val edges = spark.sql("""
+        SELECT * FROM VALUES
+          (CAST(array() AS ARRAY<INT>), CAST(array() AS ARRAY<INT>)),
+          (array(1, 2), array(3)),
+          (array(1, CAST(NULL AS INT)), array(3, 4)) t(x, y)""")
+      val er = edges.select(vecDotLong(col("x"), col("y")).as("fast"),
+        ref(col("x"), col("y")).as("slow")).collect()
+      assert(er(0).getLong(0) == 0L && er(0).getLong(1) == 0L)
+      (1 to 2).foreach(i => assert(er(i).isNullAt(0) && er(i).isNullAt(1)))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("SimHashPack == per-bit aggregate vote fold (codegen)") {
+    // qd03's kernel: one fused pass must equal the `bits` separate
+    // interpreted per-bit folds — pure integer arithmetic, exact equality —
+    // including the composed form's null collapse (null array / null
+    // element → every when() takes otherwise(0) → 0L) and empty → 0L
+    import graft.functions.expressions.ShingleExpressions.simHashPack
+    val bits = 16
+    def composed(hashes: org.apache.spark.sql.Column) = (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // real path: hash60 over distinct tokens of the text fixtures
+      val hs = texts.select(array_distinct(transform(
+        split(trim(col("text")), "\\s+"), t => TextOps.hash60(t))).as("hs"))
+      val rows = hs.select(simHashPack(col("hs"), bits).as("fast"),
+        composed(col("hs")).as("slow")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"simhash diverged: ${r.getLong(0)} vs ${r.getLong(1)}"))
+      // edges: empty, null element, null array — all 0L on both sides
+      val edges = spark.sql("""
+        SELECT * FROM VALUES
+          (CAST(array() AS ARRAY<BIGINT>)),
+          (array(CAST(5 AS BIGINT), CAST(NULL AS BIGINT))),
+          (CAST(NULL AS ARRAY<BIGINT>)) t(hs)""")
+      val er = edges.select(simHashPack(col("hs"), bits).as("fast"),
+        composed(col("hs")).as("slow")).collect()
+      er.foreach(r => assert(!r.isNullAt(0) && r.getLong(0) == 0L &&
+        r.getLong(1) == 0L))
+      // SQL registration parity
+      graft.functions.GraftExtensions.sqlFunctions.foreach { case (id, fi, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+      }
+      val sv = spark.sql(
+        s"""SELECT simhash_pack(array(CAST(5 AS BIGINT), CAST(6 AS BIGINT),
+            CAST(3 AS BIGINT)), $bits) AS a""").first().getLong(0)
+      val dv = spark.range(1).select(simHashPack(
+        array(lit(5L), lit(6L), lit(3L)), bits)).first().getLong(0)
+      assert(sv == dv)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
