@@ -136,9 +136,11 @@ object KnnGraph {
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
       .persist()
-    visited.count() // each hop's plan starts from the cached relation —
-    // without eager materialization the iterative lineage compounds and
-    // Catalyst re-optimizes an exponentially growing composite plan
+    visited.count() // eager: the per-hop `scored` caches below cut the
+    // iterative lineage (without them each hop's plan would compound the
+    // whole history and Catalyst would re-optimize an exponentially
+    // growing composite); `visited` itself stays a lazy union of those
+    // cached relations
     var frontier = visited.select(col("query_id"), col("vec_id"))
     for (_ <- 1 to hops) {
       val cand = frontier
@@ -151,9 +153,15 @@ object KnnGraph {
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
         .persist()
-      scored.count() // frontier AND the union below read the cached rows
-      visited = visited.union(scored).persist()
-      visited.count()
+      scored.count() // frontier AND the next hop's anti-join read the cache
+      // visited stays a LAZY union of the cached per-hop relations: each
+      // child is already materialized, so downstream reads hit ≤ hops+1
+      // cached scans and the per-hop job count stays at two (scored, and
+      // the collect/count the caller's next action triggers) — a persisted
+      // union here would add a third full materialization per hop for
+      // nothing (measured: the walk's cost on small frontiers is job
+      // overhead, not data)
+      visited = visited.union(scored)
       frontier = topPerKey(scored, "query_id", beam, "vec_id")
         .select(col("query_id"), col("vec_id"))
     }
