@@ -144,11 +144,13 @@ object Bench {
       val bandIdx = PipelineQueries.Serve.buildBandIndex(spark, sfDir)
       val ivfIdx = PipelineQueries.Serve.buildIvfIndex(spark, sfDir)
       val textIdx = PipelineQueries.Serve.buildTextIndex(spark, sfDir)
+      val graphIdx = PipelineQueries.Serve.buildGraphIndex(spark, sfDir)
       spark.catalog.clearCache()
       Seq(
         "qd17_probe_only" -> (() => PipelineQueries.Serve.probeBandIndex(spark, sfDir, bandIdx)),
         "qs14_query_only" -> (() => PipelineQueries.Serve.queryIvfIndex(spark, sfDir, ivfIdx)),
-        "qt23_bm25_only" -> (() => PipelineQueries.Serve.queryTextIndex(spark, textIdx)))
+        "qt23_bm25_only" -> (() => PipelineQueries.Serve.queryTextIndex(spark, textIdx)),
+        "qs28_graph_only" -> (() => PipelineQueries.Serve.queryGraphIndex(spark, sfDir, graphIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
       servePaths.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)

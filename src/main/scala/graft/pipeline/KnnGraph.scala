@@ -125,22 +125,34 @@ object KnnGraph {
     * drop already-visited nodes (anti-join), score survivors against the
     * broadcast query table, keep the per-query best `beam` NEW nodes as
     * the next frontier. Returns every visited (query_id, vec_id, cosine)
-    * — callers rank or filter it (top-k, range, recall gates). */
+    * — callers rank or filter it (top-k, range, recall gates).
+    *
+    * The per-hop checkpoints register with `scope`; callers that need
+    * deterministic memory discipline (services, specs) pass their own
+    * [[graft.core.WalkScope]] and `release()` it after materializing the
+    * result — with the default scope the blocks are freed lazily by the
+    * GC-driven ContextCleaner once the result's references drop. */
   def search(e: DataFrame, edges: DataFrame, queries: DataFrame,
-      entries: Seq[Long], beam: Int, hops: Int): DataFrame = {
+      entries: Seq[Long], beam: Int, hops: Int,
+      scope: graft.core.WalkScope = new graft.core.WalkScope): DataFrame = {
     val ev = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
     val q = hoist(queries.select(col("query_id"), col("qv")), "qv", "qnorm")
     val edgeTab = edges.select(col("src"), col("dst"))
     // entry scoring: |entries| × |queries| rows — bounded, broadcast side
-    var visited = ev.filter(col("vec_id").isInCollection(entries))
+    var visited = scope.checkpoint(ev.filter(col("vec_id").isInCollection(entries))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
-      .persist()
-    visited.count() // eager: the per-hop `scored` caches below cut the
-    // iterative lineage (without them each hop's plan would compound the
-    // whole history and Catalyst would re-optimize an exponentially
-    // growing composite); `visited` itself stays a lazy union of those
-    // cached relations
+      ) // TRUNCATE lineage, not just cache it: each
+    // hop's plan embeds the previous hops' plans (and a persisted
+    // relation still PRINTS its full child tree), so with plain persist
+    // the composite tree — and every per-action analysis pass and plan
+    // string over it — grows EXPONENTIALLY in hops (measured: a 500-row
+    // walk spent tens of seconds in Catalyst re-analysis, and a long
+    // call chain OOM'd the driver building a plan string). After the
+    // checkpoint each hop starts from an O(1) LogicalRDD over the
+    // materialized rows; `visited` stays a lazy union of those. The
+    // checkpointed rows are the walk's frontier state — bounded by
+    // queries × beam × degree per hop at ANY corpus size
     var frontier = visited.select(col("query_id"), col("vec_id"))
     for (_ <- 1 to hops) {
       val cand = frontier
@@ -149,18 +161,13 @@ object KnnGraph {
         .distinct()
         .join(visited.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
-      val scored = cand.join(ev, Seq("vec_id"))
+      val scored = scope.checkpoint(cand.join(ev, Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
-        .persist()
-      scored.count() // frontier AND the next hop's anti-join read the cache
-      // visited stays a LAZY union of the cached per-hop relations: each
-      // child is already materialized, so downstream reads hit ≤ hops+1
-      // cached scans and the per-hop job count stays at two (scored, and
-      // the collect/count the caller's next action triggers) — a persisted
-      // union here would add a third full materialization per hop for
-      // nothing (measured: the walk's cost on small frontiers is job
-      // overhead, not data)
+        ) // lineage cut per hop — see the entry note
+      // visited stays a LAZY union of the checkpointed per-hop relations:
+      // each child is already materialized, so downstream reads hit
+      // ≤ hops+1 tiny scans and the per-hop job count stays at one
       visited = visited.union(scored)
       frontier = topPerKey(scored, "query_id", beam, "vec_id")
         .select(col("query_id"), col("vec_id"))

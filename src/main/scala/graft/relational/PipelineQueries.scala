@@ -70,6 +70,21 @@ object PipelineQueries {
     def queryTextIndex(s: SparkSession, idxDir: String): DataFrame =
       graft.sinks.TextIndexStore.queryBm25(s, idxDir,
         Seq("spark", "join", "window"), AnnTopK)
+    def buildGraphIndex(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs28-gidx").toString
+      graft.sinks.GraphIndexStore.build(table(s, d, "embeddings"), idxDir,
+        degree = 12, assign = 2, nEntries = 4)
+      idxDir
+    }
+    def queryGraphIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.GraphIndexStore.query(s, idxDir, queries,
+        beam = 32, hops = 4, topK = AnnTopK)
+    }
   }
 
   private val ShingleN = 4
@@ -2079,11 +2094,19 @@ object PipelineQueries {
         .persist() // each of the Hops beam expansions joins against it
       val queries = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      // the walk's checkpoint state is RDD-level (invisible to the
+      // between-query clearCache) — materialize the tiny top-k table
+      // (NQueries × k rows) and release the scope eagerly, so the gate
+      // run carries zero walk blocks forward (WalkScope discipline)
+      val scope = new graft.core.WalkScope
       val visited = graft.pipeline.KnnGraph
-        .search(e, edges, queries, Seq(0L, 1L, 2L, 3L), Beam, Hops)
-      val graphTopk = topkRanked(
+        .search(e, edges, queries, Seq(0L, 1L, 2L, 3L), Beam, Hops, scope)
+      val topkRows = topkRanked(
           visited.filter(col("vec_id") =!= col("query_id")))
         .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect()
+      scope.release()
+      val graphTopk = topkRows.toSeq.toDF("query_id", "vec_id")
       val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
         .select(col("query_id"), col("vec_id"))
       val perQuery = truth
@@ -2096,6 +2119,36 @@ object PipelineQueries {
     }, Some("""
       SELECT count(*) AS n_queries, TRUE AS recall_ge_090
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qs28_graph_index_serve", (s, d) => {
+      // The PERSISTENT graph-ANN path (sinks/GraphIndexStore): qs27's
+      // engine behind the build-once/serve-many artifact protocol —
+      // bucket-partitioned edges+vectors, per-hop partition-pruned
+      // frontier reads, NSW insertion appends, tombstone deletes, epoched
+      // compaction (the fourth store next to qd17/qs14/qt23's trio). This
+      // row gates the whole build→persist→prune→walk pipeline from
+      // scratch; GraphIndexStoreSpec pins the store serve bit-identical
+      // to the in-memory KnnGraph.search on a fresh store, so the recall
+      // contract inherits qs27's measured margins (deg=12/beam=32/hops=4:
+      // avg recall 1.000 at ALL SFs — see qs27's comment before shrinking
+      // anything). Oracle = the same bounded contract: top-10-from-store
+      // must recover ≥90% of the exact brute-force top-10 (qs01's plan).
+      val idxDir = Serve.buildGraphIndex(s, d)
+      val graphTopk = Serve.queryGraphIndex(s, d, idxDir)
+        .select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(graphTopk.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q"""),
+      headline = true),
 
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come

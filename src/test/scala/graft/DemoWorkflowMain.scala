@@ -257,6 +257,38 @@ object DemoWorkflowMain {
       println(s"[probe-bidx-del] hitsAfterDelete=${afterDel.length} (expect 0)")
     }
 
+    locally {
+      // persistent graph-ANN index: build, beam-search serve, NSW-insert
+      // a held-out vector, find it again by its own values, tombstone it
+      import org.apache.spark.sql.functions.{col, transform}
+      val gidxDir = java.nio.file.Files.createTempDirectory("demo-gidx").toString
+      val e = graft.relational.QueryHelpers
+        .table(spark, "/root/testdata/sf0.001", "embeddings")
+      graft.sinks.GraphIndexStore.build(e.filter(col("vec_id") >= 5), gidxDir,
+        degree = 8, assign = 2, nEntries = 4, buckets = 16)
+      val q0 = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val ranks = graft.sinks.GraphIndexStore.query(spark, gidxDir, q0,
+        beam = 16, hops = 3, topK = 5).collect()
+      println(s"[probe-gidx] rows=${ranks.length} queries=" +
+        s"${ranks.map(_.getLong(0)).distinct.length} (expect 15, 3)")
+      graft.sinks.GraphIndexStore.append(e.filter(col("vec_id") === 0L), gidxDir,
+        beam = 16, hops = 3)
+      val self = e.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 100L).as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val found = graft.sinks.GraphIndexStore.query(spark, gidxDir, self,
+        beam = 16, hops = 4, topK = 3).collect()
+      println(s"[probe-gidx-ins] rank1=${found.head.getLong(2)} (expect 0)")
+      graft.sinks.GraphIndexStore.delete(spark, gidxDir, Seq(found.head.getLong(2)))
+      val afterDel = graft.sinks.GraphIndexStore.query(spark, gidxDir, self,
+        beam = 16, hops = 4, topK = 3).collect()
+      val gone = !afterDel.exists(_.getLong(2) == 0L)
+      println(s"[probe-gidx-del] goneFromRanks=$gone (expect true)")
+      spark.catalog.clearCache()
+    }
+
     spark.stop()
   }
 }

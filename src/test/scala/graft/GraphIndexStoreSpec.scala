@@ -1,0 +1,227 @@
+package graft
+
+import graft.pipeline.KnnGraph
+import graft.relational.QueryHelpers
+import graft.sinks.{ArtifactStore, GraphIndexStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persistent graph-ANN index: a fresh store must serve the in-memory
+  * [[KnnGraph]] walk bit-identically; per-hop scans must prune to the
+  * frontier's bucket partitions; NSW insertion makes appended vectors
+  * reachable; tombstones exclude without resurrection; compact folds
+  * reverse/replayed edges back under the degree bound and serves
+  * identically. */
+class GraphIndexStoreSpec extends AnyFunSuite {
+  private val spark = GraftTestSpark.spark
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  private val Degree = 8; private val Beam = 8; private val Hops = 2
+  private val TopK = 5; private val Buckets = 16
+
+  private def embeddings: DataFrame = QueryHelpers.table(spark, dir, "embeddings")
+
+  private def queriesOf(e: DataFrame, n: Int): DataFrame =
+    e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < n)
+
+  private def servedRows(idx: String, queries: DataFrame): Seq[(Long, Int, Long)] =
+    GraphIndexStore.query(spark, idx, queries, Beam, Hops, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  test("fresh store serves the in-memory graph walk bit-identically; scans prune") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx").toString
+    val e = embeddings
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
+      nEntries = 4, buckets = Buckets)
+
+    // artifact shape: every vector stored once, ≤ degree out-edges per src
+    val vecs = spark.read.parquet(s"$idx/vectors")
+    assert(vecs.count() == e.count())
+    val edges = spark.read.parquet(s"$idx/edges")
+    assert(edges.groupBy(col("src")).count().agg(max(col("count"))).first().getLong(0)
+      <= Degree, "fresh build must respect the degree bound")
+
+    // the per-hop slice builders are the scale property: both scans must
+    // prune at the partition level (unlisted buckets never open)
+    val ctx = ArtifactStore.open(spark, idx)
+    val ePlan = GraphIndexStore.servedEdges(spark, ctx, Seq(0L, 1L, 2L),
+      Degree, Buckets, None).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ebucket".r.findFirstIn(ePlan).isDefined,
+      s"edge slice must prune ebucket partitions:\n${ePlan.take(1500)}")
+    val vPlan = GraphIndexStore.servedVectors(spark, ctx, Seq(0L, 1L, 2L),
+      Buckets, None).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*vbucket".r.findFirstIn(vPlan).isDefined,
+      s"vector slice must prune vbucket partitions:\n${vPlan.take(1500)}")
+
+    // serving parity vs the in-memory engine on the same geometry: the
+    // store pins entries = the 4 lowest ids and cells = the qs27 adaptive
+    // count (max(16, n/400) = 16 on this fixture)
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v")).persist()
+    val cents = v.filter(col("vec_id") < 16)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val g = KnnGraph.build(v, cents, 2, Degree).persist()
+    val q = queriesOf(e, 4)
+    val scope = new graft.core.WalkScope
+    val visited = KnnGraph.search(v, g,
+      q.select(col("query_id"), col("qv")), Seq(0L, 1L, 2L, 3L), Beam, Hops,
+      scope)
+    val topk = graft.functions.TopKAggregator.topK(TopK)
+    val want = visited.filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"), col("col.vec_id"))
+      .orderBy(col("query_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    scope.release()
+    val got = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(got == want,
+      s"store serving diverges from KnnGraph.search (${got.length} vs ${want.length} rows)")
+    assert(got.nonEmpty && got.map(_._1).distinct.length == 4)
+    // memory discipline: the serve path released its walk state (checkpoint
+    // blocks are RDD-level — clearCache alone cannot free them)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "graph serving must leave zero persistent RDDs behind")
+  }
+
+  test("NSW append makes new vectors reachable; replays are absorbed") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-app").toString
+    val e = embeddings
+    // build on ids >= 10, then insert ids < 10 (entries become 10..13)
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    val batch = e.filter(col("vec_id") < 10)
+    GraphIndexStore.append(batch, idx, beam = 32, hops = 4)
+    spark.catalog.clearCache()
+
+    // reachability: probing with an inserted vector's exact values must
+    // surface that vector at rank 1 (cosine 1.0 — reachable only through
+    // its reverse in-edges; a synthetic query id avoids the self filter)
+    val probe = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    // generous walk budget: the contract is reachability of the reverse
+    // in-edges, not a minimal-budget walk — once reached, cosine 1.0
+    // makes rank 1 unconditional. hops=5 because an inserted vector sits
+    // one hop BEYOND its (possibly only-just-reached) nearest neighbour:
+    // at hops=4 one of the 10 probes surfaced the near-duplicate of its
+    // target (found on the last hop, never expanded) instead of the
+    // target itself
+    val ranked = GraphIndexStore.query(spark, idx, probe, beam = 32,
+        hops = 5, TopK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 10L).foreach { id =>
+      assert(ranked.get(id + 1000000L).contains(id),
+        s"inserted vector $id must be its own exact query's rank-1 " +
+          s"(got ${ranked.get(id + 1000000L)})")
+    }
+
+    // at-least-once replay: appending the same batch again changes nothing
+    val q = queriesOf(e, 4)
+    val before = servedRows(idx, q)
+    spark.catalog.clearCache()
+    GraphIndexStore.append(batch, idx, beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    val after = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(after == before, "a replayed append must not change serving")
+  }
+
+  test("delete excludes immediately and terminally; compact folds and serves identically") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-del").toString
+    val e = embeddings
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx,
+      beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    val q = queriesOf(e, 4)
+    val before = servedRows(idx, q)
+    spark.catalog.clearCache()
+
+    // tombstone a served id: it vanishes; re-append does not resurrect
+    val victim = before.head._3
+    GraphIndexStore.delete(spark, idx, Seq(victim))
+    val afterDel = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(!afterDel.exists(_._3 == victim), "tombstoned id must vanish")
+    GraphIndexStore.append(e.filter(col("vec_id") === victim), idx,
+      beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    val afterRe = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(afterRe == afterDel, "re-appending a tombstoned id must not resurrect it")
+
+    // compact: serves identically, retires tombstones, restores the
+    // degree bound the append's reverse edges exceeded
+    val rawOver = spark.read.parquet(s"$idx/edges")
+      .groupBy(col("src")).count().filter(col("count") > Degree).count()
+    assert(rawOver > 0, "fixture must exercise reverse-edge overflow")
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    val afterCompact = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(afterCompact == afterDel, "compaction must not change serving")
+    val ctx2 = ArtifactStore.open(spark, idx)
+    assert(!ctx2.exists("tombstones"), "compaction retires tombstones")
+    assert(spark.read.parquet(ctx2.dir("edges"))
+      .groupBy(col("src")).count().agg(max(col("count"))).first().getLong(0) <= Degree,
+      "compaction re-truncates every neighbourhood to the degree bound")
+    assert(!spark.read.parquet(ctx2.dir("vectors"))
+      .filter(col("vec_id") === victim).take(1).nonEmpty,
+      "compaction drops tombstoned vectors")
+  }
+
+  test("all-entries-tombstoned fails loudly; compact re-derives entries") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-ent").toString
+    val e = embeddings
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
+      nEntries = 2, buckets = Buckets)
+    spark.catalog.clearCache()
+    GraphIndexStore.delete(spark, idx, Seq(0L, 1L)) // both entry points
+    val q = queriesOf(e, 3)
+    val ex = intercept[IllegalArgumentException] { servedRows(idx, q) }
+    assert(ex.getMessage.contains("entry point"), ex.getMessage)
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    val served = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(served.nonEmpty, "compact must re-derive entries from survivors")
+    assert(!served.exists(r => r._3 == 0L || r._3 == 1L),
+      "deleted former entries must stay deleted after the re-derivation")
+  }
+
+  test("mutations fail loudly behind the compaction guard") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-grd").toString
+    val e = embeddings
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
+      nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs,
+      new org.apache.hadoop.fs.Path(idx, "_COMPACTING"), ctx.epoch.toString)
+    intercept[IllegalStateException] {
+      GraphIndexStore.append(e.filter(col("vec_id") < 3), idx)
+    }
+    intercept[IllegalStateException] {
+      GraphIndexStore.delete(spark, idx, Seq(5L))
+    }
+    intercept[IllegalStateException] {
+      GraphIndexStore.build(e, idx, degree = Degree)
+    }
+    // recovery path: compact() completes the interrupted fold
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    val q = queriesOf(e, 3)
+    assert(servedRows(idx, q).nonEmpty, "compact() must recover the store")
+    spark.catalog.clearCache()
+  }
+}

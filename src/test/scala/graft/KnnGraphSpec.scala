@@ -61,10 +61,13 @@ class KnnGraphSpec extends AnyFunSuite {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val q7 = e7.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    def visitedSet(e: DataFrame, q: DataFrame): Set[(Long, Long, Double)] =
-      KnnGraph.search(e, KnnGraph.build(e, cents(e, 4), 2, 6), q,
-          Seq(0L, 1L), beam = 8, hops = 2)
+    def visitedSet(e: DataFrame, q: DataFrame): Set[(Long, Long, Double)] = {
+      val scope = new graft.core.WalkScope
+      try KnnGraph.search(e, KnnGraph.build(e, cents(e, 4), 2, 6), q,
+          Seq(0L, 1L), beam = 8, hops = 2, scope)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      finally scope.release()
+    }
     assert(visitedSet(e1, q1) == visitedSet(e7, q7),
       "walk independent of partitioning")
     spark.catalog.clearCache()
@@ -75,8 +78,9 @@ class KnnGraphSpec extends AnyFunSuite {
     val edges = KnnGraph.build(e, cents(e, 4), assign = 2, degree = 8).persist()
     val q = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scope = new graft.core.WalkScope
     val visited = KnnGraph.search(e, edges, q, Seq(0L, 1L, 2L, 3L),
-      beam = 16, hops = 3)
+      beam = 16, hops = 3, scope)
     val topk = graft.functions.TopKAggregator.topK(5)
     def top5(scored: DataFrame): Set[(Long, Long)] =
       scored.filter(col("vec_id") =!= col("query_id"))
@@ -96,6 +100,7 @@ class KnnGraphSpec extends AnyFunSuite {
     // measured 1.0 on this fixture; the gate constant (0.90 avg) keeps a
     // margin below the worst measured config — see GraphAnnProbeMain
     assert(recall >= 0.9, s"recall $recall (got ${got.size}, truth ${truth.size})")
+    scope.release()
     spark.catalog.clearCache()
   }
 }

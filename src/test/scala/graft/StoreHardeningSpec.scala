@@ -1,7 +1,7 @@
 package graft
 
 import graft.relational.{QueryCatalog, QueryHelpers}
-import graft.sinks.{ArtifactStore, BandIndexStore, IvfIndexStore, TextIndexStore}
+import graft.sinks.{ArtifactStore, BandIndexStore, GraphIndexStore, IvfIndexStore, TextIndexStore}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -11,8 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * folding replays WITHOUT tombstones, metadata-scoped compaction,
   * rebuild resetting the mutation plane, corrupt-guard recovery, the
   * serve retry-at-new-epoch protocol, and the crash-protocol trio pushed
-  * through IvfIndexStore and TextIndexStore (ArtifactStoreSpec pins it
-  * through BandIndexStore). */
+  * through IvfIndexStore, TextIndexStore and GraphIndexStore
+  * (ArtifactStoreSpec pins it through BandIndexStore). */
 class StoreHardeningSpec extends AnyFunSuite {
   private val spark = GraftTestSpark.spark
   import spark.implicits._
@@ -430,6 +430,54 @@ class StoreHardeningSpec extends AnyFunSuite {
       """{"n":999999,"sumdl":999999}""")
     assert(serve() == want, "serving resolves the live epoch's stats, never stale dirs")
     TextIndexStore.appendBatch(docs.limit(3), idx, batchId = 6L) // sweeps the guard
+    val fs = ArtifactStore.fileSystem(spark, idx)
+    assert(!fs.exists(new Path(idx, "_COMPACTING")),
+      "a stale post-commit guard must be swept by the next mutation")
+  }
+
+  test("graph store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
+    val idx = tmp("graft-gidx-crash")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    GraphIndexStore.build(e, idx, degree = 8, assign = 2, nEntries = 4,
+      buckets = 16)
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 4)
+    def serve() = {
+      val rows = GraphIndexStore.query(spark, idx, queries,
+        beam = 8, hops = 2, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    GraphIndexStore.delete(spark, idx, Seq(serve().head._3))
+    val want = serve()
+    // pre-commit crash: guard raised, staging garbage half-written (the
+    // graph compact's fold — tombstone-before-truncation, entry
+    // re-derivation — is store-specific logic the shared pin doesn't reach)
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.beginCompact(ctx, Seq("edges", "vectors", "entries"))
+    val staged = java.nio.file.Paths.get(ArtifactStore.stagingDir(ctx, "edges"))
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("part-junk.parquet"), "not parquet")
+    intercept[IllegalStateException] {
+      GraphIndexStore.append(e.filter(col("vec_id") === 3L), idx)
+    }
+    intercept[IllegalStateException] { GraphIndexStore.delete(spark, idx, Seq(1L)) }
+    assert(serve() == want, "a crashed compaction must not disturb graph serving")
+    GraphIndexStore.compact(spark, idx) // sweeps staging junk, folds, commits
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    assert(serve() == want,
+      "graph serving must be identical across the recovered compact " +
+        "(tombstone-before-truncation fold order on both sides)")
+    // post-commit crash: stale guard + resurrected old-epoch edge dir
+    val root = java.nio.file.Paths.get(idx)
+    java.nio.file.Files.writeString(root.resolve("_COMPACTING"), "0")
+    val stale = root.resolve("edges")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("part-junk.parquet"), "not parquet")
+    assert(serve() == want, "serving resolves the live epoch, never stale dirs")
+    GraphIndexStore.delete(spark, idx, Seq(499L)) // sweeps the stale guard
     val fs = ArtifactStore.fileSystem(spark, idx)
     assert(!fs.exists(new Path(idx, "_COMPACTING")),
       "a stale post-commit guard must be swept by the next mutation")
