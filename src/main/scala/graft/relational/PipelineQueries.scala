@@ -2150,6 +2150,63 @@ object PipelineQueries {
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q"""),
       headline = true),
 
+    CatalogQuery("qs29_graph_delete_serve", (s, d) => {
+      // The TAKEDOWN path on the graph artifact — completing the
+      // delete-serve gate matrix across all four stores (qs16 IVF, qd21
+      // band, qt29 text): tombstone exactly the ids retrieval would most
+      // want (each query's TRUE rank-1 neighbour — the hardest deletion,
+      // since those nodes are both answers and routing hubs the walk
+      // used to reach their neighbourhoods), then serve the standard
+      // batch. Deletes are O(|ids|) tombstones; serving anti-joins them
+      // AFTER partition pruning and the walk routes around them (a
+      // tombstoned node stops expanding — graceful recall degradation
+      // until compact rewrites the graph). Ids < 5 are exempt from the
+      // takedown only to keep the pinned entry points 0..3 alive — the
+      // all-entries-tombstoned case fails loudly by design
+      // (GraphIndexStoreSpec pins it). Contract: (a) no tombstoned id is
+      // ever served, (b) top-10 recall vs the exact brute-force truth
+      // over the SURVIVING corpus stays ≥ 0.90 — measured avg 1.000 /
+      // min 1.000 at sf0.001/sf0.01/sf0.1 under deg=12/beam=32/hops=4
+      // (qs27's geometry; GraphDeleteProbeMain re-measures — run it
+      // before shrinking anything).
+      import s.implicits._
+      val idxDir = Serve.buildGraphIndex(s, d)
+      val truthFull = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+      val deleted = truthFull
+        .filter(col("rank") === 1 && col("vec_id") >= 5)
+        .select(col("vec_id")).distinct().as[Long].collect().sorted.toSeq
+      graft.sinks.GraphIndexStore.delete(s, idxDir, deleted)
+      val served = Serve.queryGraphIndex(s, d, idxDir)
+        .select(col("query_id"), col("vec_id")).persist()
+      val nDeletedServed = served
+        .filter(col("vec_id").isInCollection(deleted)).count()
+      // surviving-corpus truth: qs01's exact brute-force plan with the
+      // tombstoned ids filtered from the corpus side (the store's delete
+      // semantics — queries keep the full geometry)
+      val e = hoistNorm(table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+        "v", "vnorm")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("vnorm").as("qnorm"))
+      val scored = e.filter(!col("vec_id").isInCollection(deleted))
+        .crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+      val truth = topkRanked(scored).select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(served.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"),
+          lit(nDeletedServed == 0L).as("zero_deleted_served"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090,
+        TRUE AS zero_deleted_served
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

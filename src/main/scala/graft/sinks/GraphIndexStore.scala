@@ -380,6 +380,20 @@ object GraphIndexStore {
     } finally scope.release()
   }
 
+  /** Streaming maintenance — the graph member of the live-index quartet
+    * (Ivf/Band/Text appendStream): each micro-batch NSW-inserts its
+    * (vec_id, embedding) rows. At-least-once foreachBatch delivery folds
+    * to exactly-once indexing WITHOUT batch-id bookkeeping: [[append]]'s
+    * vector-row landed marker makes any replayed id an exact no-op (see
+    * the class doc), so a restarted query that re-delivers a micro-batch
+    * changes nothing. */
+  def appendStream(stream: DataFrame, path: String, checkpoint: String,
+      beam: Int = 32, hops: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => append(b, path, beam, hops))
+      .start()
+
   /** Delete by tombstone — O(|ids|), the shared takedown plane. */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
     ArtifactStore.appendTombstones(spark, path, ids)

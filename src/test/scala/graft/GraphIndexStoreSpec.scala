@@ -135,6 +135,58 @@ class GraphIndexStoreSpec extends AnyFunSuite {
     assert(after == before, "a replayed append must not change serving")
   }
 
+  test("appendStream maintains the graph live: streamed vectors reachable, replays inert") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gidx-sck").toString
+    val e = embeddings
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    val arrivals = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = GraphIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt, beam = 32, hops = 4)
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq)
+      q.processAllAvailable() // two distinct micro-batches
+      stream.addData(b.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.clearCache()
+    // reachability across micro-batch boundaries: each streamed vector is
+    // its own exact query's rank-1 (hops=5 — the append test's rationale)
+    val probe = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val ranked = GraphIndexStore.query(spark, idx, probe, beam = 32,
+        hops = 5, TopK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 10L).foreach { id =>
+      assert(ranked.get(id + 1000000L).contains(id),
+        s"streamed vector $id must be its own exact query's rank-1 " +
+          s"(got ${ranked.get(id + 1000000L)})")
+    }
+    // a re-delivered micro-batch (checkpoint replay after restart) is an
+    // exact no-op — the vector-row landed marker, no batch-id bookkeeping
+    val q4 = queriesOf(e, 4)
+    val before = servedRows(idx, q4)
+    spark.catalog.clearCache()
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx,
+      beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    assert(servedRows(idx, q4) == before,
+      "a replayed streamed batch must not change serving")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "streaming maintenance must leave zero persistent RDDs behind")
+  }
+
   test("delete excludes immediately and terminally; compact folds and serves identically") {
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-del").toString
     val e = embeddings
