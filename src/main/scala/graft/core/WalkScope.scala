@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, GraftSqlShim}
 
 /** Deterministic release of an iterative walk's materialized state.
   *
-  * The beam-search walks ([[graft.pipeline.KnnGraph.search]],
-  * `GraphIndexStore.searchVisited`) MUST `localCheckpoint(true)` per hop
+  * Iterative DataFrame walks ([[graft.pipeline.KnnGraph.search]])
+  * MUST `localCheckpoint(true)` per hop
   * (lineage truncation — see the CLAUDE.md gotcha: plain `persist` leaves
   * the composite plan growing exponentially in hops). But checkpoint
   * persistence is RDD-level: it bypasses the CacheManager, so

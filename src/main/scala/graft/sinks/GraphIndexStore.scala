@@ -144,12 +144,19 @@ object GraphIndexStore {
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
     require(cents.nonEmpty, "empty corpus")
     val dim = cents(0)._2.length
+    // cluster each bucket into ONE file before the partitioned write:
+    // without the repartition every write task opens a file in every
+    // bucket dir (tasks × buckets small files), and each per-hop pruned
+    // serve scan pays that many file opens — measured as the dominant
+    // serve cost at sf0.1
     KnnGraph.build(v, cents, assign, degree)
       .withColumn("ebucket", pmod(col("src"), lit(buckets.toLong)))
+      .repartition(buckets, col("ebucket"))
       .write.partitionBy("ebucket").mode("overwrite")
       .parquet(ctx.dir("edges"))
     v.withColumn("vnorm", normExpr(col("v")))
       .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
+      .repartition(buckets, col("vbucket"))
       .write.partitionBy("vbucket").mode("overwrite")
       .parquet(ctx.dir("vectors"))
     v.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntries)
@@ -164,159 +171,196 @@ object GraphIndexStore {
     ArtifactStore.resetMutationPlane(ctx)
   }
 
-  /** The folded, tombstone-free edge slice for a frontier id set: pruned
-    * partition read → exact-replay dedup (`distinct`) → tombstoned
-    * destinations dropped → per-src re-truncation to `degree` (absorbs
-    * append's reverse in-edges). The anti-join runs AFTER partition
-    * pruning (only the probed slice pays) but BEFORE the truncation —
-    * the SAME fold order [[compact]] rewrites with, so a neighbourhood
-    * whose tombstoned member frees a slot promotes the identical
-    * replacement edge on both sides and serving is unchanged across a
-    * compact (spec-pinned). */
-  private[graft] def servedEdges(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      frontierIds: Seq[Long], degree: Int, buckets: Int,
-      tomb: Option[DataFrame]): DataFrame = {
-    val ebuckets = frontierIds.map(bucketOf(_, buckets)).distinct.sorted
-    val slice = spark.read
-      // schema declared (partition column included, typed BIGINT): no
-      // footer reads outside the probed slice — the TextIndexStore rule
+  /** The raw pruned edge slice for a frontier id set: partition-pruned
+    * scan, src-filtered, projected — the walk's only edge I/O. Folding
+    * (exact-replay dedup, tombstoned destinations, per-src re-truncation
+    * to `degree`) happens driver-side on the collected bounded rows (see
+    * [[searchVisited]]); [[compact]] rewrites with the SAME fold order
+    * (dedup → tombstones → truncation), so a neighbourhood whose
+    * tombstoned member frees a slot promotes the identical replacement
+    * edge on both sides and serving is unchanged across a compact
+    * (spec-pinned). */
+  /** The base edge scan — constructed ONCE per walk so Spark's file
+    * index lists the bucket directories a single time (a fresh
+    * `spark.read.parquet` per hop re-lists every partition dir, which
+    * dominated serve latency); partition pruning applies per-slice on
+    * the shared index. Schema declared (partition column included, typed
+    * BIGINT): no footer reads outside the probed slice — the
+    * TextIndexStore rule. */
+  private def edgeBase(spark: SparkSession, ctx: ArtifactStore.Ctx): DataFrame =
+    spark.read
       .schema("src BIGINT, dst BIGINT, cosine DOUBLE, ebucket BIGINT")
       .parquet(ctx.dir("edges"))
+
+  private def vectorBase(spark: SparkSession, ctx: ArtifactStore.Ctx): DataFrame =
+    spark.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
+      .parquet(ctx.dir("vectors"))
+
+  private def edgeSliceOf(base: DataFrame, frontierIds: Seq[Long],
+      buckets: Int): DataFrame = {
+    val ebuckets = frontierIds.map(bucketOf(_, buckets)).distinct.sorted
+    base
       .filter(col("ebucket").isInCollection(ebuckets)) // partition pruning
       .filter(col("src").isInCollection(frontierIds))
       .select(col("src"), col("dst"), col("cosine"))
-      .distinct()
-    val alive = tomb match {
-      case Some(t) => slice.join(
-        broadcast(t.withColumnRenamed("doc_id", "dst")), Seq("dst"), "left_anti")
-      case None => slice
-    }
-    topPerKey(alive, "src", degree, "dst")
   }
 
-  /** The deduped, tombstone-free (vec_id, v, vnorm) slice for a bounded
-    * id set — pruned to the ids' `vbucket` partitions. */
-  private[graft] def servedVectors(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      ids: Seq[Long], buckets: Int, tomb: Option[DataFrame]): DataFrame = {
+  private def vectorSliceOf(base: DataFrame, ids: Seq[Long],
+      buckets: Int): DataFrame = {
     val vbuckets = ids.map(bucketOf(_, buckets)).distinct.sorted
-    val slice = spark.read
-      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
-      .parquet(ctx.dir("vectors"))
+    base
       .filter(col("vbucket").isInCollection(vbuckets)) // partition pruning
       .filter(col("vec_id").isInCollection(ids))
       .select(col("vec_id"), col("v"), col("vnorm"))
-      .dropDuplicates("vec_id") // replayed append rows are byte-identical
-    tomb match {
-      case Some(t) => slice.join(
-        broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
-      case None => slice
-    }
   }
+
+  /** The raw pruned edge slice for a frontier id set (fresh scan — the
+    * walk uses [[edgeSliceOf]] over a shared base). */
+  private[graft] def edgeSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      frontierIds: Seq[Long], buckets: Int): DataFrame =
+    edgeSliceOf(edgeBase(spark, ctx), frontierIds, buckets)
+
+  /** The raw pruned (vec_id, v, vnorm) slice for a bounded id set — the
+    * walk's only vector I/O. Replayed append rows (byte-identical) and
+    * tombstones fold driver-side on the callers' collected results. */
+  private[graft] def vectorSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      ids: Seq[Long], buckets: Int): DataFrame =
+    vectorSliceOf(vectorBase(spark, ctx), ids, buckets)
 
   /** The live (non-tombstoned) entry-point ids. */
   private def liveEntries(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      tomb: Option[DataFrame]): Seq[Long] = {
-    val base = spark.read.schema("vec_id BIGINT").parquet(ctx.dir("entries"))
-    val kept = tomb match {
-      case Some(t) => base.join(
-        broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
-      case None => base
-    }
-    kept.collect().map(_.getLong(0)).sorted.toSeq
-  }
+      tombSet: Set[Long]): Seq[Long] =
+    spark.read.schema("vec_id BIGINT").parquet(ctx.dir("entries"))
+      .collect().map(_.getLong(0)).filterNot(tombSet).sorted.toSeq
+
+  /** The [[graft.functions.ScoredHit]] total order — (cosine DESC,
+    * id ASC), the primitive-double comparison [[topPerKey]] truncates
+    * with — replicated for the driver-side folds so every truncation in
+    * the walk ranks identically to the distributed aggregator. */
+  private def beats(aCos: Double, aId: Long, bCos: Double, bId: Long): Boolean =
+    aCos > bCos || (aCos == bCos && aId < bId)
 
   /** Beam-search the stored graph and return every visited
     * (query_id, vec_id, cosine) — the engine behind [[query]] and
     * [[append]]. Identical hop mechanics, scoring expressions and
     * truncation order to [[KnnGraph.search]], so a freshly built store
-    * serves bit-identically to the in-memory engine (spec-pinned). */
+    * serves bit-identically to the in-memory engine (spec-pinned).
+    *
+    * The walk FOLDS DRIVER-SIDE over collected pruned slices: the
+    * frontier state is bounded by construction (≤ batch × beam × degree
+    * rows per hop — the [[MaxQueryBatch]] rationale), and a distributed
+    * per-hop formulation pays multiple jobs plus shuffle rounds per hop
+    * in pure scheduling overhead on data this small (measured ~9 s for a
+    * 5-query walk at sf0.1 vs ~1 s for the peer stores' serves). Per hop
+    * exactly two shuffle-free jobs run: the partition-pruned edge-slice
+    * collect and the partition-pruned vector scan joined against the
+    * broadcast candidate pairs + query table. Cosines always compute IN
+    * SPARK through the same [[cosineExpr]]/[[normExpr]] kernels as the
+    * distributed paths (driver arithmetic never re-derives a float), and
+    * every dedup/truncation uses [[beats]] — so results stay
+    * bit-identical to the in-memory engine. The per-hop edge I/O remains
+    * partition-pruned to the frontier's buckets, which is the property
+    * that scales: query cost tracks the walk, never the corpus. */
   private def searchVisited(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      queries: DataFrame, beam: Int, hops: Int,
-      scope: graft.core.WalkScope): DataFrame = {
+      queries: DataFrame, beam: Int, hops: Int): Array[(Long, Long, Double)] = {
     import spark.implicits._
     val (degree, _, buckets, _) = manifest(ctx)
-    val tomb = ArtifactStore.readTombstones(spark, ctx)
+    val tombSet: Set[Long] = ArtifactStore.readTombstones(spark, ctx) match {
+      // tombstones are broadcast-small by protocol (the previous
+      // formulation broadcast them into every per-hop anti-join)
+      case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
+      case None => Set.empty
+    }
     val qs = collectBounded(queries.select(col("query_id"), col("qv"))
       .as[(Long, Seq[Double])], "query batch")
     val q = broadcast(qs.toSeq.toDF("query_id", "qv")
       .withColumn("qnorm", normExpr(col("qv"))))
-    val entryIds = liveEntries(spark, ctx, tomb)
+    val entryIds = liveEntries(spark, ctx, tombSet)
     require(entryIds.nonEmpty,
       s"every entry point of ${ctx.root} is tombstoned — run compact() " +
         "to re-derive entries from the surviving corpus")
-    var visited = scope.checkpoint(servedVectors(spark, ctx, entryIds, buckets, tomb)
-      .crossJoin(q)
-      .select(col("query_id"), col("vec_id"), cosineExpr)
-      ) // lineage TRUNCATION per hop (the
-    // KnnGraph.search discipline): a persisted relation still embeds —
-    // and prints — its full child plan, so an iterative walk's composite
-    // tree grows exponentially in hops without the cut; checkpointed
-    // frontier state is bounded by queries × beam × degree rows per hop.
-    // All walk state (checkpoints + frontier persists) registers with the
-    // caller's WalkScope: serve/append entry points release it once their
-    // result is materialized, so serving leaves zero persistent blocks
-    // behind (RDD-level checkpoint persistence is invisible to
-    // clearCache — see WalkScope)
-    var frontierIds = entryIds
-    var frontier = visited.select(col("query_id"), col("vec_id"))
-    for (_ <- 1 to hops) {
-      val edges = servedEdges(spark, ctx, frontierIds, degree, buckets, tomb)
-      val cand = scope.persist(frontier
-        .join(edges.select(col("src"), col("dst")),
-          frontier("vec_id") === col("src"))
-        .select(col("query_id"), col("dst").as("vec_id"))
-        .distinct()
-        .join(visited.select(col("query_id"), col("vec_id")),
-          Seq("query_id", "vec_id"), "left_anti"))
-      // bounded: ≤ |frontier ids| × degree — drives the vector pruning
-      val candIds = cand.select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      if (candIds.isEmpty) {
-        return visited
-      }
-      val scored = scope.checkpoint(cand
-        .join(servedVectors(spark, ctx, candIds, buckets, tomb), Seq("vec_id"))
+
+    // one shuffle-free job: pruned vector scan ⋈ broadcast pairs ⋈
+    // broadcast queries → exact candidate cosines; replayed append rows
+    // are byte-identical, so the driver dedup keeps identical values
+    val eBase = edgeBase(spark, ctx)
+    val vBase = vectorBase(spark, ctx)
+
+    def score(pairs: Seq[(Long, Long)]): Array[(Long, Long, Double)] = {
+      if (pairs.isEmpty) return Array.empty
+      val ids = pairs.map(_._2).distinct
+      val cand = broadcast(pairs.toDF("query_id", "vec_id"))
+      vectorSliceOf(vBase, ids, buckets)
+        .join(cand, Seq("vec_id"))
         .join(q, Seq("query_id"))
-        .select(col("query_id"), col("vec_id"), cosineExpr))
-      // lazy union of the checkpointed per-hop relations — the
-      // KnnGraph.search discipline (the walk's cost on small frontiers
-      // is job and plan-analysis overhead, not data)
-      visited = visited.union(scored)
-      val next = scope.persist(topPerKey(scored, "query_id", beam, "vec_id")
-        .select(col("query_id"), col("vec_id")))
-      frontierIds = next.select(col("vec_id")).distinct()
-        .collect().map(_.getLong(0)).sorted.toSeq
-      frontier = next
+        .select(col("query_id"), col("vec_id"), cosineExpr)
+        .as[(Long, Long, Double)].collect().distinct
     }
-    visited
+
+    val visited = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashMap[Long, Double]]
+    def addVisited(rows: Array[(Long, Long, Double)]): Unit =
+      rows.foreach { case (qid, vid, c) =>
+        visited.getOrElseUpdate(qid,
+          scala.collection.mutable.HashMap.empty).update(vid, c)
+      }
+    addVisited(score(for (qr <- qs.toSeq; e <- entryIds) yield (qr._1, e)))
+    var frontier: Map[Long, Seq[Long]] = qs.map(_._1 -> entryIds).toMap
+    var hop = 0
+    while (hop < hops && frontier.nonEmpty) {
+      hop += 1
+      val frontierIds = frontier.valuesIterator.flatten.toSeq.distinct.sorted
+      // fold the collected slice exactly as compact rewrites: exact-replay
+      // dedup → tombstoned destinations dropped → per-src truncation to
+      // the best `degree` by (cosine DESC, dst ASC)
+      val adj: Map[Long, Seq[Long]] =
+        edgeSliceOf(eBase, frontierIds, buckets)
+          .as[(Long, Long, Double)].collect().distinct
+          .filter(r => !tombSet(r._2))
+          .groupBy(_._1)
+          .map { case (src, arr) =>
+            src -> arr.sortWith((a, b) => beats(a._3, a._2, b._3, b._2))
+              .take(degree).map(_._2).toSeq
+          }
+      val candPairs = (for {
+        (qid, vids) <- frontier.toSeq
+        vid <- vids
+        dst <- adj.getOrElse(vid, Nil)
+        if !visited.get(qid).exists(_.contains(dst))
+      } yield (qid, dst)).distinct
+      if (candPairs.isEmpty) frontier = Map.empty
+      else {
+        val scored = score(candPairs)
+        addVisited(scored)
+        frontier = scored.groupBy(_._1).map { case (qid, arr) =>
+          qid -> arr.toSeq.sortWith((a, b) => beats(a._3, a._2, b._3, b._2))
+            .take(beam).map(_._2)
+        }
+      }
+    }
+    visited.iterator.flatMap { case (qid, m) =>
+      m.iterator.map { case (vid, c) => (qid, vid, c) }
+    }.toArray
   }
 
   /** Serve a query batch from the stored graph: beam search, then the
     * bounded top-`topK` rank finish — (query_id, rank, vec_id) in the
     * shared (cosine DESC, vec_id ASC) order, self-matches excluded
-    * ([[IvfIndexStore.query]]'s output conventions). The ranked result
-    * (≤ batch × topK rows — bounded like the batch itself) materializes
-    * to the driver so every walk block releases deterministically before
-    * returning: serving leaves zero persistent RDDs behind, whatever the
-    * caller does with the result. */
+    * ([[IvfIndexStore.query]]'s output conventions). The result is a
+    * local relation (≤ batch × topK rows — bounded like the batch
+    * itself): serving leaves zero persistent RDDs behind, whatever the
+    * caller does with the returned frame. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
       beam: Int, hops: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       import spark.implicits._
-      val scope = new graft.core.WalkScope
-      try {
-        val visited = searchVisited(spark, ctx, queries, beam, hops, scope)
-        val topk = graft.functions.TopKAggregator.topK(topK)
-        val rows = visited.filter(col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"))
-          .agg(topk(col("cosine"), col("vec_id")).as("top"))
-          .select(col("query_id"), posexplode(col("top")))
-          .select(col("query_id"), (col("pos") + 1).as("rank"),
-            col("col.vec_id").as("vec_id"))
-          .orderBy(col("query_id"), col("rank"))
-          .as[(Long, Int, Long)].collect()
-        rows.toSeq.toDF("query_id", "rank", "vec_id")
-      } finally scope.release()
+      val visited = searchVisited(spark, ctx, queries, beam, hops)
+      visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
+        arr.filter(_._2 != qid).toSeq
+          .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
+          .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
+      }.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
     }
 
   /** Navigable-small-world insertion of one batch (vec_id, embedding):
@@ -345,39 +389,42 @@ object GraphIndexStore {
     // serve-time fold absorbs the crashed attempt's orphan edge rows.
     val batchIds = collectBounded(
       batch.select(col("vec_id")).as[Long], "append batch")
-    val present = servedVectors(spark, ctx, batchIds.toSeq, buckets, None)
+    val present = vectorSlice(spark, ctx, batchIds.toSeq, buckets)
       .select(col("vec_id")).as[Long].collect().toSet
     val freshIds = batchIds.filterNot(present)
     if (freshIds.isEmpty) return
-    val scope = new graft.core.WalkScope
+    val newVecs = batch
+      .filter(col("vec_id").isInCollection(freshIds))
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .persist()
     try {
-      val newVecs = scope.persist(batch
-        .filter(col("vec_id").isInCollection(freshIds))
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("vnorm", normExpr(col("v"))))
       val visited = searchVisited(spark, ctx,
         newVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
-        beam, hops, scope)
+        beam, hops)
       // the new node's neighbourhood: its `degree` best visited nodes
       // (self excluded — a replayed insert of an indexed id must not
-      // self-link)
-      val out = scope.persist(topPerKey(
-        visited.filter(col("vec_id") =!= col("query_id")),
-        "query_id", degree, "vec_id")
-        .select(col("query_id").as("src"), col("vec_id").as("dst"), col("cosine")))
-      out.count() // materialize before writing out + reverse from one plan
-      val reverse = out.select(col("dst").as("src"), col("src").as("dst"),
-        col("cosine")) // cosine is symmetric
-      out.union(reverse)
+      // self-link); out-edges + the reverse in-edges (cosine is
+      // symmetric) write from one bounded local relation
+      val outRows = visited.groupBy(_._1).toSeq.flatMap { case (src, arr) =>
+        arr.filter(_._2 != src).toSeq
+          .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(degree)
+          .map(t => (src, t._2, t._3))
+      }
+      // one file per touched bucket per append (the batch is bounded) —
+      // the build's small-files discipline
+      (outRows ++ outRows.map(t => (t._2, t._1, t._3)))
+        .toDF("src", "dst", "cosine")
         .withColumn("ebucket", pmod(col("src"), lit(buckets.toLong)))
+        .coalesce(1)
         .write.partitionBy("ebucket").mode("append")
         .parquet(ctx.dir("edges"))
-      newVecs.select(col("vec_id"), col("v"), col("vnorm"))
+      newVecs.withColumn("vnorm", normExpr(col("v")))
         .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
+        .coalesce(1)
         .write.partitionBy("vbucket").mode("append")
         .parquet(ctx.dir("vectors"))
-    } finally scope.release()
+    } finally newVecs.unpersist()
   }
 
   /** Streaming maintenance — the graph member of the live-index quartet
@@ -424,12 +471,14 @@ object GraphIndexStore {
         .dropDuplicates("vec_id"), "vec_id").persist()
     keptVecs
       .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
+      .repartition(buckets, col("vbucket")) // one file per bucket
       .write.partitionBy("vbucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "vectors"))
     val deduped = spark.read.parquet(ctx.dir("edges"))
       .select(col("src"), col("dst"), col("cosine")).distinct()
     topPerKey(dropIds(dropIds(deduped, "src"), "dst"), "src", degree, "dst")
       .withColumn("ebucket", pmod(col("src"), lit(buckets.toLong)))
+      .repartition(buckets, col("ebucket")) // one file per bucket
       .write.partitionBy("ebucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "edges"))
     val keptEntries = dropIds(

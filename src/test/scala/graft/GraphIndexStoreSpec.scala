@@ -48,12 +48,12 @@ class GraphIndexStoreSpec extends AnyFunSuite {
     // the per-hop slice builders are the scale property: both scans must
     // prune at the partition level (unlisted buckets never open)
     val ctx = ArtifactStore.open(spark, idx)
-    val ePlan = GraphIndexStore.servedEdges(spark, ctx, Seq(0L, 1L, 2L),
-      Degree, Buckets, None).queryExecution.executedPlan.toString
+    val ePlan = GraphIndexStore.edgeSlice(spark, ctx, Seq(0L, 1L, 2L),
+      Buckets).queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*ebucket".r.findFirstIn(ePlan).isDefined,
       s"edge slice must prune ebucket partitions:\n${ePlan.take(1500)}")
-    val vPlan = GraphIndexStore.servedVectors(spark, ctx, Seq(0L, 1L, 2L),
-      Buckets, None).queryExecution.executedPlan.toString
+    val vPlan = GraphIndexStore.vectorSlice(spark, ctx, Seq(0L, 1L, 2L),
+      Buckets).queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*vbucket".r.findFirstIn(vPlan).isDefined,
       s"vector slice must prune vbucket partitions:\n${vPlan.take(1500)}")
 
