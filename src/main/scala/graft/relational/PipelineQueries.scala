@@ -2207,6 +2207,66 @@ object PipelineQueries {
         TRUE AS zero_deleted_served
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs30_graph_filtered_serve", (s, d) => {
+      // FILTERED serving from the metadata-scoped graph store — qs12's
+      // tenant/label-scoped retrieval shape on the graph paradigm
+      // (GraphIndexStore.queryFiltered). The graph stays navigationally
+      // UNSCOPED (a per-label subgraph would disconnect rare labels); the
+      // predicate applies at rank time over the walk's oversampled
+      // visited set — the standard filtered-ANN recipe for graph indexes,
+      // complementing IVF's pruning-exact (cell, meta) partition-key
+      // variant (qs18). Contract: (a) every served neighbour carries the
+      // query's label, (b) top-10 recall vs the exact same-label brute
+      // force ≥ 0.90. Beam=64/hops=4 MEASURED avg/min 1.000 at
+      // sf0.001/sf0.01/sf0.1; beam=48/hops=4 min sits AT 0.90 at sf0.01
+      // and beam=32/hops=4 reads 0.86 avg at sf0.1 (fails) — the filter
+      // keeps ~1/L of the visited set, so the walk needs the wider beam
+      // to cover the same-label global top-10 (GraphFilteredProbeMain
+      // re-measures; run it before shrinking anything).
+      val Beam = 64; val Hops = 4
+      val e = table(s, d, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs30-gidx").toString
+      graft.sinks.GraphIndexStore.build(e, idxDir, degree = 12, assign = 2,
+        nEntries = 4, metaCol = Some("label"))
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+      val served = graft.sinks.GraphIndexStore.queryFiltered(s, idxDir,
+          queries, Beam, Hops, AnnTopK)
+        .select(col("query_id"), col("vec_id")).persist()
+      // (a) label exactness: joined against the corpus labels, every
+      // served row must match its query's label
+      val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      val crossLabel = served
+        .join(labels, Seq("vec_id"))
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("l").as("ql")), Seq("query_id"))
+        .filter(col("l") =!= col("ql")).count()
+      // (b) recall vs the exact same-label brute force (qs01's plan with
+      // the label equi-predicate in the scoring join)
+      val ev = hoistNorm(e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"),
+        col("label").cast("string").as("vl")), "v", "vnorm")
+      val qh = hoistNorm(queries, "qv", "qnorm")
+      val scored = ev.crossJoin(broadcast(qh))
+        .filter(col("vec_id") =!= col("query_id") && col("vl") === col("meta"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+      val truth = topkRanked(scored).select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(served.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"),
+          lit(crossLabel == 0L).as("zero_cross_label"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090,
+        TRUE AS zero_cross_label
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

@@ -97,6 +97,16 @@ object GraphIndexStore {
     (field("degree"), field("dim"), field("buckets"), field("entries"))
   }
 
+  /** The meta column name a metadata-scoped store was built with (from
+    * the manifest), if any — append and compact must carry the column
+    * through, and [[queryFiltered]] requires it
+    * ([[IvfIndexStore]]'s convention). */
+  private def manifestMeta(ctx: ArtifactStore.Ctx): Option[String] =
+    """"meta":"([^"]+)"""".r
+      .findFirstMatchIn(ArtifactStore.readString(ctx.fs,
+        new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
+      .map(_.group(1))
+
   private def bucketOf(id: Long, buckets: Int): Long =
     java.lang.Math.floorMod(id, buckets.toLong)
 
@@ -131,7 +141,8 @@ object GraphIndexStore {
     * geometry). Callers `clearCache()` after build (the graph builder
     * persists its intermediates). */
   def build(e: DataFrame, path: String, degree: Int, assign: Int = 2,
-      nEntries: Int = 4, buckets: Int = DefaultBuckets): Unit = {
+      nEntries: Int = 4, buckets: Int = DefaultBuckets,
+      metaCol: Option[String] = None): Unit = {
     require(degree > 0 && assign > 0 && nEntries > 0 && buckets > 0)
     val spark = e.sparkSession
     import spark.implicits._
@@ -154,16 +165,28 @@ object GraphIndexStore {
       .repartition(buckets, col("ebucket"))
       .write.partitionBy("ebucket").mode("overwrite")
       .parquet(ctx.dir("edges"))
-    v.withColumn("vnorm", normExpr(col("v")))
+    // metadata-scoped stores (tenant/label/language search) carry the
+    // predicate value on the VECTOR rows — the graph itself stays
+    // unscoped (navigation crosses labels; the filter applies at rank
+    // time over an oversampled walk, the filtered-ANN recipe for graph
+    // indexes — IVF's (cell, meta) partition-key variant remains the
+    // pruning-exact path)
+    val vMeta = metaCol match {
+      case Some(m) => v.join(
+        e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
+      case None => v
+    }
+    vMeta.withColumn("vnorm", normExpr(col("v")))
       .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
       .repartition(buckets, col("vbucket"))
       .write.partitionBy("vbucket").mode("overwrite")
       .parquet(ctx.dir("vectors"))
     v.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntries)
       .coalesce(1).write.mode("overwrite").parquet(ctx.dir("entries"))
+    val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
-      s"""{"degree":$degree,"dim":$dim,"buckets":$buckets,"entries":$nEntries}""")
+      s"""{"degree":$degree,"dim":$dim,"buckets":$buckets,"entries":$nEntries$metaField}""")
     v.unpersist()
     // rebuild replaces the corpus: stale tombstones die with it (LAST, so
     // a crashed build leaves the delete plane intact — over-suppression,
@@ -171,15 +194,6 @@ object GraphIndexStore {
     ArtifactStore.resetMutationPlane(ctx)
   }
 
-  /** The raw pruned edge slice for a frontier id set: partition-pruned
-    * scan, src-filtered, projected — the walk's only edge I/O. Folding
-    * (exact-replay dedup, tombstoned destinations, per-src re-truncation
-    * to `degree`) happens driver-side on the collected bounded rows (see
-    * [[searchVisited]]); [[compact]] rewrites with the SAME fold order
-    * (dedup → tombstones → truncation), so a neighbourhood whose
-    * tombstoned member frees a slot promotes the identical replacement
-    * edge on both sides and serving is unchanged across a compact
-    * (spec-pinned). */
   /** The base edge scan — constructed ONCE per walk so Spark's file
     * index lists the bucket directories a single time (a fresh
     * `spark.read.parquet` per hop re-lists every partition dir, which
@@ -363,6 +377,49 @@ object GraphIndexStore {
       }.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
     }
 
+  /** Filtered serving from a metadata-scoped store: top-`topK` among the
+    * visited candidates whose stored meta equals the QUERY's meta — the
+    * tenant/label-scoped retrieval shape on the graph paradigm. The graph
+    * itself stays unscoped (navigation must cross labels to reach a rare
+    * label's neighbourhood — a per-label subgraph would disconnect); the
+    * predicate applies at rank time over the walk's oversampled visited
+    * set (≈ beam × hops × degree candidates per query vs the topK kept),
+    * the standard filtered-ANN recipe for graph indexes. One extra pruned
+    * job fetches the visited ids' meta values; everything else is
+    * [[query]]'s machinery, so the filtered and unfiltered paths cannot
+    * drift. `queries` rows are (query_id, qv, meta). Recall under the
+    * filter is gated by the qs30 contract — margins MEASURED at all SFs
+    * (GraphFilteredProbeMain) before any constant shrinks. */
+  def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
+      beam: Int, hops: Int, topK: Int): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      import spark.implicits._
+      require(manifestMeta(ctx).nonEmpty,
+        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+          "to enable queryFiltered")
+      val (_, _, buckets, _) = manifest(ctx)
+      val qMeta: Map[Long, String] = collectBounded(
+        queries.select(col("query_id"), col("meta").cast("string"))
+          .as[(Long, String)], "query batch").toMap
+      val visited = searchVisited(spark, ctx, queries, beam, hops)
+      val visitedIds = visited.map(_._2).distinct.toSeq
+      val vbuckets = visitedIds.map(bucketOf(_, buckets)).distinct.sorted
+      // replayed vector rows are byte-identical — toMap dedups exactly
+      val vMeta: Map[Long, String] = spark.read
+        .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
+        .parquet(ctx.dir("vectors"))
+        .filter(col("vbucket").isInCollection(vbuckets)) // partition pruning
+        .filter(col("vec_id").isInCollection(visitedIds))
+        .select(col("vec_id"), col("meta"))
+        .as[(Long, String)].collect().toMap
+      visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
+        val want = qMeta(qid)
+        arr.filter(t => t._2 != qid && vMeta.get(t._2).contains(want)).toSeq
+          .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
+          .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
+      }.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
+    }
+
   /** Navigable-small-world insertion of one batch (vec_id, embedding):
     * each new vector beam-searches the existing graph for its `degree`
     * best reachable neighbours (tombstoned nodes excluded — an insert
@@ -393,10 +450,18 @@ object GraphIndexStore {
       .select(col("vec_id")).as[Long].collect().toSet
     val freshIds = batchIds.filterNot(present)
     if (freshIds.isEmpty) return
+    // a metadata-scoped store's vector rows carry the meta value — an
+    // append must supply the same column ([[IvfIndexStore]]'s contract)
+    val metaSel = manifestMeta(ctx).map { m =>
+      require(batch.columns.contains(m),
+        s"store at $path is metadata-scoped on '$m'; the append batch " +
+          s"must carry that column")
+      col(m).cast("string").as("meta")
+    }.toSeq
     val newVecs = batch
       .filter(col("vec_id").isInCollection(freshIds))
-      .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(Seq(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")) ++ metaSel: _*)
       .persist()
     try {
       val visited = searchVisited(spark, ctx,
@@ -465,9 +530,13 @@ object GraphIndexStore {
         broadcast(t.withColumnRenamed("doc_id", idCol)), Seq(idCol), "left_anti")
       case None => df
     }
+    // metadata-scoped stores carry the meta column through the rewrite
+    // (dropping it would break queryFiltered after a compact)
+    val vecCols = Seq("vec_id", "v", "vnorm") ++
+      manifestMeta(ctx).map(_ => "meta").toSeq
     val keptVecs = dropIds(
       spark.read.parquet(ctx.dir("vectors"))
-        .select(col("vec_id"), col("v"), col("vnorm"))
+        .select(vecCols.map(col): _*)
         .dropDuplicates("vec_id"), "vec_id").persist()
     keptVecs
       .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))

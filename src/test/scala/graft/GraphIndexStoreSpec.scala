@@ -251,6 +251,91 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "deleted former entries must stay deleted after the re-derivation")
   }
 
+  test("metadata-scoped store: filtered serving is label-exact through append and compact") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-meta").toString
+    val e = embeddings
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx, degree = Degree,
+      assign = 2, nEntries = 4, buckets = Buckets, metaCol = Some("label"))
+    val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val queries = e.filter(col("vec_id") < 14 && col("vec_id") >= 10)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    def servedFiltered(): Seq[(Long, Int, Long)] = {
+      val rows = GraphIndexStore.queryFiltered(spark, idx, queries,
+        beam = 16, hops = 3, topK = TopK)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val got = servedFiltered()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, vid) =>
+      assert(labels(vid) == labels(qid),
+        s"filtered serving must be label-exact: query $qid (${labels(qid)}) " +
+          s"got $vid (${labels(vid)})")
+    }
+    // an unscoped store rejects filtered queries loudly
+    val plain = java.nio.file.Files.createTempDirectory("graft-gidx-plain").toString
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), plain,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    val exPlain = intercept[IllegalArgumentException] {
+      GraphIndexStore.queryFiltered(spark, plain, queries, 16, 3, TopK)
+    }
+    assert(exPlain.getMessage.contains("metadata-scoped"), exPlain.getMessage)
+    // append must carry the meta column — loudly without it, exactly with
+    val exApp = intercept[IllegalArgumentException] {
+      GraphIndexStore.append(
+        e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+        idx, beam = 16, hops = 3)
+    }
+    assert(exApp.getMessage.contains("metadata-scoped"), exApp.getMessage)
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx,
+      beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    val probe = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    val ranked = GraphIndexStore.queryFiltered(spark, idx, probe,
+        beam = 32, hops = 5, TopK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 10L).foreach { id =>
+      assert(ranked.get(id + 1000000L).contains(id),
+        s"appended vector $id must be its own exact same-label query's rank-1")
+    }
+    // compact carries the meta column (dropping it would break filtered
+    // serving after a compact — the IvfIndexStore advice-class bug)
+    val before = servedFiltered()
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    assert(servedFiltered() == before,
+      "filtered serving must be identical across a compact (meta carried)")
+  }
+
+  test("corpus-scale query batches are rejected loudly (4096 bound)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-bnd").toString
+    GraphIndexStore.build(embeddings, idx, degree = Degree, assign = 2,
+      nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    // 4097 synthetic queries: the serve path must refuse before any walk
+    // work (per-hop frontier state is sized by the batch — the documented
+    // MaxQueryBatch rationale) and point at the IVF batch path
+    val big = spark.range(4097)
+      .select(col("id").as("query_id"),
+        array(lit(1.0), lit(0.0)).as("qv"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIndexStore.query(spark, idx, big, beam = 8, hops = 1, topK = 3)
+    }
+    assert(ex.getMessage.contains("queryBatch"), ex.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("mutations fail loudly behind the compaction guard") {
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-grd").toString
     val e = embeddings
