@@ -286,6 +286,21 @@ object DemoWorkflowMain {
         beam = 16, hops = 4, topK = 3).collect()
       val gone = !afterDel.exists(_.getLong(2) == 0L)
       println(s"[probe-gidx-del] goneFromRanks=$gone (expect true)")
+      // metadata-scoped variant: label-filtered serving is label-exact
+      val gfDir = java.nio.file.Files.createTempDirectory("demo-gidx-f").toString
+      graft.sinks.GraphIndexStore.build(e, gfDir, degree = 8, assign = 2,
+        nEntries = 4, buckets = 16, metaCol = Some("label"))
+      val fq = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+      val fGot = graft.sinks.GraphIndexStore.queryFiltered(spark, gfDir, fq,
+        beam = 32, hops = 4, topK = 5).collect()
+      val lbl = e.select(col("vec_id"), col("label").cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val exact = fGot.forall(r => lbl(r.getLong(2)) == lbl(r.getLong(0)))
+      println(s"[probe-gidx-filtered] rows=${fGot.length} labelExact=$exact " +
+        "(expect 15, true)")
       spark.catalog.clearCache()
     }
 
