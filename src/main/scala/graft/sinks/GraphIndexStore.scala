@@ -1,6 +1,6 @@
 package graft.sinks
 
-import graft.pipeline.{KMeans, KnnGraph}
+import graft.pipeline.KnnGraph
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * Layout under `path` (epoched components via [[ArtifactStore]] — all
   * metadata I/O through the Hadoop `FileSystem` API):
   * {{{
-  *   manifest.json                     {"degree":D,"dim":d,"buckets":B,"entries":E}
+  *   manifest.json                     {"degree":D,"dim":d,"buckets":B,"entries":E[,"meta":col]}
   *   edges/ebucket=K/<parts>.parquet   (src, dst, cosine) — ebucket = src % B
-  *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm) — vbucket = vec_id % B
+  *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm[, meta]) — vbucket = vec_id % B
   *   entries/<part>.parquet            (vec_id) — the pinned entry points
   *   tombstones/                       parquet (doc_id) — folded by compact
   *   epoch-N, _COMPACTING              ArtifactStore commit/guard markers
