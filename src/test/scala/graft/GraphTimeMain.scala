@@ -40,51 +40,49 @@ object GraphTimeMain {
       t("search") {
         KnnGraph.search(e, edges, q, Seq(0L, 1L, 2L, 3L), Beam, Hops).count()
       }
-      // instrumented copy of the search loop: where does the time go?
+      // instrumented copy of the search loop (current mechanics: per-hop
+      // lineage cut via WalkScope.checkpoint — the r9 diagnosis showed a
+      // plain-persist union chain re-analyses exponentially and is
+      // unusable at sf0.1): where does the time go?
       t("search-instr") {
         def vdotL(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
           graft.functions.expressions.VectorExpressions.vecDot(x, y)
+        val scope = new graft.core.WalkScope
         val ev = e.select(col("vec_id"), col("v"))
           .withColumn("vnorm", sqrt(vdotL(col("v"), col("v"))))
         val qh = q.withColumn("qnorm", sqrt(vdotL(col("qv"), col("qv"))))
         val cosine = (vdotL(col("qv"), col("v")) / (col("qnorm") * col("vnorm"))).as("cosine")
         val edgeTab = edges.select(col("src"), col("dst"))
         var visited = t("  entry") {
-          val v0 = ev.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L, 3L)))
+          scope.checkpoint(ev.filter(col("vec_id").isInCollection(Seq(0L, 1L, 2L, 3L)))
             .crossJoin(broadcast(qh))
-            .select(col("query_id"), col("vec_id"), cosine).persist()
-          v0.count(); v0
+            .select(col("query_id"), col("vec_id"), cosine))
         }
         var frontier = visited.select(col("query_id"), col("vec_id"))
         val topk = graft.functions.TopKAggregator.topK(Beam)
         for (h <- 1 to Hops) {
-          val cand = t(s"  h$h-cand") {
-            val c = frontier
+          val scored = t(s"  h$h-score") {
+            val cand = frontier
               .join(edgeTab, frontier("vec_id") === edgeTab("src"))
               .select(col("query_id"), col("dst").as("vec_id"))
               .distinct()
               .join(visited.select(col("query_id"), col("vec_id")),
-                Seq("query_id", "vec_id"), "left_anti").persist()
-            c.count(); c
-          }
-          val scored = t(s"  h$h-score") {
-            val s2 = cand.join(ev, Seq("vec_id"))
+                Seq("query_id", "vec_id"), "left_anti")
+            scope.checkpoint(cand.join(ev, Seq("vec_id"))
               .join(broadcast(qh), Seq("query_id"))
-              .select(col("query_id"), col("vec_id"), cosine).persist()
-            s2.count(); s2
+              .select(col("query_id"), col("vec_id"), cosine))
           }
-          visited = t(s"  h$h-union") {
-            val u = visited.union(scored).persist(); u.count(); u
-          }
+          visited = visited.union(scored)
           frontier = t(s"  h$h-topk") {
-            val f = scored.groupBy(col("query_id"))
+            scope.checkpoint(scored.groupBy(col("query_id"))
               .agg(topk(col("cosine"), col("vec_id")).as("top"))
               .select(col("query_id"), explode(col("top")).as("hit"))
-              .select(col("query_id"), col("hit.vec_id").as("vec_id")).persist()
-            f.count(); f
+              .select(col("query_id"), col("hit.vec_id").as("vec_id")))
           }
         }
-        visited.count()
+        val n = visited.count()
+        scope.release()
+        n
       }
       t("truth") {
         graft.relational.QueryCatalog.byName("qs01_ann_topk").build(spark, d).count()
