@@ -232,6 +232,28 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "compaction drops tombstoned vectors")
   }
 
+  test("rebuild resets the mutation plane: old tombstones die with the old corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-reb").toString
+    val e = embeddings
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
+      nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    val q = queriesOf(e, 4)
+    val victim = servedRows(idx, q).head._3
+    spark.catalog.clearCache()
+    GraphIndexStore.delete(spark, idx, Seq(victim))
+    assert(!servedRows(idx, q).exists(_._3 == victim))
+    spark.catalog.clearCache()
+    // a rebuild replaces the corpus — the stale tombstone must not keep
+    // suppressing a fresh document that reuses the id
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
+      nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    assert(servedRows(idx, q).exists(_._3 == victim),
+      "rebuild must clear tombstones recorded against the old corpus")
+    spark.catalog.clearCache()
+  }
+
   test("all-entries-tombstoned fails loudly; compact re-derives entries") {
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-ent").toString
     val e = embeddings
