@@ -74,7 +74,7 @@ object Bench {
     }
     benched.foreach { q =>
       try q.build(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.catalog.clearCache()
     }
 
@@ -93,34 +93,56 @@ object Bench {
     // After the three sweeps, any query whose two fastest readings still
     // disagree by >1.5x (minimum uncorroborated) gets up to three more
     // interleaved sweeps over just the suspect set.
-    def timed(q: graft.relational.CatalogQuery): Double = {
+    //
+    // Every sample (and every canary run) records its WALL-CLOCK OFFSET
+    // from bench start next to its duration, and the cheap scheduler
+    // canary runs BETWEEN queries, not only at sweep starts: a mid-sweep
+    // host stall is then attributable post-hoc — the inflated sample's
+    // [offset, offset+dur] window overlaps elevated sched-canary readings
+    // and/or other queries' inflated samples at nearby offsets — instead
+    // of forging a per-query "regression" a human has to hand-re-time
+    // (round 9's qp08 phantom: +73% with calm sweep-start canaries).
+    val benchT0 = System.nanoTime()
+    def offsetSec(): Double = (System.nanoTime() - benchT0) / 1e9
+    val cpuLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val schedLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def logSched(): Unit = {
+      val off = offsetSec()
+      schedLog += ((off, schedCanary(spark, slots)))
+    }
+    def timed(q: graft.relational.CatalogQuery): (Double, Double) = {
+      val off = offsetSec()
       val t0 = System.nanoTime()
+      // fatal JVM errors (OOM, stack overflow) propagate: the JVM is in an
+      // undefined state and later sweeps would time garbage
       try { q.build(spark, sfDir).count() }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // queries may cache intermediates
-      sec
+      logSched() // inter-query scheduler reading — the stall tracer
+      (off, sec)
     }
     val samples = scala.collection.mutable.LinkedHashMap(
-      benched.map(q => q.name -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
-    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val schedCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+      benched.map(q => q.name ->
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]): _*)
     def sweepCanary(): Unit = {
-      val c = cpuCanary(); val sc = schedCanary(spark, slots)
-      canaries += c; schedCanaries += sc
-      System.err.println(f"[bench] canary cpu=$c%.3f s sched=$sc%.3f s")
+      val off = offsetSec()
+      val c = cpuCanary()
+      cpuLog += ((off, c))
+      logSched()
+      System.err.println(f"[bench] canary cpu=$c%.3f s sched=${schedLog.last._2}%.3f s")
     }
     (1 to 3).foreach { round =>
       sweepCanary()
       benched.foreach { q =>
-        val sec = timed(q)
-        samples(q.name) += sec
-        System.err.println(f"[bench] round $round ${q.name}%-24s $sec%8.3f s")
+        val s = timed(q)
+        samples(q.name) += s
+        System.err.println(f"[bench] round $round ${q.name}%-24s ${s._2}%8.3f s @${s._1}%.1f")
       }
     }
     def uncorroborated(name: String): Boolean = {
-      val s = samples(name).sorted
+      val s = samples(name).map(_._2).sorted
       s(1) > s(0) * 1.5
     }
     var extra = 0
@@ -128,9 +150,9 @@ object Bench {
       extra += 1
       sweepCanary()
       benched.filter(q => uncorroborated(q.name)).foreach { q =>
-        val sec = timed(q)
-        samples(q.name) += sec
-        System.err.println(f"[bench] extra $extra ${q.name}%-24s $sec%8.3f s")
+        val s = timed(q)
+        samples(q.name) += s
+        System.err.println(f"[bench] extra $extra ${q.name}%-24s ${s._2}%8.3f s @${s._1}%.1f")
       }
     }
 
@@ -153,43 +175,58 @@ object Bench {
         "qs28_graph_only" -> (() => PipelineQueries.Serve.queryGraphIndex(spark, sfDir, graphIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
-      servePaths.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+      servePaths.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[(Double, Double)] }: _*)
     (1 to 3).foreach { _ =>
       servePaths.foreach { case (name, f) =>
+        val off = offsetSec()
         val t0 = System.nanoTime()
         // a failed serve must NOT contribute a (fast, bogus) sample —
         // time-to-exception entering the min would report breakage as a
-        // dramatic improvement; the row goes absent/sentinel instead
+        // dramatic improvement; the row goes absent/sentinel instead.
+        // NonFatal only: an OOMed JVM must abort the bench, not keep timing
         val ok =
           try { f().count(); true }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        if (ok) serveSamples(name) += (System.nanoTime() - t0) / 1e9
+        if (ok) serveSamples(name) += ((off, (System.nanoTime() - t0) / 1e9))
         spark.catalog.clearCache()
+        logSched()
       }
     }
     val serveResults = servePaths.map { case (name, _) =>
-      val times = serveSamples(name)
+      val times = serveSamples(name).map(_._2)
       val sec = if (times.isEmpty) -1.0 else times.min // -1 = every run failed
       System.err.println(f"[bench] ${name}%-24s $sec%8.3f s (serve-only; runs: ${
         times.map(t => f"$t%.3f").mkString(" ")})")
       name -> sec
     }
     val results = benched.map { q =>
-      val times = samples(q.name)
+      val times = samples(q.name).map(_._2)
       val sec = times.min
       System.err.println(f"[bench] ${q.name}%-24s $sec%8.3f s (runs: ${
         times.map(t => f"$t%.3f").mkString(" ")})")
       q.name -> sec
     }
+    def pairsJson(ps: Seq[(Double, Double)]): String =
+      ps.map { case (o, d) => f"[$o%.1f,$d%.3f]" }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val serveJson = serveResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
-    val schedJson = schedCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // canary_cpu/canary_sched stay duration-only arrays (cross-round
+    // comparable with r9); *_log fields carry [wall-offset, duration]
+    // pairs for every sample and canary run — the stall-attribution data
+    val canaryJson = cpuLog.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
+    val schedJson = schedLog.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
+    val cpuLogJson = pairsJson(cpuLog.toSeq)
+    val schedLogJson = pairsJson(schedLog.toSeq)
+    val samplesJson = samples.map { case (k, v) => "\"" + k + "\":" + pairsJson(v.toSeq) }
+      .mkString("{", ",", "}")
+    val serveSamplesJson = serveSamples.map { case (k, v) => "\"" + k + "\":" + pairsJson(v.toSeq) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"serve_only":$serveJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"serve_only":$serveJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"samples":$samplesJson,"serve_samples":$serveSamplesJson,"canary_cpu_log":$cpuLogJson,"canary_sched_log":$schedLogJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -206,7 +206,14 @@ object ArtifactStore {
     * view serves identically by the compact contract). Any other failure
     * rethrows untouched. Failures of already-constructed plans at ACTION
     * time remain the documented single-maintainer exclusion — this
-    * converts the common planning-time window into a liveness guarantee. */
+    * converts the common planning-time window into a liveness guarantee.
+    *
+    * CONTRACT for `f`: it may run twice, so it must clean up any side
+    * effects (persisted intermediates, temp files) of a FAILED attempt
+    * before rethrowing — otherwise the retry leaks attempt 1's state into
+    * the block cache until some caller happens to clearCache (the
+    * `IvfIndexStore.*Batch` paths unpersist their posted-query cache on
+    * failure for exactly this reason). */
   def serving[T](spark: SparkSession, root: String)(f: Ctx => T): T = {
     val ctx = open(spark, root)
     try f(ctx)

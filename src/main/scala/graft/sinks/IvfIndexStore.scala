@@ -378,11 +378,16 @@ object IvfIndexStore {
       nProbe: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       val posted = postQueries(spark, path, queries, nProbe, withMeta = false)
-      val postings = servedPostings(spark, ctx, probedCells(posted), None)
-      val scored = postings.join(posted, Seq("cell")) // keyed, NOT broadcast
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosineExpr)
-      rankTopK(scored, topK)
+      // serving() may retry at a new epoch: a failed attempt must not
+      // leak its posted-query cache into the block cache (the retry
+      // re-posts), so construction failures unpersist before rethrowing
+      try {
+        val postings = servedPostings(spark, ctx, probedCells(posted), None)
+        val scored = postings.join(posted, Seq("cell")) // keyed, NOT broadcast
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), cosineExpr)
+        rankTopK(scored, topK)
+      } catch { case e: Throwable => posted.unpersist(); throw e }
     }
 
   /** DISTRIBUTED RANGE serving for LARGE query batches — [[queryBatch]]'s
@@ -399,13 +404,15 @@ object IvfIndexStore {
       nProbe: Int, radius: Double): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       val posted = postQueries(spark, path, queries, nProbe, withMeta = false)
-      val postings = servedPostings(spark, ctx, probedCells(posted), None)
-      postings.join(posted, Seq("cell")) // keyed, NOT broadcast
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosineExpr)
-        .filter(col("cosine") >= radius)
-        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
-        .orderBy(col("query_id"), col("vec_id"))
+      try {
+        val postings = servedPostings(spark, ctx, probedCells(posted), None)
+        postings.join(posted, Seq("cell")) // keyed, NOT broadcast
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), cosineExpr)
+          .filter(col("cosine") >= radius)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("query_id"), col("vec_id"))
+      } catch { case e: Throwable => posted.unpersist(); throw e }
     }
 
   /** DISTRIBUTED FILTERED serving for LARGE query batches on a
@@ -425,16 +432,18 @@ object IvfIndexStore {
     val MaxMetaFilter = 1024
     ArtifactStore.serving(spark, path) { ctx =>
       val posted = postQueries(spark, path, queries, nProbe, withMeta = true)
-      val probeMetas = posted.select(col("meta")).distinct()
-        .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
-      val metaFilter =
-        if (probeMetas.length > MaxMetaFilter) None
-        else Some(probeMetas.sorted.toSeq)
-      val postings = servedPostings(spark, ctx, probedCells(posted), metaFilter)
-      val scored = postings.join(posted, Seq("cell", "meta")) // keyed, NOT broadcast
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), cosineExpr)
-      rankTopK(scored, topK)
+      try {
+        val probeMetas = posted.select(col("meta")).distinct()
+          .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
+        val metaFilter =
+          if (probeMetas.length > MaxMetaFilter) None
+          else Some(probeMetas.sorted.toSeq)
+        val postings = servedPostings(spark, ctx, probedCells(posted), metaFilter)
+        val scored = postings.join(posted, Seq("cell", "meta")) // keyed, NOT broadcast
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), cosineExpr)
+        rankTopK(scored, topK)
+      } catch { case e: Throwable => posted.unpersist(); throw e }
     }
   }
 
