@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   *    `cell` / `src` / `dst`; per-node truncation is the bounded
   *    [[graft.functions.TopKByScore]] aggregator — no window, no sort of
   *    a full candidate set anywhere.
+  *  - **Assignment is two-level, so it stays sub-quadratic.** The cell
+  *    count k scales as n/400 (a FIXED k would make the in-cell pair join
+  *    Σ cell² = quadratic), which means a flat per-vector scan of all k
+  *    centroids would itself be O(n·k·dim) = O(n²·dim/400). Instead the
+  *    ⌈√k⌉ lowest-id centroids double as COARSE routing seeds: each
+  *    vector ranks the seeds (O(√k·dim)), then scans only the nearest
+  *    probed seeds' fine-centroid groups (expected O(√k·dim) more) —
+  *    O(n·√k·dim) assignment overall. The broadcast still carries all k
+  *    fine centroids (an IVF codebook's footprint — k·dim doubles); the
+  *    per-task SCAN, the quadratic term, is what the two levels remove.
   *  - **Search moves only the frontier.** The graph (n × degree edge
   *    rows, partitioned by `src`) stays put; each hop joins the
   *    ≤ queries × beam frontier against it by key, anti-joins the
@@ -48,14 +58,22 @@ object KnnGraph {
   private val cosineHoisted: Column =
     vdot(col("qv"), col("v")) / (col("qnorm") * col("vnorm"))
 
+  /** One truncation contract for the whole engine —
+    * [[graft.functions.Ranking]] (score DESC, id ASC). */
   private def topPerKey(scored: DataFrame, key: String, k: Int,
-      idCol: String): DataFrame = {
-    val topk = graft.functions.TopKAggregator.topK(k)
-    scored.groupBy(col(key))
-      .agg(topk(col("cosine"), col(idCol)).as("top"))
-      .select(col(key), explode(col("top")).as("hit"))
-      .select(col(key), col("hit.vec_id").as(idCol), col("hit.cosine").as("cosine"))
-  }
+      idCol: String): DataFrame =
+    graft.functions.Ranking.topPerKey(scored, key, k, idCol)
+
+  /** Coarse cells probed per vector before the fine scan stops widening
+    * (in (distance, seed-index) order) — covers vectors whose true
+    * nearest fine cells straddle coarse boundaries. MEASURED: at 3 the
+    * pinned geometries hold avg/min 1.000 at every SF on all of
+    * qs27/qs29/qs30; at 2 the qs30 filtered walk (the tightest consumer
+    * of graph quality) drops to avg 0.98 / min 0.90 at sf0.1. The margin
+    * probes (GraphAnnProbeMain / GraphDeleteProbeMain /
+    * GraphFilteredProbeMain) re-measure recall under this constant at
+    * every SF; run them before shrinking it. */
+  private val MinCoarseProbe = 3
 
   /** Build a bounded-out-degree kNN graph over `e` (`vec_id`, `v`) rows.
     *
@@ -67,19 +85,66 @@ object KnnGraph {
     * per node) repairs neighbourhoods the cell blocking split. Returns
     * (src, dst, cosine) with ≤ `degree` rows per src, ordered
     * (cosine DESC, dst ASC) within each src by the aggregator contract.
-    */
+    *
+    * Cell assignment is TWO-LEVEL (see the class doc's scale shape): the
+    * ⌈√k⌉ lowest-id centroids double as coarse routing seeds, every
+    * centroid is routed under its nearest seed, and a vector scans only
+    * the [[MinCoarseProbe]]-or-more nearest seeds' fine groups (widening
+    * deterministically until ≥ `assign` fine candidates are pooled, which
+    * guards arbitrarily skewed routings). The probed pool makes the
+    * `assign` cells a vector posts to APPROXIMATE — the NN-descent round
+    * and the walk's measured recall margins absorb that, exactly like
+    * every other bounded-blocking choice here. Deterministic end to end:
+    * routing ties break toward the lowest seed index ([[KMeans.nearest]]),
+    * seed/fine ranking orders by (L2², id), and L2² ranks identically to
+    * the L2 the flat scan used (sqrt is monotone). */
   def build(e: DataFrame, cents: Array[(Long, Seq[Double])], assign: Int,
       degree: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cents.sortBy(_._1))
-    def nearestCells(v: Seq[Double], n: Int): Seq[Long] =
-      bc.value.map { case (cid, cv) =>
-        var acc = 0.0
-        var i = 0
-        while (i < v.length) { val dd = v(i) - cv(i); acc += dd * dd; i += 1 }
-        (math.sqrt(acc), cid)
-      }.sortBy(identity).take(n).map(_._2).toSeq
+    val sorted = cents.sortBy(_._1)
+    val nCoarse = math.max(1, math.ceil(math.sqrt(sorted.length.toDouble)).toInt)
+    val coarseSeeds: Array[Array[Double]] = sorted.take(nCoarse).map(_._2.toArray)
+    val bcSeeds = spark.sparkContext.broadcast(coarseSeeds)
+    // route each centroid under its nearest coarse seed (ties toward the
+    // lowest seed index) — distributed, so the k × √k routing distance
+    // evals never run on the driver (which holds only the O(k) centroid
+    // array it was handed)
+    val routed = spark.sparkContext.parallelize(sorted.toSeq)
+      .map { case (fid, fv) => (KMeans.nearest(bcSeeds.value, fv), fid, fv) }
+      .collect()
+    val fineByCoarse: Array[Array[(Long, Array[Double])]] =
+      Array.tabulate(nCoarse) { ci =>
+        routed.collect { case (c, fid, fv) if c == ci => (fid, fv.toArray) }
+          .sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast((coarseSeeds, fineByCoarse))
+    // local copy: referencing the object field from inside the flatMap
+    // closure would capture the (non-serializable) module instance
+    val minCoarseProbe = MinCoarseProbe
+    def l2sq(v: Seq[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    def nearestCells(v: Seq[Double], n: Int): Seq[Long] = {
+      val (seeds, fine) = bc.value
+      val order = seeds.indices.map(j => (l2sq(v, seeds(j)), j)).sorted
+      val pool = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      var probed = 0
+      val it = order.iterator
+      while (it.hasNext && (probed < minCoarseProbe || pool.length < n)) {
+        val grp = fine(it.next()._2)
+        probed += 1
+        var g = 0
+        while (g < grp.length) {
+          pool += ((l2sq(v, grp(g)._2), grp(g)._1))
+          g += 1
+        }
+      }
+      pool.sorted.take(n).map(_._2).toSeq
+    }
     val posted = hoist(e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .flatMap { case (id, v) => nearestCells(v, assign).map(c => (id, v, c)) }
       .toDF("vec_id", "v", "cell"), "v", "vnorm")

@@ -2071,12 +2071,13 @@ object PipelineQueries {
       // bounded recall contract vs the exact brute-force truth (qs01's
       // plan): top-10-after-search must recover ≥90% of the true top-10.
       // Degree=12 / beam=32 / hops=4 / entries={0..3}: measured avg
-      // recall 1.000 (min-query 1.000) at ALL of sf0.001/sf0.01/sf0.1.
-      // The neighbouring configs FAIL the margin discipline — hops=3
-      // reads avg 0.92 / min 0.60 at sf0.1, degree=8 hops=4 reads
-      // 0.96 / 0.90, degree=8 hops=3 sits AT avg 0.90 (min 0.60) at
-      // sf0.01 — re-measure (GraphAnnProbeMain) before shrinking ANY
-      // constant.
+      // recall 1.000 (min-query 1.000) at ALL of sf0.001/sf0.01/sf0.1
+      // (re-measured r10 under the two-level coarse-to-fine assignment,
+      // MinCoarseProbe=3). The neighbouring configs FAIL the margin
+      // discipline — deg=12 hops=3 reads avg 0.88 / min 0.40 at sf0.1,
+      // degree=8 hops=4 reads 0.92 / 0.70 at sf0.1, degree=8 hops=3
+      // reads avg 0.92 / min 0.70 at sf0.01 — re-measure
+      // (GraphAnnProbeMain) before shrinking ANY constant.
       val Assign = 2; val Degree = 12; val Beam = 32
       val Hops = 4; val NQueries = 5
       import s.implicits._
@@ -2085,8 +2086,11 @@ object PipelineQueries {
         .persist() // graph build + search + truth scan reuse it
       // Cell COUNT scales with the corpus (~400 rows/cell) so the in-cell
       // pair join stays O(n × cellWidth) = linear in n — a fixed K would
-      // make build cost quadratic (Σ cell² = 4n²/K). At sf0.001/sf0.01
-      // this resolves to the measured K=16 geometry; at sf0.1 to K=160.
+      // make build cost quadratic (Σ cell² = 4n²/K). Assignment against
+      // the k = n/400 centroids is KnnGraph's two-level coarse-to-fine
+      // scan (O(√k) per vector), so it is sub-quadratic too. At
+      // sf0.001/sf0.01 this resolves to the measured K=16 geometry; at
+      // sf0.1 to K=160.
       val K = math.max(16L, e.count() / 400L)
       val cents = e.filter(col("vec_id") < K)
         .as[(Long, Seq[Double])].collect().sortBy(_._1)
@@ -2216,13 +2220,16 @@ object PipelineQueries {
       // visited set — the standard filtered-ANN recipe for graph indexes,
       // complementing IVF's pruning-exact (cell, meta) partition-key
       // variant (qs18). Contract: (a) every served neighbour carries the
-      // query's label, (b) top-10 recall vs the exact same-label brute
-      // force ≥ 0.90. Beam=64/hops=4 MEASURED avg/min 1.000 at
-      // sf0.001/sf0.01/sf0.1; beam=48/hops=4 min sits AT 0.90 at sf0.01
-      // and beam=32/hops=4 reads 0.86 avg at sf0.1 (fails) — the filter
-      // keeps ~1/L of the visited set, so the walk needs the wider beam
-      // to cover the same-label global top-10 (GraphFilteredProbeMain
-      // re-measures; run it before shrinking anything).
+      // query's label, (b) top-10 AVG recall vs the exact same-label
+      // brute force ≥ 0.90. Beam=64/hops=4 MEASURED (r10, two-level
+      // assignment, MinCoarseProbe=3) avg 1.000 / 0.980 / 1.000 at
+      // sf0.001 / sf0.01 / sf0.1 (mins 1.000 / 0.900 / 1.000);
+      // beam=48/hops=4 reads avg 0.96 at sf0.01 and 0.98 at sf0.1,
+      // beam=32/hops=4 reads 0.86 avg at sf0.1 (margin too thin / fails)
+      // — the filter keeps ~1/L of the visited set, so the walk needs
+      // the wider beam to cover the same-label global top-10
+      // (GraphFilteredProbeMain re-measures; run it before shrinking
+      // anything).
       val Beam = 64; val Hops = 4
       val e = table(s, d, "embeddings")
       val idxDir = java.nio.file.Files

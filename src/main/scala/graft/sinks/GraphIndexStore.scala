@@ -72,10 +72,14 @@ object GraphIndexStore {
 
   /** Serve/append paths collect per-hop frontier and candidate id sets to
     * drive partition pruning (bounded by queries × beam and
-    * queries × beam × degree); the query batch itself is the only
-    * unbounded input, so it is capped loudly — a corpus-scale batch
-    * belongs on the IVF store's distributed `queryBatch` path or a
-    * rebuilt index, not a graph walk per row. */
+    * queries × beam × degree). Query batches of ANY size serve correctly:
+    * the walk is embarrassingly chunkable per query, so [[query]] and
+    * [[queryFiltered]] fold internally over ≤ this many queries at a time
+    * — per-hop state stays bounded whatever the batch (truly corpus-scale
+    * jobs still route better through `IvfIndexStore.queryBatch`, which
+    * never drives the driver-fold at all). APPEND batches stay capped
+    * loudly: an append is a sequential NSW insert against the existing
+    * graph, so the remediation is smaller batches, not a bigger walk. */
   private val MaxQueryBatch = 4096
 
   /** One norm definition for build, append and query sides — the same
@@ -110,26 +114,23 @@ object GraphIndexStore {
   private def bucketOf(id: Long, buckets: Int): Long =
     java.lang.Math.floorMod(id, buckets.toLong)
 
-  /** Bounded top-`k` per `key` by (cosine DESC, id ASC) — the
-    * [[graft.functions.TopKAggregator]] everywhere a neighbourhood or
-    * frontier truncates, identical to [[KnnGraph]]'s convention so a
-    * fresh store serves bit-identically to the in-memory engine. */
+  /** Bounded top-`k` per `key` by (cosine DESC, id ASC) —
+    * [[graft.functions.Ranking]]'s single truncation contract, everywhere
+    * a neighbourhood or frontier truncates, identical to [[KnnGraph]]'s
+    * convention so a fresh store serves bit-identically to the in-memory
+    * engine. */
   private def topPerKey(scored: DataFrame, key: String, k: Int,
-      idCol: String): DataFrame = {
-    val topk = graft.functions.TopKAggregator.topK(k)
-    scored.groupBy(col(key))
-      .agg(topk(col("cosine"), col(idCol)).as("top"))
-      .select(col(key), explode(col("top")).as("hit"))
-      .select(col(key), col("hit.vec_id").as(idCol), col("hit.cosine").as("cosine"))
-  }
+      idCol: String): DataFrame =
+    graft.functions.Ranking.topPerKey(scored, key, k, idCol)
 
+  /** Loud bound with CALL-SITE-SPECIFIC remediation — query-path advice
+    * ("use the distributed IVF batch path") does not apply to an append,
+    * which can only be split or turned into a rebuild. */
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
-      what: String): Array[T] = {
+      what: String, remedy: String): Array[T] = {
     val rows = ds.take(MaxQueryBatch + 1)
     require(rows.length <= MaxQueryBatch,
-      s"$what exceeds $MaxQueryBatch rows — graph serving collects per-hop " +
-        "frontier id sets sized by the batch; route corpus-scale batches " +
-        "through IvfIndexStore.queryBatch or a dedicated rebuild instead")
+      s"$what exceeds $MaxQueryBatch rows — $remedy")
     rows
   }
 
@@ -137,9 +138,10 @@ object GraphIndexStore {
     * run [[KnnGraph.build]] (cell-blocked candidates, one NN-descent
     * round, ≤ `degree` out-edges per node), persist bucket-partitioned
     * edges + vectors + the `nEntries` lowest-id entry points. Blocking
-    * cells scale with the corpus (~400 rows/cell — qs27's linear-build
-    * geometry). Callers `clearCache()` after build (the graph builder
-    * persists its intermediates). */
+    * cells scale with the corpus (~400 rows/cell) and assignment is
+    * [[KnnGraph]]'s two-level coarse-to-fine scan — O(n·√k·dim), so no
+    * build stage is super-linear in the corpus. Callers `clearCache()`
+    * after build (the graph builder persists its intermediates). */
   def build(e: DataFrame, path: String, degree: Int, assign: Int = 2,
       nEntries: Int = 4, buckets: Int = DefaultBuckets,
       metaCol: Option[String] = None): Unit = {
@@ -250,10 +252,10 @@ object GraphIndexStore {
 
   /** The [[graft.functions.ScoredHit]] total order — (cosine DESC,
     * id ASC), the primitive-double comparison [[topPerKey]] truncates
-    * with — replicated for the driver-side folds so every truncation in
-    * the walk ranks identically to the distributed aggregator. */
+    * with — [[graft.functions.Ranking.beats]], so every driver-side fold
+    * in the walk ranks identically to the distributed aggregator. */
   private def beats(aCos: Double, aId: Long, bCos: Double, bId: Long): Boolean =
-    aCos > bCos || (aCos == bCos && aId < bId)
+    graft.functions.Ranking.beats(aCos, aId, bCos, bId)
 
   /** Beam-search the stored graph and return every visited
     * (query_id, vec_id, cosine) — the engine behind [[query]] and
@@ -275,10 +277,25 @@ object GraphIndexStore {
     * every dedup/truncation uses [[beats]] — so results stay
     * bit-identical to the in-memory engine. The per-hop edge I/O remains
     * partition-pruned to the frontier's buckets, which is the property
-    * that scales: query cost tracks the walk, never the corpus. */
+    * that scales: query cost tracks the walk, never the corpus.
+    *
+    * ORPHAN edges (a dst with no vector row — the footprint of an append
+    * that crashed between its edge and vector writes) are folded OUT of
+    * neighbourhood truncation, not just dropped at score time: scoring is
+    * an inner join against the vector slice, so an orphan candidate
+    * returns no row — the fold detects that (a scored candidate is the
+    * proof its vector exists), marks the dst dead, RE-truncates the
+    * affected neighbourhoods, and scores the edges the orphan had evicted
+    * from their `degree` slots. The common (orphan-free) path pays
+    * nothing: detection falls out of the score job the hop runs anyway,
+    * and the repair loop runs zero extra iterations. [[compact]] applies
+    * the same exclusion (dst semi-joined against live vector ids), so
+    * serve identity across compact holds with or without orphans. */
   private def searchVisited(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      queries: DataFrame, beam: Int, hops: Int): Array[(Long, Long, Double)] = {
+      qs: Array[(Long, Seq[Double])], beam: Int,
+      hops: Int): Array[(Long, Long, Double)] = {
     import spark.implicits._
+    require(qs.length <= MaxQueryBatch, "internal: walk slice exceeds MaxQueryBatch")
     val (degree, _, buckets, _) = manifest(ctx)
     val tombSet: Set[Long] = ArtifactStore.readTombstones(spark, ctx) match {
       // tombstones are broadcast-small by protocol (the previous
@@ -286,8 +303,6 @@ object GraphIndexStore {
       case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
       case None => Set.empty
     }
-    val qs = collectBounded(queries.select(col("query_id"), col("qv"))
-      .as[(Long, Seq[Double])], "query batch")
     val q = broadcast(qs.toSeq.toDF("query_id", "qv")
       .withColumn("qnorm", normExpr(col("qv"))))
     val entryIds = liveEntries(spark, ctx, tombSet)
@@ -314,8 +329,15 @@ object GraphIndexStore {
 
     val visited = scala.collection.mutable.HashMap
       .empty[Long, scala.collection.mutable.HashMap[Long, Double]]
+    // every id a score job ever returned a row for — the proof its vector
+    // row exists (visited ⊆ knownLive always)
+    val knownLive = scala.collection.mutable.HashSet.empty[Long]
+    // edge dsts a score job proved vector-less (orphans of crashed
+    // appends); excluded from every later truncation, like tombstones
+    val knownDead = scala.collection.mutable.HashSet.empty[Long]
     def addVisited(rows: Array[(Long, Long, Double)]): Unit =
       rows.foreach { case (qid, vid, c) =>
+        knownLive += vid
         visited.getOrElseUpdate(qid,
           scala.collection.mutable.HashMap.empty).update(vid, c)
       }
@@ -325,33 +347,50 @@ object GraphIndexStore {
     while (hop < hops && frontier.nonEmpty) {
       hop += 1
       val frontierIds = frontier.valuesIterator.flatten.toSeq.distinct.sorted
-      // fold the collected slice exactly as compact rewrites: exact-replay
-      // dedup → tombstoned destinations dropped → per-src truncation to
-      // the best `degree` by (cosine DESC, dst ASC)
-      val adj: Map[Long, Seq[Long]] =
+      // the collected slice folds exactly as compact rewrites: exact-replay
+      // dedup → tombstoned/orphan destinations dropped → per-src
+      // truncation to the best `degree` by (cosine DESC, dst ASC)
+      val srcRows: Map[Long, Array[(Long, Long, Double)]] =
         edgeSliceOf(eBase, frontierIds, buckets)
           .as[(Long, Long, Double)].collect().distinct
           .filter(r => !tombSet(r._2))
           .groupBy(_._1)
-          .map { case (src, arr) =>
-            src -> arr.sortWith((a, b) => beats(a._3, a._2, b._3, b._2))
-              .take(degree).map(_._2).toSeq
-          }
-      val candPairs = (for {
-        (qid, vids) <- frontier.toSeq
-        vid <- vids
-        dst <- adj.getOrElse(vid, Nil)
-        if !visited.get(qid).exists(_.contains(dst))
-      } yield (qid, dst)).distinct
-      if (candPairs.isEmpty) frontier = Map.empty
-      else {
-        val scored = score(candPairs)
-        addVisited(scored)
-        frontier = scored.groupBy(_._1).map { case (qid, arr) =>
+      val hopRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val attempted = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      var settled = false
+      while (!settled) {
+        val adj: Map[Long, Seq[Long]] = srcRows.map { case (src, arr) =>
+          src -> arr.iterator.filter(r => !knownDead(r._2)).toSeq
+            .sortWith((a, b) => beats(a._3, a._2, b._3, b._2))
+            .take(degree).map(_._2)
+        }
+        val candPairs = (for {
+          (qid, vids) <- frontier.toSeq
+          vid <- vids
+          dst <- adj.getOrElse(vid, Nil)
+          if !visited.get(qid).exists(_.contains(dst)) && !attempted((qid, dst))
+        } yield (qid, dst)).distinct
+        if (candPairs.isEmpty) settled = true
+        else {
+          attempted ++= candPairs
+          val scored = score(candPairs)
+          addVisited(scored)
+          hopRows ++= scored
+          // a candidate the score job returned NO row for has no vector
+          // row: orphan — kill it and rerun the truncation, which may
+          // admit (and score) the edges it had evicted
+          val orphans = candPairs.iterator.map(_._2)
+            .filterNot(knownLive).toSet
+          if (orphans.isEmpty) settled = true
+          else knownDead ++= orphans
+        }
+      }
+      frontier =
+        if (hopRows.isEmpty) Map.empty
+        else hopRows.toArray.groupBy(_._1).map { case (qid, arr) =>
           qid -> arr.toSeq.sortWith((a, b) => beats(a._3, a._2, b._3, b._2))
             .take(beam).map(_._2)
         }
-      }
     }
     visited.iterator.flatMap { case (qid, m) =>
       m.iterator.map { case (vid, c) => (qid, vid, c) }
@@ -361,20 +400,34 @@ object GraphIndexStore {
   /** Serve a query batch from the stored graph: beam search, then the
     * bounded top-`topK` rank finish — (query_id, rank, vec_id) in the
     * shared (cosine DESC, vec_id ASC) order, self-matches excluded
-    * ([[IvfIndexStore.query]]'s output conventions). The result is a
-    * local relation (≤ batch × topK rows — bounded like the batch
-    * itself): serving leaves zero persistent RDDs behind, whatever the
-    * caller does with the returned frame. */
+    * ([[IvfIndexStore.query]]'s output conventions). Batches of ANY size
+    * serve: each query's walk is independent, so the fold runs per
+    * [[MaxQueryBatch]]-query slice and concatenates — per-hop driver
+    * state stays bounded by the slice, never the batch (results are
+    * bit-identical to slice-by-slice calls; spec-pinned). The result is a
+    * local relation (≤ batch × topK rows): serving leaves zero persistent
+    * RDDs behind, whatever the caller does with the returned frame. */
   def query(spark: SparkSession, path: String, queries: DataFrame,
       beam: Int, hops: Int, topK: Int): DataFrame =
+    queryChunked(spark, path, queries, beam, hops, topK, MaxQueryBatch)
+
+  /** [[query]] with an explicit walk-slice width — the spec hook that
+    * proves slice-size invariance; production callers use [[query]]. */
+  private[graft] def queryChunked(spark: SparkSession, path: String,
+      queries: DataFrame, beam: Int, hops: Int, topK: Int,
+      chunk: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       import spark.implicits._
-      val visited = searchVisited(spark, ctx, queries, beam, hops)
-      visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
-        arr.filter(_._2 != qid).toSeq
-          .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
-          .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
-      }.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
+      val qs = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])].collect()
+      qs.grouped(math.max(1, chunk)).flatMap { slice =>
+        val visited = searchVisited(spark, ctx, slice, beam, hops)
+        visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
+          arr.filter(_._2 != qid).toSeq
+            .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
+            .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
+        }
+      }.toSeq.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
     }
 
   /** Filtered serving from a metadata-scoped store: top-`topK` among the
@@ -392,32 +445,44 @@ object GraphIndexStore {
     * (GraphFilteredProbeMain) before any constant shrinks. */
   def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
       beam: Int, hops: Int, topK: Int): DataFrame =
+    queryFilteredChunked(spark, path, queries, beam, hops, topK, MaxQueryBatch)
+
+  /** [[queryFiltered]] with an explicit walk-slice width (the
+    * [[queryChunked]] spec hook on the filtered path). */
+  private[graft] def queryFilteredChunked(spark: SparkSession, path: String,
+      queries: DataFrame, beam: Int, hops: Int, topK: Int,
+      chunk: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       import spark.implicits._
       require(manifestMeta(ctx).nonEmpty,
         s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
           "to enable queryFiltered")
       val (_, _, buckets, _) = manifest(ctx)
-      val qMeta: Map[Long, String] = collectBounded(
-        queries.select(col("query_id"), col("meta").cast("string"))
-          .as[(Long, String)], "query batch").toMap
-      val visited = searchVisited(spark, ctx, queries, beam, hops)
-      val visitedIds = visited.map(_._2).distinct.toSeq
-      val vbuckets = visitedIds.map(bucketOf(_, buckets)).distinct.sorted
-      // replayed vector rows are byte-identical — toMap dedups exactly
-      val vMeta: Map[Long, String] = spark.read
-        .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
-        .parquet(ctx.dir("vectors"))
-        .filter(col("vbucket").isInCollection(vbuckets)) // partition pruning
-        .filter(col("vec_id").isInCollection(visitedIds))
-        .select(col("vec_id"), col("meta"))
-        .as[(Long, String)].collect().toMap
-      visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
-        val want = qMeta(qid)
-        arr.filter(t => t._2 != qid && vMeta.get(t._2).contains(want)).toSeq
-          .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
-          .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
-      }.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
+      val rows = queries
+        .select(col("query_id"), col("qv"), col("meta").cast("string"))
+        .as[(Long, Seq[Double], String)].collect()
+      rows.grouped(math.max(1, chunk)).flatMap { slice =>
+        val qMeta: Map[Long, String] =
+          slice.map(r => r._1 -> r._3).toMap
+        val visited = searchVisited(spark, ctx,
+          slice.map(r => (r._1, r._2)), beam, hops)
+        val visitedIds = visited.map(_._2).distinct.toSeq
+        val vbuckets = visitedIds.map(bucketOf(_, buckets)).distinct.sorted
+        // replayed vector rows are byte-identical — toMap dedups exactly
+        val vMeta: Map[Long, String] = spark.read
+          .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
+          .parquet(ctx.dir("vectors"))
+          .filter(col("vbucket").isInCollection(vbuckets)) // partition pruning
+          .filter(col("vec_id").isInCollection(visitedIds))
+          .select(col("vec_id"), col("meta"))
+          .as[(Long, String)].collect().toMap
+        visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
+          val want = qMeta(qid)
+          arr.filter(t => t._2 != qid && vMeta.get(t._2).contains(want)).toSeq
+            .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
+            .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
+        }
+      }.toSeq.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
     }
 
   /** Navigable-small-world insertion of one batch (vec_id, embedding):
@@ -429,9 +494,21 @@ object GraphIndexStore {
     * class doc), which also makes re-appending a tombstoned id inert: its
     * marker survives deletion, so the id stays dead until a compact
     * (where marker and tombstone fold away together). Appending while a
-    * compaction folds fails loudly behind the [[ArtifactStore]] guard. */
+    * compaction folds fails loudly behind the [[ArtifactStore]] guard.
+    *
+    * IN-EDGE PRESSURE VALVE: reverse in-edges concentrate on popular
+    * nodes, so a long append-only stream grows hub neighbourhoods
+    * linearly in appends — serving stays correct (the fold re-truncates
+    * per src) but pays the fold on rows compact exists to reclaim. After
+    * writing, append counts the stored edge rows of the srcs this batch
+    * touched (one partition-pruned job over a bounded id set); when any
+    * exceeds `compactFactor × degree`, it runs [[compact]] — the
+    * crash-atomic rewrite — so stored neighbourhood footprints stay
+    * bounded by `compactFactor × degree` under any append stream.
+    * `compactFactor = 0` disables the valve for deploys that schedule
+    * compaction on their own cadence. */
   def append(batch: DataFrame, path: String, beam: Int = 32,
-      hops: Int = 3): Unit = {
+      hops: Int = 3, compactFactor: Int = 8): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
@@ -445,7 +522,9 @@ object GraphIndexStore {
     // vector writes leaves no marker: the retry re-inserts, and the
     // serve-time fold absorbs the crashed attempt's orphan edge rows.
     val batchIds = collectBounded(
-      batch.select(col("vec_id")).as[Long], "append batch")
+      batch.select(col("vec_id")).as[Long], "append batch",
+      "split the append into smaller batches (appendStream's micro-batches " +
+        "do this naturally) or rebuild the index with build()")
     val present = vectorSlice(spark, ctx, batchIds.toSeq, buckets)
       .select(col("vec_id")).as[Long].collect().toSet
     val freshIds = batchIds.filterNot(present)
@@ -465,7 +544,8 @@ object GraphIndexStore {
       .persist()
     try {
       val visited = searchVisited(spark, ctx,
-        newVecs.select(col("vec_id").as("query_id"), col("v").as("qv")),
+        newVecs.select(col("vec_id"), col("v"))
+          .as[(Long, Seq[Double])].collect(),
         beam, hops)
       // the new node's neighbourhood: its `degree` best visited nodes
       // (self excluded — a replayed insert of an indexed id must not
@@ -489,6 +569,17 @@ object GraphIndexStore {
         .coalesce(1)
         .write.partitionBy("vbucket").mode("append")
         .parquet(ctx.dir("vectors"))
+      // pressure valve (see the method doc): the touched srcs are the
+      // reverse-in-edge receivers — a bounded id set, so the footprint
+      // count is one partition-pruned job; the new srcs themselves hold
+      // exactly ≤ degree rows and need no check
+      if (compactFactor > 0 && outRows.nonEmpty) {
+        val touched = outRows.map(_._2).distinct
+        val maxPerSrc = edgeSlice(spark, ctx, touched, buckets)
+          .groupBy(col("src")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).collect()(0).getLong(0)
+        if (maxPerSrc > compactFactor.toLong * degree) compact(spark, path)
+      }
     } finally newVecs.unpersist()
   }
 
@@ -500,10 +591,12 @@ object GraphIndexStore {
     * the class doc), so a restarted query that re-delivers a micro-batch
     * changes nothing. */
   def appendStream(stream: DataFrame, path: String, checkpoint: String,
-      beam: Int = 32, hops: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+      beam: Int = 32, hops: Int = 3,
+      compactFactor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, _: Long) => append(b, path, beam, hops))
+      .foreachBatch((b: DataFrame, _: Long) =>
+        append(b, path, beam, hops, compactFactor))
       .start()
 
   /** Delete by tombstone — O(|ids|), the shared takedown plane. */
@@ -545,7 +638,17 @@ object GraphIndexStore {
       .parquet(ArtifactStore.stagingDir(ctx, "vectors"))
     val deduped = spark.read.parquet(ctx.dir("edges"))
       .select(col("src"), col("dst"), col("cosine")).distinct()
-    topPerKey(dropIds(dropIds(deduped, "src"), "dst"), "src", degree, "dst")
+    // endpoint liveness by SEMI-JOIN against the kept vector ids (keyed,
+    // corpus-sized — fine at compact cadence): keptVecs already excludes
+    // tombstoned ids, and it also excludes ORPHAN endpoints (edges whose
+    // dst never got its vector row — a crashed append's footprint), which
+    // the serve-time fold drops from truncation too; without this an
+    // orphan would permanently occupy a degree slot post-compact while
+    // serving had already promoted the edge it evicted
+    val live = deduped
+      .join(keptVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .join(keptVecs.select(col("vec_id").as("src")), Seq("src"), "left_semi")
+    topPerKey(live, "src", degree, "dst")
       .withColumn("ebucket", pmod(col("src"), lit(buckets.toLong)))
       .repartition(buckets, col("ebucket")) // one file per bucket
       .write.partitionBy("ebucket").mode("overwrite")

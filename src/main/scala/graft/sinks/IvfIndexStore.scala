@@ -120,16 +120,10 @@ object IvfIndexStore {
       .collect().map(_.getLong(0)).sorted.toSeq
 
   /** The bounded top-k rank finish shared by every top-k serve path —
-    * (score DESC, vec_id ASC) order, (query_id, rank, vec_id) output. */
-  private def rankTopK(scored: DataFrame, topK: Int): DataFrame = {
-    val topk = graft.functions.TopKAggregator.topK(topK)
-    scored.groupBy(col("query_id"))
-      .agg(topk(col("cosine"), col("vec_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.vec_id").as("vec_id"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+    * (score DESC, vec_id ASC) order, (query_id, rank, vec_id) output:
+    * [[graft.functions.Ranking]]'s single contract. */
+  private def rankTopK(scored: DataFrame, topK: Int): DataFrame =
+    graft.functions.Ranking.rankTopK(scored, topK)
 
   /** Build the index: assign every vector to its nearest centroid's
     * inverted list and persist centroids + cell-partitioned postings.

@@ -423,13 +423,8 @@ object TextIndexStore {
         .select(col("query_id"), col("doc_id"), bm25Sc(n, sumdl).as("sc"))
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("sc")).cast("double").as("score"))
-      val topk = graft.functions.TopKAggregator.topK(topK)
-      scored.groupBy(col("query_id"))
-        .agg(topk(col("score"), col("doc_id")).as("top"))
-        .select(col("query_id"), posexplode(col("top")))
-        .select(col("query_id"), (col("pos") + 1).as("rank"),
-          col("col.vec_id").as("doc_id"), col("col.cosine").as("score"))
-        .orderBy(col("query_id"), col("rank"))
+      // the single (score DESC, id ASC) truncation contract
+      graft.functions.Ranking.rankTopKScored(scored, topK, "doc_id", "score")
     }
   }
 }

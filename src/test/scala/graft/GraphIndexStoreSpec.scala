@@ -339,23 +339,130 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "filtered serving must be identical across a compact (meta carried)")
   }
 
-  test("corpus-scale query batches are rejected loudly (4096 bound)") {
+  test("query batches beyond the walk-slice bound serve by internal chunking; appends stay capped") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-bnd").toString
-    GraphIndexStore.build(embeddings, idx, degree = Degree, assign = 2,
+    val e = embeddings
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
       nEntries = 4, buckets = Buckets)
     spark.catalog.clearCache()
-    // 4097 synthetic queries: the serve path must refuse before any walk
-    // work (per-hop frontier state is sized by the batch — the documented
-    // MaxQueryBatch rationale) and point at the IVF batch path
-    val big = spark.range(4097)
-      .select(col("id").as("query_id"),
-        array(lit(1.0), lit(0.0)).as("qv"))
-    val ex = intercept[IllegalArgumentException] {
-      GraphIndexStore.query(spark, idx, big, beam = 8, hops = 1, topK = 3)
-    }
-    assert(ex.getMessage.contains("queryBatch"), ex.getMessage)
+    // a >4096-query batch (real vectors, wrapped around the corpus): the
+    // serve path folds per ≤4096-query slice — per-hop driver state stays
+    // bounded by the slice — and the result is bit-identical to ANY other
+    // slicing, because each query's walk is independent (the property a
+    // future cross-query optimization must not break)
+    val n = e.count()
+    val big = spark.range(4200)
+      .select(col("id").as("query_id"), pmod(col("id"), lit(n)).as("vec_id"))
+      .join(e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("qv")), Seq("vec_id"))
+      .select(col("query_id"), col("qv"))
+      .persist()
+    val served = GraphIndexStore.query(spark, idx, big, beam = 8, hops = 1,
+        topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache(); big.persist()
+    assert(served.map(_._1).distinct.length == 4200,
+      "every query of the large batch must be served")
+    val fine = GraphIndexStore.queryChunked(spark, idx, big, beam = 8,
+        hops = 1, topK = 3, chunk = 997)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
     spark.catalog.clearCache()
+    assert(fine == served, "serving must be slice-size invariant")
+    // APPEND batches stay capped (an append is a sequential insert — the
+    // remediation is smaller batches, not a bigger walk), with
+    // append-specific advice
+    val bigBatch = spark.range(4097)
+      .select(col("id").as("vec_id"), array(lit(1.0), lit(0.0)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphIndexStore.append(bigBatch, idx, beam = 8, hops = 1)
+    }
+    assert(ex.getMessage.contains("split the append"), ex.getMessage)
+    assert(!ex.getMessage.contains("queryBatch"),
+      "append remediation must not point at the query-only IVF batch path")
+    spark.catalog.clearCache()
+  }
+
+  test("orphan edges (crashed append footprint) never occupy degree slots; compact removes them") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-orp").toString
+    val e = embeddings
+    GraphIndexStore.build(e, idx, degree = Degree, assign = 2,
+      nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    val q = queriesOf(e, 4)
+    val before = servedRows(idx, q)
+    spark.catalog.clearCache()
+    // simulate an append that crashed between its edge and vector writes:
+    // edge rows to a dst that has NO vector row, at an impossible-high
+    // cosine so naive truncation would rank the orphan FIRST in every
+    // entry's neighbourhood and evict a real edge from its degree slot
+    val orphan = 999999L
+    Seq(0L, 1L, 2L, 3L).map(src => (src, orphan, 2.0))
+      .toDF("src", "dst", "cosine")
+      .withColumn("ebucket", pmod(col("src"), lit(Buckets.toLong)))
+      .coalesce(1)
+      .write.partitionBy("ebucket").mode("append").parquet(s"$idx/edges")
+    val withOrphans = servedRows(idx, q)
+    spark.catalog.clearCache()
+    assert(!withOrphans.exists(_._3 == orphan), "an orphan id must never serve")
+    assert(withOrphans == before,
+      "orphans must not evict live edges from truncated neighbourhoods " +
+        "(the fold re-truncates after proving the dst vector-less)")
+    // compact applies the same exclusion (dst semi-joined against live
+    // vector ids) — serve identity across compact holds, orphan rows die
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    val ctx = ArtifactStore.open(spark, idx)
+    assert(spark.read.parquet(ctx.dir("edges"))
+      .filter(col("dst") === orphan).take(1).isEmpty,
+      "compact must drop orphan edges")
+    assert(servedRows(idx, q) == before,
+      "serving must be identical across a compact that swept orphans")
+    spark.catalog.clearCache()
+  }
+
+  test("append pressure valve bounds stored neighbourhood footprints under hub-heavy streams") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-prs").toString
+    val e = embeddings
+    val SmallDegree = 4; val Factor = 2 // threshold: 8 stored rows per src
+    GraphIndexStore.build(e.filter(col("vec_id") < 40), idx,
+      degree = SmallDegree, assign = 2, nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    // hub-heavy stream: every appended vector duplicates id 20's values,
+    // so each insert's reverse in-edges land on the same few nodes (id 20
+    // and the earlier duplicates) — the linear-growth worst case
+    val hub = e.filter(col("vec_id") === 20)
+      .select(transform(col("embedding"), _.cast("double")).as("embedding"))
+      .collect()(0).getSeq[Double](0)
+    (0 until 12).foreach { i =>
+      val batch = Seq((1000L + i, hub)).toDF("vec_id", "embedding")
+      GraphIndexStore.append(batch, idx, beam = 8, hops = 2,
+        compactFactor = Factor)
+      spark.catalog.clearCache()
+      val ctx = ArtifactStore.open(spark, idx)
+      val maxPerSrc = spark.read.parquet(ctx.dir("edges"))
+        .groupBy(col("src")).count().agg(max(col("count"))).first().getLong(0)
+      assert(maxPerSrc <= (Factor * SmallDegree).toLong,
+        s"after append $i the stored footprint must stay bounded " +
+          s"(got $maxPerSrc rows for one src)")
+    }
+    // the valve actually fired (epoch advanced past the fresh-build 0) —
+    // without it the hub would hold build+12 > 8 rows
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the pressure valve must have compacted at least once")
+    // and the appended vectors still serve: reachability survived the
+    // auto-compacts (exact-duplicate probes rank SOME duplicate of the
+    // hub at cosine 1.0 — ties break by id, so rank-1 is the lowest
+    // surviving exact-duplicate id, not necessarily the probed one)
+    val probe = Seq((2000000L, hub)).toDF("query_id", "qv")
+    val top = GraphIndexStore.query(spark, idx, probe, beam = 8, hops = 3,
+        topK = 3)
+      .filter(col("rank") === 1).collect()(0).getLong(2)
+    spark.catalog.clearCache()
+    assert(top == 20L || top >= 1000L,
+      s"an exact-duplicate probe must surface the hub or a duplicate (got $top)")
   }
 
   test("mutations fail loudly behind the compaction guard") {
