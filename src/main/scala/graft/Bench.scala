@@ -167,12 +167,14 @@ object Bench {
       val ivfIdx = PipelineQueries.Serve.buildIvfIndex(spark, sfDir)
       val textIdx = PipelineQueries.Serve.buildTextIndex(spark, sfDir)
       val graphIdx = PipelineQueries.Serve.buildGraphIndex(spark, sfDir)
+      val pqIdx = PipelineQueries.Serve.buildPqIndex(spark, sfDir)
       spark.catalog.clearCache()
       Seq(
         "qd17_probe_only" -> (() => PipelineQueries.Serve.probeBandIndex(spark, sfDir, bandIdx)),
         "qs14_query_only" -> (() => PipelineQueries.Serve.queryIvfIndex(spark, sfDir, ivfIdx)),
         "qt23_bm25_only" -> (() => PipelineQueries.Serve.queryTextIndex(spark, textIdx)),
-        "qs28_graph_only" -> (() => PipelineQueries.Serve.queryGraphIndex(spark, sfDir, graphIdx)))
+        "qs28_graph_only" -> (() => PipelineQueries.Serve.queryGraphIndex(spark, sfDir, graphIdx)),
+        "qs31_pq_only" -> (() => PipelineQueries.Serve.queryPqIndex(spark, sfDir, pqIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
       servePaths.map { case (n, _) =>

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, ShingleHash60, SignSketch, SimHashPack, SortedLongIntersectCount, VecDot, VecDotLong}
+import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, PqAdc, ShingleHash60, SignSketch, SimHashPack, SortedLongIntersectCount, VecDot, VecDotLong}
 import graft.pipeline.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,6 +46,7 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   *   SELECT vec_dot(x, y)                            -- fused dot product (ANN hot kernel)
   *   SELECT vec_dot_long(x, y)                       -- integer twin (int8-quantized ANN)
   *   SELECT simhash_pack(hs, 16)                     -- one-pass simhash bit vote
+  *   SELECT pq_adc(codes, tbl)                       -- PQ asymmetric-distance lookup
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -129,6 +130,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "simhash_pack(hashes, bits) takes 2 arguments")
         SimHashPack(args.head, intLiteral(args(1), "simhash_pack bits"))
+      }),
+    (FunctionIdentifier("pq_adc"),
+      info(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pq_adc(codes, table) takes 2 arguments")
+        PqAdc(args.head, args(1))
       }))
 
   private def info(className: String, name: String) =

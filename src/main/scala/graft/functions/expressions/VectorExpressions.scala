@@ -120,6 +120,69 @@ case class VecDotLong(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Asymmetric-distance (ADC) lookup score for product-quantized vectors:
+  * `left` is the stored code array (int, one entry per subspace), `right`
+  * the query's flattened lookup table (double, subspaces × subK entries,
+  * subspace-major). Score = Σ_s table[s·subK + codes[s]] — the PQ
+  * approximation of dot(query, vector) as S table reads instead of a
+  * dim-length multiply-accumulate, the kernel the whole PQ memory story
+  * rests on. subK derives per row as table.length / codes.length, so the
+  * expression needs no constant plumbing.
+  *
+  * Bit-identical ([[graft.ShingleExpressionsSpec]] pins it, codegen
+  * fallback disabled) to the composed-builtin formulation
+  * `aggregate(zip_with(codes, sequence(0, S-1), (c, s) ->
+  * element_at(tbl, s*subK + c + 1)), 0.0D, (acc, x) -> acc + x)`:
+  * same left-to-right IEEE accumulation from a 0.0 seed, null on null
+  * elements, null when the table length is not a positive multiple of the
+  * code count or a code falls outside [0, subK) (where the builtin's
+  * element_at would raise or null out), 0.0 on an empty code array.
+  * Same rationale as [[VecDot]]: the builtin pair is CodegenFallback and
+  * this runs once per (query, candidate) pair on the ADC scan.
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def compute(codes: ArrayData, table: ArrayData): java.lang.Double = {
+    val s = codes.numElements()
+    if (s == 0) return java.lang.Double.valueOf(0.0)
+    val t = table.numElements()
+    if (t % s != 0 || t == 0) return null
+    val subK = t / s
+    var acc = 0.0
+    var i = 0
+    while (i < s) {
+      if (codes.isNullAt(i)) return null
+      val c = codes.getInt(i)
+      if (c < 0 || c >= subK) return null
+      val idx = i * subK + c
+      if (table.isNullAt(idx)) return null
+      acc += table.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, classOf[PqAdc].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** The engine-wide dot-product kernel; see [[VecDot]]. */
   def vecDot(x: Column, y: Column): Column =
@@ -128,4 +191,8 @@ object VectorExpressions {
   /** Integer twin for the int8-quantized path; see [[VecDotLong]]. */
   def vecDotLong(x: Column, y: Column): Column =
     GraftSqlShim.column(VecDotLong(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
+
+  /** PQ asymmetric-distance lookup; see [[PqAdc]]. */
+  def pqAdc(codes: Column, table: Column): Column =
+    GraftSqlShim.column(PqAdc(GraftSqlShim.expression(codes), GraftSqlShim.expression(table)))
 }

@@ -82,14 +82,23 @@ object KMeans {
     * slice. Subspace s covers dims [s·subDim, (s+1)·subDim); same
     * deterministic init (k lowest vec_ids) and tie rules as [[fit]], so
     * per-subspace results match independent fits up to float-sum
-    * reassociation in the partial reduce (asserted ~1e-9 by spec). */
+    * reassociation in the partial reduce (asserted ~1e-9 by spec).
+    *
+    * `initVecs` overrides the default init with explicit full-dim seed
+    * vectors (k rows) — the persistent-store path, whose training corpus
+    * need not contain ids 0..k-1 (a sub-corpus build); the default stays
+    * the oracle-mirrorable `vec_id < k` convention. */
   def fitSubspaces(e: Dataset[(Long, Seq[Double])], nSub: Int, k: Int,
-      iters: Int): Array[Array[Array[Double]]] = {
+      iters: Int,
+      initVecs: Option[Array[Array[Double]]] = None): Array[Array[Array[Double]]] = {
     require(nSub > 0 && k > 0 && iters >= 0)
     val spark: SparkSession = e.sparkSession
     import spark.implicits._
-    val init = e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray)
-    require(init.length == k, s"need vec_ids 0..${k - 1} for deterministic init")
+    val init = initVecs.getOrElse(
+      e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray))
+    require(init.length == k,
+      s"need ${if (initVecs.isEmpty) s"vec_ids 0..${k - 1}" else s"$k init vectors"} " +
+        "for deterministic init")
     val dim = init(0).length
     require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
     val subDim = dim / nSub

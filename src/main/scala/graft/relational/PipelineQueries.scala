@@ -77,6 +77,21 @@ object PipelineQueries {
         degree = 12, assign = 2, nEntries = 4)
       idxDir
     }
+    def buildPqIndex(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs31-pq").toString
+      graft.sinks.IvfPqIndexStore.build(table(s, d, "embeddings"),
+        k = 16, nSub = 8, subK = 256, idxDir)
+      idxDir
+    }
+    def queryPqIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.IvfPqIndexStore.query(s, idxDir, queries,
+        nProbe = 10, topK = AnnTopK, candK = 24 * AnnTopK)
+    }
     def queryGraphIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
       val queries = table(s, d, "embeddings")
         .select(col("vec_id").as("query_id"),
@@ -2273,6 +2288,41 @@ object PipelineQueries {
       SELECT count(*) AS n_queries, TRUE AS recall_ge_090,
         TRUE AS zero_cross_label
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qs31_pq_index_serve", (s, d) => {
+      // The PERSISTENT IVF-PQ path (sinks/IvfPqIndexStore): the COMPRESSED
+      // store completing the artifact matrix — qs07's norm-free PQ recipe
+      // (L2-normalize, 8 subspaces × 256-centroid codebooks, 64× smaller
+      // code rows) fused with qs02's IVF cell pruning and served behind
+      // the ArtifactStore protocol. Serve = partition-pruned code scan →
+      // codegen'd PqAdc table-lookup scoring → bounded candidate
+      // truncation → EXACT-cosine rerank over vbucket-pruned point reads
+      // of the survivors. Memory-per-vector is the real 100 TB serving
+      // constraint; this is the layout that fits the hot plane in memory.
+      // Quantization + probing make the oracle non-mirrorable (qs03/qs07's
+      // adjudication), so the gate is the bounded recall contract:
+      // top-10-from-store must recover ≥90% AVG of qs01's brute-force
+      // truth. K=16 / S=8 / SubK=256 / NProbe=10 / CandK=24·topK MEASURED
+      // avg 0.980 / 0.960 / 0.980 at sf0.001 / sf0.01 / sf0.1 (min 0.900
+      // at each) — CandK=16·topK FAILS the margin at sf0.1 (avg 0.94 /
+      // min 0.80) and NProbe=8 reads 0.94-0.96 avg; re-measure
+      // (PqIndexProbeMain) before shrinking anything.
+      val idxDir = Serve.buildPqIndex(s, d)
+      val got = Serve.queryPqIndex(s, d, idxDir)
+        .select(col("query_id"), col("vec_id"))
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(got.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q"""),
+      headline = true),
 
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come

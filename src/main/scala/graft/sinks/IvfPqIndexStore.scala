@@ -1,0 +1,396 @@
+package graft.sinks
+
+import graft.pipeline.KMeans
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF-PQ index — the COMPRESSED member of the store matrix
+  * next to [[IvfIndexStore]] (raw postings), [[BandIndexStore]] (LSH),
+  * [[TextIndexStore]] (sparse terms) and [[GraphIndexStore]] (kNN graph).
+  * Memory-per-vector is the real 100 TB serving constraint: a raw
+  * fp64 posting row costs dim × 8 bytes, while a PQ code costs `nSub`
+  * bytes (dim 64 / nSub 8 ⇒ 64× smaller), so the HOT plane a query scans
+  * — nprobe/k of the code store — fits in memory at corpus sizes where
+  * raw postings could not. Exactness is recovered the standard way:
+  * asymmetric-distance (ADC) scoring ranks a bounded candidate set, and
+  * an exact-cosine RERANK over only those candidates (vectors fetched by
+  * partition-pruned point reads from the cold plane) produces the final
+  * top-k — qs07's norm-free recipe (L2-normalize first, so cosine ≡ dot
+  * and quantization has no norm term to approximate) behind the
+  * build-once/serve-many artifact protocol.
+  *
+  * Layout under `path` (epoched mutable components via [[ArtifactStore]];
+  * centroids/codebooks are immutable — geometry is fixed at build time,
+  * re-clustering is a rebuild):
+  * {{{
+  *   manifest.json                    {"k":K,"dim":D,"nsub":S,"subk":SK,"vbuckets":B}
+  *   centroids/                       parquet (cid, cv) — coarse cells over UNIT vectors
+  *   codebooks/                       parquet (sub, code, cv) — S × SK sub-centroids
+  *   postings/cell=C/<parts>.parquet  (vec_id, codes array<int>) — the HOT compressed plane
+  *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm) — the COLD exact plane, point-read only
+  *   tombstones/, epoch-N, _COMPACTING  ArtifactStore mutation/commit plane
+  * }}}
+  *
+  * Serve shape: probe cells prune the code scan at the PARTITION level
+  * (spec-pinned PartitionFilters, the [[IvfIndexStore]] property); ADC
+  * scores compute via the codegen'd
+  * [[graft.functions.expressions.PqAdc]] kernel (S table reads per
+  * candidate instead of a dim-length multiply-accumulate) against
+  * per-query lookup tables broadcast ONCE per query (never per probed
+  * cell); candidates truncate through the shared
+  * [[graft.functions.Ranking]] contract; the rerank reads ≤ batch × candK
+  * exact rows through vbucket partition pruning. Recall is a measured
+  * contract (qs31: ≥0.90 vs exact brute force, margins probed at every
+  * SF — PqIndexProbeMain), not an oracle mirror: quantization error makes
+  * the plan non-mirrorable, exactly like qs03/qs05/qs07.
+  *
+  * Mutation plane = the shared [[ArtifactStore]] protocol: appends assign
+  * against the STORED geometry and are absorbed on replay by serve-time
+  * dedup; deletes are O(|ids|) tombstones anti-joined after pruning;
+  * compact folds both into an epoch+1 rewrite behind the single atomic
+  * marker create; build() resets tombstones LAST.
+  *
+  * Reference behaviour mirrored: none — deisa-ray has no ANN surface;
+  * this is the training-data-pipeline extension's compressed-serving
+  * path (SURVEY §2 pipeline families).
+  */
+object IvfPqIndexStore {
+
+  /** Serve collects the query batch to build ADC tables driver-side
+    * (each is nSub × subK doubles — 16 KB at the 8×256 default), so the
+    * batch is capped where the table broadcast stays ≤ ~64 MB. Corpus-
+    * scale batches belong on [[IvfIndexStore.queryBatch]] (exact,
+    * distributed) or a map-side-tables variant of this path. */
+  private val MaxAdcBatch = 4096
+
+  private val DefaultVBuckets = 64
+
+  /** Components rewritten by [[compact]] (epoched). */
+  private val Components = Seq("postings", "vectors")
+
+  /** One norm definition shared with the peer stores (sqrt of the
+    * codegen'd VecDot left fold) — rerank cosines stay bit-identical to
+    * the inline qs-path form. */
+  private def normExpr(v: Column): Column =
+    sqrt(graft.functions.expressions.VectorExpressions.vecDot(v, v))
+
+  private def cosineExpr: Column =
+    (graft.functions.expressions.VectorExpressions.vecDot(col("qv"), col("v")) /
+      (col("qnorm") * col("vnorm"))).as("cosine")
+
+  /** qs07's normalization: unit = v / sqrt(max(Σv², 1e-30)) — the guard
+    * keeps zero vectors finite (they quantize arbitrarily and rerank to
+    * cosine NaN-free zero-adjacent scores). */
+  private def normalize(v: Seq[Double]): Array[Double] = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    val n = math.sqrt(math.max(acc, 1e-30))
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) / n; i += 1 }
+    out
+  }
+
+  /** Per-subspace code assignment against trained codebooks —
+    * [[KMeans.nearest]]'s tie rule (lowest code index) in every subspace. */
+  private def codesOf(cbs: Array[Array[Array[Double]]],
+      u: Array[Double]): Array[Int] = {
+    val s = cbs.length
+    val subDim = u.length / s
+    Array.tabulate(s) { sub =>
+      KMeans.nearest(cbs(sub),
+        java.util.Arrays.copyOfRange(u, sub * subDim, (sub + 1) * subDim).toSeq)
+    }
+  }
+
+  private def manifest(ctx: ArtifactStore.Ctx): (Int, Int, Int, Int, Int) = {
+    val s = ArtifactStore.readString(ctx.fs,
+      new org.apache.hadoop.fs.Path(ctx.root, "manifest.json"))
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    (field("k"), field("dim"), field("nsub"), field("subk"), field("vbuckets"))
+  }
+
+  private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
+      what: String): Array[T] = {
+    val rows = ds.take(MaxAdcBatch + 1)
+    require(rows.length <= MaxAdcBatch,
+      s"$what exceeds $MaxAdcBatch rows — the ADC serve path broadcasts a " +
+        "per-query lookup table; route corpus-scale batches through " +
+        "IvfIndexStore.queryBatch (exact, fully distributed)")
+    rows
+  }
+
+  /** Stored coarse centroids, sorted by cid (bounded: k rows). */
+  private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** Stored codebooks as [sub][code][subDim] (bounded: nSub × subK rows). */
+  private def loadCodebooks(spark: SparkSession, path: String, nSub: Int,
+      subK: Int): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .as[(Int, Int, Seq[Double])].collect()
+    val out = Array.ofDim[Array[Double]](nSub, subK)
+    rows.foreach { case (sub, code, cv) => out(sub)(code) = cv.toArray }
+    out
+  }
+
+  private def bucketOf(id: Long, buckets: Int): Long =
+    java.lang.Math.floorMod(id, buckets.toLong)
+
+  /** Build the index over `e` (vec_id: bigint, embedding: array<float|double>):
+    * L2-normalize, train/accept coarse centroids (`k` cells over unit
+    * vectors; default = the k lowest-id unit vectors, the deterministic
+    * convention that works on any sub-corpus) and `nSub` per-subspace
+    * codebooks of `subK` sub-centroids (default: [[KMeans.fitSubspaces]]
+    * on a deterministic ~14% id-sample, seeded by the subK lowest-id unit
+    * vectors), then persist cell-partitioned CODES and bucket-partitioned
+    * EXACT vectors. One corpus pass assigns both cell and codes. */
+  def build(e: DataFrame, k: Int, nSub: Int, subK: Int, path: String,
+      iters: Int = 4, vbuckets: Int = DefaultVBuckets,
+      centroids: Option[Array[Array[Double]]] = None,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
+    require(k > 0 && nSub > 0 && subK > 0 && vbuckets > 0)
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.assertNotCompacting(ctx)
+    val v = e.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])]
+    val unit = v.map { case (id, x) => (id, normalize(x).toSeq) }.persist()
+    def lowestIdUnits(n: Int, what: String): Array[Array[Double]] = {
+      val rows = unit.toDF("vec_id", "u").orderBy(col("vec_id")).limit(n)
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      require(rows.length == n, s"corpus too small to seed $n $what")
+      rows.map(_._2.toArray)
+    }
+    val cents = centroids.getOrElse(lowestIdUnits(k, "coarse centroids"))
+    val dim = cents(0).length
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+    val cbs = codebooks.getOrElse {
+      // deterministic ~14% id-sample (stable-id discipline — production
+      // trains on a sample, assigns everything in one broadcast pass);
+      // init from the subK lowest ids so sub-corpus builds work too
+      val init = lowestIdUnits(subK, "codebook init vectors")
+      KMeans.fitSubspaces(unit.filter(_._1 % 7 == 0), nSub, subK, iters,
+        Some(init))
+    }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    // HOT plane: one corpus pass assigns cell + codes; repartition by cell
+    // so each cell directory holds one file (the small-files discipline)
+    unit.map { case (id, u) =>
+      val ua = u.toArray
+      (id, KMeans.nearest(bcC.value, u).toLong, codesOf(bcCb.value, ua).toSeq)
+    }.toDF("vec_id", "cell", "codes")
+      .repartition(k, col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(ctx.dir("postings"))
+    // COLD plane: raw vectors + stored vnorm, bucket-partitioned so the
+    // rerank's point reads prune (GraphIndexStore's vector layout)
+    v.toDF("vec_id", "v")
+      .withColumn("vnorm", normExpr(col("v")))
+      .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
+      .repartition(vbuckets, col("vbucket"))
+      .write.partitionBy("vbucket").mode("overwrite")
+      .parquet(ctx.dir("vectors"))
+    cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv.toSeq) }
+      .toSeq.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for (s0 <- cbs.indices; j <- cbs(s0).indices)
+      yield (s0, j, cbs(s0)(j).toSeq))
+      .toDF("sub", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    ArtifactStore.writeString(ctx.fs,
+      new org.apache.hadoop.fs.Path(path, "manifest.json"),
+      s"""{"k":$k,"dim":$dim,"nsub":$nSub,"subk":$subK,"vbuckets":$vbuckets}""")
+    unit.unpersist()
+    // rebuild replaces the corpus: stale tombstones die with it (LAST —
+    // a crashed build over-suppresses, never resurrects)
+    ArtifactStore.resetMutationPlane(ctx)
+  }
+
+  /** The probed + replay-deduped + tombstone-folded code slice (schema
+    * declared — no footer reads outside the probed cells). private[graft]
+    * so the spec pins its PartitionFilters. */
+  private[graft] def servedPostings(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      probeCells: Seq[Long]): DataFrame = {
+    val pruned = spark.read
+      .schema("vec_id BIGINT, codes ARRAY<INT>, cell BIGINT")
+      .parquet(ctx.dir("postings"))
+      .filter(col("cell").isInCollection(probeCells)) // partition pruning
+      .dropDuplicates("cell", "vec_id") // at-least-once appends
+    ArtifactStore.readTombstones(spark, ctx) match {
+      case Some(t) => pruned.join(
+        broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
+      case None => pruned
+    }
+  }
+
+  /** The rerank's exact-vector point reads: vbucket-pruned, declared
+    * schema, replay-deduped. private[graft] for the spec's pruning pin. */
+  private[graft] def vectorSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      ids: Seq[Long], vbuckets: Int): DataFrame = {
+    val bs = ids.map(bucketOf(_, vbuckets)).distinct.sorted
+    spark.read
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
+      .parquet(ctx.dir("vectors"))
+      .filter(col("vbucket").isInCollection(bs)) // partition pruning
+      .filter(col("vec_id").isInCollection(ids))
+      .dropDuplicates("vec_id") // at-least-once appends
+      .select(col("vec_id"), col("v"), col("vnorm"))
+  }
+
+  /** Serve a query batch: ADC-rank the probed cells' codes, exact-rerank
+    * the top `candK` survivors per query, return (query_id, rank, vec_id)
+    * top-`topK` in the shared (cosine DESC, vec_id ASC) contract, self
+    * matches excluded — [[IvfIndexStore.query]]'s output conventions, so
+    * the two stores are drop-in peers. `queries` rows are
+    * (query_id: bigint, qv: array<double>). */
+  def query(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int, candK: Int): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (_, _, nSub, subK, vbuckets) = manifest(ctx)
+      val cents = loadCentroids(spark, path)
+      val cbs = loadCodebooks(spark, path, nSub, subK)
+      val qs = collectBounded(queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])], "query batch")
+      val subDim = cents(0).length / nSub
+      // per-query flat ADC table (qs07's driver recipe): entry
+      // sub·subK + j = dot(q̂ sub-slice, codebook(sub)(j)) — one table per
+      // QUERY, broadcast once and joined by query_id (joining it through
+      // the probe-cell relation would replicate it nProbe times)
+      val tables: Seq[(Long, Seq[Double])] = qs.toSeq.map { case (qid, qv) =>
+        val u = normalize(qv)
+        val tbl = new Array[Double](nSub * subK)
+        var sub = 0
+        while (sub < nSub) {
+          var j = 0
+          while (j < subK) {
+            val c = cbs(sub)(j)
+            var acc = 0.0
+            var i = 0
+            while (i < subDim) { acc += u(sub * subDim + i) * c(i); i += 1 }
+            tbl(sub * subK + j) = acc
+            j += 1
+          }
+          sub += 1
+        }
+        (qid, tbl.toSeq)
+      }
+      val probes: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
+        KMeans.nearestK(cents, normalize(qv).toSeq, nProbe)
+          .map(c => (qid, c.toLong))
+      }
+      val probeCells = probes.map(_._2).distinct.sorted
+      val postings = servedPostings(spark, ctx, probeCells)
+      val adc = postings
+        .join(broadcast(probes.toDF("query_id", "cell")), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(broadcast(tables.toDF("query_id", "tbl")), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.expressions.VectorExpressions
+            .pqAdc(col("codes"), col("tbl")).as("adc"))
+      val cand = graft.functions.Ranking
+        .topPerKey(adc, "query_id", candK, "vec_id", "adc")
+        .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect() // bounded: ≤ batch × candK pairs
+      if (cand.isEmpty)
+        spark.emptyDataset[(Long, Int, Long)].toDF("query_id", "rank", "vec_id")
+      else {
+        // exact rerank over the survivors only: point reads off the cold
+        // plane, hoisted norms (qnorm projected once onto the broadcast
+        // query table; vnorm stored) — qs07's rerank discipline
+        val qDf = broadcast(qs.toSeq.toDF("query_id", "qv")
+          .withColumn("qnorm", normExpr(col("qv"))))
+        val rescored = vectorSlice(spark, ctx, cand.map(_._2).distinct.toSeq, vbuckets)
+          .join(broadcast(cand.toSeq.toDF("query_id", "vec_id")), Seq("vec_id"))
+          .join(qDf, Seq("query_id"))
+          .select(col("query_id"), col("vec_id"), cosineExpr)
+        graft.functions.Ranking.rankTopK(rescored, topK)
+      }
+    }
+  }
+
+  /** Append one batch to an EXISTING index: assignment and codes use the
+    * STORED geometry (centroids + codebooks are fixed at build time —
+    * re-clustering is a rebuild). Replays are absorbed at serve time by
+    * the (cell, vec_id) / (vec_id) dedups, [[IvfIndexStore]]'s contract. */
+  def appendBatch(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.assertNotCompacting(ctx)
+    val (_, _, nSub, subK, vbuckets) = manifest(ctx)
+    val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
+    val bcCb = spark.sparkContext.broadcast(loadCodebooks(spark, path, nSub, subK))
+    val v = batch.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].persist()
+    try {
+      v.map { case (id, x) =>
+        val u = normalize(x)
+        (id, KMeans.nearest(bcC.value, u.toSeq).toLong, codesOf(bcCb.value, u).toSeq)
+      }.toDF("vec_id", "cell", "codes")
+        .coalesce(1) // micro-batches are small: one file per touched cell
+        .write.partitionBy("cell").mode("append")
+        .parquet(ctx.dir("postings"))
+      v.toDF("vec_id", "v")
+        .withColumn("vnorm", normExpr(col("v")))
+        .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
+        .coalesce(1)
+        .write.partitionBy("vbucket").mode("append")
+        .parquet(ctx.dir("vectors"))
+    } finally v.unpersist()
+  }
+
+  /** Continuous maintenance: stream arriving vectors into the index. */
+  def appendStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
+      .start()
+
+  /** O(|ids|) tombstone delete — the shared takedown plane ([[IvfIndexStore]]
+    * semantics: immediate, terminal until compact, never resurrected). */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    ArtifactStore.appendTombstones(spark, path, ids)
+
+  /** Fold tombstones and replayed appends into both planes: rewrite
+    * postings without tombstoned/duplicate (cell, vec_id) rows and
+    * vectors without tombstoned/duplicate vec_ids, staged at epoch+1,
+    * committed by the single atomic marker create. Serving is identical
+    * before and after (spec-pinned). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val ctx = ArtifactStore.open(spark, path)
+    ArtifactStore.beginCompact(ctx, Components)
+    val tomb = ArtifactStore.readTombstones(spark, ctx)
+    def dropIds(df: DataFrame): DataFrame = tomb match {
+      case Some(t) => df.join(
+        broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
+      case None => df
+    }
+    dropIds(spark.read.parquet(ctx.dir("postings"))
+        .select(col("vec_id"), col("codes"), col("cell"))
+        .dropDuplicates("cell", "vec_id"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(ArtifactStore.stagingDir(ctx, "postings"))
+    val (_, _, _, _, vbuckets) = manifest(ctx)
+    dropIds(spark.read.parquet(ctx.dir("vectors"))
+        .select(col("vec_id"), col("v"), col("vnorm"))
+        .dropDuplicates("vec_id"))
+      .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
+      .repartition(vbuckets, col("vbucket"))
+      .write.partitionBy("vbucket").mode("overwrite")
+      .parquet(ArtifactStore.stagingDir(ctx, "vectors"))
+    ArtifactStore.commitCompact(ctx, Components)
+  }
+}

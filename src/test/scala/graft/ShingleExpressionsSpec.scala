@@ -244,6 +244,63 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("PqAdc == aggregate(zip_with(codes, sequence), element_at) fold (codegen)") {
+    // the IVF-PQ store's ADC kernel: S table lookups summed left-to-right
+    // from a 0.0 seed must reproduce the composed-builtin formulation
+    // bit for bit on the valid domain (raw-bit equality); the defensive
+    // edges (out-of-range code, table length not a multiple of the code
+    // count) null out where the builtin element_at would raise under ANSI
+    import graft.functions.expressions.VectorExpressions.pqAdc
+    val S = 8; val SubK = 16
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ref = (codes: org.apache.spark.sql.Column, tbl: org.apache.spark.sql.Column) =>
+        aggregate(
+          zip_with(codes, sequence(lit(0), lit(S - 1)),
+            (c, s) => element_at(tbl, s * lit(SubK) + c + 1)),
+          lit(0.0), _ + _)
+      val rng = new scala.util.Random(13)
+      val rows = (0L until 40L).map { i =>
+        (i, Seq.tabulate(S)(_ => rng.nextInt(SubK)),
+          Seq.tabulate(S * SubK)(j => rng.nextGaussian() *
+            (if (j % 13 == 0) 1e-300 else if (j % 17 == 0) 1e300 else 1.0)))
+      }.toDF("id", "codes", "tbl")
+      val got = rows.select(pqAdc(col("codes"), col("tbl")).as("fast"),
+        ref(col("codes"), col("tbl")).as("slow")).collect()
+      assert(got.length == 40)
+      got.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"ADC fold diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+      // edges: empty codes → 0.0; null element → null (like the builtin);
+      // out-of-range code / non-multiple table length → null (defensive —
+      // the builtin raises there under ANSI, so no cross-check)
+      val edges = spark.sql(s"""
+        SELECT * FROM VALUES
+          (CAST(array() AS ARRAY<INT>), array(1.0D, 2.0D)),
+          (array(1, CAST(NULL AS INT)), array(${Seq.fill(2 * SubK)("1.0D").mkString(",")})),
+          (array($SubK), array(${Seq.fill(SubK)("1.0D").mkString(",")})),
+          (array(1, 2), array(1.0D, 2.0D, 3.0D)) t(codes, tbl)""")
+      val er = edges.select(pqAdc(col("codes"), col("tbl")).as("fast")).collect()
+      assert(er(0).getDouble(0) == 0.0, "empty code array must fold to the 0.0 seed")
+      (1 to 3).foreach(i => assert(er(i).isNullAt(0), s"edge row $i must be null"))
+      // SQL registration parity
+      graft.functions.GraftExtensions.sqlFunctions.foreach { case (id, fi, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+      }
+      rows.createOrReplaceTempView("pqadc_probe")
+      val sqlRows = spark.sql(
+        "SELECT pq_adc(codes, tbl) FROM pqadc_probe ORDER BY id").collect()
+      sqlRows.zip(rows.orderBy(col("id"))
+          .select(ref(col("codes"), col("tbl"))).collect()).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(0)))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("SimHashPack == per-bit aggregate vote fold (codegen)") {
     // qd03's kernel: one fused pass must equal the `bits` separate
     // interpreted per-bit folds — pure integer arithmetic, exact equality —
