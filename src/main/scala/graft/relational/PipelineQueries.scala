@@ -2324,6 +2324,50 @@ object PipelineQueries {
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q"""),
       headline = true),
 
+    CatalogQuery("qs32_pq_batch_serve", (s, d) => {
+      // DISTRIBUTED serving on the COMPRESSED store — the offline-
+      // inference shape ("top-k for every vector of a corpus") through
+      // IvfPqIndexStore.queryBatch: map-side ADC tables, keyed joins
+      // everywhere (cell for candidates, query_id for tables, vec_id for
+      // the exact rerank), nothing about the batch on the driver; the
+      // only serve-time collect is the ≤K probed-cell domain. The gate is
+      // the qp08-style independent-formulation contract: the WHOLE corpus
+      // queries through BOTH serve paths (the driver path legitimately
+      // serves it — corpus ≤ its 4096 cap at gate SFs) and the row proves,
+      // IN SPARK via symmetric anti-joins, that the two return identical
+      // (query_id, rank, vec_id) sets — the same shared-kernel identity
+      // PqIndexStoreSpec pins, graded distributively. Retrieval QUALITY
+      // is qs31's gate (sampled queries, measured margins); for the
+      // record, corpus-wide avg recall at NProbe=10/CandK=240 measures
+      // 0.826/0.827/0.833 across SFs (PqIndexProbeMain corpus-batch
+      // section) — probe loss on these near-random synthetic embeddings,
+      // NOT a serve-path defect: the 10/16-cell scan bounds how many true
+      // top-10 members are even visible, and nprobe is the production
+      // recall/scan-fraction knob (qs03's documented tradeoff).
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs32-pq").toString
+      graft.sinks.IvfPqIndexStore.build(table(s, d, "embeddings"),
+        k = 16, nSub = 8, subK = 256, idxDir)
+      val allQ = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .persist() // both serve paths read it
+      val viaBatch = graft.sinks.IvfPqIndexStore.queryBatch(s, idxDir, allQ,
+        nProbe = 10, topK = AnnTopK, candK = 24 * AnnTopK)
+      val viaDriver = graft.sinks.IvfPqIndexStore.query(s, idxDir, allQ,
+        nProbe = 10, topK = AnnTopK, candK = 24 * AnnTopK)
+      val onlyBatch = viaBatch.join(viaDriver,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val onlyDriver = viaDriver.join(viaBatch,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val nQueries = viaBatch.select(col("query_id")).distinct().count()
+      allQ.sparkSession.range(1).select(
+        lit(nQueries).as("n_queries"),
+        lit(onlyBatch == 0L && onlyDriver == 0L).as("paths_identical"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS paths_identical
+      FROM (SELECT DISTINCT vec_id FROM embeddings) q""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

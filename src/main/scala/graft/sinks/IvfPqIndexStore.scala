@@ -56,11 +56,11 @@ import org.apache.spark.sql.functions._
   */
 object IvfPqIndexStore {
 
-  /** Serve collects the query batch to build ADC tables driver-side
-    * (each is nSub × subK doubles — 16 KB at the 8×256 default), so the
-    * batch is capped where the table broadcast stays ≤ ~64 MB. Corpus-
-    * scale batches belong on [[IvfIndexStore.queryBatch]] (exact,
-    * distributed) or a map-side-tables variant of this path. */
+  /** The driver-side serve path collects the query batch to build ADC
+    * tables (each nSub × subK doubles — 16 KB at the 8×256 default), so
+    * it is capped where the table broadcast stays ≤ ~64 MB. Corpus-scale
+    * batches go through [[queryBatch]] — map-side tables, keyed joins,
+    * nothing on the driver. */
   private val MaxAdcBatch = 4096
 
   private val DefaultVBuckets = 64
@@ -104,6 +104,31 @@ object IvfPqIndexStore {
     }
   }
 
+  /** The flat ADC lookup table of one unit query (qs07's driver recipe):
+    * entry sub·subK + j = dot(û sub-slice, codebook(sub)(j)) — ONE
+    * definition shared by the driver and distributed serve paths, so the
+    * two produce bit-identical scores on the same batch (spec-pinned). */
+  private def adcTable(cbs: Array[Array[Array[Double]]], u: Array[Double]): Array[Double] = {
+    val nSub = cbs.length
+    val subK = cbs(0).length
+    val subDim = u.length / nSub
+    val tbl = new Array[Double](nSub * subK)
+    var sub = 0
+    while (sub < nSub) {
+      var j = 0
+      while (j < subK) {
+        val c = cbs(sub)(j)
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) { acc += u(sub * subDim + i) * c(i); i += 1 }
+        tbl(sub * subK + j) = acc
+        j += 1
+      }
+      sub += 1
+    }
+    tbl
+  }
+
   private def manifest(ctx: ArtifactStore.Ctx): (Int, Int, Int, Int, Int) = {
     val s = ArtifactStore.readString(ctx.fs,
       new org.apache.hadoop.fs.Path(ctx.root, "manifest.json"))
@@ -116,9 +141,9 @@ object IvfPqIndexStore {
       what: String): Array[T] = {
     val rows = ds.take(MaxAdcBatch + 1)
     require(rows.length <= MaxAdcBatch,
-      s"$what exceeds $MaxAdcBatch rows — the ADC serve path broadcasts a " +
-        "per-query lookup table; route corpus-scale batches through " +
-        "IvfIndexStore.queryBatch (exact, fully distributed)")
+      s"$what exceeds $MaxAdcBatch rows — the driver-side serve path " +
+        "broadcasts a per-query lookup table; use IvfPqIndexStore.queryBatch " +
+        "(map-side tables, keyed joins, nothing on the driver) for large batches")
     rows
   }
 
@@ -262,28 +287,11 @@ object IvfPqIndexStore {
       val cbs = loadCodebooks(spark, path, nSub, subK)
       val qs = collectBounded(queries.select(col("query_id"), col("qv"))
         .as[(Long, Seq[Double])], "query batch")
-      val subDim = cents(0).length / nSub
-      // per-query flat ADC table (qs07's driver recipe): entry
-      // sub·subK + j = dot(q̂ sub-slice, codebook(sub)(j)) — one table per
-      // QUERY, broadcast once and joined by query_id (joining it through
-      // the probe-cell relation would replicate it nProbe times)
+      // per-query flat ADC table ([[adcTable]]) — one table per QUERY,
+      // broadcast once and joined by query_id (joining it through the
+      // probe-cell relation would replicate it nProbe times)
       val tables: Seq[(Long, Seq[Double])] = qs.toSeq.map { case (qid, qv) =>
-        val u = normalize(qv)
-        val tbl = new Array[Double](nSub * subK)
-        var sub = 0
-        while (sub < nSub) {
-          var j = 0
-          while (j < subK) {
-            val c = cbs(sub)(j)
-            var acc = 0.0
-            var i = 0
-            while (i < subDim) { acc += u(sub * subDim + i) * c(i); i += 1 }
-            tbl(sub * subK + j) = acc
-            j += 1
-          }
-          sub += 1
-        }
-        (qid, tbl.toSeq)
+        (qid, adcTable(cbs, normalize(qv)).toSeq)
       }
       val probes: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
         KMeans.nearestK(cents, normalize(qv).toSeq, nProbe)
@@ -316,6 +324,66 @@ object IvfPqIndexStore {
           .select(col("query_id"), col("vec_id"), cosineExpr)
         graft.functions.Ranking.rankTopK(rescored, topK)
       }
+    }
+  }
+
+  /** DISTRIBUTED serving for LARGE query batches — the offline-inference
+    * shape on the COMPRESSED store ([[IvfIndexStore.queryBatch]]'s
+    * discipline): nothing about the batch ever lands on the driver.
+    * Centroids + codebooks broadcast; each query row normalizes, builds
+    * its ADC table, and posts to its `nProbe` cells MAP-SIDE; candidates
+    * come from a KEYED equi-join on cell against the pruned code slice;
+    * the per-query table joins the candidates BY query_id (a second keyed
+    * join — shuffling the table once per query, never once per candidate
+    * or per probed cell); the rerank joins exact vectors and query norms
+    * by key, no broadcasts anywhere. The only serve-time collect is the
+    * ≤k probed-cell domain. Identical normalization, table floats
+    * ([[adcTable]]), scoring kernel, truncation and rank conventions to
+    * [[query]], so the two paths return bit-identical rows on the same
+    * batch (spec-pinned). */
+  def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int, candK: Int): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (_, _, nSub, subK, _) = manifest(ctx)
+      val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
+      val bcCb = spark.sparkContext.broadcast(loadCodebooks(spark, path, nSub, subK))
+      val q = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])].persist() // posted + tables + rerank norms
+      try {
+        val posted = q.flatMap { case (qid, qv) =>
+          KMeans.nearestK(bcC.value, normalize(qv).toSeq, nProbe)
+            .map(c => (qid, c.toLong))
+        }.toDF("query_id", "cell")
+        val tables = q.map { case (qid, qv) =>
+          (qid, adcTable(bcCb.value, normalize(qv)).toSeq)
+        }.toDF("query_id", "tbl")
+        val probeCells = posted.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq // ≤ k values, whatever the batch
+        val adc = servedPostings(spark, ctx, probeCells)
+          .join(posted, Seq("cell")) // keyed, NOT broadcast
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(tables, Seq("query_id")) // keyed: one table copy per query
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.expressions.VectorExpressions
+              .pqAdc(col("codes"), col("tbl")).as("adc"))
+        val cand = graft.functions.Ranking
+          .topPerKey(adc, "query_id", candK, "vec_id", "adc")
+          .select(col("query_id"), col("vec_id"))
+        // rerank: exact vectors keyed by vec_id (the candidate id set is
+        // never collected — a corpus-scale batch's candidates span every
+        // vbucket anyway), query norms keyed by query_id
+        val vecs = spark.read
+          .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
+          .parquet(ctx.dir("vectors"))
+          .dropDuplicates("vec_id")
+          .select(col("vec_id"), col("v"), col("vnorm"))
+        val qn = q.toDF("query_id", "qv").withColumn("qnorm", normExpr(col("qv")))
+        val rescored = vecs.join(cand, Seq("vec_id")) // keyed
+          .join(qn, Seq("query_id")) // keyed
+          .select(col("query_id"), col("vec_id"), cosineExpr)
+        graft.functions.Ranking.rankTopK(rescored, topK)
+      } catch { case e: Throwable => q.unpersist(); throw e }
     }
   }
 

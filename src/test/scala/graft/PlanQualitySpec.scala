@@ -646,4 +646,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"),
       s"per-(doc,trigram) tf must hash-aggregate:\n${plan.take(1500)}")
   }
+
+  test("qs31 PQ store rerank: broadcast point-read joins, no cartesian, no UDF, no window") {
+    // the serve path's returned plan is the exact rerank over the ADC
+    // survivors: the (bounded) candidate and query tables must BROADCAST
+    // against the vbucket-pruned vector point reads, ranking must be the
+    // bounded aggregator — PqIndexStoreSpec pins the two scans'
+    // PartitionFilters; this pins the join/rank strategy around them
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    val e = graft.relational.QueryHelpers.table(spark, dir, "embeddings")
+    graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, idx)
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    val served = graft.sinks.IvfPqIndexStore.query(spark, idx, q,
+      nProbe = 10, topK = 10, candK = 240)
+    val plan = served.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("ScalaUDF"), s"no ScalaUDF in the serve plan:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate/query tables must broadcast against the point reads:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"rank finish must be the bounded aggregator, not a window:\n${plan.take(1500)}")
+  }
 }

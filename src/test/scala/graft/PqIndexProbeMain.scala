@@ -50,6 +50,30 @@ object PqIndexProbeMain {
         spark.catalog.clearCache()
         e.persist(); truth.persist(); truth.count()
       }
+      // corpus-batch recall (qs32's contract): EVERY vector queries via
+      // the distributed queryBatch path; truth = exact all-pairs top-10
+      val allQ = ev.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val allScored = ev.crossJoin(allQ)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+            (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
+             sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _)))).as("cosine"))
+      val allTruth = allScored.groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .persist()
+      allTruth.count()
+      val gotAll = graft.sinks.IvfPqIndexStore.queryBatch(spark, idx, allQ,
+        nProbe = 10, topK = TopK, candK = 240)
+        .select(col("query_id"), col("vec_id"))
+      val recAll = allTruth.join(gotAll.withColumn("hit", lit(1L)),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
+        .agg(avg(col("recall")).as("r"), min(col("recall")).as("rmin"))
+        .collect()(0)
+      println(f"$sf corpus-batch nprobe=10 candk=240 avg=${recAll.getDouble(0)}%.3f min=${recAll.getDouble(1)}%.3f")
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -79,6 +79,26 @@ class PqIndexStoreSpec extends AnyFunSuite {
       s"avg recall must clear the contract (got $hits/${truth.size})")
   }
 
+  test("queryBatch (distributed) is bit-identical to the driver path on the same batch") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-bat").toString
+    val e = embeddings
+    IvfPqIndexStore.build(e, K, S, SubK, idx)
+    spark.catalog.clearCache()
+    // every corpus vector queries — the offline-inference shape; the two
+    // paths share normalize/adcTable/PqAdc/Ranking, so rows must match
+    // exactly (any drift means the shared-kernel discipline broke)
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val viaBatch = IvfPqIndexStore.queryBatch(spark, idx, q, NProbe, TopK, CandK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val viaDriver = servedRows(idx, q)
+    assert(viaBatch == viaDriver,
+      s"distributed and driver serve paths diverge (${viaBatch.length} vs ${viaDriver.length} rows)")
+    assert(viaBatch.map(_._1).distinct.length == e.count(),
+      "every corpus vector must be served as a query")
+  }
+
   test("appended vectors serve through the stored geometry; replays change nothing") {
     val idx = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
     val e = embeddings
