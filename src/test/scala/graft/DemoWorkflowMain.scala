@@ -304,6 +304,42 @@ object DemoWorkflowMain {
       spark.catalog.clearCache()
     }
 
+    locally {
+      // persistent IVF-PQ index (compressed serving): build, ADC+rerank
+      // serve, distributed-batch identity, append-then-find, tombstone
+      import org.apache.spark.sql.functions.{col, transform}
+      val pqDir = java.nio.file.Files.createTempDirectory("demo-pqidx").toString
+      val e = graft.relational.QueryHelpers
+        .table(spark, "/root/testdata/sf0.001", "embeddings")
+      graft.sinks.IvfPqIndexStore.build(e.filter(col("vec_id") >= 3),
+        k = 16, nSub = 8, subK = 256, pqDir)
+      val q0 = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val served = graft.sinks.IvfPqIndexStore.query(spark, pqDir, q0,
+        nProbe = 10, topK = 5, candK = 120).collect()
+      println(s"[probe-pqidx] rows=${served.length} queries=" +
+        s"${served.map(_.getLong(0)).distinct.length} (expect 15, 3)")
+      val batched = graft.sinks.IvfPqIndexStore.queryBatch(spark, pqDir, q0,
+        nProbe = 10, topK = 5, candK = 120).collect()
+      val agree = batched.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+        served.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      println(s"[probe-pqidx-batch] rows=${batched.length} agreesWithDriverPath=$agree (expect true)")
+      graft.sinks.IvfPqIndexStore.appendBatch(e.filter(col("vec_id") === 0L), pqDir)
+      val self = e.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 100L).as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val found = graft.sinks.IvfPqIndexStore.query(spark, pqDir, self,
+        nProbe = 10, topK = 3, candK = 120).collect()
+      println(s"[probe-pqidx-ins] rank1=${found.head.getLong(2)} (expect 0)")
+      graft.sinks.IvfPqIndexStore.delete(spark, pqDir, Seq(0L))
+      val afterDel = graft.sinks.IvfPqIndexStore.query(spark, pqDir, self,
+        nProbe = 10, topK = 3, candK = 120).collect()
+      val gone = !afterDel.exists(_.getLong(2) == 0L)
+      println(s"[probe-pqidx-del] goneFromRanks=$gone (expect true)")
+      spark.catalog.clearCache()
+    }
+
     spark.stop()
   }
 }
