@@ -129,6 +129,54 @@ class PqIndexStoreSpec extends AnyFunSuite {
     assert(servedRows(idx, q) == before, "a replayed append must not change serving")
   }
 
+  test("appendStream maintains the index live: streamed vectors reach parity with a full build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pq-sck").toString
+    val e = embeddings
+    IvfPqIndexStore.build(e.filter(col("vec_id") >= 10), K, S, SubK, idx)
+    spark.catalog.clearCache()
+    val arrivals = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val sq = IvfPqIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      val (a, b) = arrivals.splitAt(arrivals.length / 2)
+      stream.addData(a.toSeq)
+      sq.processAllAvailable() // two distinct micro-batches
+      stream.addData(b.toSeq)
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    // every streamed vector is its own exact query's rank-1 across
+    // micro-batch boundaries (cell + codes computed against the STORED
+    // geometry; the exact rerank pins cosine 1.0 first)
+    val probe = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val rank1 = IvfPqIndexStore.query(spark, idx, probe, NProbe, TopK, CandK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 10L).foreach { id =>
+      assert(rank1.get(id + 1000000L).contains(id),
+        s"streamed vector $id must be its own exact query's rank-1 " +
+          s"(got ${rank1.get(id + 1000000L)})")
+    }
+    // a re-delivered micro-batch (checkpoint replay) changes nothing —
+    // serve-time dedup absorbs the byte-identical rows
+    val q4 = queriesOf(e, 4)
+    val before = servedRows(idx, q4)
+    IvfPqIndexStore.appendBatch(e.filter(col("vec_id") < 10), idx)
+    spark.catalog.clearCache()
+    assert(servedRows(idx, q4) == before,
+      "a replayed streamed batch must not change serving")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "streaming maintenance must leave zero persistent RDDs behind")
+  }
+
   test("tombstones exclude immediately and terminally; compact folds and serves identically") {
     val idx = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
     val e = embeddings

@@ -394,6 +394,56 @@ class StoreHardeningSpec extends AnyFunSuite {
       "a stale post-commit guard must be swept by the next mutation")
   }
 
+  test("PQ store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
+    val idx = tmp("graft-pq-crash")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, idx)
+    graft.sinks.IvfPqIndexStore.delete(spark, idx, Seq(42L, 137L))
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 5)
+    def serve() = {
+      val rows = graft.sinks.IvfPqIndexStore
+        .query(spark, idx, queries, nProbe = 10, topK = 10, candK = 240)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val want = serve()
+    // pre-commit crash: guard raised, staging garbage half-written (BOTH
+    // epoched components — the PQ store rewrites two planes)
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.beginCompact(ctx, Seq("postings", "vectors"))
+    Seq("postings", "vectors").foreach { comp =>
+      val staged = java.nio.file.Paths.get(ArtifactStore.stagingDir(ctx, comp))
+      java.nio.file.Files.createDirectories(staged)
+      java.nio.file.Files.writeString(staged.resolve("part-junk.parquet"), "not parquet")
+    }
+    intercept[IllegalStateException] {
+      graft.sinks.IvfPqIndexStore.appendBatch(e.filter(col("vec_id") === 450L), idx)
+    }
+    intercept[IllegalStateException] {
+      graft.sinks.IvfPqIndexStore.delete(spark, idx, Seq(1L))
+    }
+    assert(serve() == want, "a crashed compaction must not disturb PQ serving")
+    graft.sinks.IvfPqIndexStore.compact(spark, idx) // sweeps staging junk, folds, commits
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    assert(serve() == want, "PQ serving must be identical across the recovered compact")
+    // post-commit crash: stale guard + resurrected old-epoch dirs
+    val root = java.nio.file.Paths.get(idx)
+    java.nio.file.Files.writeString(root.resolve("_COMPACTING"), "0")
+    Seq("postings", "vectors").foreach { comp =>
+      val stale = root.resolve(comp)
+      java.nio.file.Files.createDirectories(stale)
+      java.nio.file.Files.writeString(stale.resolve("part-junk.parquet"), "not parquet")
+    }
+    assert(serve() == want, "serving resolves the live epoch, never stale dirs")
+    graft.sinks.IvfPqIndexStore.appendBatch(e.filter(col("vec_id") === 450L), idx)
+    val fs = ArtifactStore.fileSystem(spark, idx)
+    assert(!fs.exists(new Path(idx, "_COMPACTING")),
+      "a stale post-commit guard must be swept by the next mutation")
+  }
+
   test("text store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
     val idx = tmp("graft-tidx-crash")
     val docs = QueryHelpers.table(spark, dir, "documents")
