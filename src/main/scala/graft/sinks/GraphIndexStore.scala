@@ -318,6 +318,11 @@ object GraphIndexStore {
 
     def score(pairs: Seq[(Long, Long)]): Array[(Long, Long, Double)] = {
       if (pairs.isEmpty) return Array.empty
+      // bounded by construction: ≤ slice × beam × degree pairs per hop —
+      // at the 4096-query slice cap with beam 32 / degree 12 that is
+      // ~1.5 M 16-byte rows (~25 MB broadcast), chunky but fixed; gate
+      // batches (5-500 queries) broadcast KBs. The slice cap in
+      // queryChunked is what keeps this a constant, not a batch variable
       val ids = pairs.map(_._2).distinct
       val cand = broadcast(pairs.toDF("query_id", "vec_id"))
       vectorSliceOf(vBase, ids, buckets)
