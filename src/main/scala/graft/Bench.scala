@@ -106,9 +106,16 @@ object Bench {
     def offsetSec(): Double = (System.nanoTime() - benchT0) / 1e9
     val cpuLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val schedLog = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    def logSched(): Unit = {
+    // canary_sched (the cross-round compat field) keeps r9's SAMPLING —
+    // sweep starts only; mixing in the ~70 inter-query readings would
+    // bias its min/median lower and silently shift the canary-ratio
+    // normalization a reader applies across rounds
+    val sweepSched = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def logSched(): Double = {
       val off = offsetSec()
-      schedLog += ((off, schedCanary(spark, slots)))
+      val sc = schedCanary(spark, slots)
+      schedLog += ((off, sc))
+      sc
     }
     def timed(q: graft.relational.CatalogQuery): (Double, Double) = {
       val off = offsetSec()
@@ -130,8 +137,9 @@ object Bench {
       val off = offsetSec()
       val c = cpuCanary()
       cpuLog += ((off, c))
-      logSched()
-      System.err.println(f"[bench] canary cpu=$c%.3f s sched=${schedLog.last._2}%.3f s")
+      val sc = logSched()
+      sweepSched += sc
+      System.err.println(f"[bench] canary cpu=$c%.3f s sched=$sc%.3f s")
     }
     (1 to 3).foreach { round =>
       sweepCanary()
@@ -216,11 +224,12 @@ object Bench {
       .mkString("{", ",", "}")
     val serveJson = serveResults.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    // canary_cpu/canary_sched stay duration-only arrays (cross-round
-    // comparable with r9); *_log fields carry [wall-offset, duration]
-    // pairs for every sample and canary run — the stall-attribution data
+    // canary_cpu/canary_sched stay duration-only SWEEP-START arrays
+    // (cross-round comparable with r9 — same sampling); *_log fields
+    // carry [wall-offset, duration] pairs for every sample and canary
+    // run, inter-query sched readings included — the stall-attribution data
     val canaryJson = cpuLog.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
-    val schedJson = schedLog.map(c => f"${c._2}%.3f").mkString("[", ",", "]")
+    val schedJson = sweepSched.map(c => f"$c%.3f").mkString("[", ",", "]")
     val cpuLogJson = pairsJson(cpuLog.toSeq)
     val schedLogJson = pairsJson(schedLog.toSeq)
     val samplesJson = samples.map { case (k, v) => "\"" + k + "\":" + pairsJson(v.toSeq) }

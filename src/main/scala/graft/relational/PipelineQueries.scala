@@ -2348,9 +2348,14 @@ object PipelineQueries {
         .createTempDirectory("graft-qs32-pq").toString
       graft.sinks.IvfPqIndexStore.build(table(s, d, "embeddings"),
         k = 16, nSub = 8, subK = 256, idxDir)
+      // the 4096 LOWEST ids (today: the whole corpus at every SF) — a
+      // static bound mirrored in the oracle's LIMIT, so a future testdata
+      // regeneration that outgrows the driver path's batch cap shrinks
+      // the compared batch instead of hard-failing the row
       val allQ = table(s, d, "embeddings")
         .select(col("vec_id").as("query_id"),
           transform(col("embedding"), _.cast("double")).as("qv"))
+        .orderBy(col("query_id")).limit(4096)
         .persist() // both serve paths read it
       val viaBatch = graft.sinks.IvfPqIndexStore.queryBatch(s, idxDir, allQ,
         nProbe = 10, topK = AnnTopK, candK = 24 * AnnTopK)
@@ -2366,7 +2371,7 @@ object PipelineQueries {
         lit(onlyBatch == 0L && onlyDriver == 0L).as("paths_identical"))
     }, Some("""
       SELECT count(*) AS n_queries, TRUE AS paths_identical
-      FROM (SELECT DISTINCT vec_id FROM embeddings) q""")),
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096) q""")),
 
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come

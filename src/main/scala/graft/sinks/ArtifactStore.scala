@@ -186,6 +186,31 @@ object ArtifactStore {
     }
   }
 
+  /** THE bounded driver-side collect every store serve path uses: take
+    * cap+1 and fail LOUDLY past the cap, with call-site-specific
+    * remediation (query paths point at their distributed twin; append
+    * paths at batch splitting). One definition — the cap-check shape must
+    * not drift per store, the [[graft.functions.Ranking]] rationale. */
+  def collectBounded[T](ds: org.apache.spark.sql.Dataset[T], cap: Int,
+      what: String, remedy: String): Array[T] = {
+    val rows = ds.take(cap + 1)
+    require(rows.length <= cap, s"$what exceeds $cap rows — $remedy")
+    rows
+  }
+
+  /** True when a `_COMPACTING` guard names the LIVE epoch (or is
+    * unparsable) — the footprint of a compaction that crashed before its
+    * commit, which blocks every mutation until `compact()` re-runs. A
+    * store's SINGLE MAINTAINER (e.g. the one appendStream feeding it —
+    * the protocol guarantees no concurrent folder) may use this to
+    * self-heal on restart: pending ⇒ complete the crashed fold, then
+    * proceed. Multi-party callers must NOT auto-complete on this signal —
+    * for them a live-epoch guard may be an ACTIVE compaction. */
+  def crashedCompactPending(spark: SparkSession, root: String): Boolean = {
+    val ctx = open(spark, root)
+    ctx.fs.exists(guardPath(ctx)) && !guardEpoch(ctx).exists(_ < ctx.epoch)
+  }
+
   /** Reset the MUTATION PLANE when a store is REBUILT in place: build()
     * overwrites the data components, so tombstones recorded against the
     * previous corpus must not survive to silently delete fresh docs that

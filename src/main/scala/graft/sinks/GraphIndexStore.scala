@@ -125,14 +125,11 @@ object GraphIndexStore {
 
   /** Loud bound with CALL-SITE-SPECIFIC remediation — query-path advice
     * ("use the distributed IVF batch path") does not apply to an append,
-    * which can only be split or turned into a rebuild. */
+    * which can only be split or turned into a rebuild.
+    * [[ArtifactStore.collectBounded]] is the one definition. */
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
-      what: String, remedy: String): Array[T] = {
-    val rows = ds.take(MaxQueryBatch + 1)
-    require(rows.length <= MaxQueryBatch,
-      s"$what exceeds $MaxQueryBatch rows — $remedy")
-    rows
-  }
+      what: String, remedy: String): Array[T] =
+    ArtifactStore.collectBounded(ds, MaxQueryBatch, what, remedy)
 
   /** Build the index over `e` (vec_id: bigint, embedding: array<float|double>):
     * run [[KnnGraph.build]] (cell-blocked candidates, one NN-descent
@@ -417,16 +414,24 @@ object GraphIndexStore {
     queryChunked(spark, path, queries, beam, hops, topK, MaxQueryBatch)
 
   /** [[query]] with an explicit walk-slice width — the spec hook that
-    * proves slice-size invariance; production callers use [[query]]. */
+    * proves slice-size invariance; production callers use [[query]].
+    *
+    * The batch STREAMS to the driver (`toLocalIterator` — one input
+    * partition resident at a time), so driver memory holds one partition,
+    * one walk slice, and the accumulated (batch × topK) answer rows —
+    * never the batch's vectors all at once. Truly corpus-scale batches
+    * still route better through `IvfIndexStore.queryBatch`, whose answer
+    * set never lands on the driver at all. */
   private[graft] def queryChunked(spark: SparkSession, path: String,
       queries: DataFrame, beam: Int, hops: Int, topK: Int,
       chunk: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       import spark.implicits._
+      import scala.jdk.CollectionConverters._
       val qs = queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])].collect()
+        .as[(Long, Seq[Double])].toLocalIterator.asScala
       qs.grouped(math.max(1, chunk)).flatMap { slice =>
-        val visited = searchVisited(spark, ctx, slice, beam, hops)
+        val visited = searchVisited(spark, ctx, slice.toArray, beam, hops)
         visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
           arr.filter(_._2 != qid).toSeq
             .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
@@ -463,14 +468,17 @@ object GraphIndexStore {
         s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
           "to enable queryFiltered")
       val (_, _, buckets, _) = manifest(ctx)
+      import scala.jdk.CollectionConverters._
+      // batch streams to the driver one partition at a time (the
+      // queryChunked memory discipline)
       val rows = queries
         .select(col("query_id"), col("qv"), col("meta").cast("string"))
-        .as[(Long, Seq[Double], String)].collect()
+        .as[(Long, Seq[Double], String)].toLocalIterator.asScala
       rows.grouped(math.max(1, chunk)).flatMap { slice =>
         val qMeta: Map[Long, String] =
           slice.map(r => r._1 -> r._3).toMap
         val visited = searchVisited(spark, ctx,
-          slice.map(r => (r._1, r._2)), beam, hops)
+          slice.map(r => (r._1, r._2)).toArray, beam, hops)
         val visitedIds = visited.map(_._2).distinct.toSeq
         val vbuckets = visitedIds.map(bucketOf(_, buckets)).distinct.sorted
         // replayed vector rows are byte-identical — toMap dedups exactly
@@ -588,20 +596,32 @@ object GraphIndexStore {
     } finally newVecs.unpersist()
   }
 
-  /** Streaming maintenance — the graph member of the live-index quartet
-    * (Ivf/Band/Text appendStream): each micro-batch NSW-inserts its
-    * (vec_id, embedding) rows. At-least-once foreachBatch delivery folds
-    * to exactly-once indexing WITHOUT batch-id bookkeeping: [[append]]'s
-    * vector-row landed marker makes any replayed id an exact no-op (see
-    * the class doc), so a restarted query that re-delivers a micro-batch
-    * changes nothing. */
+  /** Streaming maintenance — the graph member of the live-index
+    * family (Ivf/Band/Text/Pq appendStream): each micro-batch NSW-inserts
+    * its (vec_id, embedding) rows. At-least-once foreachBatch delivery
+    * folds to exactly-once indexing WITHOUT batch-id bookkeeping:
+    * [[append]]'s vector-row landed marker makes any replayed id an exact
+    * no-op (see the class doc), so a restarted query that re-delivers a
+    * micro-batch changes nothing.
+    *
+    * SELF-HEALING on restart: the pressure valve means a compaction can
+    * run (and crash) with zero operator involvement, and a crashed fold's
+    * live-epoch guard would otherwise make every replayed append throw
+    * forever. The stream IS the store's single maintainer by protocol (no
+    * concurrent folder exists), so a pending crashed compact at
+    * micro-batch time is provably its own — each batch completes it via
+    * `compact()` (which recovers from the intact live view) before
+    * appending, instead of wedging until a human intervenes. */
   def appendStream(stream: DataFrame, path: String, checkpoint: String,
       beam: Int = 32, hops: Int = 3,
       compactFactor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, _: Long) =>
-        append(b, path, beam, hops, compactFactor))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (ArtifactStore.crashedCompactPending(b.sparkSession, path))
+          compact(b.sparkSession, path)
+        append(b, path, beam, hops, compactFactor)
+      }
       .start()
 
   /** Delete by tombstone — O(|ids|), the shared takedown plane. */

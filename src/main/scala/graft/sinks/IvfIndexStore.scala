@@ -69,14 +69,11 @@ object IvfIndexStore {
       .map(_.group(1))
 
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
-      what: String): Array[T] = {
-    val rows = ds.take(MaxDriverBatch + 1)
-    require(rows.length <= MaxDriverBatch,
-      s"$what exceeds $MaxDriverBatch rows — the driver-side serve paths " +
-        "collect the batch to compute probes; use IvfIndexStore.queryBatch " +
-        "(distributed map-side cell assignment + keyed join) for large batches")
-    rows
-  }
+      what: String): Array[T] =
+    ArtifactStore.collectBounded(ds, MaxDriverBatch, what,
+      "the driver-side serve paths collect the batch to compute probes; " +
+        "use IvfIndexStore.queryBatch (distributed map-side cell " +
+        "assignment + keyed join) for large batches")
 
   /** The stored centroid array, sorted by cid — ONE definition for every
     * serve/append path so the assignment geometry can never drift

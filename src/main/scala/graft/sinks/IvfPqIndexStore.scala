@@ -138,14 +138,11 @@ object IvfPqIndexStore {
   }
 
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
-      what: String): Array[T] = {
-    val rows = ds.take(MaxAdcBatch + 1)
-    require(rows.length <= MaxAdcBatch,
-      s"$what exceeds $MaxAdcBatch rows — the driver-side serve path " +
-        "broadcasts a per-query lookup table; use IvfPqIndexStore.queryBatch " +
-        "(map-side tables, keyed joins, nothing on the driver) for large batches")
-    rows
-  }
+      what: String): Array[T] =
+    ArtifactStore.collectBounded(ds, MaxAdcBatch, what,
+      "the driver-side serve path broadcasts a per-query lookup table; " +
+        "use IvfPqIndexStore.queryBatch (map-side tables, keyed joins, " +
+        "nothing on the driver) for large batches")
 
   /** Stored coarse centroids, sorted by cid (bounded: k rows). */
   private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
@@ -188,57 +185,60 @@ object IvfPqIndexStore {
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
+    // try/finally: a failed build (dim mismatch, too-small corpus, write
+    // error) must not leak the cached corpus into the shared block cache
     val unit = v.map { case (id, x) => (id, normalize(x).toSeq) }.persist()
-    def lowestIdUnits(n: Int, what: String): Array[Array[Double]] = {
-      val rows = unit.toDF("vec_id", "u").orderBy(col("vec_id")).limit(n)
-        .as[(Long, Seq[Double])].collect().sortBy(_._1)
-      require(rows.length == n, s"corpus too small to seed $n $what")
-      rows.map(_._2.toArray)
-    }
-    val cents = centroids.getOrElse(lowestIdUnits(k, "coarse centroids"))
-    val dim = cents(0).length
-    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
-    val cbs = codebooks.getOrElse {
-      // deterministic ~14% id-sample (stable-id discipline — production
-      // trains on a sample, assigns everything in one broadcast pass);
-      // init from the subK lowest ids so sub-corpus builds work too
-      val init = lowestIdUnits(subK, "codebook init vectors")
-      KMeans.fitSubspaces(unit.filter(_._1 % 7 == 0), nSub, subK, iters,
-        Some(init))
-    }
-    val bcC = spark.sparkContext.broadcast(cents)
-    val bcCb = spark.sparkContext.broadcast(cbs)
-    // HOT plane: one corpus pass assigns cell + codes; repartition by cell
-    // so each cell directory holds one file (the small-files discipline)
-    unit.map { case (id, u) =>
-      val ua = u.toArray
-      (id, KMeans.nearest(bcC.value, u).toLong, codesOf(bcCb.value, ua).toSeq)
-    }.toDF("vec_id", "cell", "codes")
-      .repartition(k, col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(ctx.dir("postings"))
-    // COLD plane: raw vectors + stored vnorm, bucket-partitioned so the
-    // rerank's point reads prune (GraphIndexStore's vector layout)
-    v.toDF("vec_id", "v")
-      .withColumn("vnorm", normExpr(col("v")))
-      .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
-      .repartition(vbuckets, col("vbucket"))
-      .write.partitionBy("vbucket").mode("overwrite")
-      .parquet(ctx.dir("vectors"))
-    cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv.toSeq) }
-      .toSeq.toDF("cid", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    (for (s0 <- cbs.indices; j <- cbs(s0).indices)
-      yield (s0, j, cbs(s0)(j).toSeq))
-      .toDF("sub", "code", "cv")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    ArtifactStore.writeString(ctx.fs,
-      new org.apache.hadoop.fs.Path(path, "manifest.json"),
-      s"""{"k":$k,"dim":$dim,"nsub":$nSub,"subk":$subK,"vbuckets":$vbuckets}""")
-    unit.unpersist()
-    // rebuild replaces the corpus: stale tombstones die with it (LAST —
-    // a crashed build over-suppresses, never resurrects)
-    ArtifactStore.resetMutationPlane(ctx)
+    try {
+      def lowestIdUnits(n: Int, what: String): Array[Array[Double]] = {
+        val rows = unit.toDF("vec_id", "u").orderBy(col("vec_id")).limit(n)
+          .as[(Long, Seq[Double])].collect().sortBy(_._1)
+        require(rows.length == n, s"corpus too small to seed $n $what")
+        rows.map(_._2.toArray)
+      }
+      val cents = centroids.getOrElse(lowestIdUnits(k, "coarse centroids"))
+      val dim = cents(0).length
+      require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+      val cbs = codebooks.getOrElse {
+        // deterministic ~14% id-sample (stable-id discipline — production
+        // trains on a sample, assigns everything in one broadcast pass);
+        // init from the subK lowest ids so sub-corpus builds work too
+        val init = lowestIdUnits(subK, "codebook init vectors")
+        KMeans.fitSubspaces(unit.filter(_._1 % 7 == 0), nSub, subK, iters,
+          Some(init))
+      }
+      val bcC = spark.sparkContext.broadcast(cents)
+      val bcCb = spark.sparkContext.broadcast(cbs)
+      // HOT plane: one corpus pass assigns cell + codes; repartition by cell
+      // so each cell directory holds one file (the small-files discipline)
+      unit.map { case (id, u) =>
+        val ua = u.toArray
+        (id, KMeans.nearest(bcC.value, u).toLong, codesOf(bcCb.value, ua).toSeq)
+      }.toDF("vec_id", "cell", "codes")
+        .repartition(k, col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(ctx.dir("postings"))
+      // COLD plane: raw vectors + stored vnorm, bucket-partitioned so the
+      // rerank's point reads prune (GraphIndexStore's vector layout)
+      v.toDF("vec_id", "v")
+        .withColumn("vnorm", normExpr(col("v")))
+        .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
+        .repartition(vbuckets, col("vbucket"))
+        .write.partitionBy("vbucket").mode("overwrite")
+        .parquet(ctx.dir("vectors"))
+      cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv.toSeq) }
+        .toSeq.toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      (for (s0 <- cbs.indices; j <- cbs(s0).indices)
+        yield (s0, j, cbs(s0)(j).toSeq))
+        .toDF("sub", "code", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      ArtifactStore.writeString(ctx.fs,
+        new org.apache.hadoop.fs.Path(path, "manifest.json"),
+        s"""{"k":$k,"dim":$dim,"nsub":$nSub,"subk":$subK,"vbuckets":$vbuckets}""")
+      // rebuild replaces the corpus: stale tombstones die with it (LAST —
+      // a crashed build over-suppresses, never resurrects)
+      ArtifactStore.resetMutationPlane(ctx)
+    } finally unit.unpersist()
   }
 
   /** The probed + replay-deduped + tombstone-folded code slice (schema
@@ -446,12 +446,13 @@ object IvfPqIndexStore {
         broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
       case None => df
     }
+    val (k, _, _, _, vbuckets) = manifest(ctx)
     dropIds(spark.read.parquet(ctx.dir("postings"))
         .select(col("vec_id"), col("codes"), col("cell"))
         .dropDuplicates("cell", "vec_id"))
+      .repartition(k, col("cell")) // one file per cell — build's discipline
       .write.partitionBy("cell").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
-    val (_, _, _, _, vbuckets) = manifest(ctx)
     dropIds(spark.read.parquet(ctx.dir("vectors"))
         .select(col("vec_id"), col("v"), col("vnorm"))
         .dropDuplicates("vec_id"))

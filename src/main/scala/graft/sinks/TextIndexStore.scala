@@ -408,10 +408,10 @@ object TextIndexStore {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
       val qterms: Array[(Long, Seq[String])] =
-        queries.select(col("query_id"), col("terms"))
-          .as[(Long, Seq[String])].take(65537)
-      require(qterms.length <= 65536,
-        "keyword query batch exceeds 65536 rows — split the eval set")
+        ArtifactStore.collectBounded(
+          queries.select(col("query_id"), col("terms"))
+            .as[(Long, Seq[String])],
+          65536, "keyword query batch", "split the eval set")
       val termUnion = qterms.flatMap(_._2).distinct.toSeq.sorted
       val (pruned, n, sumdl) = servedTermSlice(spark, ctx, termUnion)
       val df = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))

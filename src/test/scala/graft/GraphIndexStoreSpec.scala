@@ -465,6 +465,55 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       s"an exact-duplicate probe must surface the hub or a duplicate (got $top)")
   }
 
+  test("appendStream self-heals a crashed valve compaction; one-shot mutators stay loud") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-heal").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gidx-hck").toString
+    val e = embeddings
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    // simulate the valve's compact crashing mid-fold: live-epoch guard +
+    // half-written staging garbage (the pressure valve makes this state
+    // reachable with zero operator involvement, so the stream must not
+    // wedge on it)
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs,
+      new org.apache.hadoop.fs.Path(idx, "_COMPACTING"), ctx.epoch.toString)
+    // a one-shot append stays loud — only the stream (the single
+    // maintainer) may auto-complete someone's crashed fold
+    intercept[IllegalStateException] {
+      GraphIndexStore.append(e.filter(col("vec_id") === 0L), idx)
+    }
+    val arrivals = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("embedding"))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val sq = GraphIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt, beam = 32, hops = 4)
+    try {
+      stream.addData(arrivals.toSeq)
+      sq.processAllAvailable() // completes the crashed compact, then appends
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the stream must have completed the crashed compaction (epoch flip)")
+    assert(!ctx.fs.exists(new org.apache.hadoop.fs.Path(idx, "_COMPACTING")),
+      "the guard must be gone after the healed fold")
+    val probe = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val rank1 = GraphIndexStore.query(spark, idx, probe, beam = 32, hops = 5, TopK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 3L).foreach { id =>
+      assert(rank1.get(id + 1000000L).contains(id),
+        s"the healed stream's insert $id must serve (got ${rank1.get(id + 1000000L)})")
+    }
+  }
+
   test("mutations fail loudly behind the compaction guard") {
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-grd").toString
     val e = embeddings
