@@ -21,7 +21,7 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 1)
     val salted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicated = right
       .withColumn("__salt", explode(lit((0 until saltBuckets).toArray)))
     val out = salted.join(replicated,

@@ -429,7 +429,7 @@ object GraphIndexStore {
       import spark.implicits._
       import scala.jdk.CollectionConverters._
       val qs = queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])].toLocalIterator.asScala
+        .as[(Long, Seq[Double])].toLocalIterator().asScala
       qs.grouped(math.max(1, chunk)).flatMap { slice =>
         val visited = searchVisited(spark, ctx, slice.toArray, beam, hops)
         visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
@@ -473,7 +473,7 @@ object GraphIndexStore {
       // queryChunked memory discipline)
       val rows = queries
         .select(col("query_id"), col("qv"), col("meta").cast("string"))
-        .as[(Long, Seq[Double], String)].toLocalIterator.asScala
+        .as[(Long, Seq[Double], String)].toLocalIterator().asScala
       rows.grouped(math.max(1, chunk)).flatMap { slice =>
         val qMeta: Map[Long, String] =
           slice.map(r => r._1 -> r._3).toMap
