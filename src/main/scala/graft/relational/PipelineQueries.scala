@@ -2373,6 +2373,43 @@ object PipelineQueries {
       SELECT count(*) AS n_queries, TRUE AS paths_identical
       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096) q""")),
 
+    CatalogQuery("qs33_graph_batch_serve", (s, d) => {
+      // DISTRIBUTED serving on the GRAPH store — completing the
+      // batch-serve matrix (qs24 IVF / qs32 PQ / qt30 text):
+      // GraphIndexStore.queryBatch folds the stored graph to its serve
+      // view distributed (dedup → live-endpoint semi-join → per-src
+      // re-truncation) and walks it with KnnGraph.search's per-hop keyed
+      // joins — nothing about the batch on the driver, the formulation
+      // that amortizes when thousands of queries walk at once (the
+      // driver fold stays the low-latency path for small batches). Gate =
+      // the qs32-style independent-formulation contract: the corpus (its
+      // 4096 lowest ids — oracle LIMIT mirrored, regen-proof) queries
+      // through BOTH paths and symmetric anti-joins prove identical
+      // (query_id, rank, vec_id) sets in Spark; GraphIndexStoreSpec pins
+      // the same identity through appends, tombstones and injected
+      // orphans. qs28's geometry (deg=12/beam=32/hops=4).
+      val idxDir = Serve.buildGraphIndex(s, d)
+      val allQ = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .orderBy(col("query_id")).limit(4096)
+        .persist() // both serve paths read it
+      val viaBatch = graft.sinks.GraphIndexStore.queryBatch(s, idxDir, allQ,
+        beam = 32, hops = 4, topK = AnnTopK)
+      val viaDriver = graft.sinks.GraphIndexStore.query(s, idxDir, allQ,
+        beam = 32, hops = 4, topK = AnnTopK)
+      val onlyBatch = viaBatch.join(viaDriver,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val onlyDriver = viaDriver.join(viaBatch,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val nQueries = viaBatch.select(col("query_id")).distinct().count()
+      allQ.sparkSession.range(1).select(
+        lit(nQueries).as("n_queries"),
+        lit(onlyBatch == 0L && onlyDriver == 0L).as("paths_identical"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS paths_identical
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096) q""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

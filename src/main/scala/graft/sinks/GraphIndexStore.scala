@@ -75,11 +75,12 @@ object GraphIndexStore {
     * queries × beam × degree). Query batches of ANY size serve correctly:
     * the walk is embarrassingly chunkable per query, so [[query]] and
     * [[queryFiltered]] fold internally over ≤ this many queries at a time
-    * — per-hop state stays bounded whatever the batch (truly corpus-scale
-    * jobs still route better through `IvfIndexStore.queryBatch`, which
-    * never drives the driver-fold at all). APPEND batches stay capped
-    * loudly: an append is a sequential NSW insert against the existing
-    * graph, so the remediation is smaller batches, not a bigger walk. */
+    * — per-hop state stays bounded whatever the batch — and truly
+    * corpus-scale jobs route through [[queryBatch]], the DISTRIBUTED
+    * walk that never drives the driver-fold at all. APPEND batches stay
+    * capped loudly: an append is a sequential NSW insert against the
+    * existing graph, so the remediation is smaller batches, not a bigger
+    * walk. */
   private val MaxQueryBatch = 4096
 
   /** One norm definition for build, append and query sides — the same
@@ -420,8 +421,8 @@ object GraphIndexStore {
     * partition resident at a time), so driver memory holds one partition,
     * one walk slice, and the accumulated (batch × topK) answer rows —
     * never the batch's vectors all at once. Truly corpus-scale batches
-    * still route better through `IvfIndexStore.queryBatch`, whose answer
-    * set never lands on the driver at all. */
+    * route through [[queryBatch]], whose answer set never lands on the
+    * driver at all. */
   private[graft] def queryChunked(spark: SparkSession, path: String,
       queries: DataFrame, beam: Int, hops: Int, topK: Int,
       chunk: Int): DataFrame =
@@ -496,6 +497,70 @@ object GraphIndexStore {
             .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
         }
       }.toSeq.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
+    }
+
+  /** DISTRIBUTED serving for LARGE query batches — the offline-inference
+    * shape on the GRAPH paradigm, completing the batch-serve matrix next
+    * to `IvfIndexStore.queryBatch` / `IvfPqIndexStore.queryBatch` /
+    * `TextIndexStore.queryBm25Batch`: nothing about the batch ever lands
+    * on the driver. The stored graph folds to its serve view DISTRIBUTED
+    * (replay dedup → live-endpoint semi-join, which drops tombstoned AND
+    * orphan dsts exactly like the driver fold's repair loop → per-src
+    * re-truncation to `degree` through the shared [[graft.functions.Ranking]]
+    * contract), and the walk is [[KnnGraph.search]]'s per-hop keyed
+    * joins — the corpus-scale formulation the driver fold deliberately
+    * replaced for SMALL batches (per-hop scheduling overhead dominates
+    * there; with thousands of queries per hop the distributed joins
+    * amortize, and the edge relation is read once, full-scan, because a
+    * corpus-scale frontier touches most buckets anyway). Bit-identical
+    * rows to [[query]] on the same batch (spec-pinned across appends,
+    * tombstones AND injected orphans — same folds, same walk mechanics,
+    * same truncation order). The result is returned MATERIALIZED
+    * (persisted + counted, ≤ batch × topK rows distributed) so the walk's
+    * checkpoint state can be released eagerly; callers `clearCache()`
+    * when done — the standard serve contract. */
+  def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
+      beam: Int, hops: Int, topK: Int): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      import spark.implicits._
+      val (degree, _, _, _) = manifest(ctx)
+      val tombSet: Set[Long] = ArtifactStore.readTombstones(spark, ctx) match {
+        case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
+        case None => Set.empty
+      }
+      val entryIds = liveEntries(spark, ctx, tombSet)
+      require(entryIds.nonEmpty,
+        s"every entry point of ${ctx.root} is tombstoned — run compact() " +
+          "to re-derive entries from the surviving corpus")
+      // live vectors: replayed append rows dedup'd, tombstones dropped —
+      // the walk's scoring side AND the liveness filter for the edge fold
+      val liveVecs0 = vectorBase(spark, ctx)
+        .select(col("vec_id"), col("v"))
+        .dropDuplicates("vec_id")
+      val liveVecs = (ArtifactStore.readTombstones(spark, ctx) match {
+        case Some(t) => liveVecs0.join(
+          broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
+        case None => liveVecs0
+      }).persist()
+      val foldedEdges = topPerKey(
+        edgeBase(spark, ctx)
+          .select(col("src"), col("dst"), col("cosine")).distinct()
+          .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
+        "src", degree, "dst")
+        .select(col("src"), col("dst"))
+      val scope = new graft.core.WalkScope
+      try {
+        val visited = KnnGraph.search(liveVecs, foldedEdges,
+          queries.select(col("query_id"), col("qv")), entryIds, beam, hops,
+          scope)
+        val out = graft.functions.Ranking.rankTopK(
+          visited.filter(col("vec_id") =!= col("query_id")), topK).persist()
+        out.count() // materialize BEFORE releasing the walk's checkpoints
+        out
+      } finally {
+        scope.release()
+        liveVecs.unpersist()
+      }
     }
 
   /** Navigable-small-world insertion of one batch (vec_id, embedding):

@@ -422,6 +422,41 @@ class GraphIndexStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("queryBatch (distributed walk) is bit-identical to the driver fold across appends, tombstones and orphans") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-qb").toString
+    val e = embeddings
+    // exercise EVERY fold the two paths must share: append-inflated
+    // neighbourhoods (reverse in-edges past degree), replayed rows,
+    // tombstones, and orphan edges from a simulated crashed append
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
+    GraphIndexStore.delete(spark, idx, Seq(25L, 37L))
+    Seq(10L, 11L).map(src => (src, 888888L, 2.0))
+      .toDF("src", "dst", "cosine")
+      .withColumn("ebucket", pmod(col("src"), lit(Buckets.toLong)))
+      .coalesce(1)
+      .write.partitionBy("ebucket").mode("append").parquet(s"$idx/edges")
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val viaBatch = GraphIndexStore.queryBatch(spark, idx, q, Beam, Hops, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val viaDriver = GraphIndexStore.query(spark, idx, q, Beam, Hops, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(viaBatch == viaDriver,
+      s"distributed and driver-fold walks diverge (${viaBatch.length} vs ${viaDriver.length} rows)")
+    assert(viaBatch.nonEmpty && !viaBatch.exists(r =>
+      r._3 == 888888L || r._3 == 25L || r._3 == 37L),
+      "orphans and tombstoned ids must serve from neither path")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the distributed walk must release its checkpoint state")
+  }
+
   test("append pressure valve bounds stored neighbourhood footprints under hub-heavy streams") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-prs").toString
