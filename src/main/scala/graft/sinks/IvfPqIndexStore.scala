@@ -345,11 +345,14 @@ object IvfPqIndexStore {
       nProbe: Int, topK: Int, candK: Int): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
-      val (_, _, nSub, subK, _) = manifest(ctx)
+      val (_, _, nSub, subK, vbuckets) = manifest(ctx)
       val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
       val bcCb = spark.sparkContext.broadcast(loadCodebooks(spark, path, nSub, subK))
       val q = queries.select(col("query_id"), col("qv"))
         .as[(Long, Seq[Double])].persist() // posted + tables + rerank norms
+      // serving() may retry at a new epoch: a failed attempt must not
+      // leak its caches (the IvfIndexStore *Batch contract)
+      var candCache: DataFrame = null
       try {
         val posted = q.flatMap { case (qid, qv) =>
           KMeans.nearestK(bcC.value, normalize(qv).toSeq, nProbe)
@@ -370,12 +373,21 @@ object IvfPqIndexStore {
         val cand = graft.functions.Ranking
           .topPerKey(adc, "query_id", candK, "vec_id", "adc")
           .select(col("query_id"), col("vec_id"))
-        // rerank: exact vectors keyed by vec_id (the candidate id set is
-        // never collected — a corpus-scale batch's candidates span every
-        // vbucket anyway), query norms keyed by query_id
+          .persist() // the vbucket-domain scan + the rerank join read it
+        candCache = cand
+        // rerank: exact vectors keyed by vec_id, with the cold-plane scan
+        // PARTITION-PRUNED to the candidates' vbucket domain — like the
+        // probed-cell domain, it is bounded (≤ vbuckets values) whatever
+        // the batch size, so this collect never scales with the batch; a
+        // corpus-scale batch probes every bucket and the filter passes
+        // all (harmless), a mid-size batch skips unprobed bucket dirs
+        val buckets = cand
+          .select(pmod(col("vec_id"), lit(vbuckets.toLong)).as("b")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq
         val vecs = spark.read
           .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
           .parquet(ctx.dir("vectors"))
+          .filter(col("vbucket").isInCollection(buckets)) // partition pruning
           .dropDuplicates("vec_id")
           .select(col("vec_id"), col("v"), col("vnorm"))
         val qn = q.toDF("query_id", "qv").withColumn("qnorm", normExpr(col("qv")))
@@ -383,7 +395,12 @@ object IvfPqIndexStore {
           .join(qn, Seq("query_id")) // keyed
           .select(col("query_id"), col("vec_id"), cosineExpr)
         graft.functions.Ranking.rankTopK(rescored, topK)
-      } catch { case e: Throwable => q.unpersist(); throw e }
+      } catch {
+        case e: Throwable =>
+          q.unpersist()
+          if (candCache != null) candCache.unpersist()
+          throw e
+      }
     }
   }
 
