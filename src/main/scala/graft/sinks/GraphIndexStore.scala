@@ -524,7 +524,10 @@ object GraphIndexStore {
     ArtifactStore.serving(spark, path) { ctx =>
       import spark.implicits._
       val (degree, _, _, _) = manifest(ctx)
-      val tombSet: Set[Long] = ArtifactStore.readTombstones(spark, ctx) match {
+      // ONE tombstone read feeds both the entry filter and the liveness
+      // anti-join (tombstones are broadcast-small by protocol)
+      val tomb = ArtifactStore.readTombstones(spark, ctx)
+      val tombSet: Set[Long] = tomb match {
         case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
         case None => Set.empty
       }
@@ -537,30 +540,36 @@ object GraphIndexStore {
       val liveVecs0 = vectorBase(spark, ctx)
         .select(col("vec_id"), col("v"))
         .dropDuplicates("vec_id")
-      val liveVecs = (ArtifactStore.readTombstones(spark, ctx) match {
+      val liveVecs = (tomb match {
         case Some(t) => liveVecs0.join(
           broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
         case None => liveVecs0
       }).persist()
-      val foldedEdges = topPerKey(
-        edgeBase(spark, ctx)
-          .select(col("src"), col("dst"), col("cosine")).distinct()
-          .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
-        "src", degree, "dst")
-        .select(col("src"), col("dst"))
-      val scope = new graft.core.WalkScope
+      // every persist/checkpoint this serve takes is released on ANY
+      // failure path (the ArtifactStore.serving retry contract)
       try {
-        val visited = KnnGraph.search(liveVecs, foldedEdges,
-          queries.select(col("query_id"), col("qv")), entryIds, beam, hops,
-          scope)
-        val out = graft.functions.Ranking.rankTopK(
-          visited.filter(col("vec_id") =!= col("query_id")), topK).persist()
-        out.count() // materialize BEFORE releasing the walk's checkpoints
-        out
-      } finally {
-        scope.release()
-        liveVecs.unpersist()
-      }
+        val foldedEdges = topPerKey(
+          edgeBase(spark, ctx)
+            .select(col("src"), col("dst"), col("cosine")).distinct()
+            .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
+          "src", degree, "dst")
+          .select(col("src"), col("dst"))
+        val scope = new graft.core.WalkScope
+        try {
+          // qv upcast to double like the driver path's typed encoder — a
+          // float-array batch must serve bit-identically through both
+          val visited = KnnGraph.search(liveVecs, foldedEdges,
+            queries.select(col("query_id"),
+              transform(col("qv"), _.cast("double")).as("qv")),
+            entryIds, beam, hops, scope)
+          val out = graft.functions.Ranking.rankTopK(
+            visited.filter(col("vec_id") =!= col("query_id")), topK).persist()
+          try {
+            out.count() // materialize BEFORE releasing the walk's checkpoints
+            out
+          } catch { case e: Throwable => out.unpersist(); throw e }
+        } finally scope.release()
+      } finally liveVecs.unpersist()
     }
 
   /** Navigable-small-world insertion of one batch (vec_id, embedding):

@@ -336,11 +336,13 @@ object IvfPqIndexStore {
     * the per-query table joins the candidates BY query_id (a second keyed
     * join — shuffling the table once per query, never once per candidate
     * or per probed cell); the rerank joins exact vectors and query norms
-    * by key, no broadcasts anywhere. The only serve-time collect is the
-    * ≤k probed-cell domain. Identical normalization, table floats
-    * ([[adcTable]]), scoring kernel, truncation and rank conventions to
-    * [[query]], so the two paths return bit-identical rows on the same
-    * batch (spec-pinned). */
+    * by key, no broadcasts anywhere. The only serve-time collects are
+    * two BOUNDED domains that never scale with the batch: the ≤k
+    * probed-cell set and the ≤vbuckets candidate-bucket set (which
+    * partition-prunes the cold-plane rerank scan). Identical
+    * normalization, table floats ([[adcTable]]), scoring kernel,
+    * truncation and rank conventions to [[query]], so the two paths
+    * return bit-identical rows on the same batch (spec-pinned). */
   def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int, candK: Int): DataFrame = {
     import spark.implicits._

@@ -432,14 +432,30 @@ class GraphIndexStoreSpec extends AnyFunSuite {
     GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
       degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
     GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
-    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
     GraphIndexStore.delete(spark, idx, Seq(25L, 37L))
+    // REAL replayed rows: a retried append whose first attempt landed its
+    // edges but not its vector marker re-writes byte-identical edge rows
+    // (append()'s marker makes a full replay a no-op, so duplicates must
+    // be injected at the storage layer to exercise both folds' dedup)
+    val dupes = spark.read.parquet(s"$idx/edges")
+      .select(col("src"), col("dst"), col("cosine"), col("ebucket"))
+      .orderBy(col("src"), col("dst")).limit(7).collect()
+    spark.createDataFrame(spark.sparkContext.parallelize(dupes.toIndexedSeq),
+        spark.read.parquet(s"$idx/edges")
+          .select(col("src"), col("dst"), col("cosine"), col("ebucket")).schema)
+      .coalesce(1)
+      .write.partitionBy("ebucket").mode("append").parquet(s"$idx/edges")
+    // and an orphan (crashed append: edges without a vector row)
     Seq(10L, 11L).map(src => (src, 888888L, 2.0))
       .toDF("src", "dst", "cosine")
       .withColumn("ebucket", pmod(col("src"), lit(Buckets.toLong)))
       .coalesce(1)
       .write.partitionBy("ebucket").mode("append").parquet(s"$idx/edges")
     spark.catalog.clearCache()
+    assert(spark.read.parquet(s"$idx/edges")
+      .groupBy(col("src"), col("dst")).count()
+      .filter(col("count") > 1).count() > 0,
+      "fixture must contain real duplicate edge rows")
     val q = e.select(col("vec_id").as("query_id"),
       transform(col("embedding"), _.cast("double")).as("qv"))
     val viaBatch = GraphIndexStore.queryBatch(spark, idx, q, Beam, Hops, TopK)
