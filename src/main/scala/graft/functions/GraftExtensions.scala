@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, PqAdc, ShingleHash60, SignSketch, SimHashPack, SortedLongIntersectCount, VecDot, VecDotLong}
+import graft.functions.expressions.{BloomMightContain, LocalBloomBits, MinHashSig, NfcNormalize, PqAdc, ShingleHash60, SignSketch, SimHashPack, SortedLongIntersectCount, VecDot, VecDotLong, VecL2Sq}
 import graft.pipeline.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -45,6 +45,7 @@ object GraftOptimizations extends Rule[LogicalPlan] {
   *   SELECT sign_sketch(v, 0, 32)                    -- sign-bit half-sketch (binary ANN)
   *   SELECT vec_dot(x, y)                            -- fused dot product (ANN hot kernel)
   *   SELECT vec_dot_long(x, y)                       -- integer twin (int8-quantized ANN)
+  *   SELECT vec_l2sq(x, y)                           -- fused squared L2 (cell assignment)
   *   SELECT simhash_pack(hs, 16)                     -- one-pass simhash bit vote
   *   SELECT pq_adc(codes, tbl)                       -- PQ asymmetric-distance lookup
   * }}}
@@ -124,6 +125,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "vec_dot_long(x, y) takes 2 arguments")
         VecDotLong(args.head, args(1))
+      }),
+    (FunctionIdentifier("vec_l2sq"),
+      info(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_l2sq(x, y) takes 2 arguments")
+        VecL2Sq(args.head, args(1))
       }),
     (FunctionIdentifier("simhash_pack"),
       info(classOf[SimHashPack].getName, "simhash_pack"),

@@ -120,6 +120,61 @@ case class VecDotLong(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Squared L2 distance of two double-array columns as ONE fused loop —
+  * the cell-assignment kernel of the kNN-graph build's distributed
+  * coarse-to-fine scan ([[graft.pipeline.KnnGraph.build]]): every
+  * (vector, probed fine centroid) pair scores through this inside the
+  * seed-keyed equi-join, so like [[VecDot]] it must stay inside
+  * whole-stage codegen.
+  *
+  * Bit-identical on the full semantic surface
+  * ([[graft.ShingleExpressionsSpec]] pins it, codegen fallback disabled)
+  * to the composed-builtin formulation
+  * `aggregate(zip_with(x, y, (a,b) -> (a-b)*(a-b)), 0.0D, (acc,p) -> acc+p)`
+  * AND to the driver-side widening loop's `acc += d*d` left fold
+  * ([[graft.pipeline.KMeans.nearestK]]'s arithmetic): same
+  * left-to-right IEEE sequence from a 0.0 seed (no reassociation, no
+  * FMA), null on length mismatch or a null element, 0.0 on two empty
+  * arrays — so distributed fine-cell ranking orders exactly as the
+  * driver loop it replaced would have.
+  */
+case class VecL2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecL2Sq", this, classOf[VecL2Sq].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = $ref.compute($a, $b);
+      if (${ev.value}_r == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}_r.doubleValue();
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Asymmetric-distance (ADC) lookup score for product-quantized vectors:
   * `left` is the stored code array (int, one entry per subspace), `right`
   * the query's flattened lookup table (double, subspaces × subK entries,
@@ -191,6 +246,10 @@ object VectorExpressions {
   /** Integer twin for the int8-quantized path; see [[VecDotLong]]. */
   def vecDotLong(x: Column, y: Column): Column =
     GraftSqlShim.column(VecDotLong(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
+
+  /** Squared-L2 assignment kernel; see [[VecL2Sq]]. */
+  def vecL2Sq(x: Column, y: Column): Column =
+    GraftSqlShim.column(VecL2Sq(GraftSqlShim.expression(x), GraftSqlShim.expression(y)))
 
   /** PQ asymmetric-distance lookup; see [[PqAdc]]. */
   def pqAdc(codes: Column, table: Column): Column =

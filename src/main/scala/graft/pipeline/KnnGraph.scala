@@ -77,48 +77,69 @@ object KnnGraph {
 
   /** Build a bounded-out-degree kNN graph over `e` (`vec_id`, `v`) rows.
     *
-    * `cents` are the blocking centroids (deterministic `vec_id < K` rows
-    * or a [[KMeans.fit]] result — either slots in); each vector posts to
-    * its `assign` nearest cells (multi-assignment supplies the cross-cell
-    * edges that keep the graph navigable), pairs form within cells, and
-    * one NN-descent round (neighbours-of-neighbours, ≤ degree² candidates
-    * per node) repairs neighbourhoods the cell blocking split. Returns
-    * (src, dst, cosine) with ≤ `degree` rows per src, ordered
-    * (cosine DESC, dst ASC) within each src by the aggregator contract.
+    * `cents` is the blocking-centroid RELATION — (vec_id, v) rows,
+    * deterministic `vec_id < K` corpus rows or a [[KMeans.fit]] result
+    * lifted to a DataFrame; each vector posts to its `assign` nearest
+    * cells (multi-assignment supplies the cross-cell edges that keep the
+    * graph navigable), pairs form within cells, and one NN-descent round
+    * (neighbours-of-neighbours, ≤ degree² candidates per node) repairs
+    * neighbourhoods the cell blocking split. Returns (src, dst, cosine)
+    * with ≤ `degree` rows per src, ordered (cosine DESC, dst ASC) within
+    * each src by the aggregator contract.
     *
     * Cell assignment is TWO-LEVEL (see the class doc's scale shape): the
     * ⌈√k⌉ lowest-id centroids double as coarse routing seeds, every
     * centroid is routed under its nearest seed, and a vector scans only
     * the [[MinCoarseProbe]]-or-more nearest seeds' fine groups (widening
-    * deterministically until ≥ `assign` fine candidates are pooled, which
-    * guards arbitrarily skewed routings). The probed pool makes the
-    * `assign` cells a vector posts to APPROXIMATE — the NN-descent round
-    * and the walk's measured recall margins absorb that, exactly like
-    * every other bounded-blocking choice here. Deterministic end to end:
-    * routing ties break toward the lowest seed index ([[KMeans.nearest]]),
-    * seed/fine ranking orders by (L2², id), and L2² ranks identically to
-    * the L2 the flat scan used (sqrt is monotone). */
-  def build(e: DataFrame, cents: Array[(Long, Seq[Double])], assign: Int,
+    * deterministically until the probed groups pool ≥ `assign` fine
+    * candidates, which guards arbitrarily skewed routings). Because the
+    * cell count k is FORCED to scale as n/400, nothing corpus-proportional
+    * may ever sit on the driver or in a broadcast: the driver holds only
+    * the ⌈√k⌉ coarse seeds plus the ⌈√k⌉ per-seed group SIZES (the
+    * widening rule needs cardinalities, not centroids), the fine
+    * centroids stay a seed-keyed RELATION, vectors post map-side to their
+    * probed seeds against the √k-sized broadcasts, and a keyed equi-join
+    * on `seed` scores only the probed fine groups — a shuffle of
+    * O(n · MinCoarseProbe) slim rows replaces the old all-k broadcast
+    * (which re-grew as corpus/400 — ~250 GB per executor at a 100 TB
+    * corpus). The probed pool makes the `assign` cells a vector posts to
+    * APPROXIMATE — the NN-descent round and the walk's measured recall
+    * margins absorb that, exactly like every other bounded-blocking
+    * choice here. Deterministic end to end AND bit-identical to the old
+    * driver-side widening scan: routing ties break toward the lowest seed
+    * index ([[KMeans.nearest]]), the probed-seed prefix is the same
+    * (L2², seed-index) order under the same widening rule (group sizes
+    * substitute exactly for pooled-candidate counts), fine ranking is
+    * (L2² ASC, id ASC) via the shared [[graft.functions.Ranking]] order
+    * on the negated distance ([[VecL2Sq]] computes the identical IEEE
+    * left fold), and L2² ranks identically to L2 (sqrt is monotone). */
+  def build(e: DataFrame, cents: DataFrame, assign: Int,
       degree: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val sorted = cents.sortBy(_._1)
-    val nCoarse = math.max(1, math.ceil(math.sqrt(sorted.length.toDouble)).toInt)
-    val coarseSeeds: Array[Array[Double]] = sorted.take(nCoarse).map(_._2.toArray)
+    val centDs = cents.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    val k = centDs.count()
+    require(k > 0, "empty centroid relation")
+    val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // the ONLY centroid rows the driver ever holds: O(√k · dim)
+    val coarseSeeds: Array[Array[Double]] = centDs
+      .orderBy(col("vec_id")).limit(nCoarse)
+      .collect().sortBy(_._1).map(_._2.toArray)
     val bcSeeds = spark.sparkContext.broadcast(coarseSeeds)
-    // route each centroid under its nearest coarse seed (ties toward the
-    // lowest seed index) — distributed, so the k × √k routing distance
-    // evals never run on the driver (which holds only the O(k) centroid
-    // array it was handed)
-    val routed = spark.sparkContext.parallelize(sorted.toSeq)
+    // route each fine centroid under its nearest coarse seed (ties toward
+    // the lowest seed index) — a seed-keyed RELATION, never collected
+    val fine = centDs
       .map { case (fid, fv) => (KMeans.nearest(bcSeeds.value, fv), fid, fv) }
-      .collect()
-    val fineByCoarse: Array[Array[(Long, Array[Double])]] =
-      Array.tabulate(nCoarse) { ci =>
-        routed.collect { case (c, fid, fv) if c == ci => (fid, fv.toArray) }
-          .sortBy(_._1)
-      }
-    val bc = spark.sparkContext.broadcast((coarseSeeds, fineByCoarse))
+      .toDF("seed", "fid", "fv")
+      .persist() // sized below + the assignment equi-join
+    // per-seed group sizes: √k longs — all the widening rule needs
+    val groupSizes: Array[Long] = {
+      val a = Array.fill(nCoarse)(0L)
+      fine.groupBy(col("seed")).count().as[(Int, Long)].collect()
+        .foreach { case (s, n) => a(s) = n }
+      a
+    }
+    val bcSizes = spark.sparkContext.broadcast(groupSizes)
     // local copy: referencing the object field from inside the flatMap
     // closure would capture the (non-serializable) module instance
     val minCoarseProbe = MinCoarseProbe
@@ -128,28 +149,45 @@ object KnnGraph {
       while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
       acc
     }
-    def nearestCells(v: Seq[Double], n: Int): Seq[Long] = {
-      val (seeds, fine) = bc.value
+    // the probed-seed PREFIX of the old widening scan: same
+    // (L2², seed-index) order, same stop rule — the pooled-candidate
+    // count after p groups IS the sum of their sizes, so the prefix is
+    // bit-identical to what the driver-side pool would have scanned
+    def probedSeeds(v: Seq[Double], n: Int): Seq[Int] = {
+      val seeds = bcSeeds.value
+      val sizes = bcSizes.value
       val order = seeds.indices.map(j => (l2sq(v, seeds(j)), j)).sorted
-      val pool = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
-      var probed = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var pooled = 0L
       val it = order.iterator
-      while (it.hasNext && (probed < minCoarseProbe || pool.length < n)) {
-        val grp = fine(it.next()._2)
-        probed += 1
-        var g = 0
-        while (g < grp.length) {
-          pool += ((l2sq(v, grp(g)._2), grp(g)._1))
-          g += 1
-        }
+      while (it.hasNext && (out.length < minCoarseProbe || pooled < n)) {
+        val j = it.next()._2
+        out += j
+        pooled += sizes(j)
       }
-      pool.sorted.take(n).map(_._2).toSeq
+      out.toSeq
     }
-    val posted = hoist(e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-      .flatMap { case (id, v) => nearestCells(v, assign).map(c => (id, v, c)) }
-      .toDF("vec_id", "v", "cell"), "v", "vnorm")
+    // map-side posting against the √k-sized broadcasts, then the keyed
+    // equi-join scores ONLY the probed fine groups (the shuffle that
+    // replaced the all-k broadcast); per-vector top-`assign` by
+    // (L2² ASC, fid ASC) through the shared Ranking order on -L2²
+    // (negation is exact for doubles, so the order is exactly reversed)
+    val postedSeeds = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .flatMap { case (id, v) => probedSeeds(v, assign).map(j => (id, v, j)) }
+      .toDF("vec_id", "v", "seed")
+    val fineScored = postedSeeds.join(fine, Seq("seed"))
+      .select(col("vec_id"), col("fid"),
+        negate(graft.functions.expressions.VectorExpressions
+          .vecL2Sq(col("v"), col("fv"))).as("negd"))
+    val cells = graft.functions.Ranking
+      .topPerKey(fineScored, "vec_id", assign, "fid", "negd")
+      .select(col("vec_id"), col("fid").as("cell"))
+    val posted = hoist(
+      e.select(col("vec_id"), col("v")).join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("cell")), "v", "vnorm")
       .persist() // both sides of the in-cell pair join + the rescore side
     posted.count() // materialize: downstream plans read the cached relation
+    fine.unpersist() // consumed by the assignment join above
     val left = posted.select(col("cell"), col("vec_id").as("src"),
       col("v").as("qv"), col("vnorm").as("qnorm"))
     val right = posted.select(col("cell"), col("vec_id").as("dst"),

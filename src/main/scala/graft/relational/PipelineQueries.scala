@@ -100,6 +100,24 @@ object PipelineQueries {
       graft.sinks.GraphIndexStore.query(s, idxDir, queries,
         beam = 32, hops = 4, topK = AnnTopK)
     }
+    /** The whole corpus as a query batch — the offline-inference shape the
+      * distributed `queryBatch` paths exist for. Bench times these
+      * separately from the 5-query driver serves so a regression in the
+      * keyed-join formulations (the 100×-scale paths) is visible without
+      * a build or a tiny batch masking it. */
+    private def corpusBatch(s: SparkSession, d: String): DataFrame =
+      table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+    def queryIvfBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
+      graft.sinks.IvfIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
+        nProbe = 4, topK = 3)
+    def queryPqBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
+      graft.sinks.IvfPqIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
+        nProbe = 10, topK = AnnTopK, candK = 24 * AnnTopK)
+    def queryGraphBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
+      graft.sinks.GraphIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
+        beam = 32, hops = 4, topK = AnnTopK)
   }
 
   private val ShingleN = 4
@@ -2107,8 +2125,8 @@ object PipelineQueries {
       // sf0.001/sf0.01 this resolves to the measured K=16 geometry; at
       // sf0.1 to K=160.
       val K = math.max(16L, e.count() / 400L)
+      // a RELATION, not a collect: the build holds only √K seeds driver-side
       val cents = e.filter(col("vec_id") < K)
-        .as[(Long, Seq[Double])].collect().sortBy(_._1)
       val edges = graft.pipeline.KnnGraph.build(e, cents, Assign, Degree)
         .persist() // each of the Hops beam expansions joins against it
       val queries = e.filter(col("vec_id") < NQueries)

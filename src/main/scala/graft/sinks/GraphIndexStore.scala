@@ -151,10 +151,13 @@ object GraphIndexStore {
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v")).persist()
     val k = math.max(16L, v.count() / 400L)
+    // centroids stay a RELATION — KnnGraph.build's two-level assignment
+    // holds only the ⌈√k⌉ coarse seeds on the driver; collecting all
+    // k = n/400 rows here would re-grow with the corpus
     val cents = v.filter(col("vec_id") < k)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
-    require(cents.nonEmpty, "empty corpus")
-    val dim = cents(0)._2.length
+    val dimRow = v.select(size(col("v"))).limit(1).collect()
+    require(dimRow.nonEmpty, "empty corpus")
+    val dim = dimRow(0).getInt(0)
     // cluster each bucket into ONE file before the partitioned write:
     // without the repartition every write task opens a file in every
     // bucket dir (tasks × buckets small files), and each per-hop pruned
@@ -522,55 +525,112 @@ object GraphIndexStore {
   def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
       beam: Int, hops: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
-      import spark.implicits._
-      val (degree, _, _, _) = manifest(ctx)
-      // ONE tombstone read feeds both the entry filter and the liveness
-      // anti-join (tombstones are broadcast-small by protocol)
-      val tomb = ArtifactStore.readTombstones(spark, ctx)
-      val tombSet: Set[Long] = tomb match {
-        case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
-        case None => Set.empty
+      distributedWalkServe(spark, ctx, queries, beam, hops) { visited =>
+        graft.functions.Ranking.rankTopK(
+          visited.filter(col("vec_id") =!= col("query_id")), topK)
       }
-      val entryIds = liveEntries(spark, ctx, tombSet)
-      require(entryIds.nonEmpty,
-        s"every entry point of ${ctx.root} is tombstoned — run compact() " +
-          "to re-derive entries from the surviving corpus")
-      // live vectors: replayed append rows dedup'd, tombstones dropped —
-      // the walk's scoring side AND the liveness filter for the edge fold
-      val liveVecs0 = vectorBase(spark, ctx)
-        .select(col("vec_id"), col("v"))
-        .dropDuplicates("vec_id")
-      val liveVecs = (tomb match {
-        case Some(t) => liveVecs0.join(
-          broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
-        case None => liveVecs0
-      }).persist()
-      // every persist/checkpoint this serve takes is released on ANY
-      // failure path (the ArtifactStore.serving retry contract)
-      try {
-        val foldedEdges = topPerKey(
-          edgeBase(spark, ctx)
-            .select(col("src"), col("dst"), col("cosine")).distinct()
-            .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
-          "src", degree, "dst")
-          .select(col("src"), col("dst"))
-        val scope = new graft.core.WalkScope
-        try {
-          // qv upcast to double like the driver path's typed encoder — a
-          // float-array batch must serve bit-identically through both
-          val visited = KnnGraph.search(liveVecs, foldedEdges,
-            queries.select(col("query_id"),
-              transform(col("qv"), _.cast("double")).as("qv")),
-            entryIds, beam, hops, scope)
-          val out = graft.functions.Ranking.rankTopK(
-            visited.filter(col("vec_id") =!= col("query_id")), topK).persist()
-          try {
-            out.count() // materialize BEFORE releasing the walk's checkpoints
-            out
-          } catch { case e: Throwable => out.unpersist(); throw e }
-        } finally scope.release()
-      } finally liveVecs.unpersist()
     }
+
+  /** DISTRIBUTED filtered serving — [[queryFiltered]]'s semantics at
+    * [[queryBatch]]'s scale, completing the batch matrix on the FILTERED
+    * axis (a tenant/label-scoped corpus-scale job previously had to chunk
+    * through the driver fold). The walk is the same unscoped distributed
+    * walk (the graph must cross labels to navigate — the filtered-ANN
+    * recipe), and the rank-time meta filter runs as two KEYED joins over
+    * the oversampled visited set: stored meta by vec_id (replay rows are
+    * byte-identical, so the dedup is exact), query meta by query_id —
+    * nothing about the batch on the driver. Bit-identical rows to
+    * [[queryFiltered]] on the same batch: same walk mechanics, same
+    * truncation order, and the meta predicate commutes with ranking
+    * (filter-then-rank both sides). `queries` rows are
+    * (query_id, qv, meta). */
+  def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
+      beam: Int, hops: Int, topK: Int): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      require(manifestMeta(ctx).nonEmpty,
+        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+          "to enable queryFilteredBatch")
+      distributedWalkServe(spark, ctx, queries, beam, hops) { visited =>
+        // the walk visits unscoped (oversampled ≈ beam × hops × degree
+        // candidates per query vs topK kept); the meta filter applies
+        // before the rank finish, exactly like the driver fold — a full
+        // (slim) meta scan is the corpus-batch tradeoff queryBatch already
+        // documents for edges: a corpus-scale visited set touches most
+        // vbuckets anyway
+        val vMeta = spark.read
+          .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
+          .parquet(ctx.dir("vectors"))
+          .select(col("vec_id"), col("meta"))
+          .dropDuplicates("vec_id")
+        val qMeta = queries
+          .select(col("query_id"), col("meta").cast("string").as("qmeta"))
+        graft.functions.Ranking.rankTopK(
+          visited.filter(col("vec_id") =!= col("query_id"))
+            .join(vMeta, Seq("vec_id"))
+            .join(qMeta, Seq("query_id"))
+            .filter(col("meta") === col("qmeta")), topK)
+      }
+    }
+
+  /** The shared distributed-serve skeleton behind [[queryBatch]] and
+    * [[queryFilteredBatch]]: one tombstone read feeds the entry filter
+    * and the liveness anti-join, the stored graph folds to its serve view
+    * DISTRIBUTED (replay dedup → live-endpoint semi-join → per-src
+    * re-truncation), [[KnnGraph.search]] walks it, and `finish` turns the
+    * visited rows into the ranked answer. The result is returned
+    * MATERIALIZED (persisted + counted) so the walk's checkpoint state
+    * releases eagerly; every cache/checkpoint is released on ANY failure
+    * path (the [[ArtifactStore.serving]] retry contract); callers
+    * `clearCache()` when done. */
+  private def distributedWalkServe(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      queries: DataFrame, beam: Int, hops: Int)
+      (finish: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val (degree, _, _, _) = manifest(ctx)
+    // ONE tombstone read feeds both the entry filter and the liveness
+    // anti-join (tombstones are broadcast-small by protocol)
+    val tomb = ArtifactStore.readTombstones(spark, ctx)
+    val tombSet: Set[Long] = tomb match {
+      case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
+      case None => Set.empty
+    }
+    val entryIds = liveEntries(spark, ctx, tombSet)
+    require(entryIds.nonEmpty,
+      s"every entry point of ${ctx.root} is tombstoned — run compact() " +
+        "to re-derive entries from the surviving corpus")
+    // live vectors: replayed append rows dedup'd, tombstones dropped —
+    // the walk's scoring side AND the liveness filter for the edge fold
+    val liveVecs0 = vectorBase(spark, ctx)
+      .select(col("vec_id"), col("v"))
+      .dropDuplicates("vec_id")
+    val liveVecs = (tomb match {
+      case Some(t) => liveVecs0.join(
+        broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
+      case None => liveVecs0
+    }).persist()
+    try {
+      val foldedEdges = topPerKey(
+        edgeBase(spark, ctx)
+          .select(col("src"), col("dst"), col("cosine")).distinct()
+          .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
+        "src", degree, "dst")
+        .select(col("src"), col("dst"))
+      val scope = new graft.core.WalkScope
+      try {
+        // qv upcast to double like the driver path's typed encoder — a
+        // float-array batch must serve bit-identically through both
+        val visited = KnnGraph.search(liveVecs, foldedEdges,
+          queries.select(col("query_id"),
+            transform(col("qv"), _.cast("double")).as("qv")),
+          entryIds, beam, hops, scope)
+        val out = finish(visited).persist()
+        try {
+          out.count() // materialize BEFORE releasing the walk's checkpoints
+          out
+        } catch { case e: Throwable => out.unpersist(); throw e }
+      } finally scope.release()
+    } finally liveVecs.unpersist()
+  }
 
   /** Navigable-small-world insertion of one batch (vec_id, embedding):
     * each new vector beam-searches the existing graph for its `degree`

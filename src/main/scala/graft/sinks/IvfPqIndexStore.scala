@@ -137,6 +137,16 @@ object IvfPqIndexStore {
     (field("k"), field("dim"), field("nsub"), field("subk"), field("vbuckets"))
   }
 
+  /** The meta column name a metadata-scoped store was built with (from
+    * the manifest), if any — append and compact must carry the column
+    * through, and the filtered serve paths require it
+    * ([[GraphIndexStore]]'s convention). */
+  private def manifestMeta(ctx: ArtifactStore.Ctx): Option[String] =
+    """"meta":"([^"]+)"""".r
+      .findFirstMatchIn(ArtifactStore.readString(ctx.fs,
+        new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
+      .map(_.group(1))
+
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
       what: String): Array[T] =
     ArtifactStore.collectBounded(ds, MaxAdcBatch, what,
@@ -176,7 +186,8 @@ object IvfPqIndexStore {
   def build(e: DataFrame, k: Int, nSub: Int, subK: Int, path: String,
       iters: Int = 4, vbuckets: Int = DefaultVBuckets,
       centroids: Option[Array[Array[Double]]] = None,
-      codebooks: Option[Array[Array[Array[Double]]]] = None): Unit = {
+      codebooks: Option[Array[Array[Array[Double]]]] = None,
+      metaCol: Option[String] = None): Unit = {
     require(k > 0 && nSub > 0 && subK > 0 && vbuckets > 0)
     val spark = e.sparkSession
     import spark.implicits._
@@ -218,8 +229,17 @@ object IvfPqIndexStore {
         .write.partitionBy("cell").mode("overwrite")
         .parquet(ctx.dir("postings"))
       // COLD plane: raw vectors + stored vnorm, bucket-partitioned so the
-      // rerank's point reads prune (GraphIndexStore's vector layout)
-      v.toDF("vec_id", "v")
+      // rerank's point reads prune (GraphIndexStore's vector layout).
+      // Metadata-scoped stores carry the predicate value on the VECTOR
+      // rows — codes stay unscoped (the ADC scan oversamples across
+      // labels; the filter applies at rerank-rank time, the graph store's
+      // filtered-ANN recipe on the compressed paradigm)
+      val vMeta = metaCol match {
+        case Some(m) => v.toDF("vec_id", "v").join(
+          e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
+        case None => v.toDF("vec_id", "v")
+      }
+      vMeta
         .withColumn("vnorm", normExpr(col("v")))
         .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
         .repartition(vbuckets, col("vbucket"))
@@ -232,9 +252,10 @@ object IvfPqIndexStore {
         yield (s0, j, cbs(s0)(j).toSeq))
         .toDF("sub", "code", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
       ArtifactStore.writeString(ctx.fs,
         new org.apache.hadoop.fs.Path(path, "manifest.json"),
-        s"""{"k":$k,"dim":$dim,"nsub":$nSub,"subk":$subK,"vbuckets":$vbuckets}""")
+        s"""{"k":$k,"dim":$dim,"nsub":$nSub,"subk":$subK,"vbuckets":$vbuckets$metaField}""")
       // rebuild replaces the corpus: stale tombstones die with it (LAST —
       // a crashed build over-suppresses, never resurrects)
       ArtifactStore.resetMutationPlane(ctx)
@@ -259,17 +280,23 @@ object IvfPqIndexStore {
   }
 
   /** The rerank's exact-vector point reads: vbucket-pruned, declared
-    * schema, replay-deduped. private[graft] for the spec's pruning pin. */
+    * schema, replay-deduped. `withMeta` adds the scoped store's meta
+    * column (the filtered paths' rank-time predicate source).
+    * private[graft] for the spec's pruning pin. */
   private[graft] def vectorSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      ids: Seq[Long], vbuckets: Int): DataFrame = {
+      ids: Seq[Long], vbuckets: Int, withMeta: Boolean = false): DataFrame = {
     val bs = ids.map(bucketOf(_, vbuckets)).distinct.sorted
+    val schema =
+      if (withMeta) "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, meta STRING, vbucket BIGINT"
+      else "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT"
+    val cols = if (withMeta) Seq("vec_id", "v", "vnorm", "meta") else Seq("vec_id", "v", "vnorm")
     spark.read
-      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
+      .schema(schema)
       .parquet(ctx.dir("vectors"))
       .filter(col("vbucket").isInCollection(bs)) // partition pruning
       .filter(col("vec_id").isInCollection(ids))
       .dropDuplicates("vec_id") // at-least-once appends
-      .select(col("vec_id"), col("v"), col("vnorm"))
+      .select(cols.map(col): _*)
   }
 
   /** Serve a query batch: ADC-rank the probed cells' codes, exact-rerank
@@ -279,21 +306,53 @@ object IvfPqIndexStore {
     * the two stores are drop-in peers. `queries` rows are
     * (query_id: bigint, qv: array<double>). */
   def query(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int, topK: Int, candK: Int): DataFrame = {
+      nProbe: Int, topK: Int, candK: Int): DataFrame =
+    driverServe(spark, path, queries, nProbe, topK, candK, filtered = false)
+
+  /** Filtered serving from a metadata-scoped store — top-`topK` among the
+    * ADC candidates whose stored meta equals the QUERY's meta, the
+    * tenant/label-scoped retrieval shape on the COMPRESSED paradigm. The
+    * code plane stays unscoped (the ADC scan oversamples across labels —
+    * `candK` is the oversampling knob, [[GraphIndexStore.queryFiltered]]'s
+    * beam-oversampling recipe transposed); the predicate applies at
+    * rerank-rank time from the meta the cold plane stores on the vector
+    * rows. `queries` rows are (query_id, qv, meta); everything else is
+    * [[query]]'s machinery (same core), so the filtered and unfiltered
+    * paths cannot drift. Recall under the filter is a measured contract
+    * (the qs30 discipline). */
+  def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int, candK: Int): DataFrame =
+    driverServe(spark, path, queries, nProbe, topK, candK, filtered = true)
+
+  /** The driver-side serve core behind [[query]] / [[queryFiltered]] —
+    * per-query ADC tables broadcast once and joined by query_id (never
+    * through the probe-cell relation), bounded candidates, exact rerank
+    * over cold-plane point reads; `filtered` adds the meta equality
+    * before the rank finish (the predicate commutes with ranking). */
+  private def driverServe(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int, candK: Int, filtered: Boolean): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
       val (_, _, nSub, subK, vbuckets) = manifest(ctx)
+      if (filtered) require(manifestMeta(ctx).nonEmpty,
+        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+          "to enable queryFiltered")
       val cents = loadCentroids(spark, path)
       val cbs = loadCodebooks(spark, path, nSub, subK)
-      val qs = collectBounded(queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])], "query batch")
+      val qs: Array[(Long, Seq[Double], String)] =
+        if (filtered) collectBounded(queries
+            .select(col("query_id"), col("qv"), col("meta").cast("string"))
+            .as[(Long, Seq[Double], String)], "query batch")
+        else collectBounded(queries.select(col("query_id"), col("qv"))
+            .as[(Long, Seq[Double])], "query batch")
+          .map(t => (t._1, t._2, null: String))
       // per-query flat ADC table ([[adcTable]]) — one table per QUERY,
       // broadcast once and joined by query_id (joining it through the
       // probe-cell relation would replicate it nProbe times)
-      val tables: Seq[(Long, Seq[Double])] = qs.toSeq.map { case (qid, qv) =>
+      val tables: Seq[(Long, Seq[Double])] = qs.toSeq.map { case (qid, qv, _) =>
         (qid, adcTable(cbs, normalize(qv)).toSeq)
       }
-      val probes: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv) =>
+      val probes: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv, _) =>
         KMeans.nearestK(cents, normalize(qv).toSeq, nProbe)
           .map(c => (qid, c.toLong))
       }
@@ -316,13 +375,23 @@ object IvfPqIndexStore {
         // exact rerank over the survivors only: point reads off the cold
         // plane, hoisted norms (qnorm projected once onto the broadcast
         // query table; vnorm stored) — qs07's rerank discipline
-        val qDf = broadcast(qs.toSeq.toDF("query_id", "qv")
+        val qDf = broadcast(qs.toSeq.map(t => (t._1, t._2))
+          .toDF("query_id", "qv")
           .withColumn("qnorm", normExpr(col("qv"))))
-        val rescored = vectorSlice(spark, ctx, cand.map(_._2).distinct.toSeq, vbuckets)
+        val vs = vectorSlice(spark, ctx, cand.map(_._2).distinct.toSeq,
+          vbuckets, withMeta = filtered)
+        val joined = vs
           .join(broadcast(cand.toSeq.toDF("query_id", "vec_id")), Seq("vec_id"))
           .join(qDf, Seq("query_id"))
-          .select(col("query_id"), col("vec_id"), cosineExpr)
-        graft.functions.Ranking.rankTopK(rescored, topK)
+        val kept =
+          if (filtered) {
+            val qMeta = broadcast(qs.toSeq.map(t => (t._1, t._3))
+              .toDF("query_id", "qmeta"))
+            joined.join(qMeta, Seq("query_id"))
+              .filter(col("meta") === col("qmeta"))
+          } else joined
+        graft.functions.Ranking.rankTopK(
+          kept.select(col("query_id"), col("vec_id"), cosineExpr), topK)
       }
     }
   }
@@ -344,23 +413,50 @@ object IvfPqIndexStore {
     * truncation and rank conventions to [[query]], so the two paths
     * return bit-identical rows on the same batch (spec-pinned). */
   def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
-      nProbe: Int, topK: Int, candK: Int): DataFrame = {
+      nProbe: Int, topK: Int, candK: Int): DataFrame =
+    batchServe(spark, path, queries, nProbe, topK, candK, filtered = false)
+
+  /** DISTRIBUTED filtered serving — [[queryFiltered]]'s semantics at
+    * [[queryBatch]]'s scale (the batch matrix's FILTERED axis on the
+    * compressed store): same map-side tables and keyed joins, with the
+    * rank-time meta equality joined by key from the cold plane's stored
+    * meta and the batch's own (query_id, meta) rows — nothing about the
+    * batch on the driver. `queries` rows are (query_id, qv, meta).
+    * Bit-identical rows to [[queryFiltered]] on the same batch (same
+    * core, same kernels, same truncation). */
+  def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int, candK: Int): DataFrame =
+    batchServe(spark, path, queries, nProbe, topK, candK, filtered = true)
+
+  /** The distributed serve core behind [[queryBatch]] /
+    * [[queryFilteredBatch]] — map-side cell posting + ADC tables, keyed
+    * joins everywhere, bounded-domain collects only. */
+  private def batchServe(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int, candK: Int, filtered: Boolean): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
       val (_, _, nSub, subK, vbuckets) = manifest(ctx)
+      if (filtered) require(manifestMeta(ctx).nonEmpty,
+        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+          "to enable queryFilteredBatch")
       val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
       val bcCb = spark.sparkContext.broadcast(loadCodebooks(spark, path, nSub, subK))
-      val q = queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])].persist() // posted + tables + rerank norms
+      val q = (if (filtered)
+          queries.select(col("query_id"), col("qv"),
+            col("meta").cast("string").as("qmeta"))
+        else queries.select(col("query_id"), col("qv"),
+            lit(null).cast("string").as("qmeta")))
+        .as[(Long, Seq[Double], String)]
+        .persist() // posted + tables + rerank norms/meta
       // serving() may retry at a new epoch: a failed attempt must not
       // leak its caches (the IvfIndexStore *Batch contract)
       var candCache: DataFrame = null
       try {
-        val posted = q.flatMap { case (qid, qv) =>
+        val posted = q.flatMap { case (qid, qv, _) =>
           KMeans.nearestK(bcC.value, normalize(qv).toSeq, nProbe)
             .map(c => (qid, c.toLong))
         }.toDF("query_id", "cell")
-        val tables = q.map { case (qid, qv) =>
+        val tables = q.map { case (qid, qv, _) =>
           (qid, adcTable(bcCb.value, normalize(qv)).toSeq)
         }.toDF("query_id", "tbl")
         val probeCells = posted.select(col("cell")).distinct()
@@ -386,17 +482,26 @@ object IvfPqIndexStore {
         val buckets = cand
           .select(pmod(col("vec_id"), lit(vbuckets.toLong)).as("b")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq
+        val vschema =
+          if (filtered) "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, meta STRING, vbucket BIGINT"
+          else "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT"
+        val vcols = if (filtered) Seq("vec_id", "v", "vnorm", "meta")
+          else Seq("vec_id", "v", "vnorm")
         val vecs = spark.read
-          .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
+          .schema(vschema)
           .parquet(ctx.dir("vectors"))
           .filter(col("vbucket").isInCollection(buckets)) // partition pruning
           .dropDuplicates("vec_id")
-          .select(col("vec_id"), col("v"), col("vnorm"))
-        val qn = q.toDF("query_id", "qv").withColumn("qnorm", normExpr(col("qv")))
-        val rescored = vecs.join(cand, Seq("vec_id")) // keyed
+          .select(vcols.map(col): _*)
+        val qn = q.toDF("query_id", "qv", "qmeta")
+          .withColumn("qnorm", normExpr(col("qv")))
+        val joined = vecs.join(cand, Seq("vec_id")) // keyed
           .join(qn, Seq("query_id")) // keyed
-          .select(col("query_id"), col("vec_id"), cosineExpr)
-        graft.functions.Ranking.rankTopK(rescored, topK)
+        val kept =
+          if (filtered) joined.filter(col("meta") === col("qmeta"))
+          else joined
+        graft.functions.Ranking.rankTopK(
+          kept.select(col("query_id"), col("vec_id"), cosineExpr), topK)
       } catch {
         case e: Throwable =>
           q.unpersist()
@@ -405,6 +510,37 @@ object IvfPqIndexStore {
       }
     }
   }
+
+  /** Per-query probe ranking over the STORED centroids — (query_id, cell,
+    * probe_rank), rank ascending by (L2², cid) over the query's unit
+    * vector, exactly the order [[query]]/[[queryBatch]] probe in: the
+    * rank ≤ m prefix IS the nprobe = m probe set, so one call prices
+    * every operating point of the nprobe curve (qs34's tuning surface).
+    * Bounded by the driver-path batch cap like [[query]]. */
+  def probeRanking(spark: SparkSession, path: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { _ =>
+      val cents = loadCentroids(spark, path)
+      val qs = collectBounded(queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])], "query batch")
+      qs.toSeq.flatMap { case (qid, qv) =>
+        KMeans.nearestK(cents, normalize(qv).toSeq, cents.length)
+          .zipWithIndex.map { case (c, i) => (qid, c.toLong, i + 1L) }
+      }.toDF("query_id", "cell", "probe_rank")
+    }
+  }
+
+  /** Replay-deduped, tombstone-folded code-row counts per cell — the hot
+    * plane's size table. With [[probeRanking]], scanned-codes(m) =
+    * Σ counts over rank ≤ m: the scan-fraction axis of the nprobe curve
+    * (capacity planning reads this instead of guessing cell balance). */
+  def cellSizes(spark: SparkSession, path: String): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (k, _, _, _, _) = manifest(ctx)
+      servedPostings(spark, ctx, (0L until k.toLong).toSeq)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_codes"))
+    }
 
   /** Append one batch to an EXISTING index: assignment and codes use the
     * STORED geometry (centroids + codebooks are fixed at build time —
@@ -429,7 +565,14 @@ object IvfPqIndexStore {
         .coalesce(1) // micro-batches are small: one file per touched cell
         .write.partitionBy("cell").mode("append")
         .parquet(ctx.dir("postings"))
-      v.toDF("vec_id", "v")
+      // a metadata-scoped store's appends must carry the manifest's meta
+      // column through (the batch supplies it under the built name)
+      val vdf = manifestMeta(ctx) match {
+        case Some(m) => v.toDF("vec_id", "v").join(
+          batch.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
+        case None => v.toDF("vec_id", "v")
+      }
+      vdf
         .withColumn("vnorm", normExpr(col("v")))
         .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
         .coalesce(1)
@@ -472,8 +615,10 @@ object IvfPqIndexStore {
       .repartition(k, col("cell")) // one file per cell — build's discipline
       .write.partitionBy("cell").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
+    // a scoped store's meta column survives the rewrite
+    val vcols = Seq("vec_id", "v", "vnorm") ++ manifestMeta(ctx).map(_ => "meta")
     dropIds(spark.read.parquet(ctx.dir("vectors"))
-        .select(col("vec_id"), col("v"), col("vnorm"))
+        .select(vcols.map(col): _*)
         .dropDuplicates("vec_id"))
       .withColumn("vbucket", pmod(col("vec_id"), lit(vbuckets.toLong)))
       .repartition(vbuckets, col("vbucket"))

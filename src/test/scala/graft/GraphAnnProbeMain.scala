@@ -23,7 +23,6 @@ object GraphAnnProbeMain {
         .persist()
       val K = math.max(16L, e.count() / 400L) // qs27's adaptive cell count
       val cents = e.filter(col("vec_id") < K)
-        .as[(Long, Seq[Double])].collect().sortBy(_._1)
       // exact truth: qs01's brute-force plan
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -63,7 +63,6 @@ class GraphIndexStoreSpec extends AnyFunSuite {
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v")).persist()
     val cents = v.filter(col("vec_id") < 16)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1)
     val g = KnnGraph.build(v, cents, 2, Degree).persist()
     val q = queriesOf(e, 4)
     val scope = new graft.core.WalkScope

@@ -28,9 +28,7 @@ object GraphTimeMain {
         .persist()
       val n = e.count()
       val K = math.max(16L, n / 400L)
-      val cents = t("centroids") {
-        e.filter(col("vec_id") < K).as[(Long, Seq[Double])].collect().sortBy(_._1)
-      }
+      val cents = t("centroids") { e.filter(col("vec_id") < K) }
       val edges = t("build") {
         val g = KnnGraph.build(e, cents, Assign, Degree).persist()
         g.count(); g

@@ -28,8 +28,8 @@ class KnnGraphSpec extends AnyFunSuite {
     rows.toDF("vec_id", "v").repartition(parts)
   }
 
-  private def cents(e: DataFrame, k: Int): Array[(Long, Seq[Double])] =
-    e.filter(col("vec_id") < k).as[(Long, Seq[Double])].collect().sortBy(_._1)
+  private def cents(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") < k)
 
   /** Collect to a comparable set; cosines rounded to 12 places only to keep
     * the assertion message readable — determinism is actually bit-level,

@@ -203,6 +203,61 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("VecL2Sq == aggregate(zip_with diff-square) builtin fold, bit for bit (codegen)") {
+    // the kNN-graph build's distributed cell-assignment kernel: the fused
+    // squared-L2 loop must reproduce BOTH the builtin left fold and (by
+    // construction, same arithmetic) the driver-side widening loop's
+    // `acc += d*d` — raw-bit equality, null on length mismatch / null
+    // element, 0.0 on empty arrays. A divergence here would silently move
+    // vectors across fine cells and shift every graph recall margin.
+    import graft.functions.expressions.VectorExpressions.vecL2Sq
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val ref = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)
+      val rng = new scala.util.Random(11)
+      val vecs = (0L until 40L).map { i =>
+        (i, Seq.tabulate(64)(j => rng.nextGaussian() *
+            (if (j % 13 == 0) 1e-300 else if (j % 17 == 0) 1e300 else 1.0)),
+          Seq.tabulate(64)(_ => rng.nextGaussian()))
+      }.toDF("id", "x", "y")
+      val rows = vecs.select(vecL2Sq(col("x"), col("y")).as("fast"),
+        ref(col("x"), col("y")).as("slow")).collect()
+      assert(rows.length == 40)
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"IEEE sequence diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+      val edges = spark.sql("""
+        SELECT * FROM VALUES
+          (CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)),
+          (array(1.0D, 2.0D), array(3.0D)),
+          (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)),
+          (CAST(NULL AS ARRAY<DOUBLE>), array(3.0D)) t(x, y)""")
+      val er = edges.select(vecL2Sq(col("x"), col("y")).as("fast"),
+        ref(col("x"), col("y")).as("slow")).collect()
+      assert(er(0).getDouble(0) == 0.0 && er(0).getDouble(1) == 0.0)
+      (1 to 3).foreach { i =>
+        assert(er(i).isNullAt(0) == er(i).isNullAt(1) && er(i).isNullAt(0),
+          s"edge row $i: fast=${er(i)} must be null like the builtin")
+      }
+      // SQL registration parity
+      graft.functions.GraftExtensions.sqlFunctions.foreach { case (id, fi, b) =>
+        spark.sessionState.functionRegistry.registerFunction(id, fi, b)
+      }
+      vecs.createOrReplaceTempView("vecl2_probe")
+      val sqlRows = spark.sql(
+        "SELECT vec_l2sq(x, y) FROM vecl2_probe ORDER BY id").collect()
+      sqlRows.zip(vecs.orderBy(col("id"))
+          .select(ref(col("x"), col("y"))).collect()).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToRawLongBits(a.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(b.getDouble(0)))
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("VecDotLong == aggregate(zip_with(cast long)) builtin fold (codegen)") {
     // the int8-quantized path's kernel (qs05's corpus-scan stage): same
     // equivalence discipline as VecDot on the non-overflowing-product
