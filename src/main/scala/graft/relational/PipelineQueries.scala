@@ -2428,6 +2428,214 @@ object PipelineQueries {
       SELECT count(*) AS n_queries, TRUE AS paths_identical
       FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096) q""")),
 
+    CatalogQuery("qs34_pq_nprobe_curve", (s, d) => {
+      // The COMPRESSED store's operating curve — qs17's tuning-table
+      // story on the PQ paradigm (round-10 gap: a deploy sizing nprobe
+      // for IvfPqIndexStore had only PqIndexProbeMain's stderr; this row
+      // turns the sizing surface into gated API). From ONE build:
+      // recall vs the exact truth AND the scanned-code fraction at
+      // nprobe ∈ {4, 8, 10, 16}, the fraction derived from the store's
+      // own tuning surfaces — IvfPqIndexStore.probeRanking (the rank ≤ m
+      // prefix IS the nprobe=m probe set, qs17's one-scan discipline)
+      // × cellSizes (replay-deduped hot-plane row counts).
+      //
+      // Contracts (provable, so the gate is strict):
+      //  - scanned fraction is NONDECREASING in nprobe (probe sets are
+      //    prefixes of one ranking, so they nest — unlike the ADC
+      //    CANDIDATE sets, whose top-candK under a wider scan can drop
+      //    members, which is why recall monotonicity is NOT gated:
+      //    measured curves do dip, e.g. filtered sf0.1 240@16 < 240@10);
+      //  - scanned fraction at nprobe=K is EXACTLY 1.0 (every cell
+      //    probed ⇒ the sum of per-cell counts is the hot-plane total);
+      //  - recall at the PINNED operating point (NProbe=10, CandK=240)
+      //    ≥ 0.90 — qs31's gate re-read off the curve (measured avg
+      //    0.980 / 0.960 / 0.980 across SFs; PqIndexProbeMain).
+      // The oracle pins the point/query counts + TRUE.
+      //
+      // MEASURED curve at the gate geometry (recall avg across SFs,
+      // PqIndexProbeMain): nprobe=4 ≈ 0.62-0.72, 8 ≈ 0.92-0.96,
+      // 10 ≈ 0.96-0.98, 16 ≈ 0.98-1.00; scan fraction ≈ nprobe/16 on
+      // these near-uniform synthetic cells — the table a deploy trades
+      // against (qs03's documented tradeoff).
+      val Probes = Seq(4, 8, 10, 16); val NQueries = 5
+      import s.implicits._
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs34-pq").toString
+      graft.sinks.IvfPqIndexStore.build(table(s, d, "embeddings"),
+        k = 16, nSub = 8, subK = 256, idxDir)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < NQueries).persist()
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id")).persist()
+      truth.count()
+      // recall per curve point: the pinned point gates; the full curve is
+      // what the row prices (each serve is 5 queries — bounded)
+      val recalls: Map[Int, Double] = Probes.map { m =>
+        val got = graft.sinks.IvfPqIndexStore.query(s, idxDir, queries,
+          nProbe = m, topK = AnnTopK, candK = 24 * AnnTopK)
+          .select(col("query_id"), col("vec_id"))
+        val r = truth.join(got.withColumn("hit", lit(1L)),
+            Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+            / count(lit(1))).as("recall"))
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        m -> r
+      }.toMap
+      // scanned-code fraction per point from the tuning surfaces: avg
+      // over queries of (codes in rank ≤ m cells) / hot-plane total
+      val pr = graft.sinks.IvfPqIndexStore.probeRanking(s, idxDir, queries)
+      val cs = graft.sinks.IvfPqIndexStore.cellSizes(s, idxDir).persist()
+      val total = cs.agg(sum(col("n_codes"))).collect()(0).getLong(0).toDouble
+      val prSized = pr.join(cs, Seq("cell")).persist()
+      prSized.count()
+      val fracs: Map[Int, Double] = Probes.map { m =>
+        val f = prSized.filter(col("probe_rank") <= m)
+          .groupBy(col("query_id")).agg(sum(col("n_codes")).as("scanned"))
+          .agg(avg(col("scanned").cast("double") / total))
+          .collect()(0).getDouble(0)
+        m -> f
+      }.toMap
+      val curve = Probes.map(fracs)
+      val monotone = curve.zip(curve.tail).forall { case (a, b) => a <= b }
+      Seq((Probes.length.toLong, NQueries.toLong, monotone,
+          fracs(16) == 1.0, recalls(10) >= 0.90))
+        .toDF("n_points", "n_queries", "scan_fraction_nondecreasing",
+          "full_probe_scans_all_codes", "recall_ge_090_at_pinned")
+    }, Some("""
+      SELECT 4::BIGINT AS n_points,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        TRUE AS scan_fraction_nondecreasing,
+        TRUE AS full_probe_scans_all_codes,
+        TRUE AS recall_ge_090_at_pinned
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qs35_graph_filtered_batch_serve", (s, d) => {
+      // DISTRIBUTED FILTERED serving on the graph store — the batch-serve
+      // matrix completed on its last open axis (qs24 IVF / qs25 range /
+      // qs26 IVF-filtered / qs32 PQ / qs33 graph / qt30 text):
+      // GraphIndexStore.queryFilteredBatch runs qs30's tenant-scoped
+      // retrieval at qs33's scale — the unscoped distributed walk, then
+      // the rank-time meta filter as two KEYED joins (stored meta by
+      // vec_id, query meta by query_id), nothing about the batch on the
+      // driver (a tenant-scoped corpus job previously had to chunk
+      // through the driver fold). Gate = the qs32/qs33
+      // independent-formulation contract: the corpus (4096 lowest ids —
+      // oracle LIMIT mirrored, regen-proof) queries WITHIN ITS OWN LABEL
+      // through BOTH paths and symmetric anti-joins prove identical
+      // (query_id, rank, vec_id) sets in Spark. Label exactness and
+      // recall are qs30's gate (the driver fold defines the semantics;
+      // this row proves the distributed path IS that fold). qs30's
+      // pinned geometry (deg=12 / beam=64 / hops=4 — the filtered walk
+      // needs the wide beam).
+      val e = table(s, d, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs35-gidx").toString
+      graft.sinks.GraphIndexStore.build(e, idxDir, degree = 12, assign = 2,
+        nEntries = 4, metaCol = Some("label"))
+      val allQ = e
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+        .orderBy(col("query_id")).limit(4096)
+        .persist() // both serve paths read it
+      val viaBatch = graft.sinks.GraphIndexStore.queryFilteredBatch(s, idxDir,
+        allQ, beam = 64, hops = 4, topK = AnnTopK)
+      val viaDriver = graft.sinks.GraphIndexStore.queryFiltered(s, idxDir,
+        allQ, beam = 64, hops = 4, topK = AnnTopK)
+      val onlyBatch = viaBatch.join(viaDriver,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val onlyDriver = viaDriver.join(viaBatch,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val nQueries = viaBatch.select(col("query_id")).distinct().count()
+      allQ.sparkSession.range(1).select(
+        lit(nQueries).as("n_queries"),
+        lit(onlyBatch == 0L && onlyDriver == 0L).as("paths_identical"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS paths_identical
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096) q""")),
+
+    CatalogQuery("qs36_pq_filtered_serve", (s, d) => {
+      // FILTERED serving on the COMPRESSED store — qs30's tenant/label
+      // retrieval shape on the PQ paradigm (IvfPqIndexStore.queryFiltered
+      // + queryFilteredBatch): the code plane stays unscoped, candK
+      // oversamples across labels, and the meta equality applies at
+      // rerank-rank time from the cold plane's stored meta. Contracts:
+      // (a) every served neighbour carries the query's label, (b) top-10
+      // AVG recall vs the exact same-label brute force ≥ 0.90, (c) the
+      // distributed batch path returns the identical (query_id, rank,
+      // vec_id) set for the whole corpus (≤ the 4096 driver cap at gate
+      // SFs — oracle LIMIT mirrored on the count; the identity is graded
+      // on the sampled queries' labels too since they are a subset).
+      // NProbe=16 / CandK=48·topK MEASURED (PqFilteredProbeMain) avg
+      // 1.000 / 1.000 / 0.980 at sf0.001 / sf0.01 / sf0.1 (mins 1.000 /
+      // 1.000 / 0.900); CandK=24·topK at NProbe=16 FAILS at sf0.1 (avg
+      // 0.82 — wider scans push same-label members below the global ADC
+      // cut), and NProbe=10 fails at EVERY SF (avg 0.82-0.94: under a
+      // ~1/L label filter the probe loss qs32 documents is fatal, so the
+      // filtered path probes all K=16 cells — on real clustered corpora
+      // the same shape runs at smaller nprobe/K fractions). Re-measure
+      // before shrinking any constant.
+      val NProbe = 16; val CandK = 48 * AnnTopK; val NQueries = 5
+      val e = table(s, d, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs36-pq").toString
+      graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256,
+        idxDir, metaCol = Some("label"))
+      val queries = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+      val served = graft.sinks.IvfPqIndexStore.queryFiltered(s, idxDir,
+          queries, NProbe, AnnTopK, CandK)
+        .select(col("query_id"), col("vec_id")).persist()
+      // (a) label exactness against the corpus labels
+      val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      val crossLabel = served
+        .join(labels, Seq("vec_id"))
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("l").as("ql")), Seq("query_id"))
+        .filter(col("l") =!= col("ql")).count()
+      // (b) recall vs the exact same-label brute force (qs30's truth)
+      val ev = hoistNorm(e.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"),
+        col("label").cast("string").as("vl")), "v", "vnorm")
+      val qh = hoistNorm(queries, "qv", "qnorm")
+      val scored = ev.crossJoin(broadcast(qh))
+        .filter(col("vec_id") =!= col("query_id") && col("vl") === col("meta"))
+        .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+      val truth = topkRanked(scored).select(col("query_id"), col("vec_id"))
+      val perQuery = truth
+        .join(served.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+          / count(lit(1))).as("recall"))
+      // (c) driver/distributed path identity on the whole corpus
+      val allQ = e
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+        .orderBy(col("query_id")).limit(4096)
+        .persist()
+      val viaBatch = graft.sinks.IvfPqIndexStore.queryFilteredBatch(s, idxDir,
+        allQ, NProbe, AnnTopK, CandK)
+      val viaDriver = graft.sinks.IvfPqIndexStore.queryFiltered(s, idxDir,
+        allQ, NProbe, AnnTopK, CandK)
+      val onlyBatch = viaBatch.join(viaDriver,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      val onlyDriver = viaDriver.join(viaBatch,
+        Seq("query_id", "rank", "vec_id"), "left_anti").count()
+      perQuery.agg(count(lit(1)).as("n_queries"), avg(col("recall")).as("r"))
+        .select(col("n_queries"), (col("r") >= 0.90).as("recall_ge_090"),
+          lit(crossLabel == 0L).as("zero_cross_label"),
+          lit(onlyBatch == 0L && onlyDriver == 0L).as("batch_path_identical"))
+    }, Some("""
+      SELECT count(*) AS n_queries, TRUE AS recall_ge_090,
+        TRUE AS zero_cross_label, TRUE AS batch_path_identical
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

@@ -568,8 +568,12 @@ object IvfPqIndexStore {
       // a metadata-scoped store's appends must carry the manifest's meta
       // column through (the batch supplies it under the built name)
       val vdf = manifestMeta(ctx) match {
-        case Some(m) => v.toDF("vec_id", "v").join(
-          batch.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
+        case Some(m) =>
+          require(batch.columns.contains(m),
+            s"store at $path is metadata-scoped on '$m'; append batches " +
+              s"must carry that column")
+          v.toDF("vec_id", "v").join(
+            batch.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
         case None => v.toDF("vec_id", "v")
       }
       vdf

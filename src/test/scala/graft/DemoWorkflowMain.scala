@@ -301,6 +301,13 @@ object DemoWorkflowMain {
       val exact = fGot.forall(r => lbl(r.getLong(2)) == lbl(r.getLong(0)))
       println(s"[probe-gidx-filtered] rows=${fGot.length} labelExact=$exact " +
         "(expect 15, true)")
+      // distributed filtered batch path returns the driver fold's rows
+      val fBatch = graft.sinks.GraphIndexStore.queryFilteredBatch(spark, gfDir,
+        fq, beam = 32, hops = 4, topK = 5).collect()
+      val fAgree = fBatch.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+        fGot.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      println(s"[probe-gidx-filtered-batch] rows=${fBatch.length} " +
+        s"agreesWithDriverPath=$fAgree (expect true)")
       spark.catalog.clearCache()
     }
 
@@ -337,6 +344,33 @@ object DemoWorkflowMain {
         nProbe = 10, topK = 3, candK = 120).collect()
       val gone = !afterDel.exists(_.getLong(2) == 0L)
       println(s"[probe-pqidx-del] goneFromRanks=$gone (expect true)")
+      // tuning surfaces: full-probe scan covers every hot-plane code row
+      val sizes = graft.sinks.IvfPqIndexStore.cellSizes(spark, pqDir)
+        .agg(org.apache.spark.sql.functions.sum(col("n_codes"))).collect()(0).getLong(0)
+      val ranked = graft.sinks.IvfPqIndexStore.probeRanking(spark, pqDir, q0)
+        .groupBy(col("query_id")).count().collect()
+      println(s"[probe-pqidx-tune] totalCodes=$sizes ranksPerQuery=" +
+        s"${ranked.map(_.getLong(1)).distinct.mkString(",")} (expect >0, 16)")
+      // metadata-scoped variant: filtered serving is label-exact, batch
+      // path identical
+      val pfDir = java.nio.file.Files.createTempDirectory("demo-pqidx-f").toString
+      graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256,
+        pfDir, metaCol = Some("label"))
+      val fq = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+      val fGot = graft.sinks.IvfPqIndexStore.queryFiltered(spark, pfDir, fq,
+        nProbe = 16, topK = 5, candK = 240).collect()
+      val lbl = e.select(col("vec_id"), col("label").cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val fExact = fGot.forall(r => lbl(r.getLong(2)) == lbl(r.getLong(0)))
+      val fBatch = graft.sinks.IvfPqIndexStore.queryFilteredBatch(spark, pfDir,
+        fq, nProbe = 16, topK = 5, candK = 240).collect()
+      val fAgree = fBatch.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+        fGot.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      println(s"[probe-pqidx-filtered] rows=${fGot.length} labelExact=$fExact " +
+        s"batchAgrees=$fAgree (expect 15, true, true)")
       spark.catalog.clearCache()
     }
 

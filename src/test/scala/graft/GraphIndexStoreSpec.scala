@@ -472,6 +472,52 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "the distributed walk must release its checkpoint state")
   }
 
+  test("queryFilteredBatch (distributed) matches the driver filtered fold through append and delete") {
+    // the qs35 pin's mechanics: the distributed filtered path must return
+    // the driver fold's exact row set — including after the mutation
+    // plane has diverged the stored view from the built one
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-fqb").toString
+    val e = embeddings
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx, degree = Degree,
+      assign = 2, nEntries = 4, buckets = Buckets, metaCol = Some("label"))
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
+    GraphIndexStore.delete(spark, idx, Seq(25L, 37L))
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"),
+      col("label").cast("string").as("meta"))
+    val viaBatch = GraphIndexStore.queryFilteredBatch(spark, idx, q,
+        Beam, Hops, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val viaDriver = GraphIndexStore.queryFiltered(spark, idx, q,
+        Beam, Hops, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(viaBatch.sorted == viaDriver.sorted,
+      s"distributed and driver filtered walks diverge " +
+        s"(${viaBatch.length} vs ${viaDriver.length} rows)")
+    assert(viaBatch.nonEmpty && !viaBatch.exists(r => r._3 == 25L || r._3 == 37L),
+      "tombstoned ids must serve from neither filtered path")
+    // label exactness on the distributed path
+    val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    viaBatch.foreach { case (qid, _, vid) =>
+      assert(labels(vid) == labels(qid), s"cross-label row: $qid -> $vid")
+    }
+    // an unscoped store rejects the distributed filtered path loudly too
+    val plain = java.nio.file.Files.createTempDirectory("graft-gidx-fqbp").toString
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), plain,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    spark.catalog.clearCache()
+    val ex = intercept[IllegalArgumentException] {
+      GraphIndexStore.queryFilteredBatch(spark, plain, q, Beam, Hops, TopK)
+    }
+    assert(ex.getMessage.contains("metadata-scoped"), ex.getMessage)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the distributed filtered walk must release its checkpoint state")
+  }
+
   test("append pressure valve bounds stored neighbourhood footprints under hub-heavy streams") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-prs").toString

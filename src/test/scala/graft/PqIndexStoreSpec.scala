@@ -232,4 +232,81 @@ class PqIndexStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("queryBatch"), ex.getMessage)
     spark.catalog.clearCache()
   }
+
+  test("metadata-scoped store: filtered serving is label-exact; meta survives append and compact") {
+    // the qs36 pin's mechanics: label exactness, loud rejection on an
+    // unscoped store / meta-less append, driver/batch path identity, and
+    // the meta column surviving append + compact (the IvfIndexStore
+    // advice-class bug the graph spec also pins against)
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-meta").toString
+    val e = embeddings
+    IvfPqIndexStore.build(e.filter(col("vec_id") >= 10), K, S, SubK, idx,
+      metaCol = Some("label"))
+    spark.catalog.clearCache()
+    val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val queries = e.filter(col("vec_id") < 14 && col("vec_id") >= 10)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    def servedFiltered(): Seq[(Long, Int, Long)] = {
+      val rows = IvfPqIndexStore.queryFiltered(spark, idx, queries,
+          NProbe, TopK, CandK)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val got = servedFiltered()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, vid) =>
+      assert(labels(vid) == labels(qid),
+        s"filtered serving must be label-exact: query $qid (${labels(qid)}) " +
+          s"got $vid (${labels(vid)})")
+    }
+    // the distributed filtered path returns the identical row set
+    val viaBatch = IvfPqIndexStore.queryFilteredBatch(spark, idx, queries,
+        NProbe, TopK, CandK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(viaBatch == got.toSet,
+      "queryFilteredBatch must match the driver filtered path row-for-row")
+    // an unscoped store rejects filtered queries loudly (both paths)
+    val plain = java.nio.file.Files.createTempDirectory("graft-pq-plain").toString
+    IvfPqIndexStore.build(e.filter(col("vec_id") >= 10), K, S, SubK, plain)
+    spark.catalog.clearCache()
+    Seq(
+      () => IvfPqIndexStore.queryFiltered(spark, plain, queries, NProbe, TopK, CandK),
+      () => IvfPqIndexStore.queryFilteredBatch(spark, plain, queries, NProbe, TopK, CandK)
+    ).foreach { f =>
+      val ex = intercept[IllegalArgumentException] { f() }
+      assert(ex.getMessage.contains("metadata-scoped"), ex.getMessage)
+    }
+    // append must carry the meta column — loudly without it, exactly with
+    val exApp = intercept[IllegalArgumentException] {
+      IvfPqIndexStore.appendBatch(
+        e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")), idx)
+    }
+    assert(exApp.getMessage.contains("metadata-scoped"), exApp.getMessage)
+    IvfPqIndexStore.appendBatch(e.filter(col("vec_id") < 10), idx)
+    spark.catalog.clearCache()
+    val probe = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    val ranked = IvfPqIndexStore.queryFiltered(spark, idx, probe,
+        NProbe, TopK, CandK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 10L).foreach { id =>
+      assert(ranked.get(id + 1000000L).contains(id),
+        s"appended vector $id must be its own exact same-label query's rank-1")
+    }
+    // compact carries the meta column through the epoch flip
+    val before = servedFiltered()
+    IvfPqIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    assert(servedFiltered() == before,
+      "filtered serving must be identical across a compact (meta carried)")
+  }
 }
