@@ -198,6 +198,38 @@ object ArtifactStore {
     rows
   }
 
+  /** PRESSURE-VALVE metric shared by the appendStream family — the
+    * file-count sibling of [[graft.sinks.GraphIndexStore]]'s per-src
+    * row-count valve: every appendBatch `coalesce(1)`-writes ≤1 new file
+    * per touched partition directory, and serving a partition opens ALL
+    * its files, so a long append-only stream grows per-partition file
+    * counts (plus replayed/duplicate rows) linearly in micro-batches —
+    * exactly the footprint `compact()` reclaims (it rewrites each
+    * partition to one file and folds the duplicates). Lists ONLY the
+    * touched directories (a bounded set the append itself knows) through
+    * the Hadoop FS and returns the max RECURSIVE data-file count (nested
+    * (cell, meta) layouts count their leaf files); a missing directory
+    * counts 0. Callers compact when the max exceeds their compactFactor,
+    * which bounds every partition's footprint at compactFactor files
+    * under any append stream. */
+  def maxPartitionFiles(ctx: Ctx, component: String,
+      partDirs: Seq[String]): Long =
+    partDirs.map { d =>
+      val p = new Path(ctx.dir(component), d)
+      if (!ctx.fs.exists(p)) 0L
+      else {
+        var n = 0L
+        val it = ctx.fs.listFiles(p, true)
+        while (it.hasNext) {
+          val s = it.next()
+          val name = s.getPath.getName
+          if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
+            n += 1L
+        }
+        n
+      }
+    }.foldLeft(0L)(math.max)
+
   /** True when a `_COMPACTING` guard names the LIVE epoch (or is
     * unparsable) — the footprint of a compaction that crashed before its
     * commit, which blocks every mutation until `compact()` re-runs. A

@@ -135,13 +135,14 @@ object BandIndexStore {
     * so probing stays exact either way). Replayed batches append
     * byte-identical rows, absorbed by the deterministic max-fold over the
     * pruned slice. Refused loudly while a compaction folds. */
-  def appendBatch(batch: DataFrame, path: String): Unit = {
+  def appendBatch(batch: DataFrame, path: String,
+      compactFactor: Int = 8): Unit = {
     import graft.functions.expressions.ShingleExpressions._
     val spark = batch.sparkSession
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
     val (buckets, shingleN, numPerms, rowsPerBand) = manifest(ctx)
-    batch
+    val posting = batch
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id").as("rep_id"),
         shingleHash60(col("text"), shingleN).as("hs"), lit(1L).as("grp_n"))
@@ -150,17 +151,31 @@ object BandIndexStore {
           numPerms, rowsPerBand)).as("band"))
       .withColumn("bucket", pmod(TextOps.hash60(col("band")), lit(buckets.toLong)))
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
-      .write.partitionBy("bucket").mode("append")
-      .parquet(ctx.dir("postings"))
-    // member map rows for the arrivals (each its own representative);
-    // replays append duplicates, absorbed by the tombstone fold's distinct
-    batch
-      .filter(length(col("text")) >= shingleN)
-      .select(col("doc_id").as("rep_id"), col("doc_id"),
-        pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
-          .as("mbucket"))
-      .write.partitionBy("mbucket").mode("append")
-      .parquet(ctx.dir("members"))
+      .persist() // written once, then the valve reads the touched buckets
+    try {
+      posting
+        .write.partitionBy("bucket").mode("append")
+        .parquet(ctx.dir("postings"))
+      // member map rows for the arrivals (each its own representative);
+      // replays append duplicates, absorbed by the tombstone fold's distinct
+      batch
+        .filter(length(col("text")) >= shingleN)
+        .select(col("doc_id").as("rep_id"), col("doc_id"),
+          pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
+            .as("mbucket"))
+        .write.partitionBy("mbucket").mode("append")
+        .parquet(ctx.dir("members"))
+      // PRESSURE VALVE on the touched posting buckets (the shared
+      // file-count discipline — [[ArtifactStore.maxPartitionFiles]]);
+      // the member buckets grow at the same per-batch rate and one
+      // compact rewrites both planes
+      if (compactFactor > 0) {
+        val touched = posting.select(col("bucket")).distinct()
+          .collect().map(r => s"bucket=${r.getLong(0)}").toSeq
+        if (ArtifactStore.maxPartitionFiles(ctx, "postings", touched)
+            > compactFactor.toLong) compact(spark, path)
+      }
+    } finally posting.unpersist()
   }
 
   /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
@@ -213,12 +228,20 @@ object BandIndexStore {
 
   /** Continuous index maintenance: stream arriving corpus documents into
     * the postings via [[appendBatch]] per micro-batch (the
-    * IvfIndexStore/TextIndexStore discipline on the band axis). */
-  def appendStream(stream: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * IvfIndexStore/TextIndexStore discipline on the band axis).
+    * SELF-HEALING on restart ([[GraphIndexStore.appendStream]]'s
+    * single-maintainer argument): a crashed valve compaction's live-epoch
+    * guard is provably this stream's own, so each micro-batch completes
+    * it via `compact()` before appending. */
+  def appendStream(stream: DataFrame, path: String, checkpoint: String,
+      compactFactor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (ArtifactStore.crashedCompactPending(b.sparkSession, path))
+          compact(b.sparkSession, path)
+        appendBatch(b, path, compactFactor)
+      }
       .start()
 
   private def manifest(ctx: ArtifactStore.Ctx): (Int, Int, Int, Int) = {

@@ -194,7 +194,8 @@ object IvfIndexStore {
     * serving (spec-pinned: double-append changes nothing). Appending
     * while a compaction folds is refused loudly ([[ArtifactStore]]'s
     * single-maintainer guard) — the fold would silently discard it. */
-  def appendBatch(batch: DataFrame, path: String): Unit = {
+  def appendBatch(batch: DataFrame, path: String,
+      compactFactor: Int = 8): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
@@ -204,7 +205,7 @@ object IvfIndexStore {
     // directories — an append must carry the same meta column, or the
     // mixed layout would break partition discovery for every later
     // serve; the manifest says which column the store was built with
-    manifestMeta(ctx) match {
+    val assigned = (manifestMeta(ctx) match {
       case None =>
         batch.select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("v"))
@@ -213,8 +214,6 @@ object IvfIndexStore {
           .toDF("vec_id", "v", "cell")
           .withColumn("vnorm", normExpr(col("v")))
           .select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
-          .write.partitionBy("cell").mode("append")
-          .parquet(ctx.dir("postings"))
       case Some(m) =>
         require(batch.columns.contains(m),
           s"store at $path is metadata-scoped on '$m'; the append batch " +
@@ -229,9 +228,24 @@ object IvfIndexStore {
           .toDF("vec_id", "v", "cell", "meta")
           .withColumn("vnorm", normExpr(col("v")))
           .select(col("vec_id"), col("v"), col("vnorm"), col("cell"), col("meta"))
-          .write.partitionBy("cell", "meta").mode("append")
-          .parquet(ctx.dir("postings"))
-    }
+    }).persist() // written once, then the valve reads the touched cells
+    try {
+      val partCols = if (manifestMeta(ctx).isEmpty) Seq("cell")
+        else Seq("cell", "meta")
+      assigned.write.partitionBy(partCols: _*).mode("append")
+        .parquet(ctx.dir("postings"))
+      // PRESSURE VALVE (the GraphIndexStore discipline, file-count
+      // flavor — [[ArtifactStore.maxPartitionFiles]]): the touched cells
+      // are a bounded domain (≤ k whatever the batch), so the footprint
+      // check is one tiny job + one pruned FS listing; compactFactor = 0
+      // disables for deploys on their own compaction cadence
+      if (compactFactor > 0) {
+        val touched = assigned.select(col("cell")).distinct()
+          .collect().map(r => s"cell=${r.getLong(0)}").toSeq
+        if (ArtifactStore.maxPartitionFiles(ctx, "postings", touched)
+            > compactFactor.toLong) compact(spark, path)
+      }
+    } finally assigned.unpersist()
   }
 
   /** Delete vectors from the index by TOMBSTONE — O(|ids|) whatever the
@@ -284,12 +298,22 @@ object IvfIndexStore {
   }
 
   /** Continuous index maintenance: stream arriving vectors into the
-    * postings via [[appendBatch]] per micro-batch. */
-  def appendStream(stream: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * postings via [[appendBatch]] per micro-batch. SELF-HEALING on
+    * restart ([[GraphIndexStore.appendStream]]'s argument): the pressure
+    * valve means a compaction can run (and crash) with zero operator
+    * involvement; the stream IS the store's single maintainer by
+    * protocol, so a pending crashed compact at micro-batch time is
+    * provably its own and each batch completes it before appending —
+    * one-shot mutators stay loud behind the guard. */
+  def appendStream(stream: DataFrame, path: String, checkpoint: String,
+      compactFactor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (ArtifactStore.crashedCompactPending(b.sparkSession, path))
+          compact(b.sparkSession, path)
+        appendBatch(b, path, compactFactor)
+      }
       .start()
 
   /** The probed + replay-deduped + tombstone-folded posting slice every

@@ -546,7 +546,8 @@ object IvfPqIndexStore {
     * STORED geometry (centroids + codebooks are fixed at build time —
     * re-clustering is a rebuild). Replays are absorbed at serve time by
     * the (cell, vec_id) / (vec_id) dedups, [[IvfIndexStore]]'s contract. */
-  def appendBatch(batch: DataFrame, path: String): Unit = {
+  def appendBatch(batch: DataFrame, path: String,
+      compactFactor: Int = 8): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
@@ -558,13 +559,25 @@ object IvfPqIndexStore {
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])].persist()
     try {
-      v.map { case (id, x) =>
+      val coded = v.map { case (id, x) =>
         val u = normalize(x)
         (id, KMeans.nearest(bcC.value, u.toSeq).toLong, codesOf(bcCb.value, u).toSeq)
-      }.toDF("vec_id", "cell", "codes")
+      }.toDF("vec_id", "cell", "codes").persist()
+      coded
         .coalesce(1) // micro-batches are small: one file per touched cell
         .write.partitionBy("cell").mode("append")
         .parquet(ctx.dir("postings"))
+      // PRESSURE VALVE on the hot plane's touched cells (the shared
+      // file-count discipline — [[ArtifactStore.maxPartitionFiles]]);
+      // the cold plane's vbucket files grow at the same rate, and one
+      // compact rewrites both
+      val overPressure = compactFactor > 0 && {
+        val touched = coded.select(col("cell")).distinct()
+          .collect().map(r => s"cell=${r.getLong(0)}").toSeq
+        ArtifactStore.maxPartitionFiles(ctx, "postings", touched) >
+          compactFactor.toLong
+      }
+      coded.unpersist()
       // a metadata-scoped store's appends must carry the manifest's meta
       // column through (the batch supplies it under the built name)
       val vdf = manifestMeta(ctx) match {
@@ -582,15 +595,26 @@ object IvfPqIndexStore {
         .coalesce(1)
         .write.partitionBy("vbucket").mode("append")
         .parquet(ctx.dir("vectors"))
+      // valve AFTER both planes landed: a compact must fold a complete
+      // append, never split one across the epoch flip
+      if (overPressure) compact(spark, path)
     } finally v.unpersist()
   }
 
-  /** Continuous maintenance: stream arriving vectors into the index. */
-  def appendStream(stream: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+  /** Continuous maintenance: stream arriving vectors into the index.
+    * SELF-HEALING on restart ([[GraphIndexStore.appendStream]]'s
+    * single-maintainer argument): a valve compaction that crashed leaves
+    * a live-epoch guard only this stream could have created, so each
+    * micro-batch completes it via `compact()` before appending. */
+  def appendStream(stream: DataFrame, path: String, checkpoint: String,
+      compactFactor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, _: Long) => appendBatch(b, path))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (ArtifactStore.crashedCompactPending(b.sparkSession, path))
+          compact(b.sparkSession, path)
+        appendBatch(b, path, compactFactor)
+      }
       .start()
 
   /** O(|ids|) tombstone delete — the shared takedown plane ([[IvfIndexStore]]

@@ -103,8 +103,10 @@ object TextIndexStore {
     * the probed slice on (token, doc_id) — replays are byte-identical,
     * so serving stays exactly-once (spec-pinned). Refused loudly while
     * a compaction folds. */
-  def appendBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
-    val ctx = ArtifactStore.open(batch.sparkSession, path)
+  def appendBatch(batch: DataFrame, path: String, batchId: Long,
+      compactFactor: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
     val (buckets, _, _) = readMeta(ctx)
     val toks = tokenized(batch).persist() // one tokenize pass per batch
@@ -113,6 +115,17 @@ object TextIndexStore {
       writeDoclens(toks, buckets, ctx.dir("doclens"), "append", batchId)
       writeStats(toks, ctx, s"batch-$batchId.json", foldedUpto = None)
     } finally toks.unpersist()
+    // PRESSURE VALVE (the shared appendStream discipline): this store's
+    // unbounded append footprint is the UNFOLDED per-batch stats files —
+    // every serve re-reads and re-sums each one (and the posting/doclen
+    // buckets gain a file per touching batch at the same rate), until
+    // compact folds them into base.json behind the watermark. The count
+    // is one O(#files) listing of the stats dir the serve path already
+    // pays; compactFactor = 0 disables.
+    if (compactFactor > 0) {
+      val upto = foldedUpto(ctx)
+      if (batchIds(ctx).count(_ > upto) > compactFactor) compact(spark, path)
+    }
   }
 
   /** Delete documents from the index by TOMBSTONE — O(|ids|) whatever the
@@ -186,12 +199,20 @@ object TextIndexStore {
   }
 
   /** Continuous index maintenance: stream arriving documents into the
-    * postings via [[appendBatch]] per micro-batch. */
-  def appendStream(stream: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    * postings via [[appendBatch]] per micro-batch. SELF-HEALING on
+    * restart ([[GraphIndexStore.appendStream]]'s single-maintainer
+    * argument): a crashed valve compaction's live-epoch guard is provably
+    * this stream's own, so each micro-batch completes it via `compact()`
+    * before appending. */
+  def appendStream(stream: DataFrame, path: String, checkpoint: String,
+      compactFactor: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((b: DataFrame, id: Long) => appendBatch(b, path, id))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (ArtifactStore.crashedCompactPending(b.sparkSession, path))
+          compact(b.sparkSession, path)
+        appendBatch(b, path, id, compactFactor)
+      }
       .start()
 
   /** The single tokenize pass every build/append component derives from:

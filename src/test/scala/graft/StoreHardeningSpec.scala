@@ -244,6 +244,144 @@ class StoreHardeningSpec extends AnyFunSuite {
 
   // ---- rebuild resets the mutation plane ----
 
+  // ---- pressure valves: bounded append footprint on every store ----
+  // (GraphIndexStoreSpec pins the graph store's row-count valve; these
+  // pin the file-count/stats-count valves ported to the other four in
+  // r11.) Pattern: a VALVE store and a valve-DISABLED control store feed
+  // on identical appends; the valve store's footprint must stay bounded
+  // (an epoch must advance — proof a compaction actually ran) while
+  // serving stays row-identical to the control.
+
+  test("IVF store: append pressure valve bounds per-cell file counts; serving unchanged") {
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val valved = tmp("graft-ivf-valve"); val control = tmp("graft-ivf-ctl")
+    Seq(valved, control).foreach(p => IvfIndexStore.build(e, k = 16, p))
+    val batch = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L as "vec_id", col("embedding"))
+    val Factor = 2
+    (1 to 6).foreach { _ =>
+      IvfIndexStore.appendBatch(batch, valved, compactFactor = Factor)
+      IvfIndexStore.appendBatch(batch, control, compactFactor = 0)
+      val ctx = ArtifactStore.open(spark, valved)
+      val maxFiles = ArtifactStore.maxPartitionFiles(ctx, "postings",
+        (0 until 16).map(c => s"cell=$c"))
+      assert(maxFiles <= Factor.toLong,
+        s"valve must keep per-cell file counts <= $Factor (got $maxFiles)")
+      spark.catalog.clearCache()
+    }
+    assert(ArtifactStore.open(spark, valved).epoch >= 1L,
+      "the valve must actually have compacted")
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 4)
+    def serve(p: String) = {
+      val rows = IvfIndexStore.query(spark, p, q, nProbe = 4, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    assert(serve(valved) == serve(control),
+      "valve compactions must not change serving")
+  }
+
+  test("PQ store: append pressure valve bounds per-cell file counts; serving unchanged") {
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val valved = tmp("graft-pq-valve"); val control = tmp("graft-pq-ctl")
+    Seq(valved, control).foreach(p =>
+      graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, p))
+    val batch = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L as "vec_id", col("embedding"))
+    val Factor = 2
+    (1 to 6).foreach { _ =>
+      graft.sinks.IvfPqIndexStore.appendBatch(batch, valved, compactFactor = Factor)
+      graft.sinks.IvfPqIndexStore.appendBatch(batch, control, compactFactor = 0)
+      val ctx = ArtifactStore.open(spark, valved)
+      val maxFiles = ArtifactStore.maxPartitionFiles(ctx, "postings",
+        (0 until 16).map(c => s"cell=$c"))
+      assert(maxFiles <= Factor.toLong,
+        s"valve must keep per-cell file counts <= $Factor (got $maxFiles)")
+      spark.catalog.clearCache()
+    }
+    assert(ArtifactStore.open(spark, valved).epoch >= 1L,
+      "the valve must actually have compacted")
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 4)
+    def serve(p: String) = {
+      val rows = graft.sinks.IvfPqIndexStore.query(spark, p, q,
+          nProbe = 10, topK = 5, candK = 120)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    assert(serve(valved) == serve(control),
+      "valve compactions must not change serving")
+  }
+
+  test("band store: append pressure valve bounds per-bucket file counts; serving unchanged") {
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = (0L until 5L).map(i => (i, page + s" v$i")).toDF("doc_id", "text")
+    val batch = Seq((200L, page + " fresh")).toDF("doc_id", "text")
+    val arriving = Seq((100L, page + " fresh")).toDF("doc_id", "text")
+    val valved = tmp("graft-bidx-valve"); val control = tmp("graft-bidx-ctl")
+    Seq(valved, control).foreach(p =>
+      BandIndexStore.build(existing, p, shingleN = 4, numPerms = 8, rowsPerBand = 4))
+    val Factor = 2
+    val buckets = (0 until 64).map(b => s"bucket=$b") // DefaultBuckets domain
+    (1 to 6).foreach { _ =>
+      BandIndexStore.appendBatch(batch, valved, compactFactor = Factor)
+      BandIndexStore.appendBatch(batch, control, compactFactor = 0)
+      val ctx = ArtifactStore.open(spark, valved)
+      val maxFiles = ArtifactStore.maxPartitionFiles(ctx, "postings", buckets)
+      assert(maxFiles <= Factor.toLong,
+        s"valve must keep per-bucket file counts <= $Factor (got $maxFiles)")
+      spark.catalog.clearCache()
+    }
+    assert(ArtifactStore.open(spark, valved).epoch >= 1L,
+      "the valve must actually have compacted")
+    def serve(p: String) = {
+      val rows = BandIndexStore.probe(spark, p, arriving, 0.80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    assert(serve(valved) == serve(control),
+      "valve compactions must not change probing")
+  }
+
+  test("text store: append pressure valve bounds unfolded stats files; serving unchanged") {
+    val docs = QueryHelpers.table(spark, dir, "documents").limit(40)
+    val valved = tmp("graft-tidx-valve"); val control = tmp("graft-tidx-ctl")
+    Seq(valved, control).foreach(p => TextIndexStore.build(docs, 64, p))
+    val Factor = 2
+    (1 to 6).foreach { i =>
+      // distinct docs + monotone batch ids: the genuine long-stream shape
+      // whose unfolded stats increments grow without a valve
+      val batch = Seq((10000L + i, s"spark join window batch $i content"))
+        .toDF("doc_id", "text")
+      TextIndexStore.appendBatch(batch, valved, i.toLong, compactFactor = Factor)
+      TextIndexStore.appendBatch(batch, control, i.toLong, compactFactor = 0)
+      val ctx = ArtifactStore.open(spark, valved)
+      val unfolded = ArtifactStore.listNames(ctx.fs, ctx.path("stats"))
+        .count(s => s.startsWith("batch-") && s.endsWith(".json"))
+      // compact deletes absorbed batch files, so the live count IS the
+      // unfolded count
+      assert(unfolded <= Factor,
+        s"valve must keep unfolded stats files <= $Factor (got $unfolded)")
+      spark.catalog.clearCache()
+    }
+    assert(ArtifactStore.open(spark, valved).epoch >= 1L,
+      "the valve must actually have compacted")
+    def serve(p: String) = {
+      val rows = TextIndexStore.queryBm25(spark, p, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    assert(serve(valved) == serve(control),
+      "valve compactions must not change BM25 serving")
+  }
+
   test("rebuilding a store in place clears tombstones recorded against the old corpus") {
     // IVF: a fresh corpus reusing a tombstoned vec_id must serve
     val ivf = tmp("graft-ivf-rebuild")
