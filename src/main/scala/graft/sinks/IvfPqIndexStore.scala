@@ -500,8 +500,19 @@ object IvfPqIndexStore {
         val kept =
           if (filtered) joined.filter(col("meta") === col("qmeta"))
           else joined
-        graft.functions.Ranking.rankTopK(
+        // return MATERIALIZED with the input caches released
+        // (GraphIndexStore.queryBatch's shape): a lazy result would
+        // silently recompute the whole ADC scan if the caller
+        // clearCache()s before acting on it; callers clearCache() when
+        // done with the (≤ batch × topK row) result itself
+        val out = graft.functions.Ranking.rankTopK(
           kept.select(col("query_id"), col("vec_id"), cosineExpr), topK)
+          .persist()
+        try out.count()
+        catch { case e: Throwable => out.unpersist(); throw e }
+        q.unpersist()
+        cand.unpersist()
+        out
       } catch {
         case e: Throwable =>
           q.unpersist()
