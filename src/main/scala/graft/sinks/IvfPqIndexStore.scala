@@ -461,6 +461,14 @@ object IvfPqIndexStore {
         }.toDF("query_id", "tbl")
         val probeCells = posted.select(col("cell")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq // ≤ k values, whatever the batch
+        // NOTE (r11, measured): joining the tables into the (query,
+        // probed-cell) relation BEFORE the cell join — which would spare
+        // the per-candidate rows their query_id shuffle — reads ~8%
+        // SLOWER at the sf0.1 corpus batch (9.35 vs 8.68 s serve-only):
+        // the cell join's key cardinality is only k, so pre-attaching the
+        // 2 KB tables caps the scan+ADC stage at k-way parallelism. The
+        // candidate shuffle keyed by query_id keeps batch-width
+        // parallelism; keep this shape.
         val adc = servedPostings(spark, ctx, probeCells)
           .join(posted, Seq("cell")) // keyed, NOT broadcast
           .filter(col("vec_id") =!= col("query_id"))

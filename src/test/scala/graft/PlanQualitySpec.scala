@@ -671,4 +671,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"rank finish must be the bounded aggregator, not a window:\n${plan.take(1500)}")
   }
+
+  test("qs36 PQ filtered serve: meta point reads prune vbuckets; no cartesian, no UDF, no window") {
+    // the filtered driver path's returned plan is the meta-filtered exact
+    // rerank: the vector point reads must still prune at the vbucket
+    // partition level WITH the meta column riding along, the meta
+    // equality must not degrade any join to a cartesian, and ranking
+    // stays the bounded aggregator
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqf-plan").toString
+    val e = graft.relational.QueryHelpers.table(spark, dir, "embeddings")
+    graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, idx,
+      metaCol = Some("label"))
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    val served = graft.sinks.IvfPqIndexStore.queryFiltered(spark, idx, q,
+      nProbe = 16, topK = 10, candK = 480)
+    val plan = served.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("ScalaUDF"), s"no ScalaUDF in the serve plan:\n${plan.take(1500)}")
+    assert("PartitionFilters: \\[[^\\]]*vbucket".r.findFirstIn(plan).isDefined,
+      s"meta point reads must keep pruning vbuckets:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"rank finish must be the bounded aggregator, not a window:\n${plan.take(1500)}")
+  }
+
+  test("qs35 graph filtered batch: meta filter is keyed joins, never cartesian, no window") {
+    // the distributed filtered walk's rank finish: stored meta joins by
+    // vec_id and query meta by query_id over the visited rows — the
+    // predicate must stay in join keys (an accidental cross product here
+    // would be batch × corpus), and ranking is the bounded aggregator
+    val idx = java.nio.file.Files.createTempDirectory("graft-gfb-plan").toString
+    val e = graft.relational.QueryHelpers.table(spark, dir, "embeddings")
+    graft.sinks.GraphIndexStore.build(e, idx, degree = 8, assign = 2,
+      nEntries = 4, buckets = 16, metaCol = Some("label"))
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    val served = graft.sinks.GraphIndexStore.queryFilteredBatch(spark, idx, q,
+      beam = 16, hops = 2, topK = 5)
+    val plan = served.queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      s"rank finish must be the bounded aggregator, not a window:\n${plan.take(1500)}")
+  }
 }
