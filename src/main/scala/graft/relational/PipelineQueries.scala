@@ -563,6 +563,47 @@ object PipelineQueries {
     * the store's fold semantics, since df derives from the pruned slice
     * and (N, Σdl) subtract the deleted docs' contributions): all must
     * produce these exact top-10 rows. */
+  /** qt12's exact per-doc BM25 scoring over the fixed 3-term query —
+    * (doc_id, n_terms_hit, score), shared by qt12 (top-10 finish) and
+    * qs37 (rank fusion) so the lexical convention has ONE definition.
+    * Scale shape: query terms filter the token stream INSIDE the scan
+    * stage (codegen'd isin over a 3-literal set), so the tf shuffle
+    * carries ≤ docs × |query| rows — never the full token stream; dl
+    * rides along functionally dependent on doc_id (no second scan or
+    * doc-length join); df and the corpus stats are bounded aggregates.
+    * Determinism: per-term scores are 6-decimal-quantized decimals, so
+    * the per-doc sum is exact decimal arithmetic and any (score DESC,
+    * doc_id) cutoff can never drift across engines. k1 = 1.2, b = 0.75;
+    * constants pre-folded (2.2 = k1+1, 0.25 = 1−b) and the op ORDER
+    * mirrored exactly in the oracle so every intermediate is the same
+    * IEEE double on both engines. */
+  private def bm25DocScores(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val toksAll = TextOps.tokens(col("text"))
+    val tf = table(s, d, "documents")
+      .select(col("doc_id"), size(toksAll).as("dl"),
+        explode(toksAll).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = table(s, d, "documents")
+      .agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl"))
+    val avgdl = col("sumdl").cast("double") / col("n")
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") +
+      lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)
+    val scored = tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(((idf * col("tf")) * lit(2.2)) / norm, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("sc"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(col("sc")).cast("double").as("score"))
+  }
+
   private def oBm25SqlWhere(docPred: String): String = s"""
       WITH f AS (SELECT doc_id,
           length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
@@ -2636,6 +2677,87 @@ object PipelineQueries {
         TRUE AS zero_cross_label, TRUE AS batch_path_identical
       FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
 
+    CatalogQuery("qs37_rrf_fusion", (s, d) => {
+      // HYBRID RETRIEVAL FUSION — reciprocal-rank fusion (RRF, Cormack /
+      // Clarke / Büttcher 2009: score = Σ_rankers 1/(60 + rank)) of the
+      // engine's lexical and dense rankers. qs08 fuses SCORES
+      // multiplicatively (needs calibrated scales); RRF is the
+      // rank-domain fusion production hybrid stacks actually deploy
+      // because ranks need no cross-ranker calibration. Scenario: qt12's
+      // fixed 3-term keyword query on the sparse side, corpus vector
+      // vec_id=0 as the dense query (documents and embeddings share the
+      // id domain); each side ranks its top-K=20 DISTRIBUTED (the BM25
+      // scoring is [[bm25DocScores]] — qt12's shared definition — and
+      // the dense scan is qs01's hoisted-cosine plan; both finish as
+      // TakeOrderedAndProject bounded heads), and the fusion itself is
+      // arithmetic over ≤ 2K collected (id, rank) rows — qs17's
+      // bounded-curve-assembly shape, never a corpus-sized collect.
+      // Mirror contract: ranks are row_number over (score DESC, id) /
+      // (cosine DESC, id) — the deterministic cutoffs both engines
+      // share; rrf = 1/(60+lex_rank) + 1/(60+dense_rank) with an absent
+      // side contributing 0.0, each division an exact-integer-denominator
+      // IEEE double op (::DOUBLE in the oracle where bare arithmetic
+      // would be DECIMAL), one commutative double add — hash-identical.
+      val K = 20; val RrfK = 60
+      import s.implicits._
+      val lex = bm25DocScores(s, d)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(K).select(col("doc_id")).as[Long].collect()
+      val e = hoistNorm(table(s, d, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")),
+        "v", "vnorm")
+      val q0 = e.filter(col("vec_id") === 0L)
+        .select(col("v").as("qv"), col("vnorm").as("qnorm"))
+      val dense = e.filter(col("vec_id") =!= 0L).crossJoin(broadcast(q0))
+        .select(col("vec_id"), cosineHoisted.as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(K).select(col("vec_id")).as[Long].collect()
+      val lr = lex.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val dr = dense.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+      val fused = (lex ++ dense).distinct.toSeq.map { id =>
+        (id,
+          lr.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0) +
+          dr.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(AnnTopK)
+      fused.toDF("doc_id", "rrf_score")
+    }, Some(s"""
+      WITH f AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
+             WHERE token IN ('spark', 'join', 'window')
+             GROUP BY doc_id, dl, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
+        FROM documents),
+      sc AS (SELECT tf.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
+            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tf JOIN df USING (token), stats),
+      lex AS (SELECT doc_id,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+        FROM (SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS score
+              FROM sc GROUP BY doc_id)
+        ORDER BY score DESC, doc_id LIMIT 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      dense AS (SELECT doc_id,
+          row_number() OVER (ORDER BY cosine DESC, doc_id) AS dr
+        FROM (SELECT vec_id AS doc_id,
+            list_dot_product(qv, v) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM e CROSS JOIN q WHERE vec_id <> 0)
+        ORDER BY cosine DESC, doc_id LIMIT 20),
+      fused AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+          coalesce((1.0::DOUBLE) / ((60 + lr)::DOUBLE), 0.0::DOUBLE)
+            + coalesce((1.0::DOUBLE) / ((60 + dr)::DOUBLE), 0.0::DOUBLE) AS rrf_score
+        FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
+      SELECT doc_id, rrf_score FROM fused
+      ORDER BY rrf_score DESC, doc_id LIMIT 10""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K
@@ -3871,45 +3993,13 @@ object PipelineQueries {
       // Lexical retrieval scoring — Okapi BM25 (Robertson et al. 1994,
       // the +1 idf variant Lucene uses so idf stays positive) of a fixed
       // query against the corpus: the sparse half of a hybrid retrieval
-      // stack (qs08 fuses ranks; this is where the lexical rank COMES
-      // from) and the standard "find training docs about X" triage tool.
-      // Scale shape: query terms filter the token stream INSIDE the scan
-      // stage (codegen'd isin over a 3-literal set), so the tf shuffle
-      // carries ≤ docs × |query| rows — never the full token stream; dl
-      // rides along functionally dependent on doc_id (no second scan or
-      // doc-length join); df and the corpus stats are bounded aggregates
-      // of tf / documents; the finish is a global top-10 =
-      // TakeOrderedAndProject (distributed per-partition heads, no full
-      // sort). Determinism: per-term scores are 6-decimal-quantized
-      // decimals, so the per-doc sum is exact decimal arithmetic and the
-      // (score DESC, doc_id) cutoff can never drift across engines.
-      val terms = Seq("spark", "join", "window")
-      val toksAll = TextOps.tokens(col("text"))
-      val tf = table(s, d, "documents")
-        .select(col("doc_id"), size(toksAll).as("dl"),
-          explode(toksAll).as("token"))
-        .filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("dl"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val stats = table(s, d, "documents")
-        .agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl"))
-      val avgdl = col("sumdl").cast("double") / col("n")
-      val idf = log(lit(1.0) +
-        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-      // k1 = 1.2, b = 0.75; constants pre-folded (2.2 = k1+1, 0.25 = 1−b)
-      // and the op ORDER mirrored exactly in the oracle so every
-      // intermediate is the same IEEE double on both engines
-      val norm = col("tf") +
-        lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)
-      val scored = tf.join(broadcast(df), Seq("token"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          round(((idf * col("tf")) * lit(2.2)) / norm, 6)
-            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).as("sc"))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms_hit"),
-          sum(col("sc")).cast("double").as("score"))
+      // stack (qs08 fuses scores, qs37 fuses RANKS; this is where the
+      // lexical rank COMES from) and the standard "find training docs
+      // about X" triage tool. Scoring lives in [[bm25DocScores]] (shared
+      // with qs37's fusion so the two rows cannot drift); the finish is
+      // a global top-10 = TakeOrderedAndProject (distributed
+      // per-partition heads, no full sort).
+      bm25DocScores(s, d)
         .orderBy(desc("score"), col("doc_id"))
         .limit(AnnTopK)
     }, Some(oBm25Sql), headline = true),

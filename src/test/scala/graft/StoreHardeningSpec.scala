@@ -382,6 +382,82 @@ class StoreHardeningSpec extends AnyFunSuite {
       "valve compactions must not change BM25 serving")
   }
 
+  test("IVF appendStream self-heals a crashed valve compaction; one-shot mutators stay loud") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val idx = tmp("graft-ivf-heal"); val ckpt = tmp("graft-ivf-hck")
+    IvfIndexStore.build(e, k = 16, idx)
+    spark.catalog.clearCache()
+    // the valve makes a crashed compact reachable unattended: live-epoch
+    // guard left mid-fold — the stream must complete it, not wedge
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs, new Path(idx, "_COMPACTING"),
+      ctx.epoch.toString)
+    intercept[IllegalStateException] {
+      IvfIndexStore.appendBatch(e.filter(col("vec_id") < 2), idx)
+    }
+    val arrivals = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L, transform(col("embedding"), _.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val sq = IvfIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      stream.addData(arrivals.toSeq)
+      sq.processAllAvailable() // completes the crashed compact, then appends
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the stream must have completed the crashed compaction (epoch flip)")
+    assert(!ctx.fs.exists(new Path(idx, "_COMPACTING")),
+      "the guard must be gone after the healed fold")
+    val probe = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 2000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    // the appended ids duplicate corpus vectors, so they TIE at cosine 1
+    // and rank behind the lower original id — assert they serve in the
+    // top ranks, not that they win the tie
+    val served = IvfIndexStore.query(spark, idx, probe, nProbe = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q0, arr) => q0 -> arr.map(_._2).toSet }
+    spark.catalog.clearCache()
+    (0L until 3L).foreach { id =>
+      assert(served.get(id + 2000000L).exists(_.contains(id + 1000L)),
+        s"the healed stream's insert must serve (got ${served.get(id + 2000000L)})")
+    }
+  }
+
+  test("text appendStream self-heals a crashed valve compaction before its next batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmp("graft-tidx-heal"); val ckpt = tmp("graft-tidx-hck")
+    TextIndexStore.build(
+      QueryHelpers.table(spark, dir, "documents").limit(30), 64, idx)
+    spark.catalog.clearCache()
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs, new Path(idx, "_COMPACTING"),
+      ctx.epoch.toString)
+    intercept[IllegalStateException] {
+      TextIndexStore.appendBatch(
+        Seq((9000L, "wedged")).toDF("doc_id", "text"), idx, 0L)
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sq = TextIndexStore.appendStream(
+      stream.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      stream.addData(Seq((9001L, "spark join window healed stream doc")))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the stream must have completed the crashed compaction (epoch flip)")
+    val got = TextIndexStore.queryBm25(spark, idx, Seq("healed"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq(9001L), s"the healed stream's doc must serve (got $got)")
+  }
+
   test("rebuilding a store in place clears tombstones recorded against the old corpus") {
     // IVF: a fresh corpus reusing a tombstoned vec_id must serve
     val ivf = tmp("graft-ivf-rebuild")
