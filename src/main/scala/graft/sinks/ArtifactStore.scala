@@ -200,12 +200,16 @@ object ArtifactStore {
 
   /** PRESSURE-VALVE metric shared by the appendStream family — the
     * file-count sibling of [[graft.sinks.GraphIndexStore]]'s per-src
-    * row-count valve: every appendBatch `coalesce(1)`-writes ≤1 new file
-    * per touched partition directory, and serving a partition opens ALL
-    * its files, so a long append-only stream grows per-partition file
-    * counts (plus replayed/duplicate rows) linearly in micro-batches —
-    * exactly the footprint `compact()` reclaims (it rewrites each
-    * partition to one file and folds the duplicates). Lists ONLY the
+    * row-count valve: every appendBatch adds files under its touched
+    * partition directories (one per writing task — micro-batches are
+    * single-task or coalesced, so typically one per batch), and serving
+    * a partition opens ALL its files, so a long append-only stream grows
+    * per-partition file counts (plus replayed/duplicate rows) linearly
+    * in micro-batches — exactly the footprint `compact()` reclaims (it
+    * rewrites each partition to one file and folds the duplicates).
+    * Whatever the per-batch file rate, the valve invariant holds: a
+    * partition observed past the factor compacts back to one file, so
+    * footprints stay bounded by factor + one batch's width. Lists ONLY the
     * touched directories (a bounded set the append itself knows) through
     * the Hadoop FS and returns the max RECURSIVE data-file count (nested
     * (cell, meta) layouts count their leaf files); a missing directory
