@@ -257,6 +257,11 @@ object Bench {
     // fields (queries/serve_only/canaries/total) come LAST, so a
     // truncated capture always retains the numbers the gate grades on.
     println(f"""{"metric":"total","samples":$samplesJson,"serve_samples":$serveSamplesJson,"canary_cpu_log":$cpuLogJson,"canary_sched_log":$schedLogJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"queries":$qs,"serve_only":$serveJson,"value":$total%.3f,"unit":"sec","sf":"$sfDir"}""")
+    // a SECOND, headline-only line (< 2000 bytes): a capturer that keeps
+    // the LAST stdout line gets a fully parseable JSON object, and a
+    // fixed-size tail window over the whole stream still lands on it —
+    // the stall-attribution arrays live only in the full line above
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"serve_only":$serveJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
