@@ -21,7 +21,26 @@ import org.apache.spark.sql.functions._
   *   entries/<part>.parquet            (vec_id) — the pinned entry points
   *   tombstones/                       parquet (doc_id) — folded by compact
   *   epoch-N, _COMPACTING              ArtifactStore commit/guard markers
+  *   _clean-N                          clean-store marker (see below)
   * }}}
+  *
+  * CLEAN-STORE MARKER: `_clean-N` certifies that epoch N's stored edge
+  * and vector planes ARE their own serve view — no replayed/duplicate
+  * rows, no orphan edges, every neighbourhood within `degree` — so
+  * serving may read them verbatim and skip the distributed serve-view
+  * fold (dedup → live-endpoint semi-join → per-src re-truncation), the
+  * dominant cost of a corpus-scale [[queryBatch]] on a quiescent store
+  * (the common deploy state: compact on a cadence, serve continuously).
+  * Writers maintain it crash-safely by ORDER alone: [[build]] and
+  * [[compact]] write the marker LAST (after every data write landed —
+  * both produce exactly-folded planes by construction), and [[append]]
+  * deletes it BEFORE its first data write, so a crash anywhere leaves
+  * either no marker (fold runs — always correct) or a marker over fully
+  * folded data. Tombstones need no marker discipline: cleanliness also
+  * requires the live epoch's tombstone set to be absent, which [[delete]]
+  * makes false by existence and [[compact]]'s commit makes true again.
+  * A replayed append of fully-landed ids writes nothing and keeps the
+  * marker — replays of no-ops stay no-ops.
   *
   * Serving reads ONLY pruned slices: each hop's frontier is a bounded id
   * set (≤ queries × beam — the serve entry point enforces a query-batch
@@ -115,6 +134,22 @@ object GraphIndexStore {
   private def bucketOf(id: Long, buckets: Int): Long =
     java.lang.Math.floorMod(id, buckets.toLong)
 
+  /** The clean-store marker of `ctx`'s live epoch (class doc): present ⇒
+    * the stored planes are exactly their own serve view. Epoch-named so a
+    * marker can never certify planes it did not describe — a compact's
+    * staged marker (epoch+1) is inert until the atomic commit flips the
+    * live epoch to match. */
+  private def cleanMarker(ctx: ArtifactStore.Ctx, epoch: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(ctx.root, s"_clean-$epoch")
+
+  /** True when serving may read the stored edge/vector planes VERBATIM:
+    * the live epoch carries its clean marker AND no tombstones landed
+    * since. False is always safe (the full fold runs); true is proven by
+    * the writers' marker ordering (class doc). private[graft] so the spec
+    * pins the state machine across build/append/delete/compact. */
+  private[graft] def isClean(ctx: ArtifactStore.Ctx): Boolean =
+    ctx.fs.exists(cleanMarker(ctx, ctx.epoch)) && !ctx.exists("tombstones")
+
   /** Bounded top-`k` per `key` by (cosine DESC, id ASC) —
     * [[graft.functions.Ranking]]'s single truncation contract, everywhere
     * a neighbourhood or frontier truncates, identical to [[KnnGraph]]'s
@@ -148,6 +183,10 @@ object GraphIndexStore {
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild-in-place must not leave the OLD epoch's clean marker
+    // certifying half-overwritten planes: drop it before the first write,
+    // re-create it last (the marker ordering contract — class doc)
+    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v")).persist()
     val k = math.max(16L, v.count() / 400L)
@@ -195,6 +234,10 @@ object GraphIndexStore {
     // a crashed build leaves the delete plane intact — over-suppression,
     // never resurrection)
     ArtifactStore.resetMutationPlane(ctx)
+    // a fresh build IS its own serve view (≤ degree edges per src, no
+    // duplicates, every endpoint's vector row landed above) — certify it
+    // only now, after every write (a crashed build leaves no marker)
+    ArtifactStore.writeString(ctx.fs, cleanMarker(ctx, ctx.epoch), "")
   }
 
   /** The base edge scan — constructed ONCE per walk so Spark's file
@@ -557,11 +600,12 @@ object GraphIndexStore {
         // (slim) meta scan is the corpus-batch tradeoff queryBatch already
         // documents for edges: a corpus-scale visited set touches most
         // vbuckets anyway
-        val vMeta = spark.read
+        val vMeta0 = spark.read
           .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
           .parquet(ctx.dir("vectors"))
           .select(col("vec_id"), col("meta"))
-          .dropDuplicates("vec_id")
+        // clean ⇒ one vector row per id by construction (class doc)
+        val vMeta = if (isClean(ctx)) vMeta0 else vMeta0.dropDuplicates("vec_id")
         val qMeta = queries
           .select(col("query_id"), col("meta").cast("string").as("qmeta"))
         graft.functions.Ranking.rankTopK(
@@ -576,7 +620,9 @@ object GraphIndexStore {
     * [[queryFilteredBatch]]: one tombstone read feeds the entry filter
     * and the liveness anti-join, the stored graph folds to its serve view
     * DISTRIBUTED (replay dedup → live-endpoint semi-join → per-src
-    * re-truncation), [[KnnGraph.search]] walks it, and `finish` turns the
+    * re-truncation) — or is read VERBATIM when the live epoch carries its
+    * clean marker (class doc) and the fold would be an identity —
+    * [[KnnGraph.search]] walks it, and `finish` turns the
     * visited rows into the ranked answer. The result is returned
     * MATERIALIZED (persisted + counted) so the walk's checkpoint state
     * releases eagerly; every cache/checkpoint is released on ANY failure
@@ -587,9 +633,20 @@ object GraphIndexStore {
       (finish: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val (degree, _, _, _) = manifest(ctx)
+    // CLEAN fast path: on a store whose live epoch is certified clean
+    // (class doc — fresh build or nothing mutated since the last
+    // compact), the serve-view fold below is an identity recomputed per
+    // call over all n × degree edge rows; the marker lets serving read
+    // both planes verbatim instead (measured the bulk of the
+    // corpus-batch serve: the fold, not the walk, dominated
+    // qs33_batch_only pre-r12). Dirty stores take the full fold — same
+    // rows by the fold-identity argument, spec-pinned across
+    // clean/dirty/re-cleaned states.
+    val clean = isClean(ctx)
     // ONE tombstone read feeds both the entry filter and the liveness
-    // anti-join (tombstones are broadcast-small by protocol)
-    val tomb = ArtifactStore.readTombstones(spark, ctx)
+    // anti-join (tombstones are broadcast-small by protocol; clean ⇒
+    // none exist by definition)
+    val tomb = if (clean) None else ArtifactStore.readTombstones(spark, ctx)
     val tombSet: Set[Long] = tomb match {
       case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
       case None => Set.empty
@@ -600,21 +657,29 @@ object GraphIndexStore {
         "to re-derive entries from the surviving corpus")
     // live vectors: replayed append rows dedup'd, tombstones dropped —
     // the walk's scoring side AND the liveness filter for the edge fold
-    val liveVecs0 = vectorBase(spark, ctx)
-      .select(col("vec_id"), col("v"))
-      .dropDuplicates("vec_id")
+    // (verbatim when clean: no duplicates or tombstones can exist)
+    val liveVecs0 =
+      if (clean) vectorBase(spark, ctx).select(col("vec_id"), col("v"))
+      else vectorBase(spark, ctx)
+        .select(col("vec_id"), col("v"))
+        .dropDuplicates("vec_id")
     val liveVecs = (tomb match {
       case Some(t) => liveVecs0.join(
         broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
       case None => liveVecs0
     }).persist()
     try {
-      val foldedEdges = topPerKey(
-        edgeBase(spark, ctx)
-          .select(col("src"), col("dst"), col("cosine")).distinct()
-          .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
-        "src", degree, "dst")
-        .select(col("src"), col("dst"))
+      val foldedEdges =
+        if (clean)
+          // the stored plane IS the serve view: ≤ degree rows per src, no
+          // duplicates, no orphan/tombstoned endpoints — read it verbatim
+          edgeBase(spark, ctx).select(col("src"), col("dst"))
+        else topPerKey(
+          edgeBase(spark, ctx)
+            .select(col("src"), col("dst"), col("cosine")).distinct()
+            .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
+          "src", degree, "dst")
+          .select(col("src"), col("dst"))
       val scope = new graft.core.WalkScope
       try {
         // qv upcast to double like the driver path's typed encoder — a
@@ -675,7 +740,13 @@ object GraphIndexStore {
     val present = vectorSlice(spark, ctx, batchIds.toSeq, buckets)
       .select(col("vec_id")).as[Long].collect().toSet
     val freshIds = batchIds.filterNot(present)
+    // all ids replayed ⇒ nothing writes ⇒ a clean store STAYS clean
     if (freshIds.isEmpty) return
+    // about to mutate the planes: revoke the clean certificate BEFORE the
+    // first data write, so a crash mid-append (orphan edges, inflated
+    // neighbourhoods) can never serve verbatim (the marker ordering
+    // contract — class doc)
+    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
     // a metadata-scoped store's vector rows carry the meta value — an
     // append must supply the same column ([[IvfIndexStore]]'s contract)
     val metaSel = manifestMeta(ctx).map { m =>
@@ -821,6 +892,14 @@ object GraphIndexStore {
     entryRows.coalesce(1).write.mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "entries"))
     keptVecs.unpersist()
+    // the rewrite above IS the serve-view fold, so epoch+1 is clean by
+    // construction: stage its marker now (inert until the commit flips
+    // the live epoch — a crash before commit leaves the pre-compact view
+    // with its own marker state untouched)
+    ArtifactStore.writeString(ctx.fs, cleanMarker(ctx, ctx.epoch + 1), "")
     ArtifactStore.commitCompact(ctx, Components)
+    // garbage-collect the superseded epoch's marker (correctness never
+    // depends on this — a stale marker names a dead epoch)
+    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
   }
 }

@@ -518,6 +518,63 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "the distributed filtered walk must release its checkpoint state")
   }
 
+  test("clean-store marker: build/compact certify, append/delete revoke, serving identical through every state") {
+    // the r12 serve fast path: a certified-clean store serves the stored
+    // planes VERBATIM (no distributed fold); the marker state machine and
+    // the serve identity across clean → dirty → re-cleaned states are the
+    // whole contract — a wrong transition either wastes the fold forever
+    // (perf) or serves unfolded garbage (correctness)
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-clean").toString
+    val e = embeddings
+    GraphIndexStore.build(e.filter(col("vec_id") >= 10), idx,
+      degree = Degree, assign = 2, nEntries = 4, buckets = Buckets)
+    def clean() = GraphIndexStore.isClean(ArtifactStore.open(spark, idx))
+    assert(clean(), "a fresh build is its own serve view — must certify clean")
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    def viaBatch() = {
+      val rows = GraphIndexStore.queryBatch(spark, idx, q, Beam, Hops, TopK)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    def viaDriver() = {
+      val rows = GraphIndexStore.query(spark, idx, q, Beam, Hops, TopK)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    // clean fast path (verbatim planes) == the driver fold's semantics
+    assert(viaBatch() == viaDriver(),
+      "the clean fast path must serve the driver fold's exact rows")
+    // an append revokes the certificate (reverse in-edges inflate
+    // neighbourhoods — the planes are no longer their own serve view)
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    assert(!clean(), "an append must revoke the clean certificate")
+    assert(viaBatch() == viaDriver(), "the dirty full fold must stay path-identical")
+    // a tombstone alone revokes it too (marker file untouched by delete —
+    // cleanliness requires BOTH marker and empty tombstone set)
+    GraphIndexStore.compact(spark, idx)
+    assert(clean(), "compact must re-certify (the rewrite IS the fold)")
+    GraphIndexStore.delete(spark, idx, Seq(25L))
+    assert(!clean(), "a tombstone must revoke cleanliness without touching the marker")
+    val afterDelete = viaBatch()
+    assert(afterDelete == viaDriver() && !afterDelete.exists(_._3 == 25L),
+      "a post-compact tombstone must be honored despite the epoch's marker file")
+    // compact folds the tombstone and re-certifies at the new epoch
+    GraphIndexStore.compact(spark, idx)
+    assert(clean(), "compact must re-certify the new epoch")
+    assert(viaBatch() == afterDelete,
+      "re-cleaned serving (verbatim planes at epoch 2) must equal the dirty fold's rows")
+    // a full replay writes nothing — the store STAYS clean
+    GraphIndexStore.append(e.filter(col("vec_id") < 10), idx, beam = 32, hops = 4)
+    spark.catalog.clearCache()
+    assert(clean(), "a no-op replayed append must keep the clean certificate")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clean-path serving must release its walk state too")
+  }
+
   test("append pressure valve bounds stored neighbourhood footprints under hub-heavy streams") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-prs").toString
