@@ -428,6 +428,89 @@ class StoreHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ appendStream self-heals a crashed valve compaction; one-shot mutators stay loud") {
+    // the r11 valve made unattended compactions routine on the PQ stream
+    // too — the heal path (code-identical to IVF's) needs its own pin:
+    // a crashed fold's live-epoch guard must wedge one-shot mutators but
+    // be completed by the stream's next micro-batch
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val idx = tmp("graft-pq-heal"); val ckpt = tmp("graft-pq-hck")
+    graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, idx)
+    spark.catalog.clearCache()
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs, new Path(idx, "_COMPACTING"),
+      ctx.epoch.toString)
+    intercept[IllegalStateException] {
+      graft.sinks.IvfPqIndexStore.appendBatch(e.filter(col("vec_id") < 2), idx)
+    }
+    val arrivals = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L, transform(col("embedding"), _.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val sq = graft.sinks.IvfPqIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      stream.addData(arrivals.toSeq)
+      sq.processAllAvailable() // completes the crashed compact, then appends
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the stream must have completed the crashed compaction (epoch flip)")
+    assert(!ctx.fs.exists(new Path(idx, "_COMPACTING")),
+      "the guard must be gone after the healed fold")
+    // appended ids duplicate corpus vectors: exact-rerank cosine 1.0 ties
+    // put them in the top ranks (behind the lower original id)
+    val probe = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 2000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val served = graft.sinks.IvfPqIndexStore.query(spark, idx, probe,
+        nProbe = 10, topK = 3, candK = 72)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q0, arr) => q0 -> arr.map(_._2).toSet }
+    spark.catalog.clearCache()
+    (0L until 3L).foreach { id =>
+      assert(served.get(id + 2000000L).exists(_.contains(id + 1000L)),
+        s"the healed stream's insert must serve (got ${served.get(id + 2000000L)})")
+    }
+  }
+
+  test("band appendStream self-heals a crashed valve compaction; one-shot mutators stay loud") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = (0L until 5L).map(i => (i, page + s" v$i")).toDF("doc_id", "text")
+    val idx = tmp("graft-bidx-heal"); val ckpt = tmp("graft-bidx-hck")
+    BandIndexStore.build(existing, idx, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+    spark.catalog.clearCache()
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs, new Path(idx, "_COMPACTING"),
+      ctx.epoch.toString)
+    intercept[IllegalStateException] {
+      BandIndexStore.appendBatch(Seq((300L, page + " wedged")).toDF("doc_id", "text"), idx)
+    }
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sq = BandIndexStore.appendStream(
+      stream.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      stream.addData(Seq((200L, page + " fresh")))
+      sq.processAllAvailable() // completes the crashed compact, then appends
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the stream must have completed the crashed compaction (epoch flip)")
+    assert(!ctx.fs.exists(new Path(idx, "_COMPACTING")),
+      "the guard must be gone after the healed fold")
+    // the streamed doc must probe as a near-dup partner of an arriving twin
+    val got = BandIndexStore.probe(spark, idx,
+        Seq((100L, page + " fresh")).toDF("doc_id", "text"), 0.80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(got.exists(r => r._1 == 100L && r._2 >= 1L),
+      s"the healed stream's doc must serve as a probe partner (got $got)")
+  }
+
   test("text appendStream self-heals a crashed valve compaction before its next batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
