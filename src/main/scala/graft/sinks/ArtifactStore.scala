@@ -211,10 +211,14 @@ object ArtifactStore {
     * partition observed past the factor compacts back to one file, so
     * footprints stay bounded by factor + one batch's width. Lists ONLY the
     * touched directories (a bounded set the append itself knows) through
-    * the Hadoop FS and returns the max RECURSIVE data-file count (nested
-    * (cell, meta) layouts count their leaf files); a missing directory
-    * counts 0. Callers compact when the max exceeds their compactFactor,
-    * which bounds every partition's footprint at compactFactor files
+    * the Hadoop FS and returns the max PER-LEAF-DIRECTORY data-file count
+    * — the unit a pruned serve actually opens: a flat `cell=N` layout
+    * counts its own files, while a nested `(cell, meta)` layout counts
+    * per `meta=V` subdirectory (summing ACROSS meta subdirs would measure
+    * files-per-cell and make a many-label store cross the factor — and
+    * compact — on nearly every append). A missing directory counts 0.
+    * Callers compact when the max exceeds their compactFactor, which
+    * bounds every served partition's footprint at compactFactor files
     * under any append stream. */
   def maxPartitionFiles(ctx: Ctx, component: String,
       partDirs: Seq[String]): Long =
@@ -222,15 +226,17 @@ object ArtifactStore {
       val p = new Path(ctx.dir(component), d)
       if (!ctx.fs.exists(p)) 0L
       else {
-        var n = 0L
+        val perDir = scala.collection.mutable.HashMap.empty[String, Long]
         val it = ctx.fs.listFiles(p, true)
         while (it.hasNext) {
           val s = it.next()
           val name = s.getPath.getName
-          if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-            n += 1L
+          if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+            val parent = s.getPath.getParent.toString
+            perDir.update(parent, perDir.getOrElse(parent, 0L) + 1L)
+          }
         }
-        n
+        perDir.valuesIterator.foldLeft(0L)(math.max)
       }
     }.foldLeft(0L)(math.max)
 
@@ -246,6 +252,18 @@ object ArtifactStore {
     val ctx = open(spark, root)
     ctx.fs.exists(guardPath(ctx)) && !guardEpoch(ctx).exists(_ < ctx.epoch)
   }
+
+  /** Validate a metadata-scope column name BEFORE it is interpolated into
+    * a store's manifest.json (IvfIndexStore / IvfPqIndexStore /
+    * GraphIndexStore all embed it verbatim and parse it back with a
+    * `"meta":"([^"]+)"` regex): a name containing a quote or backslash
+    * would write a manifest that parses wrong — or not at all — and
+    * silently break every later scoped serve/append/compact on the
+    * store. Identifier-safe names only, refused loudly at build time. */
+  def requireValidMetaCol(metaCol: Option[String]): Unit =
+    metaCol.foreach(m => require(m.matches("[A-Za-z0-9_]+"),
+      s"metaCol '$m' must match [A-Za-z0-9_]+ — the name is embedded " +
+        "verbatim in the store's manifest.json"))
 
   /** Reset the MUTATION PLANE when a store is REBUILT in place: build()
     * overwrites the data components, so tombstones recorded against the

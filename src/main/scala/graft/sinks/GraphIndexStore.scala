@@ -179,6 +179,7 @@ object GraphIndexStore {
       nEntries: Int = 4, buckets: Int = DefaultBuckets,
       metaCol: Option[String] = None): Unit = {
     require(degree > 0 && assign > 0 && nEntries > 0 && buckets > 0)
+    ArtifactStore.requireValidMetaCol(metaCol)
     val spark = e.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)

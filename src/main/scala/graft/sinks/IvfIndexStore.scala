@@ -129,6 +129,7 @@ object IvfIndexStore {
       centroids: Option[Array[Array[Double]]] = None,
       metaCol: Option[String] = None): Unit = {
     require(k > 0)
+    ArtifactStore.requireValidMetaCol(metaCol)
     val spark = e.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)

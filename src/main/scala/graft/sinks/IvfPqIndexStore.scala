@@ -189,6 +189,7 @@ object IvfPqIndexStore {
       codebooks: Option[Array[Array[Array[Double]]]] = None,
       metaCol: Option[String] = None): Unit = {
     require(k > 0 && nSub > 0 && subK > 0 && vbuckets > 0)
+    ArtifactStore.requireValidMetaCol(metaCol)
     val spark = e.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
@@ -266,12 +267,24 @@ object IvfPqIndexStore {
     * declared — no footer reads outside the probed cells). private[graft]
     * so the spec pins its PartitionFilters. */
   private[graft] def servedPostings(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      probeCells: Seq[Long]): DataFrame = {
-    val pruned = spark.read
+      probeCells: Seq[Long]): DataFrame =
+    servedCodes(spark, ctx, Some(probeCells))
+
+  /** [[servedPostings]]'s core with an optional probe set — `None` is the
+    * deliberate full-plane scan ([[cellSizes]]): at corpus-scaled
+    * k = n/400 an "all cells" isInCollection list would itself grow with
+    * the corpus, so the whole-plane reader skips the filter instead of
+    * enumerating the domain. */
+  private def servedCodes(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      probeCells: Option[Seq[Long]]): DataFrame = {
+    val base = spark.read
       .schema("vec_id BIGINT, codes ARRAY<INT>, cell BIGINT")
       .parquet(ctx.dir("postings"))
-      .filter(col("cell").isInCollection(probeCells)) // partition pruning
-      .dropDuplicates("cell", "vec_id") // at-least-once appends
+    val scoped = probeCells match {
+      case Some(cs) => base.filter(col("cell").isInCollection(cs)) // partition pruning
+      case None => base
+    }
+    val pruned = scoped.dropDuplicates("cell", "vec_id") // at-least-once appends
     ArtifactStore.readTombstones(spark, ctx) match {
       case Some(t) => pruned.join(
         broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
@@ -535,29 +548,33 @@ object IvfPqIndexStore {
     * vector, exactly the order [[query]]/[[queryBatch]] probe in: the
     * rank ≤ m prefix IS the nprobe = m probe set, so one call prices
     * every operating point of the nprobe curve (qs34's tuning surface).
-    * Bounded by the driver-path batch cap like [[query]]. */
+    * DISTRIBUTED like [[queryBatch]] (centroids broadcast, each query row
+    * ranks map-side): the batch × k output never lands on the driver, so
+    * the surface serves corpus-sized batches at corpus-scaled k — no
+    * batch cap. */
   def probeRanking(spark: SparkSession, path: String,
       queries: DataFrame): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { _ =>
-      val cents = loadCentroids(spark, path)
-      val qs = collectBounded(queries.select(col("query_id"), col("qv"))
-        .as[(Long, Seq[Double])], "query batch")
-      qs.toSeq.flatMap { case (qid, qv) =>
-        KMeans.nearestK(cents, normalize(qv).toSeq, cents.length)
-          .zipWithIndex.map { case (c, i) => (qid, c.toLong, i + 1L) }
-      }.toDF("query_id", "cell", "probe_rank")
+      val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
+      queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])]
+        .flatMap { case (qid, qv) =>
+          KMeans.nearestK(bcC.value, normalize(qv).toSeq, bcC.value.length)
+            .zipWithIndex.map { case (c, i) => (qid, c.toLong, i + 1L) }
+        }.toDF("query_id", "cell", "probe_rank")
     }
   }
 
   /** Replay-deduped, tombstone-folded code-row counts per cell — the hot
     * plane's size table. With [[probeRanking]], scanned-codes(m) =
     * Σ counts over rank ≤ m: the scan-fraction axis of the nprobe curve
-    * (capacity planning reads this instead of guessing cell balance). */
+    * (capacity planning reads this instead of guessing cell balance).
+    * Reads the WHOLE plane with no cell filter — enumerating all k cells
+    * into an isInCollection list would grow with the corpus (k = n/400)
+    * for a filter that keeps everything. */
   def cellSizes(spark: SparkSession, path: String): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
-      val (k, _, _, _, _) = manifest(ctx)
-      servedPostings(spark, ctx, (0L until k.toLong).toSeq)
+      servedCodes(spark, ctx, None)
         .groupBy(col("cell")).agg(count(lit(1)).as("n_codes"))
     }
 

@@ -541,6 +541,40 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(got == Seq(9001L), s"the healed stream's doc must serve (got $got)")
   }
 
+  test("maxPartitionFiles counts per served leaf dir; scoped builds refuse manifest-breaking meta names") {
+    // (a) the valve metric must measure the unit a pruned serve OPENS: a
+    // (cell, meta) layout's per-meta subdirectory, never the sum across
+    // meta values (which would compact a many-label store on every append)
+    val root = tmp("graft-valve-leaf")
+    val fs = ArtifactStore.fileSystem(spark, root)
+    def mk(rel: String): Unit =
+      ArtifactStore.writeString(fs, new Path(root, rel), "x")
+    Seq("flat/cell=0/a.parquet", "flat/cell=0/b.parquet", "flat/cell=0/c.parquet",
+      "flat/cell=0/_SUCCESS",
+      "scoped/cell=0/meta=x/a.parquet", "scoped/cell=0/meta=x/b.parquet",
+      "scoped/cell=0/meta=y/a.parquet").foreach(mk)
+    val ctx = ArtifactStore.open(spark, root)
+    assert(ArtifactStore.maxPartitionFiles(ctx, "flat", Seq("cell=0")) == 3L,
+      "flat layouts count their own data files (markers excluded)")
+    assert(ArtifactStore.maxPartitionFiles(ctx, "scoped", Seq("cell=0")) == 2L,
+      "nested layouts count per meta leaf dir, not the cross-meta sum")
+    assert(ArtifactStore.maxPartitionFiles(ctx, "scoped", Seq("cell=9")) == 0L)
+    // (b) a metaCol name that would corrupt manifest.json's regex-parsed
+    // JSON is refused at build time, before any write, on every scoped store
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    Seq(
+      () => IvfIndexStore.build(e, k = 16, tmp("graft-badmeta-ivf"),
+        metaCol = Some("bad\"name")),
+      () => graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256,
+        tmp("graft-badmeta-pq"), metaCol = Some("bad\\name")),
+      () => GraphIndexStore.build(e, tmp("graft-badmeta-g"), degree = 8,
+        metaCol = Some("bad,name"))
+    ).foreach { b =>
+      val ex = intercept[IllegalArgumentException](b())
+      assert(ex.getMessage.contains("manifest"), ex.getMessage)
+    }
+  }
+
   test("rebuilding a store in place clears tombstones recorded against the old corpus") {
     // IVF: a fresh corpus reusing a tombstoned vec_id must serve
     val ivf = tmp("graft-ivf-rebuild")
