@@ -2758,6 +2758,157 @@ object PipelineQueries {
       SELECT doc_id, rrf_score FROM fused
       ORDER BY rrf_score DESC, doc_id LIMIT 10""")),
 
+    CatalogQuery("qs38_graph_beam_curve", (s, d) => {
+      // The GRAPH store's operating curve — qs34's tuning-table story on
+      // the graph paradigm (r11 verdict #3): recall AND walk cost at
+      // beam ∈ {16, 32, 48, 64} × hops ∈ {3, 4} from ONE build+store,
+      // via GraphIndexStore.visitedCandidates — the raw visited relation,
+      // whose (cosine DESC, vec_id ASC) top-k minus self matches IS
+      // query()'s answer (shared Ranking finish), so one walk per grid
+      // point prices both axes. Walk cost = scored candidates per query
+      // (the unit per-hop I/O and compute scale with).
+      //
+      // Contracts (the gated ones are PROVABLE, qs34's discipline):
+      //  - visited(hops=4) ⊇ visited(hops=3) PER QUERY at fixed beam:
+      //    the hop loop is deterministic and hops only bounds it, so the
+      //    deeper walk replays the shallower one exactly, then adds —
+      //    gated on per-query counts;
+      //  - recall nondecreasing in hops at fixed beam: truth-top-k
+      //    members can only be displaced from top-k(visited) by other
+      //    truth members (they are the global cosine top-k), so a
+      //    visited SUPERSET never ranks fewer of them — gated;
+      //  - avg visited nondecreasing in BEAM at fixed hops: NOT provable
+      //    (a wider frontier's top-b of a superset need not nest — the
+      //    qs34 candidate-set argument on the beam axis) but MEASURED
+      //    monotone at every SF; gated on the avg, re-measure before
+      //    touching walk mechanics;
+      //  - recall at the PINNED point (beam=32, hops=4 — qs27/qs28's
+      //    geometry) ≥ 0.90: measured avg 1.000 at all SFs
+      //    (GraphCurveProbeMain re-measures this exact grid).
+      // Recall in beam is NOT gated even at fixed hops (same
+      // non-nesting caveat). MEASURED curve (GraphCurveProbeMain):
+      // hops=4 recall is 1.000 at EVERY beam and SF — on this corpus
+      // the depth axis, not the width axis, is what recall buys with
+      // (hops=3 at sf0.1 reads avg 0.86/0.88/0.92/0.92 for beams
+      // 16/32/48/64, mins to 0.30); avg visited/query at hops=4 grows
+      // ≈ linearly in beam — 435/719/953/1068 at sf0.1 (289/407/460/478
+      // at sf0.01) for beams 16/32/48/64 — so beam is the cost knob and
+      // hops the recall knob: the sizing table a deploy trades against.
+      val Beams = Seq(16, 32, 48, 64); val HopsGrid = Seq(3, 4)
+      val NQueries = 5; val Pinned = (32, 4)
+      import s.implicits._
+      val idxDir = Serve.buildGraphIndex(s, d)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < NQueries).persist()
+      val truth = QueryCatalog.byName("qs01_ann_topk").build(s, d)
+        .select(col("query_id"), col("vec_id")).persist()
+      truth.count()
+      // one walk per grid point; the visited relation is bounded
+      // (queries × walk size), so the curve assembly is local arithmetic
+      val grid: Map[(Int, Int), (Map[Long, Long], Double)] =
+        (for { b <- Beams; h <- HopsGrid } yield {
+          val vis = graft.sinks.GraphIndexStore
+            .visitedCandidates(s, idxDir, queries, b, h).persist()
+          val counts = vis.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val got = topkRanked(vis.filter(col("vec_id") =!= col("query_id")))
+            .select(col("query_id"), col("vec_id"))
+          val r = truth.join(got.withColumn("hit", lit(1L)),
+              Seq("query_id", "vec_id"), "left")
+            .groupBy(col("query_id"))
+            .agg((sum(coalesce(col("hit"), lit(0L))).cast("double")
+              / count(lit(1))).as("recall"))
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+          vis.unpersist()
+          (b, h) -> (counts, r)
+        }).toMap
+      val visitedMonotoneHops = Beams.forall { b =>
+        val shallow = grid((b, HopsGrid.head))._1
+        val deep = grid((b, HopsGrid.last))._1
+        shallow.forall { case (q, n) => deep.getOrElse(q, 0L) >= n }
+      }
+      val recallMonotoneHops = Beams.forall(b =>
+        grid((b, HopsGrid.last))._2 >= grid((b, HopsGrid.head))._2)
+      val visitedMonotoneBeam = HopsGrid.forall { h =>
+        val avgs = Beams.map(b => grid((b, h))._1.values.sum.toDouble / NQueries)
+        avgs.zip(avgs.tail).forall { case (a, b2) => a <= b2 }
+      }
+      Seq(((Beams.length * HopsGrid.length).toLong, NQueries.toLong,
+          visitedMonotoneHops, recallMonotoneHops, visitedMonotoneBeam,
+          grid(Pinned)._2 >= 0.90))
+        .toDF("n_points", "n_queries", "visited_nondecreasing_in_hops",
+          "recall_nondecreasing_in_hops", "visited_nondecreasing_in_beam",
+          "recall_ge_090_at_pinned")
+    }, Some("""
+      SELECT 8::BIGINT AS n_points,
+        CAST(count(*) AS BIGINT) AS n_queries,
+        TRUE AS visited_nondecreasing_in_hops,
+        TRUE AS recall_nondecreasing_in_hops,
+        TRUE AS visited_nondecreasing_in_beam,
+        TRUE AS recall_ge_090_at_pinned
+      FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 5) q""")),
+
+    CatalogQuery("qs39_pq_batch_range_serve", (s, d) => {
+      // RANGE serving on the COMPRESSED store (r11 verdict #5): the
+      // takedown/radius sweep (qs20/qs21/qs25's primitive) finally has
+      // its PQ-paradigm twin — at 100 TB the sweep wants the 8-byte hot
+      // plane, not raw postings. IvfPqIndexStore.rangeQueryBatch is a
+      // LOSSLESS two-stage cut: map-side unit-space probes (the store's
+      // own geometry), keyed ADC scoring over the pruned code plane, a
+      // prefilter at radius − AdcRangeMargin (margin MEASURED ≥ 33% over
+      // the binding max(radius − adc)-over-answers statistic across SFs
+      // — PqRangeProbeMain; see the method doc for why the cut is wide
+      // on these near-random synthetics and sharp on real corpora /
+      // high-radius sweeps), then an EXACT-cosine verify over cold-plane
+      // point reads of the survivors. Exactness comes from the verify
+      // stage, so unlike the store's top-k rows (recall contracts) this
+      // gate is FULL EQUALITY: the oracle mirrors the probe geometry —
+      // L2-normalize (same guarded sqrt-of-dot fold), assign corpus and
+      // queries to the 16 lowest-id UNIT centroids in unit space (rn = 1
+      // / rn ≤ 4, ties by cid — KMeans.nearest's rule), then qs20's raw
+      // cosine formula, radius 0.30, rounded-6 output ordered by
+      // (query_id, vec_id). Every vector queries (qs25's corpus-sweep
+      // shape); no driver-side collect of the batch anywhere — the two
+      // serve-time collects are the probed-cell and candidate-vbucket
+      // domains.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs39-pq").toString
+      graft.sinks.IvfPqIndexStore.build(table(s, d, "embeddings"),
+        k = 16, nSub = 8, subK = 256, idxDir)
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      graft.sinks.IvfPqIndexStore.rangeQueryBatch(s, idxDir, queries,
+        nProbe = 4, radius = 0.30)
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      un AS (SELECT vec_id, v,
+          sqrt(greatest(list_dot_product(v, v), 1e-30)) AS nrm FROM e),
+      u AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uv FROM un),
+      cent AS (SELECT vec_id AS cid, uv AS cu FROM u WHERE vec_id < 16),
+      assigned AS (
+        SELECT vec_id, v, cid AS cell FROM (
+          SELECT u.vec_id, u.v, cent.cid,
+            row_number() OVER (PARTITION BY u.vec_id
+              ORDER BY list_distance(u.uv, cent.cu) ASC, cent.cid ASC) rn
+          FROM u CROSS JOIN cent) t WHERE rn = 1),
+      q AS (
+        SELECT query_id, qv, cid AS cell FROM (
+          SELECT u.vec_id AS query_id, u.v AS qv, cent.cid,
+            row_number() OVER (PARTITION BY u.vec_id
+              ORDER BY list_distance(u.uv, cent.cu) ASC, cent.cid ASC) rn
+          FROM u CROSS JOIN cent) t WHERE rn <= 4),
+      scored AS (
+        SELECT query_id, vec_id,
+          list_dot_product(qv, v) /
+            (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+        FROM assigned JOIN q USING (cell) WHERE vec_id <> query_id)
+      SELECT query_id, vec_id, round(cosine, 6) AS cosine
+      FROM scored WHERE cosine >= 0.30
+      ORDER BY query_id, vec_id""")),
+
     CatalogQuery("qs03_ann_ivf_recall", (s, d) => {
       // The TRAINED IVF path with a gated recall contract: centroids come
       // from graft.pipeline.KMeans.fit (Lloyd's, deterministic lowest-K

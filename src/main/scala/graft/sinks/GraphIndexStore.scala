@@ -488,6 +488,32 @@ object GraphIndexStore {
       }.toSeq.sortBy(r => (r._1, r._2)).toDF("query_id", "rank", "vec_id")
     }
 
+  /** The walk's raw VISITED relation for a query batch — (query_id,
+    * vec_id, cosine), every candidate the beam search scored (self
+    * matches included): the graph paradigm's tuning surface, the analog
+    * of [[IvfPqIndexStore.probeRanking]]/`cellSizes` on the beam/hops
+    * axes (qs38). ONE walk prices BOTH sides of an operating point:
+    * recall ([[query]]'s answer is exactly this relation's
+    * (cosine DESC, vec_id ASC) top-k minus self matches — the shared
+    * [[graft.functions.Ranking]] finish) and walk cost (the per-query
+    * row count IS the number of scored candidates, the unit the per-hop
+    * I/O and compute scale with). Because the hop loop is deterministic
+    * and `hops` only bounds it, a deeper walk's visited set is a SUPERSET
+    * of a shallower one's at the same beam — the provable monotonicity
+    * qs38 gates. Same driver-fold engine and slice chunking as
+    * [[query]]. */
+  def visitedCandidates(spark: SparkSession, path: String, queries: DataFrame,
+      beam: Int, hops: Int): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      val qs = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])].toLocalIterator().asScala
+      qs.grouped(MaxQueryBatch).flatMap { slice =>
+        searchVisited(spark, ctx, slice.toArray, beam, hops).toSeq
+      }.toSeq.sortBy(r => (r._1, r._2)).toDF("query_id", "vec_id", "cosine")
+    }
+
   /** Filtered serving from a metadata-scoped store: top-`topK` among the
     * visited candidates whose stored meta equals the QUERY's meta — the
     * tenant/label-scoped retrieval shape on the graph paradigm. The graph

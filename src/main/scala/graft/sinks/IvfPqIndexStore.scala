@@ -543,6 +543,124 @@ object IvfPqIndexStore {
     }
   }
 
+  /** DISTRIBUTED RANGE serving on the COMPRESSED store —
+    * [[IvfIndexStore.rangeQueryBatch]]'s takedown/radius sweep
+    * ("everything within r of ANY of these vectors") on the PQ paradigm,
+    * where the 8-byte hot plane is what the sweep scans at 100 TB. The
+    * plan is a LOSSLESS two-stage cut: the ADC score prefilters probed
+    * candidates at `radius - adcMargin` (the codegen'd table-lookup scan
+    * — no exact vector is touched), and only the survivors verify
+    * against the exact cosine from cold-plane point reads, so the
+    * output is EXACTLY the probed pairs with cosine ≥ radius — equality,
+    * not recall, PROVIDED the margin covers the quantization error: an
+    * answer is dropped iff adcMargin < radius − adc, so the binding
+    * statistic is max(radius − adc) over true answers, MEASURED
+    * (PqRangeProbeMain) at 0.252 / 0.250 / 0.298 across sf0.001/0.01/0.1
+    * at the gate geometry — [[AdcRangeMargin]] = 0.40 carries ≥ 33%
+    * headroom. On these near-random synthetic embeddings the error is
+    * inherently large (8×256 codebooks over dim-64 noise — qs32's
+    * probe-loss caveat transposed), so at the qs20 radius of 0.30 the
+    * cut only trims the far tail and the verify stage reads most probed
+    * pairs once (still exact, and never MORE than the raw-IVF range
+    * path reads); on clustered corpora — and at the high radii real
+    * takedown sweeps use (cut = 0.8 − 0.4 filters almost everything) —
+    * the 8-byte plane absorbs the bulk of the scan. Same map-side probe
+    * geometry and keyed-join discipline as [[queryBatch]]; the finish is
+    * a STATELESS filter (no per-query state) with
+    * [[IvfIndexStore.rangeQuery]]'s output conventions —
+    * (query_id, vec_id, cosine rounded to 6) ordered by
+    * (query_id, vec_id) — so the qs20-family oracle grades it verbatim.
+    * Gate: qs39. */
+  def rangeQueryBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, radius: Double,
+      adcMargin: Double = AdcRangeMargin): DataFrame =
+    rangePairs(spark, path, queries, nProbe, Some(radius - adcMargin))
+      .filter(col("cosine") >= radius)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("vec_id"))
+
+  /** The measured ADC prefilter margin for [[rangeQueryBatch]] — must
+    * stay ≥ max(radius − adc) over true answers or the prefilter
+    * silently drops them (PqRangeProbeMain re-measures; 0.250-0.298
+    * observed across SFs at the 8×256 gate geometry and radius 0.30 —
+    * re-measure before shrinking, and widen for coarser codebooks). */
+  val AdcRangeMargin: Double = 0.40
+
+  /** PROBE surface behind PqRangeProbeMain: every probed (query,
+    * candidate) pair's ADC score AND exact cosine, no prefilter — the
+    * relation [[AdcRangeMargin]]'s evidence is measured on. */
+  private[graft] def rangeScoredPairs(spark: SparkSession, path: String,
+      queries: DataFrame, nProbe: Int): DataFrame =
+    rangePairs(spark, path, queries, nProbe, None)
+
+  /** The shared range-scan core: map-side probe posting + ADC tables
+    * ([[queryBatch]]'s preamble), keyed ADC scoring over the pruned code
+    * plane, optional ADC cut, then the exact cosine joined per surviving
+    * pair from vbucket-pruned cold-plane reads. Returns
+    * (query_id, vec_id, adc, cosine); both serve-time collects are the
+    * bounded probed-cell / candidate-vbucket domains. */
+  private def rangePairs(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, adcCut: Option[Double]): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (_, _, nSub, subK, vbuckets) = manifest(ctx)
+      val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
+      val bcCb = spark.sparkContext.broadcast(loadCodebooks(spark, path, nSub, subK))
+      val q = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])]
+        .persist() // posted + tables + verify norms read it
+      try {
+        val posted = q.flatMap { case (qid, qv) =>
+          KMeans.nearestK(bcC.value, normalize(qv).toSeq, nProbe)
+            .map(c => (qid, c.toLong))
+        }.toDF("query_id", "cell")
+        val tables = q.map { case (qid, qv) =>
+          (qid, adcTable(bcCb.value, normalize(qv)).toSeq)
+        }.toDF("query_id", "tbl")
+        val probeCells = posted.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq // ≤ k values
+        val adc = servedPostings(spark, ctx, probeCells)
+          .join(posted, Seq("cell")) // keyed, NOT broadcast
+          .filter(col("vec_id") =!= col("query_id"))
+          .join(tables, Seq("query_id")) // keyed: one table copy per query
+          .select(col("query_id"), col("vec_id"),
+            graft.functions.expressions.VectorExpressions
+              .pqAdc(col("codes"), col("tbl")).as("adc"))
+        // the lossless cut: candidates below radius − margin cannot be
+        // answers (measured margin ≥ quantization error); survivors are
+        // the only pairs that pay a cold-plane read
+        val cand = adcCut match {
+          case Some(cut) => adc.filter(col("adc") >= cut)
+          case None => adc
+        }
+        val cand2 = cand.persist() // bucket-domain scan + verify join read it
+        try {
+          val buckets = cand2
+            .select(pmod(col("vec_id"), lit(vbuckets.toLong)).as("b")).distinct()
+            .collect().map(_.getLong(0)).sorted.toSeq // ≤ vbuckets values
+          val vecs = spark.read
+            .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
+            .parquet(ctx.dir("vectors"))
+            .filter(col("vbucket").isInCollection(buckets)) // partition pruning
+            .dropDuplicates("vec_id")
+            .select(col("vec_id"), col("v"), col("vnorm"))
+          val qn = q.toDF("query_id", "qv")
+            .withColumn("qnorm", normExpr(col("qv")))
+          // return MATERIALIZED with the caches released (the batchServe
+          // contract: a lazy result would recompute the ADC scan after a
+          // caller's clearCache, and serving() may retry the body)
+          val out = vecs.join(cand2, Seq("vec_id")) // keyed
+            .join(qn, Seq("query_id")) // keyed
+            .select(col("query_id"), col("vec_id"), col("adc"), cosineExpr)
+            .persist()
+          try out.count()
+          catch { case e: Throwable => out.unpersist(); throw e }
+          out
+        } finally cand2.unpersist()
+      } finally q.unpersist()
+    }
+  }
+
   /** Per-query probe ranking over the STORED centroids — (query_id, cell,
     * probe_rank), rank ascending by (L2², cid) over the query's unit
     * vector, exactly the order [[query]]/[[queryBatch]] probe in: the

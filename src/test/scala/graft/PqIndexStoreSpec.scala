@@ -99,6 +99,43 @@ class PqIndexStoreSpec extends AnyFunSuite {
       "every corpus vector must be served as a query")
   }
 
+  test("rangeQueryBatch: ADC prefilter is lossless vs a disabled-cut control; tombstones exclude") {
+    // the qs39 contract's mechanics: the pinned AdcRangeMargin must admit
+    // every true >= radius answer into the exact verify stage, so the
+    // served rows must EQUAL a control serve whose margin disables the
+    // cut entirely (every probed pair verified exactly) — any divergence
+    // is a silently dropped answer
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-range").toString
+    val e = embeddings
+    IvfPqIndexStore.build(e, K, S, SubK, idx)
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    def serve(margin: Double): Seq[(Long, Long, Double)] = {
+      val rows = IvfPqIndexStore.rangeQueryBatch(spark, idx, q,
+          nProbe = 4, radius = 0.30, adcMargin = margin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val got = serve(IvfPqIndexStore.AdcRangeMargin)
+    val control = serve(2.0) // cut <= -1.7: no pair ever filtered
+    assert(got.nonEmpty && got == control,
+      s"the pinned margin dropped answers (${got.length} vs ${control.length} rows)")
+    // tombstones fold on the code plane, so a deleted id never ANSWERS
+    // (no cold-plane read ever happens for it); it may still QUERY — the
+    // batch is caller-supplied, the IvfIndexStore range semantics
+    val victim = got.head._2
+    IvfPqIndexStore.delete(spark, idx, Seq(victim))
+    val after = serve(IvfPqIndexStore.AdcRangeMargin)
+    assert(!after.exists(_._2 == victim),
+      "a tombstoned id must never serve as an answer in the range sweep")
+    assert(after == control.filterNot(_._2 == victim),
+      "the surviving rows must be exactly the control minus the victim's answer rows")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "range serving must release its pair cache")
+  }
+
   test("appended vectors serve through the stored geometry; replays change nothing") {
     val idx = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
     val e = embeddings
