@@ -253,6 +253,71 @@ object ArtifactStore {
     ctx.fs.exists(guardPath(ctx)) && !guardEpoch(ctx).exists(_ < ctx.epoch)
   }
 
+  // ---- clean-store certificate (serve-fold fast path) ----
+  //
+  // Every store's serve path starts by FOLDING the stored planes into the
+  // serve view: dedup replayed at-least-once appends, anti-join tombstones,
+  // decrement group counts, sum stat increments. On a store with no
+  // mutations since its last build/compact that fold is an IDENTITY
+  // recomputed per serve — on the corpus-batch paths it is a corpus-wide
+  // shuffle per call. The `_clean-<epoch>` marker certifies "the stored
+  // planes ARE their own serve view", letting serving read them VERBATIM.
+  //
+  // State machine (every store follows it; GraphIndexStoreSpec +
+  // StoreHardeningSpec pin it per store):
+  //   - build()  revokes the live marker BEFORE its first write (a rebuild
+  //     in place must not leave the old marker certifying half-overwritten
+  //     planes) and certifies LAST, after every write + resetMutationPlane
+  //     (a crashed build leaves no marker — the fold runs, always safe);
+  //   - append*() revokes BEFORE its first write (duplicates/replays may
+  //     now exist; a crash after the revoke leaves a dirty-but-correct
+  //     store);
+  //   - delete() needs nothing: [[isClean]] also requires an EMPTY
+  //     tombstone set, so tombstone presence revokes independently of the
+  //     marker file;
+  //   - compact() STAGES the next epoch's marker before the atomic commit
+  //     (inert until the epoch flips — the rewrite IS the fold, so the
+  //     post-compact view is clean by construction) and garbage-collects
+  //     the superseded epoch's marker after.
+  // The marker is EPOCH-NAMED so it can never certify planes it did not
+  // describe: a crashed compact's staged marker names a dead epoch until
+  // the commit makes it true. False is always safe (the full fold runs);
+  // true is proven by the writers' ordering above.
+
+  /** The clean-store marker path of `epoch` under `ctx`'s root. */
+  def cleanMarker(ctx: Ctx, epoch: Long): Path =
+    new Path(ctx.root, s"_clean-$epoch")
+
+  /** True when serving may read the stored planes VERBATIM: the live
+    * epoch carries its clean marker AND no tombstones landed since. */
+  def isClean(ctx: Ctx): Boolean =
+    ctx.fs.exists(cleanMarker(ctx, ctx.epoch)) && !ctx.exists("tombstones")
+
+  /** Mutators call this BEFORE their first data write (state machine
+    * above); idempotent when no marker exists. */
+  def revokeClean(ctx: Ctx): Unit =
+    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
+
+  /** build() calls this LAST, after every data write has succeeded (and
+    * after [[resetMutationPlane]] — cleanliness requires an empty
+    * tombstone set). */
+  def certifyClean(ctx: Ctx): Unit =
+    writeString(ctx.fs, cleanMarker(ctx, ctx.epoch), "")
+
+  /** compact() calls this after staging every component and BEFORE
+    * [[commitCompact]]: the staged marker names epoch+1, so it is inert
+    * until the commit flips the live epoch to match — a crash before the
+    * commit leaves the pre-compact view with its own marker state
+    * untouched. */
+  def stageCleanMarker(ctx: Ctx): Unit =
+    writeString(ctx.fs, cleanMarker(ctx, ctx.epoch + 1), "")
+
+  /** compact() calls this after [[commitCompact]]: garbage-collect the
+    * superseded epoch's marker (correctness never depends on it — a stale
+    * marker names a dead epoch). */
+  def retireCleanMarker(ctx: Ctx): Unit =
+    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
+
   /** Validate a metadata-scope column name BEFORE it is interpolated into
     * a store's manifest.json (IvfIndexStore / IvfPqIndexStore /
     * GraphIndexStore all embed it verbatim and parse it back with a

@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   *   members/mbucket=K/<parts>.parquet  (rep_id, doc_id) per id-hash bucket
   *   tombstones/                        parquet (doc_id) — folded by compact
   *   epoch-N, _COMPACTING               ArtifactStore commit/guard markers
+  *   _clean-N                           clean-store marker ([[ArtifactStore.isClean]])
   * }}}
   *
   * Postings carry the representative's full shingle-hash array `hs` IN
@@ -87,6 +88,10 @@ object BandIndexStore {
     val spark = docs.sparkSession
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild-in-place must not leave the OLD epoch's clean marker
+    // certifying half-overwritten planes ([[ArtifactStore]]'s marker
+    // ordering): drop it before the first write, re-create it last
+    ArtifactStore.revokeClean(ctx)
     val shingled = docs
       .filter(length(col("text")) >= shingleN)
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
@@ -127,6 +132,11 @@ object BandIndexStore {
     // rebuild leaves the delete plane intact (over-suppression, the
     // conservative failure for a takedown plane — never resurrection)
     ArtifactStore.resetMutationPlane(ctx)
+    // a fresh build IS its own serve view — exactly one posting row per
+    // (band, rep_id) group (each doc belongs to one hs group; reps are
+    // the group minima) and a distinct member map — certified only now,
+    // after every write (a crashed build leaves no marker)
+    ArtifactStore.certifyClean(ctx)
   }
 
   /** Append one batch of new corpus documents to an EXISTING index: each
@@ -153,6 +163,10 @@ object BandIndexStore {
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
       .persist() // written once, then the valve reads the touched buckets
     try {
+      // appended rows may duplicate stored ones (at-least-once replays,
+      // re-appended representatives): revoke the clean certificate BEFORE
+      // the first write ([[ArtifactStore]]'s marker ordering)
+      ArtifactStore.revokeClean(ctx)
       posting
         .write.partitionBy("bucket").mode("append")
         .parquet(ctx.dir("postings"))
@@ -223,7 +237,11 @@ object BandIndexStore {
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     keptMembers.write.partitionBy("mbucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "members"))
+    // the rewrite above IS the serve-view fold: stage epoch+1's clean
+    // marker (inert until the commit), commit, GC the old epoch's marker
+    ArtifactStore.stageCleanMarker(ctx)
     ArtifactStore.commitCompact(ctx, Components)
+    ArtifactStore.retireCleanMarker(ctx)
   }
 
   /** Continuous index maintenance: stream arriving corpus documents into
@@ -290,15 +308,22 @@ object BandIndexStore {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
-    val pruned = foldPostings( // deterministic replay/duplicate fold
-      spark.read.schema(postingSchema).parquet(ctx.dir("postings"))
-        .filter(col("bucket").isInCollection(probeBuckets)))
+    val rawSlice = spark.read.schema(postingSchema).parquet(ctx.dir("postings"))
+      .filter(col("bucket").isInCollection(probeBuckets))
+    // CLEAN fast path ([[ArtifactStore.isClean]]): a certified-clean
+    // store holds exactly one posting row per (band, rep_id) group and no
+    // tombstones, so the max-fold (a corpus-wide shuffle when the probe
+    // touches most buckets) and the decrement below are identities
+    val clean = ArtifactStore.isClean(ctx)
+    val pruned = if (clean) rawSlice
+      else foldPostings(rawSlice) // deterministic replay/duplicate fold
     // tombstone fold: decrement each affected representative's group
     // count (identical content ⇒ the rep's hash array still stands for
     // the survivors); fully-deleted groups drop out. The member scan
     // opens only the tombstoned ids' hash-bucket partitions, so the cost
     // scales with the takedown list, not the corpus.
-    val postings = ArtifactStore.readTombstones(spark, ctx) match {
+    val postings = (if (clean) None
+      else ArtifactStore.readTombstones(spark, ctx)) match {
       case None => pruned
       case Some(tomb) =>
         // bounded collect: takedown lists are small by nature; the same

@@ -134,21 +134,13 @@ object GraphIndexStore {
   private def bucketOf(id: Long, buckets: Int): Long =
     java.lang.Math.floorMod(id, buckets.toLong)
 
-  /** The clean-store marker of `ctx`'s live epoch (class doc): present ⇒
-    * the stored planes are exactly their own serve view. Epoch-named so a
-    * marker can never certify planes it did not describe — a compact's
-    * staged marker (epoch+1) is inert until the atomic commit flips the
-    * live epoch to match. */
-  private def cleanMarker(ctx: ArtifactStore.Ctx, epoch: Long): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(ctx.root, s"_clean-$epoch")
-
-  /** True when serving may read the stored edge/vector planes VERBATIM:
-    * the live epoch carries its clean marker AND no tombstones landed
-    * since. False is always safe (the full fold runs); true is proven by
-    * the writers' marker ordering (class doc). private[graft] so the spec
-    * pins the state machine across build/append/delete/compact. */
+  /** True when serving may read the stored edge/vector planes VERBATIM —
+    * [[ArtifactStore.isClean]]'s certificate (the marker state machine and
+    * writer ordering live there since r12, shared by all five stores).
+    * private[graft] so the spec pins the state machine across
+    * build/append/delete/compact. */
   private[graft] def isClean(ctx: ArtifactStore.Ctx): Boolean =
-    ctx.fs.exists(cleanMarker(ctx, ctx.epoch)) && !ctx.exists("tombstones")
+    ArtifactStore.isClean(ctx)
 
   /** Bounded top-`k` per `key` by (cosine DESC, id ASC) —
     * [[graft.functions.Ranking]]'s single truncation contract, everywhere
@@ -187,7 +179,7 @@ object GraphIndexStore {
     // a rebuild-in-place must not leave the OLD epoch's clean marker
     // certifying half-overwritten planes: drop it before the first write,
     // re-create it last (the marker ordering contract — class doc)
-    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
+    ArtifactStore.revokeClean(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v")).persist()
     val k = math.max(16L, v.count() / 400L)
@@ -238,7 +230,7 @@ object GraphIndexStore {
     // a fresh build IS its own serve view (≤ degree edges per src, no
     // duplicates, every endpoint's vector row landed above) — certify it
     // only now, after every write (a crashed build leaves no marker)
-    ArtifactStore.writeString(ctx.fs, cleanMarker(ctx, ctx.epoch), "")
+    ArtifactStore.certifyClean(ctx)
   }
 
   /** The base edge scan — constructed ONCE per walk so Spark's file
@@ -773,7 +765,7 @@ object GraphIndexStore {
     // first data write, so a crash mid-append (orphan edges, inflated
     // neighbourhoods) can never serve verbatim (the marker ordering
     // contract — class doc)
-    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
+    ArtifactStore.revokeClean(ctx)
     // a metadata-scoped store's vector rows carry the meta value — an
     // append must supply the same column ([[IvfIndexStore]]'s contract)
     val metaSel = manifestMeta(ctx).map { m =>
@@ -923,10 +915,8 @@ object GraphIndexStore {
     // construction: stage its marker now (inert until the commit flips
     // the live epoch — a crash before commit leaves the pre-compact view
     // with its own marker state untouched)
-    ArtifactStore.writeString(ctx.fs, cleanMarker(ctx, ctx.epoch + 1), "")
+    ArtifactStore.stageCleanMarker(ctx)
     ArtifactStore.commitCompact(ctx, Components)
-    // garbage-collect the superseded epoch's marker (correctness never
-    // depends on this — a stale marker names a dead epoch)
-    ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
+    ArtifactStore.retireCleanMarker(ctx)
   }
 }

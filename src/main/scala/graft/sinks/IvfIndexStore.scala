@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   *   postings/cell=C/<parts>.parquet  (vec_id, v array<double>, vnorm) per cell
   *   tombstones/                    parquet (doc_id) — folded by compact
   *   epoch-N, _COMPACTING           ArtifactStore commit/guard markers
+  *   _clean-N                       clean-store marker ([[ArtifactStore.isClean]])
   * }}}
   *
   * The scale property is PARTITION PRUNING at serve time: postings are
@@ -134,6 +135,10 @@ object IvfIndexStore {
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild-in-place must not leave the OLD epoch's clean marker
+    // certifying half-overwritten postings ([[ArtifactStore]]'s marker
+    // ordering): drop it before the first write, re-create it last
+    ArtifactStore.revokeClean(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
@@ -183,6 +188,11 @@ object IvfIndexStore {
     // so a half-rebuilt store can only over-suppress (the conservative
     // failure for a takedown plane), never resurrect deleted documents
     ArtifactStore.resetMutationPlane(ctx)
+    // a fresh build IS its own serve view — one (cell, vec_id) row per
+    // input vector (build input carries unique vec_ids by the store
+    // contract), no tombstones — certify it only now, after every write
+    // (a crashed build leaves no marker and the serve-time fold runs)
+    ArtifactStore.certifyClean(ctx)
   }
 
   /** Append one batch of new vectors to an EXISTING index: assignment
@@ -233,6 +243,10 @@ object IvfIndexStore {
     try {
       val partCols = if (manifestMeta(ctx).isEmpty) Seq("cell")
         else Seq("cell", "meta")
+      // the appended rows may duplicate stored ones (at-least-once
+      // replays): revoke the clean certificate BEFORE the first write so
+      // a crash anywhere leaves a dirty-but-correct store (the fold runs)
+      ArtifactStore.revokeClean(ctx)
       assigned.write.partitionBy(partCols: _*).mode("append")
         .parquet(ctx.dir("postings"))
       // PRESSURE VALVE (the GraphIndexStore discipline, file-count
@@ -295,7 +309,12 @@ object IvfIndexStore {
     kept.select(cols.map(col): _*)
       .write.partitionBy(parts: _*).mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
+    // the rewrite above IS the serve-view fold, so epoch+1 is clean by
+    // construction: stage its marker (inert until the commit), commit,
+    // then garbage-collect the superseded epoch's marker
+    ArtifactStore.stageCleanMarker(ctx)
     ArtifactStore.commitCompact(ctx, names)
+    ArtifactStore.retireCleanMarker(ctx)
   }
 
   /** Continuous index maintenance: stream arriving vectors into the
@@ -333,13 +352,21 @@ object IvfIndexStore {
       case Some(ms) => base.filter(col("meta").isInCollection(ms))
       case None => base
     }
-    val pruned = scoped.dropDuplicates("cell", "vec_id")
-    // tombstoned ids never serve: broadcast anti-join against the (small)
-    // delete set, after pruning — only the probed slice pays for it
-    ArtifactStore.readTombstones(spark, ctx) match {
-      case Some(t) => pruned.join(broadcast(t.withColumnRenamed("doc_id", "vec_id")),
-        Seq("vec_id"), "left_anti")
-      case None => pruned
+    // CLEAN fast path ([[ArtifactStore.isClean]]): a certified-clean
+    // store's postings ARE the serve view — no replayed duplicates, no
+    // tombstones — so the dedup shuffle and the anti-join are identities
+    // and serving reads the pruned slice verbatim (on the corpus-batch
+    // paths the dedup is a corpus-wide shuffle per serve)
+    if (ArtifactStore.isClean(ctx)) scoped
+    else {
+      val pruned = scoped.dropDuplicates("cell", "vec_id")
+      // tombstoned ids never serve: broadcast anti-join against the (small)
+      // delete set, after pruning — only the probed slice pays for it
+      ArtifactStore.readTombstones(spark, ctx) match {
+        case Some(t) => pruned.join(broadcast(t.withColumnRenamed("doc_id", "vec_id")),
+          Seq("vec_id"), "left_anti")
+        case None => pruned
+      }
     }
   }
 

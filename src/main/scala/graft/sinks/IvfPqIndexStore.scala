@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   *   postings/cell=C/<parts>.parquet  (vec_id, codes array<int>) — the HOT compressed plane
   *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm) — the COLD exact plane, point-read only
   *   tombstones/, epoch-N, _COMPACTING  ArtifactStore mutation/commit plane
+  *   _clean-N                         clean-store marker ([[ArtifactStore.isClean]])
   * }}}
   *
   * Serve shape: probe cells prune the code scan at the PARTITION level
@@ -194,6 +195,10 @@ object IvfPqIndexStore {
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild-in-place must not leave the OLD epoch's clean marker
+    // certifying half-overwritten planes ([[ArtifactStore]]'s marker
+    // ordering): drop it before the first write, re-create it last
+    ArtifactStore.revokeClean(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])]
@@ -260,6 +265,10 @@ object IvfPqIndexStore {
       // rebuild replaces the corpus: stale tombstones die with it (LAST —
       // a crashed build over-suppresses, never resurrects)
       ArtifactStore.resetMutationPlane(ctx)
+      // a fresh build IS its own serve view — one code row per (cell,
+      // vec_id), one vector row per vec_id, no tombstones — certified
+      // only now, after every write (a crashed build leaves no marker)
+      ArtifactStore.certifyClean(ctx)
     } finally unit.unpersist()
   }
 
@@ -284,11 +293,17 @@ object IvfPqIndexStore {
       case Some(cs) => base.filter(col("cell").isInCollection(cs)) // partition pruning
       case None => base
     }
-    val pruned = scoped.dropDuplicates("cell", "vec_id") // at-least-once appends
-    ArtifactStore.readTombstones(spark, ctx) match {
-      case Some(t) => pruned.join(
-        broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
-      case None => pruned
+    // CLEAN fast path ([[ArtifactStore.isClean]]): a certified-clean
+    // store's code rows ARE the serve view, so the dedup shuffle (corpus-
+    // wide on the batch paths) and the tombstone anti-join are identities
+    if (ArtifactStore.isClean(ctx)) scoped
+    else {
+      val pruned = scoped.dropDuplicates("cell", "vec_id") // at-least-once appends
+      ArtifactStore.readTombstones(spark, ctx) match {
+        case Some(t) => pruned.join(
+          broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
+        case None => pruned
+      }
     }
   }
 
@@ -303,13 +318,15 @@ object IvfPqIndexStore {
       if (withMeta) "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, meta STRING, vbucket BIGINT"
       else "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT"
     val cols = if (withMeta) Seq("vec_id", "v", "vnorm", "meta") else Seq("vec_id", "v", "vnorm")
-    spark.read
+    val slice = spark.read
       .schema(schema)
       .parquet(ctx.dir("vectors"))
       .filter(col("vbucket").isInCollection(bs)) // partition pruning
       .filter(col("vec_id").isInCollection(ids))
-      .dropDuplicates("vec_id") // at-least-once appends
-      .select(cols.map(col): _*)
+    // clean ⇒ one vector row per id by construction (class doc)
+    val folded = if (ArtifactStore.isClean(ctx)) slice
+      else slice.dropDuplicates("vec_id") // at-least-once appends
+    folded.select(cols.map(col): _*)
   }
 
   /** Serve a query batch: ADC-rank the probed cells' codes, exact-rerank
@@ -508,11 +525,13 @@ object IvfPqIndexStore {
           else "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT"
         val vcols = if (filtered) Seq("vec_id", "v", "vnorm", "meta")
           else Seq("vec_id", "v", "vnorm")
-        val vecs = spark.read
+        val vslice = spark.read
           .schema(vschema)
           .parquet(ctx.dir("vectors"))
           .filter(col("vbucket").isInCollection(buckets)) // partition pruning
-          .dropDuplicates("vec_id")
+        // clean ⇒ one vector row per id by construction (class doc)
+        val vecs = (if (ArtifactStore.isClean(ctx)) vslice
+          else vslice.dropDuplicates("vec_id"))
           .select(vcols.map(col): _*)
         val qn = q.toDF("query_id", "qv", "qmeta")
           .withColumn("qnorm", normExpr(col("qv")))
@@ -638,11 +657,13 @@ object IvfPqIndexStore {
           val buckets = cand2
             .select(pmod(col("vec_id"), lit(vbuckets.toLong)).as("b")).distinct()
             .collect().map(_.getLong(0)).sorted.toSeq // ≤ vbuckets values
-          val vecs = spark.read
+          val vslice = spark.read
             .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
             .parquet(ctx.dir("vectors"))
             .filter(col("vbucket").isInCollection(buckets)) // partition pruning
-            .dropDuplicates("vec_id")
+          // clean ⇒ one vector row per id by construction (class doc)
+          val vecs = (if (ArtifactStore.isClean(ctx)) vslice
+            else vslice.dropDuplicates("vec_id"))
             .select(col("vec_id"), col("v"), col("vnorm"))
           val qn = q.toDF("query_id", "qv")
             .withColumn("qnorm", normExpr(col("qv")))
@@ -717,6 +738,10 @@ object IvfPqIndexStore {
         val u = normalize(x)
         (id, KMeans.nearest(bcC.value, u.toSeq).toLong, codesOf(bcCb.value, u).toSeq)
       }.toDF("vec_id", "cell", "codes").persist()
+      // appended rows may duplicate stored ones (at-least-once replays):
+      // revoke the clean certificate BEFORE the first write so a crash
+      // anywhere leaves a dirty-but-correct store (the fold runs)
+      ArtifactStore.revokeClean(ctx)
       coded
         .coalesce(1) // micro-batches are small: one file per touched cell
         .write.partitionBy("cell").mode("append")
@@ -806,6 +831,10 @@ object IvfPqIndexStore {
       .repartition(vbuckets, col("vbucket"))
       .write.partitionBy("vbucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "vectors"))
+    // the rewrite above IS the serve-view fold: stage epoch+1's clean
+    // marker (inert until the commit), commit, GC the old epoch's marker
+    ArtifactStore.stageCleanMarker(ctx)
     ArtifactStore.commitCompact(ctx, Components)
+    ArtifactStore.retireCleanMarker(ctx)
   }
 }

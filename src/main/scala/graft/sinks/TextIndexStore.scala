@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   *   stats/base.json + batch-N.json     corpus stats, one file per contribution
   *   tombstones/                        parquet (doc_id) — folded by compact
   *   epoch-N, _COMPACTING               ArtifactStore commit/guard markers
+  *   _clean-N                           clean-store marker ([[ArtifactStore.isClean]])
   * }}}
   *
   * Postings are partitioned by `bucket = hash60(token) mod B`, and
@@ -63,6 +64,10 @@ object TextIndexStore {
     require(buckets > 0)
     val ctx = ArtifactStore.open(docs.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
+    // a rebuild-in-place must not leave the OLD epoch's clean marker
+    // certifying half-overwritten planes ([[ArtifactStore]]'s marker
+    // ordering): drop it before the first write, re-create it last
+    ArtifactStore.revokeClean(ctx)
     val toks = tokenized(docs).persist()
     try {
       writePostings(toks, buckets, ctx.dir("postings"), "overwrite")
@@ -83,6 +88,11 @@ object TextIndexStore {
         ctx.fs.delete(new Path(ctx.dir("stats"), s"batch-$id.json"), false)
       }
       writeStats(toks, ctx, "base.json", foldedUpto = Some(-1L))
+      // a fresh build IS its own serve view — one (token, doc_id) posting
+      // row, one doclen row per doc, base-only stats, no tombstones —
+      // certified only now, after every write (a crashed build leaves no
+      // marker and the serve-time fold runs)
+      ArtifactStore.certifyClean(ctx)
     } finally toks.unpersist()
   }
 
@@ -111,6 +121,11 @@ object TextIndexStore {
     val (buckets, _, _) = readMeta(ctx)
     val toks = tokenized(batch).persist() // one tokenize pass per batch
     try {
+      // appended rows may duplicate stored ones (at-least-once replays):
+      // revoke the clean certificate BEFORE the first write
+      // ([[ArtifactStore]]'s marker ordering) — even an inert post-compact
+      // replay (batch id at or below the watermark) revokes, conservative
+      ArtifactStore.revokeClean(ctx)
       writePostings(toks, buckets, ctx.dir("postings"), "append")
       writeDoclens(toks, buckets, ctx.dir("doclens"), "append", batchId)
       writeStats(toks, ctx, s"batch-$batchId.json", foldedUpto = None)
@@ -195,7 +210,11 @@ object TextIndexStore {
     ArtifactStore.writeString(ctx.fs,
       new Path(ArtifactStore.stagingDir(ctx, "stats"), "base.json"),
       statsJson(n0 - deadC, sumdl0 - deadS, Some(upto)))
+    // the rewrite above IS the serve-view fold: stage epoch+1's clean
+    // marker (inert until the commit), commit, GC the old epoch's marker
+    ArtifactStore.stageCleanMarker(ctx)
     ArtifactStore.commitCompact(ctx, Components)
+    ArtifactStore.retireCleanMarker(ctx)
   }
 
   /** Continuous index maintenance: stream arriving documents into the
@@ -310,11 +329,17 @@ object TextIndexStore {
   private def servedTermSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
       terms: Seq[String]): (DataFrame, Long, Long) = {
     val (buckets, n0, sumdl0) = readMeta(ctx)
+    // CLEAN fast path ([[ArtifactStore.isClean]]): a certified-clean
+    // store's postings ARE the serve view — no replayed duplicates, no
+    // tombstones — so the (token, doc_id) dedup shuffle and the whole
+    // tombstone stats fold are identities
+    val clean = ArtifactStore.isClean(ctx)
     // tombstone fold: subtract the deleted docs' stats contributions
     // (pruned to their id-hash buckets; one row per batch contribution,
     // distinct-by-(doc, batch) so append replays subtract once) and
     // remember the id set for the posting anti-join below
-    val tomb: Option[DataFrame] = ArtifactStore.readTombstones(spark, ctx)
+    val tomb: Option[DataFrame] =
+      if (clean) None else ArtifactStore.readTombstones(spark, ctx)
     val (n, sumdl) = tomb match {
       case None => (n0, sumdl0)
       case Some(t) =>
@@ -363,10 +388,10 @@ object TextIndexStore {
     // dedup AFTER pruning absorbs at-least-once appends (replayed
     // posting rows are byte-identical) over the probed slice only —
     // IvfIndexStore's serve-time discipline on the token axis
-    val live = spark.read.schema(postingSchema).parquet(ctx.dir("postings"))
+    val slice = spark.read.schema(postingSchema).parquet(ctx.dir("postings"))
       .filter(col("bucket").isInCollection(termBuckets))
       .filter(col("token").isin(terms: _*))
-      .dropDuplicates("token", "doc_id")
+    val live = if (clean) slice else slice.dropDuplicates("token", "doc_id")
     // tombstoned docs never serve and never count toward df (df derives
     // from the pruned slice, so the anti-join shrinks both at once); it
     // runs AFTER partition pruning — only the probed slice pays for it

@@ -816,6 +816,158 @@ class StoreHardeningSpec extends AnyFunSuite {
       "a stale post-commit guard must be swept by the next mutation")
   }
 
+  // ---- clean-store certificates (r12: ArtifactStore.isClean on every
+  // store — GraphIndexStoreSpec pins the graph's; these pin the other
+  // four). Pattern: a DIRTY store (replayed appends) and a CLEAN control
+  // (same content, compacted) must serve row-identically — the dirty fold
+  // and the clean verbatim fast path check each other — plus the marker
+  // state machine: build certifies, append revokes, a tombstone revokes
+  // without touching the marker file, compact re-certifies.
+
+  private def cleanOf(p: String): Boolean =
+    ArtifactStore.isClean(ArtifactStore.open(spark, p))
+
+  test("IVF store: clean certificate state machine; clean fast path serves the dirty fold's exact rows") {
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val dirty = tmp("graft-ivf-dirty"); val clean = tmp("graft-ivf-clean")
+    val head = e.filter(col("vec_id") < 400); val tail = e.filter(col("vec_id") >= 400)
+    Seq(dirty, clean).foreach { p =>
+      IvfIndexStore.build(head, k = 16, p)
+      assert(cleanOf(p), "a fresh build must certify clean")
+      IvfIndexStore.appendBatch(tail, p, compactFactor = 0)
+      assert(!cleanOf(p), "an append must revoke the certificate")
+    }
+    IvfIndexStore.appendBatch(tail, dirty, compactFactor = 0) // at-least-once replay
+    IvfIndexStore.compact(spark, clean)
+    assert(cleanOf(clean), "compact must re-certify (the rewrite IS the fold)")
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 6)
+    def serve(p: String) = {
+      val rows = IvfIndexStore.query(spark, p, q, nProbe = 4, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache(); rows
+    }
+    val want = serve(dirty)
+    assert(serve(clean) == want,
+      "the clean verbatim fast path must serve the dirty fold's exact rows")
+    // a tombstone revokes cleanliness WITHOUT touching the marker file,
+    // and the fold honors it despite the epoch's marker
+    IvfIndexStore.delete(spark, clean, Seq(want.head._3))
+    assert(!cleanOf(clean), "a tombstone must revoke cleanliness")
+    val afterDelete = serve(clean)
+    assert(!afterDelete.exists(_._3 == want.head._3),
+      "a tombstone must be honored despite the epoch's marker file")
+    IvfIndexStore.compact(spark, clean)
+    assert(cleanOf(clean) && serve(clean) == afterDelete,
+      "re-certified serving must match the pre-compact tombstone fold")
+  }
+
+  test("PQ store: clean certificate state machine; clean fast path serves the dirty fold's exact rows") {
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val dirty = tmp("graft-pq-dirty"); val clean = tmp("graft-pq-clean")
+    val head = e.filter(col("vec_id") < 400); val tail = e.filter(col("vec_id") >= 400)
+    Seq(dirty, clean).foreach { p =>
+      graft.sinks.IvfPqIndexStore.build(e = head, k = 16, nSub = 8, subK = 256, path = p)
+      assert(cleanOf(p), "a fresh build must certify clean")
+      graft.sinks.IvfPqIndexStore.appendBatch(tail, p, compactFactor = 0)
+      assert(!cleanOf(p), "an append must revoke the certificate")
+    }
+    graft.sinks.IvfPqIndexStore.appendBatch(tail, dirty, compactFactor = 0) // replay
+    graft.sinks.IvfPqIndexStore.compact(spark, clean)
+    assert(cleanOf(clean), "compact must re-certify (the rewrite IS the fold)")
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 6)
+    def serve(p: String) = {
+      val rows = graft.sinks.IvfPqIndexStore
+        .query(spark, p, q, nProbe = 10, topK = 10, candK = 240)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache(); rows
+    }
+    val want = serve(dirty)
+    assert(serve(clean) == want,
+      "the clean verbatim fast path must serve the dirty fold's exact rows")
+    graft.sinks.IvfPqIndexStore.delete(spark, clean, Seq(want.head._3))
+    assert(!cleanOf(clean), "a tombstone must revoke cleanliness")
+    val afterDelete = serve(clean)
+    assert(!afterDelete.exists(_._3 == want.head._3),
+      "a tombstone must be honored despite the epoch's marker file")
+    graft.sinks.IvfPqIndexStore.compact(spark, clean)
+    assert(cleanOf(clean) && serve(clean) == afterDelete,
+      "re-certified serving must match the pre-compact tombstone fold")
+  }
+
+  test("band store: clean certificate state machine; clean fast path probes the dirty fold's exact rows") {
+    val page = "the quick brown fox jumps over the lazy dog again and again"
+    val existing = ((0L until 5L).map(i => (i, page)) ++
+      Seq((20L, "completely unrelated content lives here"))).toDF("doc_id", "text")
+    val batch = Seq((200L, page + " fresh"), (201L, "another brand new page"))
+      .toDF("doc_id", "text")
+    val arriving = Seq((100L, page), (101L, page + " fresh")).toDF("doc_id", "text")
+    val dirty = tmp("graft-bidx-dirty"); val clean = tmp("graft-bidx-clean")
+    Seq(dirty, clean).foreach { p =>
+      BandIndexStore.build(existing, p, shingleN = 4, numPerms = 8, rowsPerBand = 4)
+      assert(cleanOf(p), "a fresh build must certify clean")
+      BandIndexStore.appendBatch(batch, p, compactFactor = 0)
+      assert(!cleanOf(p), "an append must revoke the certificate")
+    }
+    BandIndexStore.appendBatch(batch, dirty, compactFactor = 0) // replay
+    BandIndexStore.compact(spark, clean)
+    assert(cleanOf(clean), "compact must re-certify (the rewrite IS the fold)")
+    def serve(p: String) = {
+      val rows = BandIndexStore.probe(spark, p, arriving, 0.80)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache(); rows
+    }
+    val want = serve(dirty)
+    assert(serve(clean) == want,
+      "the clean verbatim fast path must probe the dirty max-fold's exact rows")
+    // delete one member of the collapsed 5-doc page group: the decrement
+    // fold must run despite the epoch's marker file
+    BandIndexStore.delete(spark, clean, Seq(1L))
+    assert(!cleanOf(clean), "a tombstone must revoke cleanliness")
+    val afterDelete = serve(clean)
+    assert(afterDelete.find(_._1 == 100L).map(_._2) ==
+      want.find(_._1 == 100L).map(_._2 - 1L),
+      "the tombstone must decrement the partner count despite the marker file")
+    BandIndexStore.compact(spark, clean)
+    assert(cleanOf(clean) && serve(clean) == afterDelete,
+      "re-certified probing must match the pre-compact tombstone fold")
+  }
+
+  test("text store: clean certificate state machine; clean fast path serves the dirty fold's exact scores") {
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    val dirty = tmp("graft-tidx-dirty"); val clean = tmp("graft-tidx-clean")
+    val head = docs.filter(col("doc_id") < 250); val tail = docs.filter(col("doc_id") >= 250)
+    Seq(dirty, clean).foreach { p =>
+      TextIndexStore.build(head, buckets = 64, p)
+      assert(cleanOf(p), "a fresh build must certify clean")
+      TextIndexStore.appendBatch(tail, p, batchId = 1L, compactFactor = 0)
+      assert(!cleanOf(p), "an append must revoke the certificate")
+    }
+    TextIndexStore.appendBatch(tail, dirty, batchId = 1L, compactFactor = 0) // replay
+    TextIndexStore.compact(spark, clean)
+    assert(cleanOf(clean), "compact must re-certify (the rewrite IS the fold)")
+    def serve(p: String) = {
+      val rows = TextIndexStore.queryBm25(spark, p, terms, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache(); rows
+    }
+    val want = serve(dirty)
+    assert(serve(clean) == want,
+      "the clean verbatim fast path must serve the dirty fold's exact " +
+        "rows AND scores (stats arithmetic included)")
+    TextIndexStore.delete(spark, clean, Seq(want.head._1))
+    assert(!cleanOf(clean), "a tombstone must revoke cleanliness")
+    val afterDelete = serve(clean)
+    assert(!afterDelete.exists(_._1 == want.head._1),
+      "a tombstone must be honored despite the epoch's marker file")
+    TextIndexStore.compact(spark, clean)
+    assert(cleanOf(clean) && serve(clean) == afterDelete,
+      "re-certified serving must match the pre-compact tombstone fold")
+  }
+
   test("graph store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
     val idx = tmp("graft-gidx-crash")
     val e = QueryHelpers.table(spark, dir, "embeddings")
