@@ -4170,6 +4170,67 @@ object PipelineQueries {
       Serve.queryTextIndex(s, Serve.buildTextIndex(s, d))
     }, Some(oBm25Sql), headline = true),
 
+    CatalogQuery("qt31_phrase_match", (s, d) => {
+      // Exact PHRASE matching — the consecutive-token retrieval
+      // primitive bag-of-words BM25 (qt12/qt23) cannot express and
+      // qt24's single-term KWIC only approximates: per document, the
+      // occurrence count and first position of each fixed multi-token
+      // phrase (the quoted-query / boilerplate-detector / contamination-
+      // span primitive). One pure per-row array expression per phrase —
+      // a codegen'd filter over the token-position sequence, so the
+      // whole query pipelines inside the corpus scan with NO shuffle
+      // before the final sort: at 100 TB it is one streaming pass,
+      // embarrassingly parallel over document partitions, and k-token
+      // phrases cost k element probes per position (no materialized
+      // n-gram blowup — contrast qt21's exploded trigrams, which exist
+      // to AGGREGATE; a fixed-phrase probe never needs the explode).
+      //
+      // MIRROR CONTRACT: position semantics are 1-based over
+      // whitespace-split tokens on BOTH sides (TextOps.tokens ==
+      // regexp_split_to_array(trim(text),'\s+'); Spark sequence(1, n-L+1)
+      // is inclusive == DuckDB range(1, n-L+2) exclusive); zero-hit docs
+      // drop on both sides, and Spark's INT positions cast to BIGINT to
+      // match DuckDB's range/len types. Phrases were chosen with hits at
+      // every SF (bigram 26/19/278, trigram 3/7/11 at sf0.001/0.01/0.1).
+      val base = table(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      def hits(phrase: Seq[String]): DataFrame = {
+        val L = phrase.length
+        val n = size(col("toks"))
+        // sequence(1, n-L+1) counts DOWN when n < L (the charShingles
+        // gotcha) — the when() guard keeps empty docs empty
+        val ps = when(n >= L, filter(sequence(lit(1), n - lit(L - 1)),
+            i => phrase.zipWithIndex.map { case (w, j) =>
+              element_at(col("toks"), (i + lit(j)).cast("int")) === w
+            }.reduce(_ && _)))
+          .otherwise(array().cast("array<int>"))
+        base.select(col("doc_id"), lit(phrase.mkString(" ")).as("phrase"), ps.as("ps"))
+          .filter(size(col("ps")) >= 1)
+          .select(col("doc_id"), col("phrase"),
+            size(col("ps")).cast("long").as("n_hits"),
+            element_at(col("ps"), 1).cast("long").as("first_pos"))
+      }
+      hits(Seq("fast", "table"))
+        .unionAll(hits(Seq("stream", "table", "hash")))
+        .orderBy(col("phrase"), col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      h AS (
+        SELECT doc_id, 'fast table' AS phrase,
+          list_filter(range(1, greatest(len(a) - 1, 0) + 1),
+            i -> a[i] = 'fast' AND a[i+1] = 'table') AS ps
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'stream table hash' AS phrase,
+          list_filter(range(1, greatest(len(a) - 2, 0) + 1),
+            i -> a[i] = 'stream' AND a[i+1] = 'table' AND a[i+2] = 'hash') AS ps
+        FROM t)
+      SELECT doc_id, phrase, CAST(len(ps) AS BIGINT) AS n_hits,
+        CAST(ps[1] AS BIGINT) AS first_pos
+      FROM h WHERE len(ps) >= 1
+      ORDER BY phrase, doc_id""")),
+
     CatalogQuery("qt30_index_bm25_batch", (s, d) => {
       // MANY keyword queries served from the persistent inverted index
       // in ONE pass — the eval-set / relevance-sweep shape (qs24's
