@@ -4231,6 +4231,47 @@ object PipelineQueries {
       FROM h WHERE len(ps) >= 1
       ORDER BY phrase, doc_id""")),
 
+    CatalogQuery("qt32_index_phrase_serve", (s, d) => {
+      // qt31's phrase queries served from the PERSISTENT POSITIONAL
+      // INDEX instead of a corpus scan — TextIndexStore postings carry
+      // each (token, doc)'s sorted 1-based positions, and queryPhrase
+      // answers a quoted query by equi-joining the phrase slots'
+      // PRUNED posting slices doc-at-a-time and intersecting position
+      // lists with one codegen'd array filter (first-token position p
+      // survives iff slot j holds p+j). Serve cost scales with the
+      // phrase terms' posting lists, never the corpus — the
+      // build-once/serve-many twin of qt31's full scan, which this row
+      // gates against THE SAME ORACLE: the index path must reproduce
+      // the scan path's rows exactly (same phrases, same 1-based
+      // conventions, same zero-hit drop).
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt32-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      def served(phrase: Seq[String]) =
+        graft.sinks.TextIndexStore.queryPhrase(s, idxDir, phrase)
+          .select(col("doc_id"), lit(phrase.mkString(" ")).as("phrase"),
+            col("n_hits"), col("first_pos"))
+      served(Seq("fast", "table"))
+        .unionAll(served(Seq("stream", "table", "hash")))
+        .orderBy(col("phrase"), col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      h AS (
+        SELECT doc_id, 'fast table' AS phrase,
+          list_filter(range(1, greatest(len(a) - 1, 0) + 1),
+            i -> a[i] = 'fast' AND a[i+1] = 'table') AS ps
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'stream table hash' AS phrase,
+          list_filter(range(1, greatest(len(a) - 2, 0) + 1),
+            i -> a[i] = 'stream' AND a[i+1] = 'table' AND a[i+2] = 'hash') AS ps
+        FROM t)
+      SELECT doc_id, phrase, CAST(len(ps) AS BIGINT) AS n_hits,
+        CAST(ps[1] AS BIGINT) AS first_pos
+      FROM h WHERE len(ps) >= 1
+      ORDER BY phrase, doc_id""")),
+
     CatalogQuery("qt30_index_bm25_batch", (s, d) => {
       // MANY keyword queries served from the persistent inverted index
       // in ONE pass — the eval-set / relevance-sweep shape (qs24's

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
 
 /** Persistent inverted TEXT index — the sparse-retrieval twin of
   * [[IvfIndexStore]]: build the posting lists once, serve keyword (BM25)
-  * queries many times without ever re-tokenizing or re-scanning the
+  * queries and exact phrase queries ([[queryPhrase]] — postings are
+  * positional) many times without ever re-tokenizing or re-scanning the
   * corpus text.
   *
   * Layout under `path` (epoched components via [[ArtifactStore]] — all
   * metadata I/O through the Hadoop `FileSystem` API):
   * {{{
   *   manifest.json                      {"buckets":B}
-  *   postings/bucket=K/<parts>.parquet  (token, doc_id, tf, dl) per bucket
+  *   postings/bucket=K/<parts>.parquet  (token, doc_id, tf, dl, pos) per bucket
   *   doclens/dbucket=K/<parts>.parquet  (doc_id, dl, batch_id) per id-hash bucket
   *   stats/base.json + batch-N.json     corpus stats, one file per contribution
   *   tombstones/                        parquet (doc_id) — folded by compact
@@ -186,7 +187,8 @@ object TextIndexStore {
       .distinct() // absorbs replayed appends (stats counted those once)
     val livePostings = spark.read.parquet(ctx.dir("postings"))
       .dropDuplicates("token", "doc_id")
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("pos"),
+        col("bucket"))
     val (keptPostings, keptLens, deadC, deadS) = tombOpt match {
       case None => (livePostings, liveLens, 0L, 0L)
       case Some(tomb) =>
@@ -244,13 +246,25 @@ object TextIndexStore {
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
 
+  /** Postings are POSITIONAL (r12): each (token, doc) row carries the
+    * token's sorted 1-based occurrence positions, the plane
+    * [[queryPhrase]] intersects. tf stays the stored count (== the
+    * position-array length — one aggregation produces both);
+    * sort_array makes the stored bytes deterministic under any shuffle
+    * (replayed appends must stay byte-identical for the serve-time
+    * dedup to absorb them). BM25 serving never reads `pos`, so the
+    * column costs it nothing beyond storage (~one int per token
+    * occurrence — the standard positional-index trade). */
   private def writePostings(toks: DataFrame, buckets: Int, dir: String,
       mode: String): Unit =
-    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+    toks.select(col("doc_id"), col("dl"),
+        posexplode(col("toks")).as(Seq("p0", "token")))
       .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p0") + 1)).as("pos"))
       .withColumn("bucket", pmod(TextOps.hash60(col("token")), lit(buckets.toLong)))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("bucket"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("pos"),
+        col("bucket"))
       .write.partitionBy("bucket").mode(mode)
       .parquet(dir)
 
@@ -383,6 +397,9 @@ object TextIndexStore {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("dl",
         org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
       org.apache.spark.sql.types.StructField("bucket",
         org.apache.spark.sql.types.LongType)))
     // dedup AFTER pruning absorbs at-least-once appends (replayed
@@ -471,6 +488,49 @@ object TextIndexStore {
         .agg(sum(col("sc")).cast("double").as("score"))
       // the single (score DESC, id ASC) truncation contract
       graft.functions.Ranking.rankTopKScored(scored, topK, "doc_id", "score")
+    }
+  }
+
+  /** Serve an exact PHRASE query from the POSITIONAL postings — the
+    * quoted-query primitive bag-of-words BM25 cannot express, answered
+    * without touching any document text: each phrase slot reads its
+    * term's pruned posting slice (partition pruning on the token-hash
+    * bucket axis, [[queryBm25]]'s property), the slots equi-join
+    * document-at-a-time on doc_id (keyed joins — candidate docs shrink
+    * to the rarest term's df before any position is compared), and one
+    * codegen'd array filter intersects the stored position lists
+    * (first-token position p survives iff slot j holds p+j for every j).
+    * This is the classic inverted-index phrase plan: serve cost scales
+    * with the PHRASE TERMS' posting lists, never the corpus — the
+    * index-served twin of the full-scan phrase query (qt31), which pays
+    * one pass over every document per call. Output: (doc_id, n_hits,
+    * first_pos) for matching docs, 1-based positions, ordered by doc_id
+    * — qt31's exact per-phrase conventions, so the two paths share one
+    * oracle. Tombstones, replays, and the clean-store fast path are
+    * absorbed by [[servedTermSlice]] exactly as in BM25 serving. */
+  def queryPhrase(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (pruned, _, _) = servedTermSlice(spark, ctx, phrase.distinct)
+      // one relation per phrase SLOT (duplicate words reuse the same
+      // slice rows under a different shift)
+      val slots = phrase.zipWithIndex.map { case (w, j) =>
+        pruned.filter(col("token") === w)
+          .select(col("doc_id"), col("pos").as(s"pos_$j"))
+      }
+      val joined = slots.reduce((a, b) => a.join(b, Seq("doc_id")))
+      val hits =
+        if (phrase.length == 1) col("pos_0")
+        else filter(col("pos_0"), p =>
+          (1 until phrase.length).map(j => array_contains(col(s"pos_$j"), p + j))
+            .reduce(_ && _))
+      joined.select(col("doc_id"), hits.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_hits"),
+          element_at(col("ps"), 1).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
     }
   }
 }

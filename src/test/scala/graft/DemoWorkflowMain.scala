@@ -230,6 +230,12 @@ object DemoWorkflowMain {
         Seq("spark", "join", "window"), 5).collect()
       val gone = !after.exists(_.getLong(0) == best)
       println(s"[probe-tidx-del] deleted=$best goneFromRanks=$gone (expect true)")
+      // quoted-query phrase serving from the positional postings: hits
+      // intersect stored position lists, no document text is read
+      val ph = graft.sinks.TextIndexStore.queryPhrase(spark, tidxDir,
+        Seq("fast", "table")).collect()
+      println(s"[probe-tidx-phrase] docs=${ph.length} " +
+        s"firstPosPositive=${ph.forall(_.getLong(2) >= 1L)} (expect >0, true)")
     }
 
     locally {

@@ -968,6 +968,57 @@ class StoreHardeningSpec extends AnyFunSuite {
       "re-certified serving must match the pre-compact tombstone fold")
   }
 
+  test("text store: phrase serving intersects positional postings; agrees with a scan twin through replay/delete/compact") {
+    // queryPhrase (qt32) answers quoted queries from the stored position
+    // lists without touching document text; this pins it against an
+    // INDEPENDENT full-scan formulation (qt31's expression shape) through
+    // every mutation state, plus the bucket-axis partition pruning
+    val idx = tmp("graft-tidx-phrase")
+    val docs = QueryHelpers.table(spark, dir, "documents")
+    val head = docs.filter(col("doc_id") < 250)
+    val tail = docs.filter(col("doc_id") >= 250)
+    val phrase = Seq("fast", "table")
+    def twin(dset: org.apache.spark.sql.DataFrame) = {
+      val toks = graft.pipeline.TextOps.tokens(col("text"))
+      val n = size(col("toks"))
+      val ps = when(n >= 2, filter(sequence(lit(1), n - 1),
+          i => element_at(col("toks"), i.cast("int")) === phrase.head &&
+            element_at(col("toks"), (i + 1).cast("int")) === phrase(1)))
+        .otherwise(array().cast("array<int>"))
+      dset.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), ps.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("doc_id"), size(col("ps")).cast("long"),
+          element_at(col("ps"), 1).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    }
+    def serve() = {
+      val df = TextIndexStore.queryPhrase(spark, idx, phrase)
+      val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+        .findFirstIn(df.queryExecution.executedPlan.toString).getOrElse("")
+      assert(pf.contains("bucket"),
+        s"phrase serving must prune the token-hash bucket axis, got $pf")
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache(); rows
+    }
+    TextIndexStore.build(head, buckets = 64, idx)
+    assert(serve() == twin(head),
+      "clean-path phrase serving must match the scan twin")
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L, compactFactor = 0)
+    TextIndexStore.appendBatch(tail, idx, batchId = 1L, compactFactor = 0) // replay
+    val full = twin(docs)
+    assert(serve() == full,
+      "phrase serving must fold replayed appends to the full-corpus twin")
+    val victim = full.head._1
+    TextIndexStore.delete(spark, idx, Seq(victim))
+    val want = full.filterNot(_._1 == victim)
+    assert(serve() == want, "a tombstoned doc must vanish from phrase hits")
+    TextIndexStore.compact(spark, idx)
+    assert(serve() == want, "phrase serving must be identical across compact")
+  }
+
   test("graph store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
     val idx = tmp("graft-gidx-crash")
     val e = QueryHelpers.table(spark, dir, "embeddings")
