@@ -4272,6 +4272,57 @@ object PipelineQueries {
       FROM h WHERE len(ps) >= 1
       ORDER BY phrase, doc_id""")),
 
+    CatalogQuery("qt33_index_phrase_batch", (s, d) => {
+      // MANY phrase queries served from the positional index in ONE
+      // pass — qt30's eval-set shape on the phrase axis, completing the
+      // batch-serving matrix (dense qs24 / compressed qs32 / graph qs33
+      // / sparse qt30 / phrase HERE): the posting slice opens once for
+      // the union of every phrase's terms, each phrase slot joins it
+      // through a broadcast (query_id, slot, token) table, and per
+      // (query, doc) the slot position lists fold into one map whose
+      // intersection is a single codegen'd array filter. The query set
+      // deliberately exercises the edge branches: a single-token phrase
+      // (slot-0 list served verbatim — the sequence(1,0) guard) and a
+      // DUPLICATE-WORD phrase (two slots over the same posting row).
+      // Oracle = qt31's scan formulation per query — the batch index
+      // path must reproduce the full-scan rows exactly.
+      import s.implicits._
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt33-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      val queries = Seq(
+        (0L, Seq("fast", "table")),
+        (1L, Seq("stream", "table", "hash")),
+        (2L, Seq("table")),
+        (3L, Seq("table", "table"))).toDF("query_id", "phrase")
+      graft.sinks.TextIndexStore.queryPhraseBatch(s, idxDir, queries)
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      h AS (
+        SELECT 0 AS query_id, doc_id,
+          list_filter(range(1, greatest(len(a) - 1, 0) + 1),
+            i -> a[i] = 'fast' AND a[i+1] = 'table') AS ps
+        FROM t
+        UNION ALL
+        SELECT 1, doc_id,
+          list_filter(range(1, greatest(len(a) - 2, 0) + 1),
+            i -> a[i] = 'stream' AND a[i+1] = 'table' AND a[i+2] = 'hash')
+        FROM t
+        UNION ALL
+        SELECT 2, doc_id,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'table')
+        FROM t
+        UNION ALL
+        SELECT 3, doc_id,
+          list_filter(range(1, greatest(len(a) - 1, 0) + 1),
+            i -> a[i] = 'table' AND a[i+1] = 'table')
+        FROM t)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        CAST(len(ps) AS BIGINT) AS n_hits, CAST(ps[1] AS BIGINT) AS first_pos
+      FROM h WHERE len(ps) >= 1
+      ORDER BY query_id, doc_id""")),
+
     CatalogQuery("qt30_index_bm25_batch", (s, d) => {
       // MANY keyword queries served from the persistent inverted index
       // in ONE pass — the eval-set / relevance-sweep shape (qs24's

@@ -533,4 +533,61 @@ object TextIndexStore {
         .orderBy(col("doc_id"))
     }
   }
+
+  /** Serve MANY phrase queries from the positional postings in ONE pass —
+    * [[queryBm25Batch]]'s eval-set shape on the phrase axis, completing
+    * the batch-serving matrix ([[IvfIndexStore.queryBatch]] dense,
+    * qs32/qs33 compressed/graph, qt30 sparse): the posting slice opens
+    * once for the union of every phrase's terms (only those bucket
+    * partitions), each phrase SLOT joins it through a broadcast
+    * (query_id, slot, token) table, and per (query, doc) the slot
+    * position lists fold into one map whose intersection is a single
+    * codegen'd array filter — identical position semantics to a
+    * standalone [[queryPhrase]] per query (spec-pinned), no per-query
+    * rescans. Phrase query sets are eval-sized by nature — the batch is
+    * collected (bounded, loud) to build the term union and the broadcast
+    * slot table; everything per-document stays distributed. `queries`
+    * must have (query_id: bigint, phrase: array<string>). Output:
+    * (query_id, doc_id, n_hits, first_pos) for matching (query, doc)
+    * pairs, ordered by (query_id, doc_id). */
+  def queryPhraseBatch(spark: SparkSession, path: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val qs: Array[(Long, Seq[String])] = ArtifactStore.collectBounded(
+        queries.select(col("query_id"), col("phrase")).as[(Long, Seq[String])],
+        65536, "phrase query batch", "split the eval set")
+      qs.foreach { case (qid, ph) =>
+        require(ph.nonEmpty, s"query $qid: phrase must have at least one token") }
+      val termUnion = qs.flatMap(_._2).distinct.toSeq.sorted
+      val (pruned, _, _) = servedTermSlice(spark, ctx, termUnion)
+      val slots = qs.toSeq.flatMap { case (qid, ph) =>
+        ph.zipWithIndex.map { case (w, j) => (qid, j, w, ph.length) } }
+        .toDF("query_id", "slot", "token", "plen")
+      // every (query, doc) folds its slots' position lists into ONE map;
+      // a doc qualifies only when ALL slots found a posting (duplicate
+      // phrase words occupy distinct slots over the same posting row)
+      val pm = pruned.select(col("token"), col("doc_id"), col("pos"))
+        .join(broadcast(slots), Seq("token"))
+        .groupBy(col("query_id"), col("doc_id"), col("plen"))
+        .agg(map_from_entries(collect_list(
+          struct(col("slot"), col("pos")))).as("pm"))
+        .filter(size(col("pm")) === col("plen"))
+      // first-token position p survives iff slot j holds p+j for every j;
+      // sequence(1, plen-1) counts DOWN when plen = 1 (the charShingles
+      // gotcha), so single-token phrases take slot 0's list verbatim
+      val hits = when(col("plen") === 1, element_at(col("pm"), lit(0)))
+        .otherwise(filter(element_at(col("pm"), lit(0)), p =>
+          aggregate(sequence(lit(1), col("plen") - 1), lit(true),
+            (acc, j) => acc &&
+              array_contains(element_at(col("pm"), j.cast("int")),
+                p + j.cast("int")))))
+      pm.select(col("query_id"), col("doc_id"), hits.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("query_id"), col("doc_id"),
+          size(col("ps")).cast("long").as("n_hits"),
+          element_at(col("ps"), 1).cast("long").as("first_pos"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }
+  }
 }

@@ -236,6 +236,14 @@ object DemoWorkflowMain {
         Seq("fast", "table")).collect()
       println(s"[probe-tidx-phrase] docs=${ph.length} " +
         s"firstPosPositive=${ph.forall(_.getLong(2) >= 1L)} (expect >0, true)")
+      // eval-set batch: one pruned pass, per-query rows == queryPhrase
+      import spark.implicits._
+      val phb = graft.sinks.TextIndexStore.queryPhraseBatch(spark, tidxDir,
+          Seq((7L, Seq("fast", "table"))).toDF("query_id", "phrase"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val phs = ph.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      println(s"[probe-tidx-phrase-batch] rows=${phb.length} " +
+        s"agreesWithSingle=${phb == phs} (expect true)")
     }
 
     locally {

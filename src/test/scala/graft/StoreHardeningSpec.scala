@@ -1019,6 +1019,32 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(serve() == want, "phrase serving must be identical across compact")
   }
 
+  test("text store: batch phrase serving equals standalone queryPhrase per query, incl. single-token and duplicate-word phrases") {
+    val idx = tmp("graft-tidx-phraseb")
+    TextIndexStore.build(QueryHelpers.table(spark, dir, "documents"),
+      buckets = 64, idx)
+    val phrases = Seq(
+      (0L, Seq("fast", "table")),
+      (1L, Seq("table")), // single slot: the sequence(1,0) guard branch
+      (2L, Seq("table", "table")), // two slots over the SAME posting row
+      (3L, Seq("stream", "table", "hash")))
+    val batch = TextIndexStore
+      .queryPhraseBatch(spark, idx, phrases.toDF("query_id", "phrase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.groupBy(_._1)
+    spark.catalog.clearCache()
+    phrases.foreach { case (qid, ph) =>
+      val single = TextIndexStore.queryPhrase(spark, idx, ph)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"batch phrase path diverges from standalone queryPhrase for $ph")
+    }
+    assert(batch.getOrElse(1L, Seq.empty).nonEmpty &&
+      batch.getOrElse(2L, Seq.empty).nonEmpty,
+      "fixture sanity: the edge-branch phrases must actually match docs")
+    spark.catalog.clearCache()
+  }
+
   test("graph store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
     val idx = tmp("graft-gidx-crash")
     val e = QueryHelpers.table(spark, dir, "embeddings")
