@@ -4272,6 +4272,54 @@ object PipelineQueries {
       FROM h WHERE len(ps) >= 1
       ORDER BY phrase, doc_id""")),
 
+    CatalogQuery("qt34_index_proximity_serve", (s, d) => {
+      // Ordered PROXIMITY retrieval from the positional index — the
+      // within-window primitive between bag-of-words BM25 and qt32's
+      // exact phrase: a doc hits when the terms appear in order spanning
+      // at most `window` tokens. queryProximity reuses the phrase path's
+      // document-at-a-time slot joins over bucket-pruned posting slices;
+      // the chain check is nested codegen'd `exists` lambdas over the
+      // stored position lists, each level capturing the anchor position
+      // for the span bound. The oracle is the same nested-lambda
+      // formulation over a full corpus scan (DuckDB list_filter capture
+      // mirrors Spark's exists capture exactly) — the index path must
+      // reproduce the scan rows at every SF. window = L-1 degenerates to
+      // the exact phrase (spec-pinned); the gated windows are wider.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt34-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      def served(terms: Seq[String], w: Int) =
+        graft.sinks.TextIndexStore.queryProximity(s, idxDir, terms, w)
+          .select(col("doc_id"),
+            lit(terms.mkString(" ") + s" ~$w").as("query"),
+            col("n_anchors"), col("first_pos"))
+      served(Seq("fast", "table"), 4)
+        .unionAll(served(Seq("fast", "table", "scan"), 5))
+        .orderBy(col("query"), col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      pos AS (SELECT doc_id,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'fast') AS ps0,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'table') AS ps1,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'scan') AS ps2
+        FROM t),
+      h AS (
+        SELECT doc_id, 'fast table ~4' AS query,
+          list_filter(ps0, p ->
+            len(list_filter(ps1, q -> q > p AND q - p <= 4)) > 0) AS anch
+        FROM pos
+        UNION ALL
+        SELECT doc_id, 'fast table scan ~5' AS query,
+          list_filter(ps0, p ->
+            len(list_filter(ps1, q -> q > p AND q - p <= 5
+              AND len(list_filter(ps2, r -> r > q AND r - p <= 5)) > 0)) > 0) AS anch
+        FROM pos)
+      SELECT doc_id, query, CAST(len(anch) AS BIGINT) AS n_anchors,
+        CAST(anch[1] AS BIGINT) AS first_pos
+      FROM h WHERE len(anch) >= 1
+      ORDER BY query, doc_id""")),
+
     CatalogQuery("qt33_index_phrase_batch", (s, d) => {
       // MANY phrase queries served from the positional index in ONE
       // pass — qt30's eval-set shape on the phrase axis, completing the

@@ -534,6 +534,44 @@ object TextIndexStore {
     }
   }
 
+  /** Serve an ordered PROXIMITY query from the positional postings — the
+    * within-window retrieval primitive between bag-of-words BM25 and
+    * exact phrase match: a document hits when the terms appear IN ORDER
+    * with the whole chain spanning at most `window` tokens (an anchor is
+    * a first-term position that starts such a chain; `window = L-1` is
+    * exactly [[queryPhrase]], spec-pinned). Same document-at-a-time slot
+    * joins over the bucket-pruned posting slices as the phrase path; the
+    * chain check is one codegen'd expression of nested `exists` lambdas
+    * over the stored position lists (each level captures the anchor for
+    * the span bound — no position ever leaves its array). Output:
+    * (doc_id, n_anchors, first_pos), 1-based, ordered by doc_id. */
+  def queryProximity(spark: SparkSession, path: String, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.length >= 2, "proximity needs at least two terms")
+    require(window >= terms.length - 1,
+      s"window $window cannot fit ${terms.length} ordered terms")
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (pruned, _, _) = servedTermSlice(spark, ctx, terms.distinct)
+      val slots = terms.zipWithIndex.map { case (w, j) =>
+        pruned.filter(col("token") === w)
+          .select(col("doc_id"), col("pos").as(s"pos_$j"))
+      }
+      val joined = slots.reduce((a, b) => a.join(b, Seq("doc_id")))
+      def chain(j: Int, p0: org.apache.spark.sql.Column,
+          prev: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (j == terms.length) lit(true)
+        else exists(col(s"pos_$j"), q =>
+          q > prev && (q - p0) <= window && chain(j + 1, p0, q))
+      val anchors = filter(col("pos_0"), p => chain(1, p, p))
+      joined.select(col("doc_id"), anchors.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_anchors"),
+          element_at(col("ps"), 1).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Serve MANY phrase queries from the positional postings in ONE pass —
     * [[queryBm25Batch]]'s eval-set shape on the phrase axis, completing
     * the batch-serving matrix ([[IvfIndexStore.queryBatch]] dense,

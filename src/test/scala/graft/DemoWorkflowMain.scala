@@ -244,6 +244,11 @@ object DemoWorkflowMain {
       val phs = ph.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       println(s"[probe-tidx-phrase-batch] rows=${phb.length} " +
         s"agreesWithSingle=${phb == phs} (expect true)")
+      // within-window proximity: window = L-1 degenerates to the phrase
+      val prox = graft.sinks.TextIndexStore.queryProximity(spark, tidxDir,
+          Seq("fast", "table"), window = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      println(s"[probe-tidx-proximity] w=1EqualsPhrase=${prox == phs} (expect true)")
     }
 
     locally {

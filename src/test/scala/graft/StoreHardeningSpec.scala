@@ -1045,6 +1045,42 @@ class StoreHardeningSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("text store: proximity at window = L-1 degenerates to the exact phrase; window bounds are enforced") {
+    // the algebraic pin tying the two positional-serve paths together:
+    // L strictly-increasing positions spanning <= L-1 tokens are exactly
+    // consecutive, so queryProximity(terms, L-1) must equal
+    // queryPhrase(terms) row for row — if either path's position
+    // semantics drift, this breaks before any oracle does
+    val idx = tmp("graft-tidx-prox")
+    TextIndexStore.build(QueryHelpers.table(spark, dir, "documents"),
+      buckets = 64, idx)
+    for (terms <- Seq(Seq("fast", "table"), Seq("stream", "table", "hash"))) {
+      val prox = TextIndexStore
+        .queryProximity(spark, idx, terms, window = terms.length - 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val phrase = TextIndexStore.queryPhrase(spark, idx, terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(prox == phrase,
+        s"window=L-1 proximity must equal the exact phrase for $terms")
+      spark.catalog.clearCache()
+    }
+    // a wider window can only add docs/anchors (monotone in the window)
+    val tight = TextIndexStore.queryProximity(spark, idx, Seq("fast", "table"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wide = TextIndexStore.queryProximity(spark, idx, Seq("fast", "table"), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tight.keySet.subsetOf(wide.keySet) &&
+      tight.forall { case (d, n) => wide(d) >= n },
+      "widening the window must never lose a doc or an anchor")
+    spark.catalog.clearCache()
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryProximity(spark, idx, Seq("fast", "table"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryProximity(spark, idx, Seq("fast"), 3)
+    }
+  }
+
   test("graph store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
     val idx = tmp("graft-gidx-crash")
     val e = QueryHelpers.table(spark, dir, "embeddings")
