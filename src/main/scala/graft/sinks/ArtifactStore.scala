@@ -318,6 +318,56 @@ object ArtifactStore {
   def retireCleanMarker(ctx: Ctx): Unit =
     ctx.fs.delete(cleanMarker(ctx, ctx.epoch), false)
 
+  /** Operational HEALTH snapshot of a store's persistence plane — the
+    * observability surface behind compaction-cadence decisions (when the
+    * valve is disabled and a deploy schedules its own maintenance): one
+    * (metric, value) row per signal, all driver-side FS listings plus one
+    * bounded tombstone count, nothing corpus-proportional.
+    *
+    *   - `epoch`            live epoch (compactions completed)
+    *   - `clean`            1 when [[isClean]] (serve-fold fast path active)
+    *   - `compacting`       1 when a `_COMPACTING` guard exists (an active
+    *                        or crashed fold — mutations are blocked)
+    *   - `tombstones`       distinct tombstoned ids awaiting the next fold
+    *   - `<comp>_files`     data files in the component's live epoch
+    *   - `<comp>_bytes`     their total size
+    *   - `<comp>_max_leaf_files`  max files in one served leaf partition
+    *                        (the valve metric — serving opens all of them)
+    *
+    * Every store exposes this through its own `health()` wrapper naming
+    * its components. Spec-pinned through the mutation state machine. */
+  def health(spark: SparkSession, root: String,
+      components: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ctx = open(spark, root)
+    val tombs = readTombstones(spark, ctx).map(_.count()).getOrElse(0L)
+    val perComp = components.flatMap { c =>
+      val p = ctx.path(c)
+      var files = 0L; var bytes = 0L
+      val perDir = scala.collection.mutable.HashMap.empty[String, Long]
+      if (ctx.fs.exists(p)) {
+        val it = ctx.fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+            files += 1L; bytes += st.getLen
+            val parent = st.getPath.getParent.toString
+            perDir.update(parent, perDir.getOrElse(parent, 0L) + 1L)
+          }
+        }
+      }
+      Seq((s"${c}_files", files), (s"${c}_bytes", bytes),
+        (s"${c}_max_leaf_files", perDir.valuesIterator.foldLeft(0L)(math.max)))
+    }
+    (Seq(
+      ("epoch", ctx.epoch),
+      ("clean", if (isClean(ctx)) 1L else 0L),
+      ("compacting", if (ctx.fs.exists(new Path(ctx.root, "_COMPACTING"))) 1L else 0L),
+      ("tombstones", tombs)) ++ perComp)
+      .toDF("metric", "value")
+  }
+
   /** Validate a metadata-scope column name BEFORE it is interpolated into
     * a store's manifest.json (IvfIndexStore / IvfPqIndexStore /
     * GraphIndexStore all embed it verbatim and parse it back with a

@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndexStore {
 
+  /** Operational health snapshot ([[ArtifactStore.health]]): epoch,
+    * clean/compacting flags, pending tombstones, and per-component
+    * file/byte/leaf-partition footprints of the live epoch — the
+    * when-to-compact observability table for deploys on their own
+    * maintenance cadence (immutable unepoched components are excluded;
+    * they never grow). */
+  def health(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    ArtifactStore.health(spark, path, Seq("postings"))
+
+
   /** Driver-side serve paths ([[query]]/[[rangeQuery]]/[[queryFiltered]])
     * collect the query batch to compute probe cells and build the
     * broadcast probe table — bounded by construction for ONLINE serving,

@@ -57,6 +57,17 @@ import org.apache.spark.sql.functions._
   */
 object IvfPqIndexStore {
 
+  /** Operational health snapshot ([[ArtifactStore.health]]): epoch,
+    * clean/compacting flags, pending tombstones, and per-component
+    * file/byte/leaf-partition footprints of the live epoch — the
+    * when-to-compact observability table for deploys on their own
+    * maintenance cadence (immutable unepoched components are excluded;
+    * they never grow). */
+  def health(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    ArtifactStore.health(spark, path, Components)
+
+
   /** The driver-side serve path collects the query batch to build ADC
     * tables (each nSub × subK doubles — 16 KB at the 8×256 default), so
     * it is capped where the table broadcast stays ≤ ~64 MB. Corpus-scale
@@ -498,7 +509,11 @@ object IvfPqIndexStore {
         // the cell join's key cardinality is only k, so pre-attaching the
         // 2 KB tables caps the scan+ADC stage at k-way parallelism. The
         // candidate shuffle keyed by query_id keeps batch-width
-        // parallelism; keep this shape.
+        // parallelism; keep this shape. (r12: the clean-store fast path
+        // — skipping the code-plane dedup shuffle — re-measured this
+        // serve at 7.92 s isolated, PqBatchTimeMain; in-suite bench
+        // readings run ~2-4 s higher than isolation for this row, so
+        // compare like with like when trending it.)
         val adc = servedPostings(spark, ctx, probeCells)
           .join(posted, Seq("cell")) // keyed, NOT broadcast
           .filter(col("vec_id") =!= col("query_id"))

@@ -53,6 +53,17 @@ import org.apache.spark.sql.functions._
   */
 object TextIndexStore {
 
+  /** Operational health snapshot ([[ArtifactStore.health]]): epoch,
+    * clean/compacting flags, pending tombstones, and per-component
+    * file/byte/leaf-partition footprints of the live epoch — the
+    * when-to-compact observability table for deploys on their own
+    * maintenance cadence (immutable unepoched components are excluded;
+    * they never grow). */
+  def health(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    ArtifactStore.health(spark, path, Components)
+
+
   private val Components = Seq("postings", "doclens", "stats")
 
   /** Build the index: ONE tokenize pass over the corpus feeds postings,

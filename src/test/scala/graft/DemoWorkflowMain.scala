@@ -249,6 +249,11 @@ object DemoWorkflowMain {
           Seq("fast", "table"), window = 1)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       println(s"[probe-tidx-proximity] w=1EqualsPhrase=${prox == phs} (expect true)")
+      // operational health: the delete above left a tombstone pending
+      val hm = graft.sinks.TextIndexStore.health(spark, tidxDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[probe-tidx-health] clean=${hm("clean")} tombstones=${hm("tombstones")} " +
+        s"postingsFiles=${hm("postings_files")} (expect 0, 1, >0)")
     }
 
     locally {

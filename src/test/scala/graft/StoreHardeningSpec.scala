@@ -1081,6 +1081,49 @@ class StoreHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("store health surface tracks the mutation state machine") {
+    // the when-to-compact observability table (ArtifactStore.health via
+    // per-store wrappers): every signal a deploy on its own maintenance
+    // cadence keys on must move with the state machine
+    val idx = tmp("graft-ivf-health")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    IvfIndexStore.build(e, k = 16, idx)
+    def h() = IvfIndexStore.health(spark, idx).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val h0 = h()
+    assert(h0("epoch") == 0L && h0("clean") == 1L && h0("tombstones") == 0L &&
+      h0("compacting") == 0L && h0("postings_files") > 0L &&
+      h0("postings_bytes") > 0L && h0("postings_max_leaf_files") >= 1L,
+      s"fresh build health wrong: $h0")
+    val batch = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L as "vec_id", col("embedding"))
+    IvfIndexStore.appendBatch(batch, idx, compactFactor = 0)
+    IvfIndexStore.appendBatch(batch, idx, compactFactor = 0)
+    IvfIndexStore.delete(spark, idx, Seq(0L, 1L))
+    val h1 = h()
+    assert(h1("clean") == 0L && h1("tombstones") == 2L &&
+      h1("postings_files") > h0("postings_files"),
+      s"mutated health must show the dirt: $h1")
+    IvfIndexStore.compact(spark, idx)
+    val h2 = h()
+    assert(h2("epoch") == 1L && h2("clean") == 1L && h2("tombstones") == 0L &&
+      h2("postings_files") <= h1("postings_files"),
+      s"compacted health must show the fold: $h2")
+    // a crashed fold's guard is visible (mutations are blocked until
+    // compact() re-runs — exactly what an operator needs surfaced)
+    ArtifactStore.writeString(ArtifactStore.fileSystem(spark, idx),
+      new Path(idx, "_COMPACTING"), "1")
+    assert(h()("compacting") == 1L)
+    // a multi-component store reports every epoched component
+    val tidx = tmp("graft-tidx-health")
+    TextIndexStore.build(
+      QueryHelpers.table(spark, dir, "documents").limit(30), 64, tidx)
+    val th = TextIndexStore.health(spark, tidx).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(th("clean") == 1L && th("postings_files") > 0L &&
+      th("doclens_files") > 0L && th("stats_files") > 0L, s"text health: $th")
+  }
+
   test("graph store: crashed compaction blocks mutations, never serving; compact recovers; post-commit garbage is inert") {
     val idx = tmp("graft-gidx-crash")
     val e = QueryHelpers.table(spark, dir, "embeddings")
