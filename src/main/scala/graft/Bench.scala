@@ -182,6 +182,8 @@ object Bench {
       val textIdx = PipelineQueries.Serve.buildTextIndex(spark, sfDir)
       val graphIdx = PipelineQueries.Serve.buildGraphIndex(spark, sfDir)
       val pqIdx = PipelineQueries.Serve.buildPqIndex(spark, sfDir)
+      val graphScopedIdx = PipelineQueries.Serve.buildGraphIndexScoped(spark, sfDir)
+      val pqScopedIdx = PipelineQueries.Serve.buildPqIndexScoped(spark, sfDir)
       spark.catalog.clearCache()
       Seq(
         "qd17_probe_only" -> (() => PipelineQueries.Serve.probeBandIndex(spark, sfDir, bandIdx)),
@@ -194,7 +196,12 @@ object Bench {
         // regression shows here without a build dominating it
         "qs24_batch_only" -> (() => PipelineQueries.Serve.queryIvfBatch(spark, sfDir, ivfIdx)),
         "qs32_batch_only" -> (() => PipelineQueries.Serve.queryPqBatch(spark, sfDir, pqIdx)),
-        "qs33_batch_only" -> (() => PipelineQueries.Serve.queryGraphBatch(spark, sfDir, graphIdx)))
+        "qs33_batch_only" -> (() => PipelineQueries.Serve.queryGraphBatch(spark, sfDir, graphIdx)),
+        // the FILTERED distributed corpus-batch serves (qs35/qs36 kernels
+        // at their pinned margins) — metadata-scoped stores built once
+        // untimed like the rest; r12 establishes their baselines
+        "qs35_batch_only" -> (() => PipelineQueries.Serve.queryGraphFilteredBatch(spark, sfDir, graphScopedIdx)),
+        "qs36_batch_only" -> (() => PipelineQueries.Serve.queryPqFilteredBatch(spark, sfDir, pqScopedIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
       servePaths.map { case (n, _) =>

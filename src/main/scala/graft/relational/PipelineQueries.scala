@@ -109,6 +109,36 @@ object PipelineQueries {
       table(s, d, "embeddings")
         .select(col("vec_id").as("query_id"),
           transform(col("embedding"), _.cast("double")).as("qv"))
+    /** The corpus batch carrying each query's own label as the filter
+      * value — the filtered batch rows' input (qs35/qs36 geometry). */
+    private def corpusBatchMeta(s: SparkSession, d: String): DataFrame =
+      table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+    def buildGraphIndexScoped(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs35-gidx").toString
+      graft.sinks.GraphIndexStore.build(table(s, d, "embeddings"), idxDir,
+        degree = 12, assign = 2, nEntries = 4, metaCol = Some("label"))
+      idxDir
+    }
+    def buildPqIndexScoped(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs36-pq").toString
+      graft.sinks.IvfPqIndexStore.build(table(s, d, "embeddings"),
+        k = 16, nSub = 8, subK = 256, idxDir, metaCol = Some("label"))
+      idxDir
+    }
+    def queryGraphFilteredBatch(s: SparkSession, d: String,
+        idxDir: String): DataFrame =
+      graft.sinks.GraphIndexStore.queryFilteredBatch(s, idxDir,
+        corpusBatchMeta(s, d), beam = 64, hops = 4, topK = AnnTopK)
+    def queryPqFilteredBatch(s: SparkSession, d: String,
+        idxDir: String): DataFrame =
+      graft.sinks.IvfPqIndexStore.queryFilteredBatch(s, idxDir,
+        corpusBatchMeta(s, d), nProbe = 16, topK = AnnTopK,
+        candK = 48 * AnnTopK)
     def queryIvfBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
       graft.sinks.IvfIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
         nProbe = 4, topK = 3)
