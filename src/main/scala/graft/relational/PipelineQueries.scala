@@ -138,7 +138,7 @@ object PipelineQueries {
         idxDir: String): DataFrame =
       graft.sinks.IvfPqIndexStore.queryFilteredBatch(s, idxDir,
         corpusBatchMeta(s, d), nProbe = 16, topK = AnnTopK,
-        candK = 48 * AnnTopK)
+        candK = 24 * AnnTopK)
     def queryIvfBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
       graft.sinks.IvfIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
         nProbe = 4, topK = 3)
@@ -2631,25 +2631,30 @@ object PipelineQueries {
     CatalogQuery("qs36_pq_filtered_serve", (s, d) => {
       // FILTERED serving on the COMPRESSED store — qs30's tenant/label
       // retrieval shape on the PQ paradigm (IvfPqIndexStore.queryFiltered
-      // + queryFilteredBatch): the code plane stays unscoped, candK
-      // oversamples across labels, and the meta equality applies at
-      // rerank-rank time from the cold plane's stored meta. Contracts:
+      // + queryFilteredBatch). r13: the code plane is (cell, meta)-
+      // PARTITIONED (IvfIndexStore's qs18 layout on the 8-byte rows), so
+      // the ADC scan prunes to the query's own label and the probe join
+      // keys on both axes — every candidate is within-scope before any
+      // score computes, the CandK oversample collapses to the plain
+      // 24·topK, and serve cost no longer depends on label balance (the
+      // rank-filter design starved rare meta values at scale). Contracts:
       // (a) every served neighbour carries the query's label, (b) top-10
       // AVG recall vs the exact same-label brute force ≥ 0.90, (c) the
       // distributed batch path returns the identical (query_id, rank,
       // vec_id) set for the whole corpus (≤ the 4096 driver cap at gate
       // SFs — oracle LIMIT mirrored on the count; the identity is graded
       // on the sampled queries' labels too since they are a subset).
-      // NProbe=16 / CandK=48·topK MEASURED (PqFilteredProbeMain) avg
-      // 1.000 / 1.000 / 0.980 at sf0.001 / sf0.01 / sf0.1 (mins 1.000 /
-      // 1.000 / 0.900); CandK=24·topK at NProbe=16 FAILS at sf0.1 (avg
-      // 0.82 — wider scans push same-label members below the global ADC
-      // cut), and NProbe=10 fails at EVERY SF (avg 0.82-0.94: under a
-      // ~1/L label filter the probe loss qs32 documents is fatal, so the
-      // filtered path probes all K=16 cells — on real clustered corpora
-      // the same shape runs at smaller nprobe/K fractions). Re-measure
-      // before shrinking any constant.
-      val NProbe = 16; val CandK = 48 * AnnTopK; val NQueries = 5
+      // MEASURED on the scoped plane (PqFilteredProbeMain r13): recall is
+      // IDENTICAL across CandK 120/240/480 at every (SF, nprobe) — the
+      // within-scope candidate volume never reaches the truncation, so
+      // candK stopped being a knob; probe loss is the ONE loss mechanism
+      // left, and NProbe=16 (all cells) stays pinned because nprobe=10
+      // reads avg 0.86 / 0.82 / 0.96 across sf0.001 / 0.01 / 0.1 —
+      // within-label truth is strictly harder for nprobe<K than global
+      // truth (weaker cosines spread over more cells; qs32's probe-loss
+      // caveat). NProbe=16 / CandK=24·topK reads 1.000 avg AND min at
+      // every SF. Re-measure before shrinking any constant.
+      val NProbe = 16; val CandK = 24 * AnnTopK; val NQueries = 5
       val e = table(s, d, "embeddings")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs36-pq").toString

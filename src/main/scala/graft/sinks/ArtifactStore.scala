@@ -326,8 +326,14 @@ object ArtifactStore {
     *
     *   - `epoch`            live epoch (compactions completed)
     *   - `clean`            1 when [[isClean]] (serve-fold fast path active)
-    *   - `compacting`       1 when a `_COMPACTING` guard exists (an active
-    *                        or crashed fold — mutations are blocked)
+    *   - `compacting`       1 when a `_COMPACTING` guard names the LIVE
+    *                        epoch or is unparsable (an active or crashed
+    *                        fold — mutations are blocked). A stale
+    *                        post-commit guard (naming an older epoch —
+    *                        provably harmless, swept by the next mutation)
+    *                        reports 0: automation keyed on this flag must
+    *                        not re-run compact() for a flip that already
+    *                        happened ([[crashedCompactPending]]'s check).
     *   - `tombstones`       distinct tombstoned ids awaiting the next fold
     *   - `<comp>_files`     data files in the component's live epoch
     *   - `<comp>_bytes`     their total size
@@ -363,7 +369,8 @@ object ArtifactStore {
     (Seq(
       ("epoch", ctx.epoch),
       ("clean", if (isClean(ctx)) 1L else 0L),
-      ("compacting", if (ctx.fs.exists(new Path(ctx.root, "_COMPACTING"))) 1L else 0L),
+      ("compacting", if (ctx.fs.exists(guardPath(ctx)) &&
+        !guardEpoch(ctx).exists(_ < ctx.epoch)) 1L else 0L),
       ("tombstones", tombs)) ++ perComp)
       .toDF("metric", "value")
   }

@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   * centroids/codebooks are immutable — geometry is fixed at build time,
   * re-clustering is a rebuild):
   * {{{
-  *   manifest.json                    {"k":K,"dim":D,"nsub":S,"subk":SK,"vbuckets":B}
+  *   manifest.json                    {"k":K,"dim":D,"nsub":S,"subk":SK,"vbuckets":B[,"meta":col]}
   *   centroids/                       parquet (cid, cv) — coarse cells over UNIT vectors
   *   codebooks/                       parquet (sub, code, cv) — S × SK sub-centroids
   *   postings/cell=C/<parts>.parquet  (vec_id, codes array<int>) — the HOT compressed plane
-  *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm) — the COLD exact plane, point-read only
+  *     (metadata-scoped store: postings/cell=C/meta=M/ — the predicate is
+  *      a PARTITION KEY of the hot plane, [[IvfIndexStore]]'s qs18 layout
+  *      transposed to the 8-byte code rows)
+  *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm[, meta]) — the COLD exact plane, point-read only
   *   tombstones/, epoch-N, _COMPACTING  ArtifactStore mutation/commit plane
   *   _clean-N                         clean-store marker ([[ArtifactStore.isClean]])
   * }}}
@@ -236,21 +239,41 @@ object IvfPqIndexStore {
       }
       val bcC = spark.sparkContext.broadcast(cents)
       val bcCb = spark.sparkContext.broadcast(cbs)
-      // HOT plane: one corpus pass assigns cell + codes; repartition by cell
-      // so each cell directory holds one file (the small-files discipline)
-      unit.map { case (id, u) =>
+      // HOT plane: one corpus pass assigns cell + codes; repartition by the
+      // partition key so each leaf directory holds one file (the
+      // small-files discipline). A metadata-scoped store puts the
+      // predicate value IN THE PARTITION KEY — (cell, meta) directories,
+      // IvfIndexStore's qs18 layout on the 8-byte plane — so filtered
+      // serving prunes the scan to the query's own meta value and joins
+      // candidates on BOTH axes: the candidate set is within-scope before
+      // any ADC score computes, and the filtered path serves at the PLAIN
+      // probe constants instead of rank-filtering a cross-label
+      // oversample (which starves rare meta values at scale — the r12
+      // design caveat this layout closes).
+      val codeRows = unit.map { case (id, u) =>
         val ua = u.toArray
         (id, KMeans.nearest(bcC.value, u).toLong, codesOf(bcCb.value, ua).toSeq)
       }.toDF("vec_id", "cell", "codes")
-        .repartition(k, col("cell"))
-        .write.partitionBy("cell").mode("overwrite")
-        .parquet(ctx.dir("postings"))
+      metaCol match {
+        case Some(m) =>
+          codeRows
+            .join(e.select(col("vec_id"), col(m).cast("string").as("meta")),
+              Seq("vec_id")) // keyed — one corpus shuffle at build time
+            .repartition(k, col("cell"), col("meta"))
+            .write.partitionBy("cell", "meta").mode("overwrite")
+            .parquet(ctx.dir("postings"))
+        case None =>
+          codeRows
+            .repartition(k, col("cell"))
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(ctx.dir("postings"))
+      }
       // COLD plane: raw vectors + stored vnorm, bucket-partitioned so the
       // rerank's point reads prune (GraphIndexStore's vector layout).
-      // Metadata-scoped stores carry the predicate value on the VECTOR
-      // rows — codes stay unscoped (the ADC scan oversamples across
-      // labels; the filter applies at rerank-rank time, the graph store's
-      // filtered-ANN recipe on the compressed paradigm)
+      // Metadata-scoped stores ALSO carry the predicate value on the
+      // vector rows (the audit/debug column and the compat surface —
+      // filtered serving itself scopes on the hot plane's partition key,
+      // so the rerank never needs it)
       val vMeta = metaCol match {
         case Some(m) => v.toDF("vec_id", "v").join(
           e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
@@ -284,25 +307,39 @@ object IvfPqIndexStore {
   }
 
   /** The probed + replay-deduped + tombstone-folded code slice (schema
-    * declared — no footer reads outside the probed cells). private[graft]
+    * declared — no footer reads outside the probed cells). `metaFilter`
+    * prunes a scoped store's (cell, meta) directories to the batch's meta
+    * domain (the filtered paths' partition-level scope cut). private[graft]
     * so the spec pins its PartitionFilters. */
   private[graft] def servedPostings(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      probeCells: Seq[Long]): DataFrame =
-    servedCodes(spark, ctx, Some(probeCells))
+      probeCells: Seq[Long],
+      metaFilter: Option[Seq[String]] = None): DataFrame =
+    servedCodes(spark, ctx, Some(probeCells), metaFilter)
 
   /** [[servedPostings]]'s core with an optional probe set — `None` is the
     * deliberate full-plane scan ([[cellSizes]]): at corpus-scaled
     * k = n/400 an "all cells" isInCollection list would itself grow with
     * the corpus, so the whole-plane reader skips the filter instead of
-    * enumerating the domain. */
+    * enumerating the domain. A scoped store's rows carry the meta
+    * partition column whether or not a filter applies (unfiltered serving
+    * on a scoped store scans across meta values and joins on cell only). */
   private def servedCodes(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      probeCells: Option[Seq[Long]]): DataFrame = {
+      probeCells: Option[Seq[Long]],
+      metaFilter: Option[Seq[String]] = None): DataFrame = {
+    val schema =
+      if (manifestMeta(ctx).nonEmpty)
+        "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT, meta STRING"
+      else "vec_id BIGINT, codes ARRAY<INT>, cell BIGINT"
     val base = spark.read
-      .schema("vec_id BIGINT, codes ARRAY<INT>, cell BIGINT")
+      .schema(schema)
       .parquet(ctx.dir("postings"))
-    val scoped = probeCells match {
+    val cellScoped = probeCells match {
       case Some(cs) => base.filter(col("cell").isInCollection(cs)) // partition pruning
       case None => base
+    }
+    val scoped = metaFilter match {
+      case Some(ms) => cellScoped.filter(col("meta").isInCollection(ms)) // partition pruning
+      case None => cellScoped
     }
     // CLEAN fast path ([[ArtifactStore.isClean]]): a certified-clean
     // store's code rows ARE the serve view, so the dedup shuffle (corpus-
@@ -319,25 +356,22 @@ object IvfPqIndexStore {
   }
 
   /** The rerank's exact-vector point reads: vbucket-pruned, declared
-    * schema, replay-deduped. `withMeta` adds the scoped store's meta
-    * column (the filtered paths' rank-time predicate source).
-    * private[graft] for the spec's pruning pin. */
+    * schema, replay-deduped. The scoped store's stored meta never serves
+    * from here — filtered candidates are already within-scope off the
+    * (cell, meta) hot plane, so the rerank is the plain exact-cosine
+    * finish on every path. private[graft] for the spec's pruning pin. */
   private[graft] def vectorSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      ids: Seq[Long], vbuckets: Int, withMeta: Boolean = false): DataFrame = {
+      ids: Seq[Long], vbuckets: Int): DataFrame = {
     val bs = ids.map(bucketOf(_, vbuckets)).distinct.sorted
-    val schema =
-      if (withMeta) "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, meta STRING, vbucket BIGINT"
-      else "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT"
-    val cols = if (withMeta) Seq("vec_id", "v", "vnorm", "meta") else Seq("vec_id", "v", "vnorm")
     val slice = spark.read
-      .schema(schema)
+      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
       .parquet(ctx.dir("vectors"))
       .filter(col("vbucket").isInCollection(bs)) // partition pruning
       .filter(col("vec_id").isInCollection(ids))
     // clean ⇒ one vector row per id by construction (class doc)
     val folded = if (ArtifactStore.isClean(ctx)) slice
       else slice.dropDuplicates("vec_id") // at-least-once appends
-    folded.select(cols.map(col): _*)
+    folded.select(col("vec_id"), col("v"), col("vnorm"))
   }
 
   /** Serve a query batch: ADC-rank the probed cells' codes, exact-rerank
@@ -351,13 +385,26 @@ object IvfPqIndexStore {
     driverServe(spark, path, queries, nProbe, topK, candK, filtered = false)
 
   /** Filtered serving from a metadata-scoped store — top-`topK` among the
-    * ADC candidates whose stored meta equals the QUERY's meta, the
-    * tenant/label-scoped retrieval shape on the COMPRESSED paradigm. The
-    * code plane stays unscoped (the ADC scan oversamples across labels —
-    * `candK` is the oversampling knob, [[GraphIndexStore.queryFiltered]]'s
-    * beam-oversampling recipe transposed); the predicate applies at
-    * rerank-rank time from the meta the cold plane stores on the vector
-    * rows. `queries` rows are (query_id, qv, meta); everything else is
+    * stored vectors whose meta equals the QUERY's meta, the tenant/label-
+    * scoped retrieval shape on the COMPRESSED paradigm. The predicate is
+    * a PARTITION KEY of the hot plane ((cell, meta) directories —
+    * [[IvfIndexStore.queryFiltered]]'s qs18 layout on the code rows), so
+    * the ADC scan prunes to the query's own meta value and the probe
+    * join keys on BOTH axes: every candidate is within-scope before any
+    * score computes, so the CandK oversample collapses to the plain
+    * 24·topK (measured: recall is IDENTICAL at candK 120/240/480 — the
+    * within-scope candidate volume never reaches the truncation) and the
+    * scan reads ~1/L of the hot plane's bytes instead of all of them.
+    * NProbe=16 (all cells at the gate geometry) stays pinned: probe loss
+    * under a label filter remains the one loss mechanism, and on these
+    * near-random synthetics nprobe=10 reads avg 0.82-0.96 across SFs
+    * (PqFilteredProbeMain r13 — within-label truth is strictly harder
+    * for nprobe<K than global truth, qs32's caveat; clustered real
+    * corpora serve at corpus-scaled nprobe/K fractions). The pre-r13
+    * rank-filter design needed CandK=48·topK of cross-label oversampling
+    * and starved rare meta values at scale; this layout's cost no longer
+    * depends on label balance at all.
+    * `queries` rows are (query_id, qv, meta); everything else is
     * [[query]]'s machinery (same core), so the filtered and unfiltered
     * paths cannot drift. Recall under the filter is a measured contract
     * (the qs30 discipline). */
@@ -368,8 +415,10 @@ object IvfPqIndexStore {
   /** The driver-side serve core behind [[query]] / [[queryFiltered]] —
     * per-query ADC tables broadcast once and joined by query_id (never
     * through the probe-cell relation), bounded candidates, exact rerank
-    * over cold-plane point reads; `filtered` adds the meta equality
-    * before the rank finish (the predicate commutes with ranking). */
+    * over cold-plane point reads; `filtered` scopes the code scan to the
+    * batch's meta domain (partition pruning) and keys the probe join on
+    * (cell, meta), so candidates are within-scope from the first ADC
+    * score — the rerank itself is identical on both paths. */
   private def driverServe(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int, candK: Int, filtered: Boolean): DataFrame = {
     import spark.implicits._
@@ -393,14 +442,23 @@ object IvfPqIndexStore {
       val tables: Seq[(Long, Seq[Double])] = qs.toSeq.map { case (qid, qv, _) =>
         (qid, adcTable(cbs, normalize(qv)).toSeq)
       }
-      val probes: Seq[(Long, Long)] = qs.toSeq.flatMap { case (qid, qv, _) =>
+      val probes: Seq[(Long, Long, String)] = qs.toSeq.flatMap { case (qid, qv, mv) =>
         KMeans.nearestK(cents, normalize(qv).toSeq, nProbe)
-          .map(c => (qid, c.toLong))
+          .map(c => (qid, c.toLong, mv))
       }
       val probeCells = probes.map(_._2).distinct.sorted
-      val postings = servedPostings(spark, ctx, probeCells)
+      // filtered: the scan prunes to the batch's meta domain AND the
+      // probe join keys on (cell, meta) — candidates are within-scope
+      // before any ADC score computes
+      val metaFilter =
+        if (filtered) Some(probes.map(_._3).distinct.sorted) else None
+      val postings = servedPostings(spark, ctx, probeCells, metaFilter)
+      val probeDf =
+        if (filtered) probes.toDF("query_id", "cell", "meta")
+        else probes.map(p => (p._1, p._2)).toDF("query_id", "cell")
+      val probeKeys = if (filtered) Seq("cell", "meta") else Seq("cell")
       val adc = postings
-        .join(broadcast(probes.toDF("query_id", "cell")), Seq("cell"))
+        .join(broadcast(probeDf), probeKeys)
         .filter(col("vec_id") =!= col("query_id"))
         .join(broadcast(tables.toDF("query_id", "tbl")), Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
@@ -415,24 +473,18 @@ object IvfPqIndexStore {
       else {
         // exact rerank over the survivors only: point reads off the cold
         // plane, hoisted norms (qnorm projected once onto the broadcast
-        // query table; vnorm stored) — qs07's rerank discipline
+        // query table; vnorm stored) — qs07's rerank discipline. The
+        // filtered path needs no meta check here: candidates came off the
+        // (cell, meta)-pruned hot plane, already within-scope.
         val qDf = broadcast(qs.toSeq.map(t => (t._1, t._2))
           .toDF("query_id", "qv")
           .withColumn("qnorm", normExpr(col("qv"))))
-        val vs = vectorSlice(spark, ctx, cand.map(_._2).distinct.toSeq,
-          vbuckets, withMeta = filtered)
+        val vs = vectorSlice(spark, ctx, cand.map(_._2).distinct.toSeq, vbuckets)
         val joined = vs
           .join(broadcast(cand.toSeq.toDF("query_id", "vec_id")), Seq("vec_id"))
           .join(qDf, Seq("query_id"))
-        val kept =
-          if (filtered) {
-            val qMeta = broadcast(qs.toSeq.map(t => (t._1, t._3))
-              .toDF("query_id", "qmeta"))
-            joined.join(qMeta, Seq("query_id"))
-              .filter(col("meta") === col("qmeta"))
-          } else joined
         graft.functions.Ranking.rankTopK(
-          kept.select(col("query_id"), col("vec_id"), cosineExpr), topK)
+          joined.select(col("query_id"), col("vec_id"), cosineExpr), topK)
       }
     }
   }
@@ -459,12 +511,19 @@ object IvfPqIndexStore {
 
   /** DISTRIBUTED filtered serving — [[queryFiltered]]'s semantics at
     * [[queryBatch]]'s scale (the batch matrix's FILTERED axis on the
-    * compressed store): same map-side tables and keyed joins, with the
-    * rank-time meta equality joined by key from the cold plane's stored
-    * meta and the batch's own (query_id, meta) rows — nothing about the
-    * batch on the driver. `queries` rows are (query_id, qv, meta).
-    * Bit-identical rows to [[queryFiltered]] on the same batch (same
-    * core, same kernels, same truncation). */
+    * compressed store): same map-side tables and keyed joins, with each
+    * query posting to (cell, its own meta value) and the candidate join
+    * keyed on BOTH axes against the (cell, meta)-partitioned hot plane —
+    * predicate selectivity shrinks the scan before any ADC score
+    * computes, and nothing about the batch lands on the driver (the meta
+    * PARTITION filter enumerates the batch's distinct meta domain only
+    * while it stays ≤1024 values — the tenant/label/language case; a
+    * high-cardinality domain falls back to cell-only directory pruning
+    * while the join still keys on (cell, meta) —
+    * [[IvfIndexStore.queryFilteredBatch]]'s graceful degradation).
+    * `queries` rows are (query_id, qv, meta). Bit-identical rows to
+    * [[queryFiltered]] on the same batch (same core, same kernels, same
+    * truncation). */
   def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int, candK: Int): DataFrame =
     batchServe(spark, path, queries, nProbe, topK, candK, filtered = true)
@@ -493,15 +552,24 @@ object IvfPqIndexStore {
       // leak its caches (the IvfIndexStore *Batch contract)
       var candCache: DataFrame = null
       try {
-        val posted = q.flatMap { case (qid, qv, _) =>
+        val posted = q.flatMap { case (qid, qv, mv) =>
           KMeans.nearestK(bcC.value, normalize(qv).toSeq, nProbe)
-            .map(c => (qid, c.toLong))
-        }.toDF("query_id", "cell")
+            .map(c => (qid, c.toLong, mv))
+        }.toDF("query_id", "cell", "meta")
         val tables = q.map { case (qid, qv, _) =>
           (qid, adcTable(bcCb.value, normalize(qv)).toSeq)
         }.toDF("query_id", "tbl")
         val probeCells = posted.select(col("cell")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq // ≤ k values, whatever the batch
+        // the batch's meta domain prunes the scoped hot plane's (cell,
+        // meta) directories while it stays enumerable; past the cap the
+        // join key alone carries the predicate (never a driver OOM)
+        val MaxMetaFilter = 1024
+        val metaFilter = if (!filtered) None else {
+          val ms = posted.select(col("meta")).distinct()
+            .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
+          if (ms.length > MaxMetaFilter) None else Some(ms.sorted.toSeq)
+        }
         // NOTE (r11, measured): joining the tables into the (query,
         // probed-cell) relation BEFORE the cell join — which would spare
         // the per-candidate rows their query_id shuffle — reads ~8%
@@ -514,8 +582,12 @@ object IvfPqIndexStore {
         // serve at 7.92 s isolated, PqBatchTimeMain; in-suite bench
         // readings run ~2-4 s higher than isolation for this row, so
         // compare like with like when trending it.)
-        val adc = servedPostings(spark, ctx, probeCells)
-          .join(posted, Seq("cell")) // keyed, NOT broadcast
+        val postedKeyed =
+          if (filtered) posted // joins on (cell, meta) — within-scope candidates
+          else posted.select(col("query_id"), col("cell"))
+        val joinKeys = if (filtered) Seq("cell", "meta") else Seq("cell")
+        val adc = servedPostings(spark, ctx, probeCells, metaFilter)
+          .join(postedKeyed, joinKeys) // keyed, NOT broadcast
           .filter(col("vec_id") =!= col("query_id"))
           .join(tables, Seq("query_id")) // keyed: one table copy per query
           .select(col("query_id"), col("vec_id"),
@@ -535,26 +607,21 @@ object IvfPqIndexStore {
         val buckets = cand
           .select(pmod(col("vec_id"), lit(vbuckets.toLong)).as("b")).distinct()
           .collect().map(_.getLong(0)).sorted.toSeq
-        val vschema =
-          if (filtered) "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, meta STRING, vbucket BIGINT"
-          else "vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT"
-        val vcols = if (filtered) Seq("vec_id", "v", "vnorm", "meta")
-          else Seq("vec_id", "v", "vnorm")
         val vslice = spark.read
-          .schema(vschema)
+          .schema("vec_id BIGINT, v ARRAY<DOUBLE>, vnorm DOUBLE, vbucket BIGINT")
           .parquet(ctx.dir("vectors"))
           .filter(col("vbucket").isInCollection(buckets)) // partition pruning
         // clean ⇒ one vector row per id by construction (class doc)
         val vecs = (if (ArtifactStore.isClean(ctx)) vslice
           else vslice.dropDuplicates("vec_id"))
-          .select(vcols.map(col): _*)
+          .select(col("vec_id"), col("v"), col("vnorm"))
         val qn = q.toDF("query_id", "qv", "qmeta")
+          .select(col("query_id"), col("qv"))
           .withColumn("qnorm", normExpr(col("qv")))
-        val joined = vecs.join(cand, Seq("vec_id")) // keyed
+        // no meta check here on either path: filtered candidates came off
+        // the (cell, meta)-keyed join, already within-scope
+        val kept = vecs.join(cand, Seq("vec_id")) // keyed
           .join(qn, Seq("query_id")) // keyed
-        val kept =
-          if (filtered) joined.filter(col("meta") === col("qmeta"))
-          else joined
         // return MATERIALIZED with the input caches released
         // (GraphIndexStore.queryBatch's shape): a lazy result would
         // silently recompute the whole ADC scan if the caller
@@ -749,22 +816,39 @@ object IvfPqIndexStore {
       transform(col("embedding"), _.cast("double")).as("v"))
       .as[(Long, Seq[Double])].persist()
     try {
-      val coded = v.map { case (id, x) =>
+      // a metadata-scoped store's appends must carry the manifest's meta
+      // column through BOTH planes (the hot plane's (cell, meta)
+      // partition key and the cold plane's stored column)
+      val metaOpt = manifestMeta(ctx)
+      metaOpt.foreach { m =>
+        require(batch.columns.contains(m),
+          s"store at $path is metadata-scoped on '$m'; append batches " +
+            s"must carry that column")
+      }
+      val codedBase = v.map { case (id, x) =>
         val u = normalize(x)
         (id, KMeans.nearest(bcC.value, u.toSeq).toLong, codesOf(bcCb.value, u).toSeq)
-      }.toDF("vec_id", "cell", "codes").persist()
+      }.toDF("vec_id", "cell", "codes")
+      val coded = (metaOpt match {
+        case Some(m) => codedBase.join(
+          batch.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
+        case None => codedBase
+      }).persist()
+      val hotPartCols = Seq("cell") ++ metaOpt.map(_ => "meta")
       // appended rows may duplicate stored ones (at-least-once replays):
       // revoke the clean certificate BEFORE the first write so a crash
       // anywhere leaves a dirty-but-correct store (the fold runs)
       ArtifactStore.revokeClean(ctx)
       coded
         .coalesce(1) // micro-batches are small: one file per touched cell
-        .write.partitionBy("cell").mode("append")
+        .write.partitionBy(hotPartCols: _*).mode("append")
         .parquet(ctx.dir("postings"))
       // PRESSURE VALVE on the hot plane's touched cells (the shared
-      // file-count discipline — [[ArtifactStore.maxPartitionFiles]]);
-      // the cold plane's vbucket files grow at the same rate, and one
-      // compact rewrites both
+      // file-count discipline — [[ArtifactStore.maxPartitionFiles]];
+      // cell-level dirs suffice: the metric maxes per LEAF dir, so a
+      // scoped store's meta subdirectories count individually); the cold
+      // plane's vbucket files grow at the same rate, one compact rewrites
+      // both
       val overPressure = compactFactor > 0 && {
         val touched = coded.select(col("cell")).distinct()
           .collect().map(r => s"cell=${r.getLong(0)}").toSeq
@@ -772,13 +856,8 @@ object IvfPqIndexStore {
           compactFactor.toLong
       }
       coded.unpersist()
-      // a metadata-scoped store's appends must carry the manifest's meta
-      // column through (the batch supplies it under the built name)
-      val vdf = manifestMeta(ctx) match {
+      val vdf = metaOpt match {
         case Some(m) =>
-          require(batch.columns.contains(m),
-            s"store at $path is metadata-scoped on '$m'; append batches " +
-              s"must carry that column")
           v.toDF("vec_id", "v").join(
             batch.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
         case None => v.toDF("vec_id", "v")
@@ -831,13 +910,17 @@ object IvfPqIndexStore {
       case None => df
     }
     val (k, _, _, _, vbuckets) = manifest(ctx)
+    // a scoped store's (cell, meta) hot-plane layout survives the rewrite
+    // (meta is a PARTITION key — dropping it would silently unscope every
+    // later filtered serve)
+    val hotPartCols = Seq("cell") ++ manifestMeta(ctx).map(_ => "meta")
     dropIds(spark.read.parquet(ctx.dir("postings"))
-        .select(col("vec_id"), col("codes"), col("cell"))
+        .select((Seq("vec_id", "codes") ++ hotPartCols).map(col): _*)
         .dropDuplicates("cell", "vec_id"))
-      .repartition(k, col("cell")) // one file per cell — build's discipline
-      .write.partitionBy("cell").mode("overwrite")
+      .repartition(k, hotPartCols.map(col): _*) // one file per leaf — build's discipline
+      .write.partitionBy(hotPartCols: _*).mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
-    // a scoped store's meta column survives the rewrite
+    // the cold plane's stored meta column survives too
     val vcols = Seq("vec_id", "v", "vnorm") ++ manifestMeta(ctx).map(_ => "meta")
     dropIds(spark.read.parquet(ctx.dir("vectors"))
         .select(vcols.map(col): _*)

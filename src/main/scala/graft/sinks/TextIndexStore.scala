@@ -84,8 +84,13 @@ object TextIndexStore {
     try {
       writePostings(toks, buckets, ctx.dir("postings"), "overwrite")
       writeDoclens(toks, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
+      // "positional":1 records the posting FORMAT (r12+: rows carry the
+      // pos array): the phrase/proximity serve paths require it loudly
+      // (a pre-positional store's declared-schema read yields pos = null,
+      // which would silently serve zero matches), and appends into a
+      // pre-positional store are refused before they mix schemas
       ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
-        s"""{"buckets":$buckets}""")
+        s"""{"buckets":$buckets,"positional":1}""")
       // the mutation plane resets LAST, after every data write has
       // succeeded: old tombstones must not delete fresh docs reusing an
       // id, and stale per-batch stats files must not double-count on top
@@ -131,6 +136,10 @@ object TextIndexStore {
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
     val (buckets, _, _) = readMeta(ctx)
+    // appended rows are positional: writing them into a store whose
+    // existing postings lack the pos column would mix schemas (compact's
+    // declared-pos read then throws far from the cause) — refuse here
+    requirePositional(ctx, "appendBatch")
     val toks = tokenized(batch).persist() // one tokenize pass per batch
     try {
       // appended rows may duplicate stored ones (at-least-once replays):
@@ -317,6 +326,19 @@ object TextIndexStore {
     else """"folded_upto":(-?\d+)""".r
       .findFirstMatchIn(ArtifactStore.readString(ctx.fs, base))
       .map(_.group(1).toLong).getOrElse(-1L)
+  }
+
+  /** Refuse loudly when the store predates positional postings (no
+    * `"positional":1` in manifest.json): the declared-schema serve read
+    * would see `pos = null` on every row and the phrase/proximity paths
+    * would silently return ZERO matches — a wrong answer, not an error.
+    * BM25 serving never reads `pos` and stays available on such stores. */
+  private def requirePositional(ctx: ArtifactStore.Ctx, what: String): Unit = {
+    val m = ArtifactStore.readString(ctx.fs, new Path(ctx.root, "manifest.json"))
+    require(""""positional":1""".r.findFirstIn(m).isDefined,
+      s"store at ${ctx.root} predates positional postings — $what needs " +
+        "per-occurrence position arrays; rebuild the index with build() " +
+        "(BM25 serving remains available on the old store)")
   }
 
   /** Ids of the live per-batch stats files. */
@@ -523,6 +545,7 @@ object TextIndexStore {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
     ArtifactStore.serving(spark, path) { ctx =>
+      requirePositional(ctx, "queryPhrase")
       val (pruned, _, _) = servedTermSlice(spark, ctx, phrase.distinct)
       // one relation per phrase SLOT (duplicate words reuse the same
       // slice rows under a different shift)
@@ -562,6 +585,7 @@ object TextIndexStore {
     require(window >= terms.length - 1,
       s"window $window cannot fit ${terms.length} ordered terms")
     ArtifactStore.serving(spark, path) { ctx =>
+      requirePositional(ctx, "queryProximity")
       val (pruned, _, _) = servedTermSlice(spark, ctx, terms.distinct)
       val slots = terms.zipWithIndex.map { case (w, j) =>
         pruned.filter(col("token") === w)
@@ -603,11 +627,17 @@ object TextIndexStore {
       queries: DataFrame): DataFrame = {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
+      requirePositional(ctx, "queryPhraseBatch")
       val qs: Array[(Long, Seq[String])] = ArtifactStore.collectBounded(
         queries.select(col("query_id"), col("phrase")).as[(Long, Seq[String])],
         65536, "phrase query batch", "split the eval set")
       qs.foreach { case (qid, ph) =>
         require(ph.nonEmpty, s"query $qid: phrase must have at least one token") }
+      // duplicate ids would collide in the per-(query, doc) slot-map fold
+      // below ("duplicate map key" deep in the job) — an input-contract
+      // error, surfaced as one before any work runs
+      require(qs.map(_._1).distinct.length == qs.length,
+        "phrase query batch: query_id values must be unique")
       val termUnion = qs.flatMap(_._2).distinct.toSeq.sorted
       val (pruned, _, _) = servedTermSlice(spark, ctx, termUnion)
       val slots = qs.toSeq.flatMap { case (qid, ph) =>

@@ -672,29 +672,38 @@ class PlanQualitySpec extends AnyFunSuite {
       s"rank finish must be the bounded aggregator, not a window:\n${plan.take(1500)}")
   }
 
-  test("qs36 PQ filtered serve: meta point reads prune vbuckets; no cartesian, no UDF, no window") {
-    // the filtered driver path's returned plan is the meta-filtered exact
-    // rerank: the vector point reads must still prune at the vbucket
-    // partition level WITH the meta column riding along, the meta
-    // equality must not degrade any join to a cartesian, and ranking
-    // stays the bounded aggregator
+  test("qs36 PQ filtered serve: hot plane prunes on (cell, meta); rerank prunes vbuckets; no cartesian, no UDF, no window") {
+    // the r13 scoped layout's whole point, pinned: the filtered ADC scan
+    // must carry BOTH partition columns in its PartitionFilters (cell
+    // from the probe set, meta from the batch's label domain) — losing
+    // either silently degrades to scanning L× the directories; the
+    // returned rerank plan must still prune vbuckets, keep every join
+    // non-cartesian, and rank via the bounded aggregator
     val idx = java.nio.file.Files.createTempDirectory("graft-pqf-plan").toString
     val e = graft.relational.QueryHelpers.table(spark, dir, "embeddings")
     graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, idx,
       metaCol = Some("label"))
     spark.catalog.clearCache()
+    val ctx = graft.sinks.ArtifactStore.open(spark, idx)
+    val scanPlan = graft.sinks.IvfPqIndexStore
+      .servedPostings(spark, ctx, Seq(0L, 3L), Some(Seq("1", "2")))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scanPlan).isDefined,
+      s"scoped hot-plane scan must prune probe cells:\n${scanPlan.take(2000)}")
+    assert("PartitionFilters: \\[[^\\]]*meta".r.findFirstIn(scanPlan).isDefined,
+      s"scoped hot-plane scan must prune the meta domain:\n${scanPlan.take(2000)}")
     val q = e.select(col("vec_id").as("query_id"),
         org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("qv"),
         col("label").cast("string").as("meta"))
       .filter(col("query_id") < 5)
     val served = graft.sinks.IvfPqIndexStore.queryFiltered(spark, idx, q,
-      nProbe = 16, topK = 10, candK = 480)
+      nProbe = 16, topK = 10, candK = 240)
     val plan = served.queryExecution.executedPlan.toString
     spark.catalog.clearCache()
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(1500)}")
     assert(!plan.contains("ScalaUDF"), s"no ScalaUDF in the serve plan:\n${plan.take(1500)}")
     assert("PartitionFilters: \\[[^\\]]*vbucket".r.findFirstIn(plan).isDefined,
-      s"meta point reads must keep pruning vbuckets:\n${plan.take(2000)}")
+      s"rerank point reads must keep pruning vbuckets:\n${plan.take(2000)}")
     assert(!plan.contains("Window"),
       s"rank finish must be the bounded aggregator, not a window:\n${plan.take(1500)}")
   }

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 /** Probe: filtered PQ serving (IvfPqIndexStore.queryFiltered) recall vs
   * the exact same-label brute force at each SF across (nProbe, candK) —
   * the threshold-margin measurement behind the qs36 pin (re-run before
-  * shrinking any constant). The code plane is unscoped, so the label
-  * filter keeps ~1/L of the ADC candidates: candK is the oversampling
-  * knob that decides how much of the query's same-label neighbourhood
-  * even reaches the rerank. */
+  * shrinking any constant). r13: the hot plane is (cell, meta)-scoped,
+  * so every ADC candidate is already within-label — candK truncation is
+  * within-scope and the only loss mechanism left is probe loss (a
+  * same-label neighbour in an unprobed cell), the same statistic the
+  * unfiltered qs31 pin carries. The grid spans the plain constants the
+  * scoped layout is meant to serve at (NProbe=10 / CandK=24·topK) plus
+  * the old rank-filter oversample points for comparison. */
 object PqFilteredProbeMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[30]")
@@ -48,7 +51,7 @@ object PqFilteredProbeMain {
         .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
         .persist()
       truth.count()
-      for (nProbe <- Seq(10, 16); candK <- Seq(24 * TopK, 48 * TopK, 96 * TopK)) {
+      for (nProbe <- Seq(8, 10, 16); candK <- Seq(12 * TopK, 24 * TopK, 48 * TopK)) {
         val got = graft.sinks.IvfPqIndexStore.queryFiltered(spark, idx,
           queries, nProbe, TopK, candK)
           .select(col("query_id"), col("vec_id"))

@@ -242,6 +242,81 @@ class StoreHardeningSpec extends AnyFunSuite {
     assert(got == want, "build(400) + meta append(rest) must serve the full-build ranks")
   }
 
+  test("compact preserves the (cell, meta) HOT-plane axis of a metadata-scoped PQ store") {
+    // r13: the scoped PQ store's predicate lives in the CODE plane's
+    // partition key — a compact that dropped it would silently unscope
+    // every later filtered serve (cross-label candidates), so the layout
+    // and the serving identity are pinned through delete + compact
+    val idx = tmp("graft-pq-metacompact")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, idx,
+      metaCol = Some("label"))
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    def serve() = graft.sinks.IvfPqIndexStore.queryFiltered(spark, idx, queries,
+      nProbe = 16, topK = 10, candK = 240)
+    val want = serve().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    graft.sinks.IvfPqIndexStore.delete(spark, idx, Seq(want.head._3))
+    val afterDelete = serve().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(afterDelete != want, "the delete must change filtered serving")
+    graft.sinks.IvfPqIndexStore.compact(spark, idx)
+    assert(ArtifactStore.open(spark, idx).epoch == 1L)
+    // the compacted hot plane still prunes on BOTH partition axes
+    val ctx = ArtifactStore.open(spark, idx)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(graft.sinks.IvfPqIndexStore
+        .servedPostings(spark, ctx, Seq(0L, 3L), Some(Seq("1", "2")))
+        .queryExecution.executedPlan.toString).getOrElse("")
+    assert(pf.contains("cell") && pf.contains("meta"),
+      s"compacted scoped PQ store must keep the (cell, meta) layout, got $pf")
+    val got = serve().collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == afterDelete, "filtered serving must be identical across compact")
+  }
+
+  test("appendBatch on a metadata-scoped PQ store carries both planes' meta; refuses a meta-less batch") {
+    val idx = tmp("graft-pq-metaappend")
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    graft.sinks.IvfPqIndexStore.build(e.filter(col("vec_id") < 400), k = 16,
+      nSub = 8, subK = 256, idx, metaCol = Some("label"))
+    // a batch without the store's meta column is refused BEFORE any write
+    // (appending it plain would corrupt the (cell, meta) hot-plane layout)
+    val ex = intercept[IllegalArgumentException] {
+      graft.sinks.IvfPqIndexStore.appendBatch(
+        e.filter(col("vec_id") >= 400).select(col("vec_id"), col("embedding")), idx)
+    }
+    assert(ex.getMessage.contains("label"))
+    // a batch carrying it appends into the same layout: filtered serving
+    // reaches parity with a full build (same stored geometry — centroids
+    // and codebooks seed from the same lowest-id vectors)
+    graft.sinks.IvfPqIndexStore.appendBatch(e.filter(col("vec_id") >= 400), idx)
+    val queries = e.select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 5)
+    def serve(p: String) = {
+      val rows = graft.sinks.IvfPqIndexStore.queryFiltered(spark, p, queries,
+        nProbe = 16, topK = 10, candK = 240)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val got = serve(idx)
+    val fullIdx = tmp("graft-pq-metaappend-full")
+    graft.sinks.IvfPqIndexStore.build(e, k = 16, nSub = 8, subK = 256, fullIdx,
+      metaCol = Some("label"))
+    val want = serve(fullIdx)
+    assert(got.nonEmpty && got.map(_._1).distinct.length == 5)
+    // label exactness on the appended store: every served neighbour
+    // carries its query's label
+    val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.forall { case (q, _, v) => labels(q) == labels(v) },
+      "filtered serving must stay label-exact on an appended scoped store")
+    assert(want.forall { case (q, _, v) => labels(q) == labels(v) })
+  }
+
   // ---- rebuild resets the mutation plane ----
 
   // ---- pressure valves: bounded append footprint on every store ----
