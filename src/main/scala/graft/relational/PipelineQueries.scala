@@ -4355,6 +4355,69 @@ object PipelineQueries {
       FROM h WHERE len(anch) >= 1
       ORDER BY query, doc_id""")),
 
+    CatalogQuery("qt35_index_proximity_batch", (s, d) => {
+      // MANY ordered-proximity queries served from the positional index
+      // in ONE pass — qt33's eval-set shape on the proximity axis
+      // (TextIndexStore.queryProximityBatch): one posting-slice open for
+      // the term union, a broadcast (query_id, slot, token) table, the
+      // per-(query, doc) slot-map fold, and a GREEDY chain per anchor
+      // (prevⱼ = min{q ∈ posⱼ : q > prevⱼ₋₁}; exact by dominance — the
+      // feasible set for slot j+1 only grows as prevⱼ shrinks, so the
+      // minimal choice witnesses a chain iff any choice does). The
+      // oracle is qt34's nested-exists formulation per query — a
+      // genuinely INDEPENDENT decision procedure (existential search vs
+      // greedy fold), so a hash match proves the dominance argument on
+      // real data, not just the plumbing. The set exercises 2- and
+      // 3-term chains, a fresh term pair, and a DUPLICATE-WORD query
+      // (both slots over the same posting row, window wider than the
+      // phrase gap).
+      import s.implicits._
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt35-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      val queries = Seq(
+        (0L, Seq("fast", "table"), 4),
+        (1L, Seq("fast", "table", "scan"), 5),
+        (2L, Seq("stream", "hash"), 8),
+        (3L, Seq("table", "table"), 3)).toDF("query_id", "terms", "window")
+      graft.sinks.TextIndexStore.queryProximityBatch(s, idxDir, queries)
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      pos AS (SELECT doc_id,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'fast') AS f,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'table') AS tb,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'scan') AS sc,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'stream') AS st,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'hash') AS h
+        FROM t),
+      hh AS (
+        SELECT 0 AS query_id, doc_id,
+          list_filter(f, p ->
+            len(list_filter(tb, q -> q > p AND q - p <= 4)) > 0) AS anch
+        FROM pos
+        UNION ALL
+        SELECT 1, doc_id,
+          list_filter(f, p ->
+            len(list_filter(tb, q -> q > p AND q - p <= 5
+              AND len(list_filter(sc, r -> r > q AND r - p <= 5)) > 0)) > 0)
+        FROM pos
+        UNION ALL
+        SELECT 2, doc_id,
+          list_filter(st, p ->
+            len(list_filter(h, q -> q > p AND q - p <= 8)) > 0)
+        FROM pos
+        UNION ALL
+        SELECT 3, doc_id,
+          list_filter(tb, p ->
+            len(list_filter(tb, q -> q > p AND q - p <= 3)) > 0)
+        FROM pos)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        CAST(len(anch) AS BIGINT) AS n_anchors,
+        CAST(anch[1] AS BIGINT) AS first_pos
+      FROM hh WHERE len(anch) >= 1
+      ORDER BY query_id, doc_id""")),
+
     CatalogQuery("qt33_index_phrase_batch", (s, d) => {
       // MANY phrase queries served from the positional index in ONE
       // pass — qt30's eval-set shape on the phrase axis, completing the

@@ -669,4 +669,72 @@ object TextIndexStore {
         .orderBy(col("query_id"), col("doc_id"))
     }
   }
+
+  /** Serve MANY ordered-proximity queries from the positional postings in
+    * ONE pass — [[queryPhraseBatch]]'s eval-set shape on the proximity
+    * axis: one posting-slice open for the union of every query's terms,
+    * a broadcast (query_id, slot, token) table, and the per-(query, doc)
+    * slot-map fold. The chain check differs from the phrase
+    * intersection because term counts VARY per query, so the standalone
+    * path's compile-time-nested `exists` lambdas (depth = L, known at
+    * plan time) cannot apply; instead each anchor folds a GREEDY chain
+    * over `sequence(1, L-1)`: prev₀ = anchor, prevⱼ = min{q ∈ posⱼ :
+    * q > prevⱼ₋₁}, and a chain exists iff prev_{L-1} lands within
+    * `window` of the anchor. Greedy-minimal is exact, not a heuristic:
+    * the feasible set for slot j+1 ({q > prevⱼ}) only GROWS as prevⱼ
+    * shrinks, so the minimal choice dominates every alternative — the
+    * greedy chain exists iff ANY chain does (the dominance argument is
+    * the whole correctness proof; TextIndexSpec pins batch ==
+    * standalone per query, which carries the nested-exists oracle
+    * formulation over). `queries` must have (query_id: bigint,
+    * terms: array<string>, window: int), window ≥ |terms|−1, each query
+    * ≥ 2 terms. Output: (query_id, doc_id, n_anchors, first_pos),
+    * 1-based, ordered by (query_id, doc_id) — [[queryProximity]]'s
+    * per-query conventions. */
+  def queryProximityBatch(spark: SparkSession, path: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      requirePositional(ctx, "queryProximityBatch")
+      val qs: Array[(Long, Seq[String], Int)] = ArtifactStore.collectBounded(
+        queries.select(col("query_id"), col("terms"),
+          col("window").cast("int")).as[(Long, Seq[String], Int)],
+        65536, "proximity query batch", "split the eval set")
+      require(qs.map(_._1).distinct.length == qs.length,
+        "proximity query batch: query_id values must be unique")
+      qs.foreach { case (qid, ts, w) =>
+        require(ts.length >= 2, s"query $qid: proximity needs at least two terms")
+        require(w >= ts.length - 1,
+          s"query $qid: window $w cannot fit ${ts.length} ordered terms")
+      }
+      val termUnion = qs.flatMap(_._2).distinct.toSeq.sorted
+      val (pruned, _, _) = servedTermSlice(spark, ctx, termUnion)
+      val slots = qs.toSeq.flatMap { case (qid, ts, w) =>
+        ts.zipWithIndex.map { case (t, j) => (qid, j, t, ts.length, w) } }
+        .toDF("query_id", "slot", "token", "plen", "w")
+      val pm = pruned.select(col("token"), col("doc_id"), col("pos"))
+        .join(broadcast(slots), Seq("token"))
+        .groupBy(col("query_id"), col("doc_id"), col("plen"), col("w"))
+        .agg(map_from_entries(collect_list(
+          struct(col("slot"), col("pos")))).as("pm"))
+        .filter(size(col("pm")) === col("plen"))
+      // the greedy fold per anchor: a dead chain parks at the Int.MaxValue
+      // sentinel (filter(q > MAX) is empty forever after, and the span
+      // check can never pass it — positions are ≥ 1, windows are sane)
+      val Dead = Int.MaxValue
+      val anchors = filter(element_at(col("pm"), lit(0)), p =>
+        aggregate(sequence(lit(1), col("plen") - 1), p,
+          (prev, j) => coalesce(
+            array_min(filter(element_at(col("pm"), j.cast("int")),
+              q => q > prev)),
+            lit(Dead)),
+          prev => prev =!= lit(Dead) && (prev - p) <= col("w")))
+      pm.select(col("query_id"), col("doc_id"), anchors.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("query_id"), col("doc_id"),
+          size(col("ps")).cast("long").as("n_anchors"),
+          element_at(col("ps"), 1).cast("long").as("first_pos"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }
+  }
 }

@@ -249,6 +249,12 @@ object DemoWorkflowMain {
           Seq("fast", "table"), window = 1)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       println(s"[probe-tidx-proximity] w=1EqualsPhrase=${prox == phs} (expect true)")
+      // proximity eval-set batch (r13): greedy-chain fold, rows ==
+      // standalone queryProximity per query
+      val proxb = graft.sinks.TextIndexStore.queryProximityBatch(spark, tidxDir,
+          Seq((9L, Seq("fast", "table"), 1)).toDF("query_id", "terms", "window"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      println(s"[probe-tidx-proximity-batch] agreesWithSingle=${proxb == prox} (expect true)")
       // operational health: the delete above left a tombstone pending
       val hm = graft.sinks.TextIndexStore.health(spark, tidxDir)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1156,6 +1156,53 @@ class StoreHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("text store: batch proximity serving equals standalone queryProximity per query (greedy fold == nested exists)") {
+    // the dominance-argument pin: queryProximityBatch decides chain
+    // existence by a greedy fold (min next position per slot) while the
+    // standalone path nests existential lambdas — two independent
+    // decision procedures that must agree anchor-for-anchor. The set
+    // covers 2- and 3-term chains, the window = L-1 phrase degeneration,
+    // and a duplicate-word query (both slots over one posting row).
+    import spark.implicits._
+    val idx = tmp("graft-tidx-proxb")
+    TextIndexStore.build(QueryHelpers.table(spark, dir, "documents"),
+      buckets = 64, idx)
+    val queries = Seq(
+      (0L, Seq("fast", "table"), 4),
+      (1L, Seq("stream", "table", "hash"), 2), // window = L-1: the phrase
+      (2L, Seq("table", "table"), 3),
+      (3L, Seq("fast", "table", "scan"), 5))
+    val batch = TextIndexStore
+      .queryProximityBatch(spark, idx, queries.toDF("query_id", "terms", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.groupBy(_._1)
+    spark.catalog.clearCache()
+    queries.foreach { case (qid, ts, w) =>
+      val single = TextIndexStore.queryProximity(spark, idx, ts, w)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"batch proximity path diverges from standalone for $ts ~$w")
+      spark.catalog.clearCache()
+    }
+    assert(queries.map(_._1).forall(q => batch.getOrElse(q, Seq.empty).nonEmpty),
+      "fixture sanity: every gated proximity query must actually match docs")
+    // input-contract errors surface before any job runs
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryProximityBatch(spark, idx,
+        Seq((0L, Seq("fast", "table"), 4), (0L, Seq("stream", "hash"), 8))
+          .toDF("query_id", "terms", "window"))
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryProximityBatch(spark, idx,
+        Seq((0L, Seq("fast", "table", "scan"), 1))
+          .toDF("query_id", "terms", "window"))
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryProximityBatch(spark, idx,
+        Seq((0L, Seq("fast"), 3)).toDF("query_id", "terms", "window"))
+    }
+  }
+
   test("store health surface tracks the mutation state machine") {
     // the when-to-compact observability table (ArtifactStore.health via
     // per-store wrappers): every signal a deploy on its own maintenance
