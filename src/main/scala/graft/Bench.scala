@@ -197,6 +197,10 @@ object Bench {
         "qs24_batch_only" -> (() => PipelineQueries.Serve.queryIvfBatch(spark, sfDir, ivfIdx)),
         "qs32_batch_only" -> (() => PipelineQueries.Serve.queryPqBatch(spark, sfDir, pqIdx)),
         "qs33_batch_only" -> (() => PipelineQueries.Serve.queryGraphBatch(spark, sfDir, graphIdx)),
+        // the POSITIONAL plane's serve baseline (r13): qt33's phrase eval
+        // set from the pre-built text store — phrase serving was the one
+        // store plane serve_only didn't time (r12 verdict #4)
+        "qt33_batch_only" -> (() => PipelineQueries.Serve.queryTextPhraseBatch(spark, textIdx)),
         // the FILTERED distributed corpus-batch serves (qs35/qs36 kernels
         // at their pinned margins) — metadata-scoped stores built once
         // untimed like the rest; r12 establishes their baselines

@@ -70,6 +70,19 @@ object PipelineQueries {
     def queryTextIndex(s: SparkSession, idxDir: String): DataFrame =
       graft.sinks.TextIndexStore.queryBm25(s, idxDir,
         Seq("spark", "join", "window"), AnnTopK)
+    /** qt33's exact eval set served from a pre-built store — the
+      * POSITIONAL plane's bench row (qt33_batch_only): phrase serving is
+      * the one store plane the serve_only list didn't time through r12,
+      * so a regression in the slot joins / position-map fold was
+      * invisible. */
+    def queryTextPhraseBatch(s: SparkSession, idxDir: String): DataFrame = {
+      import s.implicits._
+      graft.sinks.TextIndexStore.queryPhraseBatch(s, idxDir, Seq(
+        (0L, Seq("fast", "table")),
+        (1L, Seq("stream", "table", "hash")),
+        (2L, Seq("table")),
+        (3L, Seq("table", "table"))).toDF("query_id", "phrase"))
+    }
     def buildGraphIndex(s: SparkSession, d: String): String = {
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs28-gidx").toString
