@@ -182,6 +182,119 @@ object KnnGraph {
     val cells = graft.functions.Ranking
       .topPerKey(fineScored, "vec_id", assign, "fid", "negd")
       .select(col("vec_id"), col("fid").as("cell"))
+    edgesFromCells(e, cells, degree, fine)
+  }
+
+  /** Build a LABEL-DISJOINT bounded-degree kNN graph — one independent
+    * subgraph per meta value, in ONE distributed pass (the r13 scoped
+    * graph store's engine): `e` and `cents` rows carry a `meta` column,
+    * the two-level assignment runs PER LABEL (each label's coarse seeds =
+    * the ⌈√k_l⌉ lowest-id members of its own centroid set; routing,
+    * sizing and the widening rule are [[build]]'s exactly, keyed by
+    * (meta, seed)), and everything downstream of assignment is [[build]]'s
+    * shared stage UNCHANGED — because a fine centroid's id (`fid`)
+    * belongs to exactly one label, cells are label-unique BY ID, so the
+    * in-cell pair join and the NN-descent round never produce a
+    * cross-label edge without ever mentioning meta. Driver state: one
+    * Σ_l ⌈√k_l⌉ seed map (≈ √(k·L) rows for balanced labels) + the
+    * per-(label, seed) group sizes — never anything corpus-proportional.
+    * Each label's subgraph is EXACTLY what [[build]] would produce on
+    * that label's sub-corpus with its sub-centroids (the per-label
+    * stages read only same-label rows). */
+  def buildScoped(e: DataFrame, cents: DataFrame, assign: Int,
+      degree: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val centDs = cents.select(col("meta"), col("vec_id"), col("v"))
+      .as[(String, Long, Seq[Double])]
+    // per-label centroid counts — L rows on the driver (the tenant/label
+    // case; meta domains are enumerable by the scoped-store contract)
+    val kByLabel: Map[String, Long] = centDs
+      .groupByKey(_._1).count().collect().toMap
+    require(kByLabel.nonEmpty, "empty centroid relation")
+    val nCoarseOf: Map[String, Int] = kByLabel.map { case (l, k) =>
+      l -> math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt) }
+    val bcNCoarse = spark.sparkContext.broadcast(nCoarseOf)
+    // per-label coarse seeds: the ⌈√k_l⌉ lowest-id centroids of each
+    // label, selected DISTRIBUTED (per-label rank, no corpus collect) —
+    // the driver holds Σ_l √k_l seed rows
+    val seedRows = centDs
+      .groupByKey(_._1)
+      .flatMapGroups { (l, rows) =>
+        // per-label bounded selection: keep the nCoarse lowest ids via a
+        // size-capped buffer (labels are corpus/L-sized; the buffer is √k_l)
+        val n = bcNCoarse.value(l)
+        val best = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Seq[Double])](Ordering.by(_._1)) // max-heap on id
+        rows.foreach { case (_, id, v) =>
+          if (best.size < n) best.enqueue((id, v))
+          else if (id < best.head._1) { best.dequeue(); best.enqueue((id, v)) }
+        }
+        best.toSeq.sortBy(_._1).map { case (id, v) => (l, id, v) }
+      }.collect()
+    val seedsOf: Map[String, Array[Array[Double]]] = seedRows
+      .groupBy(_._1).map { case (l, arr) =>
+        l -> arr.sortBy(_._2).map(_._3.toArray) }
+    val bcSeeds = spark.sparkContext.broadcast(seedsOf)
+    // route each fine centroid under (its label, its label's nearest seed)
+    val fine = centDs
+      .map { case (l, fid, fv) =>
+        (l, KMeans.nearest(bcSeeds.value(l), fv), fid, fv) }
+      .toDF("meta", "seed", "fid", "fv")
+      .persist() // sized below + the assignment equi-join
+    // per-(label, seed) group sizes — Σ_l √k_l longs
+    val sizesOf: Map[String, Array[Long]] = {
+      val raw = fine.groupBy(col("meta"), col("seed")).count()
+        .as[(String, Int, Long)].collect()
+      val m = nCoarseOf.map { case (l, n) => l -> Array.fill(n)(0L) }
+      raw.foreach { case (l, s, n) => m(l)(s) = n }
+      m
+    }
+    val bcSizes = spark.sparkContext.broadcast(sizesOf)
+    val minCoarseProbe = MinCoarseProbe
+    def l2sq(v: Seq[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    // [[build]]'s probed-seed prefix, per label — same (L2², seed-index)
+    // order and widening rule against the label's own seeds and sizes
+    def probedSeeds(l: String, v: Seq[Double], n: Int): Seq[Int] = {
+      val seeds = bcSeeds.value(l)
+      val sizes = bcSizes.value(l)
+      val order = seeds.indices.map(j => (l2sq(v, seeds(j)), j)).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var pooled = 0L
+      val it = order.iterator
+      while (it.hasNext && (out.length < minCoarseProbe || pooled < n)) {
+        val j = it.next()._2
+        out += j
+        pooled += sizes(j)
+      }
+      out.toSeq
+    }
+    val postedSeeds = e.select(col("meta"), col("vec_id"), col("v"))
+      .as[(String, Long, Seq[Double])]
+      .flatMap { case (l, id, v) =>
+        probedSeeds(l, v, assign).map(j => (l, id, v, j)) }
+      .toDF("meta", "vec_id", "v", "seed")
+    val fineScored = postedSeeds.join(fine, Seq("meta", "seed"))
+      .select(col("vec_id"), col("fid"),
+        negate(graft.functions.expressions.VectorExpressions
+          .vecL2Sq(col("v"), col("fv"))).as("negd"))
+    val cells = graft.functions.Ranking
+      .topPerKey(fineScored, "vec_id", assign, "fid", "negd")
+      .select(col("vec_id"), col("fid").as("cell"))
+    edgesFromCells(e.select(col("vec_id"), col("v")), cells, degree, fine)
+  }
+
+  /** The shared post-assignment stage of [[build]] / [[buildScoped]]:
+    * in-cell pair scoring, per-src truncation, one NN-descent round.
+    * `fine` is passed only to release its cache once the assignment join
+    * has been materialized. */
+  private def edgesFromCells(e: DataFrame, cells: DataFrame, degree: Int,
+      fine: DataFrame): DataFrame = {
     val posted = hoist(
       e.select(col("vec_id"), col("v")).join(cells, Seq("vec_id"))
         .select(col("vec_id"), col("v"), col("cell")), "v", "vnorm")
@@ -240,11 +353,42 @@ object KnnGraph {
       scope: graft.core.WalkScope = new graft.core.WalkScope): DataFrame = {
     val ev = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
     val q = hoist(queries.select(col("query_id"), col("qv")), "qv", "qnorm")
-    val edgeTab = edges.select(col("src"), col("dst"))
     // entry scoring: |entries| × |queries| rows — bounded, broadcast side
-    var visited = scope.checkpoint(ev.filter(col("vec_id").isInCollection(entries))
+    val entryScored = ev.filter(col("vec_id").isInCollection(entries))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+    walkFrom(ev, edges, q, entryScored, beam, hops, scope)
+  }
+
+  /** [[search]] with PER-QUERY entry points: `seeds` is a
+    * (query_id, vec_id) relation naming each query's own seed set — the
+    * scoped graph store's seeding shape (each query starts from its own
+    * label's entries; on a label-disjoint edge plane the walk then never
+    * leaves the query's subgraph without any per-hop meta check). Entry
+    * scoring is a keyed join instead of [[search]]'s cross join; every
+    * hop after that is the identical shared loop, so the two variants
+    * return bit-identical rows whenever `seeds` equals the cross product.
+    * `seeds` must be broadcast-small (labels × entries by the scoped
+    * store's contract). */
+  def searchSeeded(e: DataFrame, edges: DataFrame, queries: DataFrame,
+      seeds: DataFrame, beam: Int, hops: Int,
+      scope: graft.core.WalkScope = new graft.core.WalkScope): DataFrame = {
+    val ev = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
+    val q = hoist(queries.select(col("query_id"), col("qv")), "qv", "qnorm")
+    val entryScored = ev
+      .join(broadcast(seeds.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+    walkFrom(ev, edges, q, entryScored, beam, hops, scope)
+  }
+
+  /** The shared hop loop behind [[search]] / [[searchSeeded]] — takes the
+    * already-scored entry frame and walks. */
+  private def walkFrom(ev: DataFrame, edges: DataFrame, q: DataFrame,
+      entryScored: DataFrame, beam: Int, hops: Int,
+      scope: graft.core.WalkScope): DataFrame = {
+    val edgeTab = edges.select(col("src"), col("dst"))
+    var visited = scope.checkpoint(entryScored
       ) // TRUNCATE lineage, not just cache it: each
     // hop's plan embeds the previous hops' plans (and a persisted
     // relation still PRINTS its full child tree), so with plain persist

@@ -146,7 +146,7 @@ object PipelineQueries {
     def queryGraphFilteredBatch(s: SparkSession, d: String,
         idxDir: String): DataFrame =
       graft.sinks.GraphIndexStore.queryFilteredBatch(s, idxDir,
-        corpusBatchMeta(s, d), beam = 64, hops = 4, topK = AnnTopK)
+        corpusBatchMeta(s, d), beam = 32, hops = 4, topK = AnnTopK)
     def queryPqFilteredBatch(s: SparkSession, d: String,
         idxDir: String): DataFrame =
       graft.sinks.IvfPqIndexStore.queryFilteredBatch(s, idxDir,
@@ -2331,23 +2331,22 @@ object PipelineQueries {
     CatalogQuery("qs30_graph_filtered_serve", (s, d) => {
       // FILTERED serving from the metadata-scoped graph store — qs12's
       // tenant/label-scoped retrieval shape on the graph paradigm
-      // (GraphIndexStore.queryFiltered). The graph stays navigationally
-      // UNSCOPED (a per-label subgraph would disconnect rare labels); the
-      // predicate applies at rank time over the walk's oversampled
-      // visited set — the standard filtered-ANN recipe for graph indexes,
-      // complementing IVF's pruning-exact (cell, meta) partition-key
-      // variant (qs18). Contract: (a) every served neighbour carries the
-      // query's label, (b) top-10 AVG recall vs the exact same-label
-      // brute force ≥ 0.90. Beam=64/hops=4 MEASURED (r10, two-level
-      // assignment, MinCoarseProbe=3) avg 1.000 / 0.980 / 1.000 at
-      // sf0.001 / sf0.01 / sf0.1 (mins 1.000 / 0.900 / 1.000);
-      // beam=48/hops=4 reads avg 0.96 at sf0.01 and 0.98 at sf0.1,
-      // beam=32/hops=4 reads 0.86 avg at sf0.1 (margin too thin / fails)
-      // — the filter keeps ~1/L of the visited set, so the walk needs
-      // the wider beam to cover the same-label global top-10
-      // (GraphFilteredProbeMain re-measures; run it before shrinking
-      // anything).
-      val Beam = 64; val Hops = 4
+      // (GraphIndexStore.queryFiltered). r13: the scoped store's edge
+      // plane is LABEL-DISJOINT (one NSW subgraph per label, built in one
+      // distributed pass — KnnGraph.buildScoped) with per-label entry
+      // points, and each query seeds from its own label's entries — the
+      // walk structurally never visits a cross-label node, so filtered
+      // retrieval IS unfiltered retrieval on a corpus L× smaller and the
+      // old rank-time filter + beam-64 oversample are gone. Contract:
+      // (a) every served neighbour carries the query's label, (b) top-10
+      // AVG recall vs the exact same-label brute force ≥ 0.90.
+      // Beam=32/hops=4 — the PLAIN unscoped-store geometry, no filtered
+      // oversampling — MEASURED (GraphFilteredProbeMain r13) avg AND min
+      // 1.000 at EVERY grid point down to beam=8/hops=3 at every SF
+      // (pre-r13 rank-filter: beam=32 read 0.86 avg at sf0.1, beam=64
+      // required); the pin keeps 2× margin over the smallest passing
+      // beam. Re-measure before shrinking.
+      val Beam = 32; val Hops = 4
       val e = table(s, d, "embeddings")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs30-gidx").toString
@@ -2605,15 +2604,19 @@ object PipelineQueries {
       // the rank-time meta filter as two KEYED joins (stored meta by
       // vec_id, query meta by query_id), nothing about the batch on the
       // driver (a tenant-scoped corpus job previously had to chunk
-      // through the driver fold). Gate = the qs32/qs33
+      // through the driver fold). r13: both paths walk the SCOPED
+      // subgraphs (label-disjoint edges, per-label seeds — qs30's store
+      // doc); the batch path's seeds come from one keyed join against
+      // the broadcast per-label entry table (KnnGraph.searchSeeded), so
+      // the old rank-time meta joins are gone. Gate = the qs32/qs33
       // independent-formulation contract: the corpus (4096 lowest ids —
       // oracle LIMIT mirrored, regen-proof) queries WITHIN ITS OWN LABEL
       // through BOTH paths and symmetric anti-joins prove identical
       // (query_id, rank, vec_id) sets in Spark. Label exactness and
       // recall are qs30's gate (the driver fold defines the semantics;
-      // this row proves the distributed path IS that fold). qs30's
-      // pinned geometry (deg=12 / beam=64 / hops=4 — the filtered walk
-      // needs the wide beam).
+      // this row proves the distributed path IS that fold). qs30's r13
+      // pinned geometry: deg=12 / beam=32 / hops=4 — the PLAIN constants,
+      // no filtered oversampling.
       val e = table(s, d, "embeddings")
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs35-gidx").toString
@@ -2626,9 +2629,9 @@ object PipelineQueries {
         .orderBy(col("query_id")).limit(4096)
         .persist() // both serve paths read it
       val viaBatch = graft.sinks.GraphIndexStore.queryFilteredBatch(s, idxDir,
-        allQ, beam = 64, hops = 4, topK = AnnTopK)
+        allQ, beam = 32, hops = 4, topK = AnnTopK)
       val viaDriver = graft.sinks.GraphIndexStore.queryFiltered(s, idxDir,
-        allQ, beam = 64, hops = 4, topK = AnnTopK)
+        allQ, beam = 32, hops = 4, topK = AnnTopK)
       val onlyBatch = viaBatch.join(viaDriver,
         Seq("query_id", "rank", "vec_id"), "left_anti").count()
       val onlyDriver = viaDriver.join(viaBatch,

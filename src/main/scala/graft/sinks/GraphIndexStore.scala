@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * {{{
   *   manifest.json                     {"degree":D,"dim":d,"buckets":B,"entries":E[,"meta":col]}
   *   edges/ebucket=K/<parts>.parquet   (src, dst, cosine) — ebucket = src % B
+  *     (metadata-scoped store: the edge plane is LABEL-DISJOINT — one
+  *      independent NSW subgraph per meta value, r13; filtered queries
+  *      seed from their own label's entries and structurally never visit
+  *      a cross-label node)
   *   vectors/vbucket=K/<parts>.parquet (vec_id, v, vnorm[, meta]) — vbucket = vec_id % B
-  *   entries/<part>.parquet            (vec_id) — the pinned entry points
+  *   entries/<part>.parquet            (vec_id[, meta]) — the pinned entry
+  *                                     points (per label on scoped stores)
   *   tombstones/                       parquet (doc_id) — folded by compact
   *   epoch-N, _COMPACTING              ArtifactStore commit/guard markers
   *   _clean-N                          clean-store marker (see below)
@@ -193,11 +198,7 @@ object GraphIndexStore {
     ArtifactStore.revokeClean(ctx)
     val v = e.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v")).persist()
-    val k = math.max(16L, v.count() / 400L)
-    // centroids stay a RELATION — KnnGraph.build's two-level assignment
-    // holds only the ⌈√k⌉ coarse seeds on the driver; collecting all
-    // k = n/400 rows here would re-grow with the corpus
-    val cents = v.filter(col("vec_id") < k)
+    val n = v.count()
     val dimRow = v.select(size(col("v"))).limit(1).collect()
     require(dimRow.nonEmpty, "empty corpus")
     val dim = dimRow(0).getInt(0)
@@ -206,29 +207,74 @@ object GraphIndexStore {
     // bucket dir (tasks × buckets small files), and each per-hop pruned
     // serve scan pays that many file opens — measured as the dominant
     // serve cost at sf0.1
-    KnnGraph.build(v, cents, assign, degree)
+    def writeEdges(edges: DataFrame): Unit = edges
       .withColumn("ebucket", pmod(col("src"), lit(buckets.toLong)))
       .repartition(buckets, col("ebucket"))
       .write.partitionBy("ebucket").mode("overwrite")
       .parquet(ctx.dir("edges"))
-    // metadata-scoped stores (tenant/label/language search) carry the
-    // predicate value on the VECTOR rows — the graph itself stays
-    // unscoped (navigation crosses labels; the filter applies at rank
-    // time over an oversampled walk, the filtered-ANN recipe for graph
-    // indexes — IVF's (cell, meta) partition-key variant remains the
-    // pruning-exact path)
-    val vMeta = metaCol match {
-      case Some(m) => v.join(
-        e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
-      case None => v
+    metaCol match {
+      case None =>
+        val k = math.max(16L, n / 400L)
+        // centroids stay a RELATION — KnnGraph.build's two-level
+        // assignment holds only the ⌈√k⌉ coarse seeds on the driver;
+        // collecting all k = n/400 rows here would re-grow with the corpus
+        writeEdges(KnnGraph.build(v, v.filter(col("vec_id") < k), assign, degree))
+        v.withColumn("vnorm", normExpr(col("v")))
+          .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
+          .repartition(buckets, col("vbucket"))
+          .write.partitionBy("vbucket").mode("overwrite")
+          .parquet(ctx.dir("vectors"))
+        v.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntries)
+          .coalesce(1).write.mode("overwrite").parquet(ctx.dir("entries"))
+      case Some(m) =>
+        // metadata-scoped store (tenant/label/language search), r13: the
+        // edge plane is LABEL-DISJOINT — one independent NSW subgraph per
+        // meta value ([[KnnGraph.buildScoped]], one distributed pass) with
+        // per-label entry points, so a filtered walk seeds from its own
+        // label's entries and NEVER scores a cross-label candidate.
+        // MEASURED (GraphScopedProbeMain r13) vs the old rank-filter over
+        // an unscoped walk: recall 1.000 avg AND min at beam 16 with ~6×
+        // fewer visited candidates per query (180 vs 1091 at sf0.1,
+        // beam-64 rank-filter read 0.91 avg / 0.80 min) — the subgraph
+        // turns filtered retrieval into an unfiltered problem on a corpus
+        // L× smaller, and serve cost stops depending on label balance.
+        // The vector rows carry meta (the filtered fold's audit column);
+        // unfiltered query/queryBatch on a scoped store seed from EVERY
+        // label's entries and search the disjoint subgraphs in parallel
+        // (beam attention shared across labels — global recall on a
+        // scoped store is a documented tradeoff; build an unscoped store
+        // for global-first workloads).
+        val vm = v.join(
+          e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
+          .persist()
+        // per-label centroid budget: k_l = max(16, n_l/400) capped at n_l
+        // — L driver rows, the enumerable-meta contract
+        val kOf: Map[String, Long] = vm.groupBy(col("meta")).count()
+          .as[(String, Long)].collect()
+          .map { case (l, nl) => l -> math.min(nl, math.max(16L, nl / 400L)) }
+          .toMap
+        val kDf = broadcast(kOf.toSeq.toDF("meta", "klim"))
+        val byLabel = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("meta")).orderBy(col("vec_id"))
+        val ranked = vm.withColumn("rnk", row_number().over(byLabel))
+        // per-label centroids = each label's k_l lowest-id members (the
+        // per-label transpose of the `vec_id < k` convention)
+        val cents = ranked.join(kDf, Seq("meta"))
+          .filter(col("rnk") <= col("klim"))
+          .select(col("meta"), col("vec_id"), col("v"))
+        writeEdges(KnnGraph.buildScoped(vm, cents, assign, degree))
+        vm.withColumn("vnorm", normExpr(col("v")))
+          .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
+          .repartition(buckets, col("vbucket"))
+          .write.partitionBy("vbucket").mode("overwrite")
+          .parquet(ctx.dir("vectors"))
+        // per-label entry points, stored WITH the meta value: filtered
+        // serving seeds each query from its own label's entries
+        ranked.filter(col("rnk") <= nEntries)
+          .select(col("vec_id"), col("meta"))
+          .coalesce(1).write.mode("overwrite").parquet(ctx.dir("entries"))
+        vm.unpersist()
     }
-    vMeta.withColumn("vnorm", normExpr(col("v")))
-      .withColumn("vbucket", pmod(col("vec_id"), lit(buckets.toLong)))
-      .repartition(buckets, col("vbucket"))
-      .write.partitionBy("vbucket").mode("overwrite")
-      .parquet(ctx.dir("vectors"))
-    v.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntries)
-      .coalesce(1).write.mode("overwrite").parquet(ctx.dir("entries"))
     val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
@@ -292,11 +338,43 @@ object GraphIndexStore {
       ids: Seq[Long], buckets: Int): DataFrame =
     vectorSliceOf(vectorBase(spark, ctx), ids, buckets)
 
-  /** The live (non-tombstoned) entry-point ids. */
+  /** The live (non-tombstoned) entry-point ids (meta ignored on scoped
+    * stores — this is the GLOBAL seed set: unfiltered queries on a scoped
+    * store search every label's subgraph in parallel). */
   private def liveEntries(spark: SparkSession, ctx: ArtifactStore.Ctx,
       tombSet: Set[Long]): Seq[Long] =
     spark.read.schema("vec_id BIGINT").parquet(ctx.dir("entries"))
-      .collect().map(_.getLong(0)).filterNot(tombSet).sorted.toSeq
+      .collect().map(_.getLong(0)).distinct.filterNot(tombSet).sorted.toSeq
+
+  /** A SCOPED store's raw entry rows (vec_id, meta) — tombstones NOT yet
+    * applied, because callers need raw-vs-live per label to distinguish
+    * "label absent from the store" (serves empty — it holds no content)
+    * from "label's entries all tombstoned" (fails loudly — content may
+    * survive but is unreachable until compact re-derives entries).
+    * Bounded by labels × nEntries (the enumerable-meta contract), dedup'd
+    * (a crashed new-label append's retry may re-append entry rows). */
+  private def entryRowsScoped(spark: SparkSession,
+      ctx: ArtifactStore.Ctx): Seq[(Long, String)] = {
+    import spark.implicits._
+    spark.read.schema("vec_id BIGINT, meta STRING").parquet(ctx.dir("entries"))
+      .distinct().as[(Long, String)].collect().toSeq
+  }
+
+  /** Per-label LIVE entry map of a scoped store, failing loudly for any
+    * label in `wanted` whose entries are all tombstoned. */
+  private def entriesByMeta(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      tombSet: Set[Long], wanted: Iterable[String]): Map[String, Seq[Long]] = {
+    val raw = entryRowsScoped(spark, ctx)
+    val live: Map[String, Seq[Long]] = raw.filterNot(r => tombSet(r._1))
+      .groupBy(_._2).map { case (l, rs) => l -> rs.map(_._1).sorted }
+    val rawLabels = raw.map(_._2).toSet
+    val dead = wanted.toSeq.distinct.filter(l => rawLabels(l) && !live.contains(l))
+    require(dead.isEmpty,
+      s"every entry point of label(s) ${dead.mkString(", ")} in ${ctx.root} " +
+        "is tombstoned — run compact() to re-derive entries from the " +
+        "surviving corpus")
+    live
+  }
 
   /** The [[graft.functions.ScoredHit]] total order — (cosine DESC,
     * id ASC), the primitive-double comparison [[topPerKey]] truncates
@@ -340,8 +418,8 @@ object GraphIndexStore {
     * the same exclusion (dst semi-joined against live vector ids), so
     * serve identity across compact holds with or without orphans. */
   private def searchVisited(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      qs: Array[(Long, Seq[Double])], beam: Int,
-      hops: Int): Array[(Long, Long, Double)] = {
+      qs: Array[(Long, Seq[Double])], beam: Int, hops: Int,
+      qMeta: Option[Map[Long, String]] = None): Array[(Long, Long, Double)] = {
     import spark.implicits._
     require(qs.length <= MaxQueryBatch, "internal: walk slice exceeds MaxQueryBatch")
     val (degree, _, buckets, _) = manifest(ctx)
@@ -353,10 +431,24 @@ object GraphIndexStore {
     }
     val q = broadcast(qs.toSeq.toDF("query_id", "qv")
       .withColumn("qnorm", normExpr(col("qv"))))
-    val entryIds = liveEntries(spark, ctx, tombSet)
-    require(entryIds.nonEmpty,
-      s"every entry point of ${ctx.root} is tombstoned — run compact() " +
-        "to re-derive entries from the surviving corpus")
+    // per-query seed sets: with qMeta (the scoped filtered path) each
+    // query seeds from ITS label's entries — on the label-disjoint edge
+    // plane the walk then never leaves the query's subgraph; without,
+    // every query seeds from the global entry list (a scoped store's
+    // global list spans every label: unfiltered search runs all the
+    // subgraphs in parallel under one beam)
+    val entrySets: Map[Long, Seq[Long]] = qMeta match {
+      case Some(m) =>
+        val byLabel = entriesByMeta(spark, ctx, tombSet, m.values)
+        qs.iterator.map(qr =>
+          qr._1 -> byLabel.getOrElse(m(qr._1), Seq.empty)).toMap
+      case None =>
+        val entryIds = liveEntries(spark, ctx, tombSet)
+        require(entryIds.nonEmpty,
+          s"every entry point of ${ctx.root} is tombstoned — run compact() " +
+            "to re-derive entries from the surviving corpus")
+        qs.iterator.map(_._1 -> entryIds).toMap
+    }
 
     // one shuffle-free job: pruned vector scan ⋈ broadcast pairs ⋈
     // broadcast queries → exact candidate cosines; replayed append rows
@@ -394,8 +486,8 @@ object GraphIndexStore {
         visited.getOrElseUpdate(qid,
           scala.collection.mutable.HashMap.empty).update(vid, c)
       }
-    addVisited(score(for (qr <- qs.toSeq; e <- entryIds) yield (qr._1, e)))
-    var frontier: Map[Long, Seq[Long]] = qs.map(_._1 -> entryIds).toMap
+    addVisited(score(for (qr <- qs.toSeq; e <- entrySets(qr._1)) yield (qr._1, e)))
+    var frontier: Map[Long, Seq[Long]] = entrySets.filter(_._2.nonEmpty)
     var hop = 0
     while (hop < hops && frontier.nonEmpty) {
       hop += 1
@@ -517,19 +609,22 @@ object GraphIndexStore {
       }.toSeq.sortBy(r => (r._1, r._2)).toDF("query_id", "vec_id", "cosine")
     }
 
-  /** Filtered serving from a metadata-scoped store: top-`topK` among the
-    * visited candidates whose stored meta equals the QUERY's meta — the
-    * tenant/label-scoped retrieval shape on the graph paradigm. The graph
-    * itself stays unscoped (navigation must cross labels to reach a rare
-    * label's neighbourhood — a per-label subgraph would disconnect); the
-    * predicate applies at rank time over the walk's oversampled visited
-    * set (≈ beam × hops × degree candidates per query vs the topK kept),
-    * the standard filtered-ANN recipe for graph indexes. One extra pruned
-    * job fetches the visited ids' meta values; everything else is
-    * [[query]]'s machinery, so the filtered and unfiltered paths cannot
-    * drift. `queries` rows are (query_id, qv, meta). Recall under the
-    * filter is gated by the qs30 contract — margins MEASURED at all SFs
-    * (GraphFilteredProbeMain) before any constant shrinks. */
+  /** Filtered serving from a metadata-scoped store: top-`topK` same-label
+    * neighbours per query — the tenant/label-scoped retrieval shape on
+    * the graph paradigm. r13: the scoped store's edge plane is
+    * LABEL-DISJOINT (one NSW subgraph per meta value — build doc) with
+    * per-label entry points, so each query seeds from ITS label's entries
+    * and the walk structurally never scores a cross-label candidate — no
+    * rank-time meta fetch, no oversampling: filtered retrieval IS
+    * unfiltered retrieval on a corpus L× smaller (measured ~6× fewer
+    * visited candidates per query than the pre-r13 beam-64 rank-filter,
+    * at recall 1.000 — GraphScopedProbeMain). A query whose label is
+    * absent from the store serves empty (it holds no same-label content);
+    * a label whose entries are ALL tombstoned fails loudly (compact
+    * re-derives them). Everything else is [[query]]'s machinery.
+    * `queries` rows are (query_id, qv, meta). Recall is gated by the qs30
+    * contract — margins MEASURED at all SFs (GraphFilteredProbeMain)
+    * before any constant shrinks. */
   def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
       beam: Int, hops: Int, topK: Int): DataFrame =
     queryFilteredChunked(spark, path, queries, beam, hops, topK, MaxQueryBatch)
@@ -544,7 +639,6 @@ object GraphIndexStore {
       require(manifestMeta(ctx).nonEmpty,
         s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
           "to enable queryFiltered")
-      val (_, _, buckets, _) = manifest(ctx)
       import scala.jdk.CollectionConverters._
       // batch streams to the driver one partition at a time (the
       // queryChunked memory discipline)
@@ -554,21 +648,12 @@ object GraphIndexStore {
       rows.grouped(math.max(1, chunk)).flatMap { slice =>
         val qMeta: Map[Long, String] =
           slice.map(r => r._1 -> r._3).toMap
+        // per-label seeding keeps the walk inside each query's subgraph —
+        // every visited candidate is same-label by construction
         val visited = searchVisited(spark, ctx,
-          slice.map(r => (r._1, r._2)).toArray, beam, hops)
-        val visitedIds = visited.map(_._2).distinct.toSeq
-        val vbuckets = visitedIds.map(bucketOf(_, buckets)).distinct.sorted
-        // replayed vector rows are byte-identical — toMap dedups exactly
-        val vMeta: Map[Long, String] = spark.read
-          .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
-          .parquet(ctx.dir("vectors"))
-          .filter(col("vbucket").isInCollection(vbuckets)) // partition pruning
-          .filter(col("vec_id").isInCollection(visitedIds))
-          .select(col("vec_id"), col("meta"))
-          .as[(Long, String)].collect().toMap
+          slice.map(r => (r._1, r._2)).toArray, beam, hops, Some(qMeta))
         visited.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
-          val want = qMeta(qid)
-          arr.filter(t => t._2 != qid && vMeta.get(t._2).contains(want)).toSeq
+          arr.filter(_._2 != qid).toSeq
             .sortWith((a, b) => beats(a._3, a._2, b._3, b._2)).take(topK)
             .zipWithIndex.map { case ((_, vid, _), i) => (qid, i + 1, vid) }
         }
@@ -607,42 +692,26 @@ object GraphIndexStore {
   /** DISTRIBUTED filtered serving — [[queryFiltered]]'s semantics at
     * [[queryBatch]]'s scale, completing the batch matrix on the FILTERED
     * axis (a tenant/label-scoped corpus-scale job previously had to chunk
-    * through the driver fold). The walk is the same unscoped distributed
-    * walk (the graph must cross labels to navigate — the filtered-ANN
-    * recipe), and the rank-time meta filter runs as two KEYED joins over
-    * the oversampled visited set: stored meta by vec_id (replay rows are
-    * byte-identical, so the dedup is exact), query meta by query_id —
-    * nothing about the batch on the driver. Bit-identical rows to
-    * [[queryFiltered]] on the same batch: same walk mechanics, same
-    * truncation order, and the meta predicate commutes with ranking
-    * (filter-then-rank both sides). `queries` rows are
-    * (query_id, qv, meta). */
+    * through the driver fold). r13: the walk itself is SCOPED — each
+    * query's seed rows come from a keyed join of the batch's (query_id,
+    * meta) against the broadcast-small per-label entry table
+    * ([[KnnGraph.searchSeeded]]), and on the label-disjoint edge plane
+    * the per-hop joins then never produce a cross-label candidate, so
+    * the old rank-time meta joins (and their full vector-meta scan) are
+    * GONE — nothing about the batch on the driver beyond the tiny
+    * dead-label check. Bit-identical rows to [[queryFiltered]] on the
+    * same batch: same fold, same seeds, same walk mechanics, same
+    * truncation order. `queries` rows are (query_id, qv, meta). */
   def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
       beam: Int, hops: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
       require(manifestMeta(ctx).nonEmpty,
         s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
           "to enable queryFilteredBatch")
-      distributedWalkServe(spark, ctx, queries, beam, hops) { visited =>
-        // the walk visits unscoped (oversampled ≈ beam × hops × degree
-        // candidates per query vs topK kept); the meta filter applies
-        // before the rank finish, exactly like the driver fold — a full
-        // (slim) meta scan is the corpus-batch tradeoff queryBatch already
-        // documents for edges: a corpus-scale visited set touches most
-        // vbuckets anyway
-        val vMeta0 = spark.read
-          .schema("vec_id BIGINT, meta STRING, vbucket BIGINT")
-          .parquet(ctx.dir("vectors"))
-          .select(col("vec_id"), col("meta"))
-        // clean ⇒ one vector row per id by construction (class doc)
-        val vMeta = if (isClean(ctx)) vMeta0 else vMeta0.dropDuplicates("vec_id")
-        val qMeta = queries
-          .select(col("query_id"), col("meta").cast("string").as("qmeta"))
+      distributedWalkServe(spark, ctx, queries, beam, hops,
+        filtered = true) { visited =>
         graft.functions.Ranking.rankTopK(
-          visited.filter(col("vec_id") =!= col("query_id"))
-            .join(vMeta, Seq("vec_id"))
-            .join(qMeta, Seq("query_id"))
-            .filter(col("meta") === col("qmeta")), topK)
+          visited.filter(col("vec_id") =!= col("query_id")), topK)
       }
     }
 
@@ -659,7 +728,7 @@ object GraphIndexStore {
     * path (the [[ArtifactStore.serving]] retry contract); callers
     * `clearCache()` when done. */
   private def distributedWalkServe(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      queries: DataFrame, beam: Int, hops: Int)
+      queries: DataFrame, beam: Int, hops: Int, filtered: Boolean = false)
       (finish: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
     val (degree, _, _, _) = manifest(ctx)
@@ -681,10 +750,39 @@ object GraphIndexStore {
       case Some(t) => t.select(col("doc_id")).as[Long].collect().toSet
       case None => Set.empty
     }
-    val entryIds = liveEntries(spark, ctx, tombSet)
-    require(entryIds.nonEmpty,
-      s"every entry point of ${ctx.root} is tombstoned — run compact() " +
-        "to re-derive entries from the surviving corpus")
+    // seeding: the unfiltered path seeds every query from the global
+    // entry list (KnnGraph.search's cross join); the filtered path joins
+    // each query to ITS label's entries by key — the walk then stays
+    // inside the query's subgraph on the label-disjoint edge plane
+    val seeding: Either[Seq[Long], DataFrame] =
+      if (!filtered) {
+        val entryIds = liveEntries(spark, ctx, tombSet)
+        require(entryIds.nonEmpty,
+          s"every entry point of ${ctx.root} is tombstoned — run compact() " +
+            "to re-derive entries from the surviving corpus")
+        Left(entryIds)
+      } else {
+        val raw = entryRowsScoped(spark, ctx)
+        val live = raw.filterNot(r => tombSet(r._1))
+        // loud failure only if the BATCH actually queries a dead label
+        // (raw entries exist, all tombstoned) — one tiny job, only when a
+        // dead label exists at all; an absent label just serves empty
+        val liveLabels = live.map(_._2).toSet
+        val deadLabels = raw.map(_._2).distinct.filterNot(liveLabels)
+        if (deadLabels.nonEmpty) {
+          val hit = queries
+            .filter(col("meta").cast("string").isInCollection(deadLabels))
+            .limit(1).count()
+          require(hit == 0L,
+            s"every entry point of label(s) ${deadLabels.mkString(", ")} in " +
+              s"${ctx.root} is tombstoned — run compact() to re-derive " +
+              "entries from the surviving corpus")
+        }
+        Right(queries
+          .select(col("query_id"), col("meta").cast("string").as("meta"))
+          .join(broadcast(live.toDF("vec_id", "meta")), Seq("meta"))
+          .select(col("query_id"), col("vec_id")))
+      }
     // live vectors: replayed append rows dedup'd, tombstones dropped —
     // the walk's scoring side AND the liveness filter for the edge fold
     // (verbatim when clean: no duplicates or tombstones can exist)
@@ -714,10 +812,16 @@ object GraphIndexStore {
       try {
         // qv upcast to double like the driver path's typed encoder — a
         // float-array batch must serve bit-identically through both
-        val visited = KnnGraph.search(liveVecs, foldedEdges,
-          queries.select(col("query_id"),
-            transform(col("qv"), _.cast("double")).as("qv")),
-          entryIds, beam, hops, scope)
+        val qDf = queries.select(col("query_id"),
+          transform(col("qv"), _.cast("double")).as("qv"))
+        val visited = seeding match {
+          case Right(seeds) =>
+            KnnGraph.searchSeeded(liveVecs, foldedEdges, qDf, seeds,
+              beam, hops, scope)
+          case Left(entryIds) =>
+            KnnGraph.search(liveVecs, foldedEdges, qDf, entryIds,
+              beam, hops, scope)
+        }
         val out = finish(visited).persist()
         try {
           out.count() // materialize BEFORE releasing the walk's checkpoints
@@ -791,10 +895,62 @@ object GraphIndexStore {
         transform(col("embedding"), _.cast("double")).as("v")) ++ metaSel: _*)
       .persist()
     try {
-      val visited = searchVisited(spark, ctx,
-        newVecs.select(col("vec_id"), col("v"))
-          .as[(Long, Seq[Double])].collect(),
-        beam, hops)
+      val scoped = manifestMeta(ctx).nonEmpty
+      val visited: Array[(Long, Long, Double)] =
+        if (!scoped)
+          searchVisited(spark, ctx,
+            newVecs.select(col("vec_id"), col("v"))
+              .as[(Long, Seq[Double])].collect(),
+            beam, hops)
+        else {
+          // SCOPED insert (label-disjoint edge plane): each new vector
+          // walks ITS OWN label's subgraph, so its edges stay within
+          // label by construction. Rows of a label the store has never
+          // seen cannot walk (no entries) — they BOOTSTRAP the label's
+          // subgraph instead: exact in-batch kNN among themselves (the
+          // group is append-cap bounded; cosines through the shared
+          // kernels) and the group's `nEntries` lowest ids become the
+          // label's entry points, appended BEFORE edges and vectors (a
+          // crash leaves an orphan entry the retry heals; an entry
+          // without its vector row scores no rows — dead weight, not
+          // corruption). A label whose entries are all tombstoned fails
+          // loudly inside the walk (run compact() first).
+          val rows = newVecs.select(col("vec_id"), col("v"), col("meta"))
+            .as[(Long, Seq[Double], String)].collect()
+          val knownLabels = entryRowsScoped(spark, ctx).map(_._2).toSet
+          val (existing, fresh) = rows.partition(r => knownLabels(r._3))
+          val walked =
+            if (existing.isEmpty) Array.empty[(Long, Long, Double)]
+            else searchVisited(spark, ctx,
+              existing.map(r => (r._1, r._2)), beam, hops,
+              Some(existing.map(r => r._1 -> r._3).toMap))
+          val bootstrapped =
+            if (fresh.isEmpty) Array.empty[(Long, Long, Double)]
+            else {
+              val (_, _, _, nEntries) = manifest(ctx)
+              // entries FIRST (write-order contract above)
+              fresh.groupBy(_._3).toSeq.flatMap { case (l, grp) =>
+                grp.map(_._1).sorted.take(nEntries).map(id => (id, l))
+              }.toDF("vec_id", "meta")
+                .coalesce(1).write.mode("append").parquet(ctx.dir("entries"))
+              // exact in-batch kNN per new label: bounded
+              // (|group|² ≤ append-cap²), scored via the shared cosine
+              // kernels — a broadcast self-join, never a corpus scan
+              val freshDf = fresh.toSeq.toDF("vec_id", "v", "meta")
+              val lh = freshDf
+                .select(col("meta"), col("vec_id").as("query_id"),
+                  col("v").as("qv"))
+                .withColumn("qnorm", normExpr(col("qv")))
+              val rh = freshDf
+                .select(col("meta"), col("vec_id"), col("v"))
+                .withColumn("vnorm", normExpr(col("v")))
+              lh.join(broadcast(rh), Seq("meta"))
+                .filter(col("query_id") =!= col("vec_id"))
+                .select(col("query_id"), col("vec_id"), cosineExpr)
+                .as[(Long, Long, Double)].collect()
+            }
+          walked ++ bootstrapped
+        }
       // the new node's neighbourhood: its `degree` best visited nodes
       // (self excluded — a replayed insert of an indexed id must not
       // self-link); out-edges + the reverse in-edges (cosine is
@@ -913,12 +1069,31 @@ object GraphIndexStore {
       .repartition(buckets, col("ebucket")) // one file per bucket
       .write.partitionBy("ebucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "edges"))
-    val keptEntries = dropIds(
-      spark.read.schema("vec_id BIGINT").parquet(ctx.dir("entries")), "vec_id")
-    val entryRows =
-      if (keptEntries.isEmpty)
-        keptVecs.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntries)
-      else keptEntries
+    val entryRows = manifestMeta(ctx) match {
+      case None =>
+        val keptEntries = dropIds(
+          spark.read.schema("vec_id BIGINT").parquet(ctx.dir("entries")), "vec_id")
+        if (keptEntries.isEmpty)
+          keptVecs.select(col("vec_id")).orderBy(col("vec_id")).limit(nEntries)
+        else keptEntries
+      case Some(_) =>
+        // scoped store: entries fold PER LABEL — keep the surviving
+        // (vec_id, meta) rows (dedup'd: crashed new-label appends may
+        // have replayed entry rows) and re-derive for any label that
+        // still has vectors but lost EVERY entry to tombstones (the
+        // per-label transpose of the unscoped re-derivation)
+        val keptEntries = dropIds(
+          spark.read.schema("vec_id BIGINT, meta STRING")
+            .parquet(ctx.dir("entries")).distinct(), "vec_id")
+        val byLabel = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("meta")).orderBy(col("vec_id"))
+        val rederived = keptVecs
+          .join(keptEntries.select(col("meta")).distinct(), Seq("meta"), "left_anti")
+          .withColumn("rnk", row_number().over(byLabel))
+          .filter(col("rnk") <= nEntries)
+          .select(col("vec_id"), col("meta"))
+        keptEntries.union(rederived)
+    }
     entryRows.coalesce(1).write.mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "entries"))
     keptVecs.unpersist()

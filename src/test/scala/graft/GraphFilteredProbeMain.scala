@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Probe: filtered graph serving (GraphIndexStore.queryFiltered) recall vs
   * the exact same-label brute force at each SF across (beam, hops) — the
   * threshold-margin measurement behind the qs30 pin (re-run before
-  * shrinking any constant). The filter applies at rank time over the
-  * walk's oversampled visited set, so recall depends on how much of the
-  * query's same-label global neighbourhood the walk covers. */
+  * shrinking any constant). r13: the scoped store's edge plane is
+  * label-disjoint and the walk seeds from the query's own label's
+  * entries, so the filtered problem is an unfiltered one on a corpus L×
+  * smaller — the grid spans the small beams that geometry serves at. */
 object GraphFilteredProbeMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[30]")
@@ -47,7 +48,7 @@ object GraphFilteredProbeMain {
         .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
         .persist()
       truth.count()
-      for (beam <- Seq(32, 48, 64); hops <- Seq(4, 5)) {
+      for (beam <- Seq(8, 16, 32, 64); hops <- Seq(3, 4)) {
         val got = graft.sinks.GraphIndexStore.queryFiltered(spark, idx,
           queries, beam, hops, TopK)
           .select(col("query_id"), col("vec_id"))

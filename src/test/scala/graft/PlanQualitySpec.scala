@@ -709,10 +709,12 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("qs35 graph filtered batch: meta filter is keyed joins, never cartesian, no window") {
-    // the distributed filtered walk's rank finish: stored meta joins by
-    // vec_id and query meta by query_id over the visited rows — the
-    // predicate must stay in join keys (an accidental cross product here
-    // would be batch × corpus), and ranking is the bounded aggregator
+    // the distributed filtered walk (r13: SCOPED — per-query seeds join
+    // the batch's (query_id, meta) against the broadcast per-label entry
+    // table, and the label-disjoint edge plane keeps every hop within
+    // the query's subgraph): the seed join must stay keyed (an
+    // accidental cross product here would be batch × entries), and
+    // ranking is the bounded aggregator
     val idx = java.nio.file.Files.createTempDirectory("graft-gfb-plan").toString
     val e = graft.relational.QueryHelpers.table(spark, dir, "embeddings")
     graft.sinks.GraphIndexStore.build(e, idx, degree = 8, assign = 2,
