@@ -4434,6 +4434,64 @@ object PipelineQueries {
       FROM hh WHERE len(anch) >= 1
       ORDER BY query_id, doc_id""")),
 
+    CatalogQuery("qt36_index_near_serve", (s, d) => {
+      // UNORDERED proximity (NEAR) retrieval from the positional index —
+      // the classic `a NEAR/n b` operator completing the positional-serve
+      // family (qt31/qt32 exact phrase, qt34 ordered chain, HERE
+      // order-free): a doc hits when all terms appear in ANY order with
+      // some occurrence choice spanning <= window tokens
+      // (TextIndexStore.queryNear — nested exists lambdas, each level
+      // within `window` of EVERY previously chosen position; pairwise ⇔
+      // max-min <= window). The oracle is qt34's nested-lambda
+      // formulation SYMMETRIZED (abs instead of the ordered q > p),
+      // mirrored per query; anchors count on the first LISTED term (the
+      // documented convention). At window 4, NEAR('fast','table') finds
+      // ~1.7× the docs of the ordered chain at every SF (the reversed
+      // "table .. fast" hits) — measured before pinning the constants.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt36-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      def served(terms: Seq[String], w: Int) =
+        graft.sinks.TextIndexStore.queryNear(s, idxDir, terms, w)
+          .select(col("doc_id"),
+            lit(terms.mkString(" ") + s" N$w").as("query"),
+            col("n_anchors"), col("first_pos"))
+      served(Seq("fast", "table"), 4)
+        .unionAll(served(Seq("stream", "hash"), 6))
+        .unionAll(served(Seq("fast", "table", "scan"), 6))
+        .orderBy(col("query"), col("doc_id"))
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      pos AS (SELECT doc_id,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'fast') AS f,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'table') AS tb,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'scan') AS sc,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'stream') AS st,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'hash') AS h
+        FROM t),
+      hh AS (
+        SELECT doc_id, 'fast table N4' AS query,
+          list_filter(f, p ->
+            len(list_filter(tb, q -> abs(q - p) <= 4)) > 0) AS anch
+        FROM pos
+        UNION ALL
+        SELECT doc_id, 'stream hash N6',
+          list_filter(st, p ->
+            len(list_filter(h, q -> abs(q - p) <= 6)) > 0)
+        FROM pos
+        UNION ALL
+        SELECT doc_id, 'fast table scan N6',
+          list_filter(f, p ->
+            len(list_filter(tb, q -> abs(q - p) <= 6
+              AND len(list_filter(sc, r -> abs(r - p) <= 6
+                AND abs(r - q) <= 6)) > 0)) > 0)
+        FROM pos)
+      SELECT doc_id, query, CAST(len(anch) AS BIGINT) AS n_anchors,
+        CAST(anch[1] AS BIGINT) AS first_pos
+      FROM hh WHERE len(anch) >= 1
+      ORDER BY query, doc_id""")),
+
     CatalogQuery("qt33_index_phrase_batch", (s, d) => {
       // MANY phrase queries served from the positional index in ONE
       // pass — qt30's eval-set shape on the phrase axis, completing the

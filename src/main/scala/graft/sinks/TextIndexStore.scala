@@ -607,6 +607,55 @@ object TextIndexStore {
     }
   }
 
+  /** Serve an UNORDERED proximity (NEAR) query from the positional
+    * postings — the classic retrieval `a NEAR/n b` operator: a document
+    * hits when ALL terms appear, in ANY order, with some occurrence
+    * choice spanning at most `window` tokens (max − min ≤ window ⇔ every
+    * pair within `window`, which is how the check nests). Same
+    * document-at-a-time slot joins over bucket-pruned posting slices as
+    * [[queryProximity]]; the chain is nested codegen'd `exists` lambdas
+    * where level j's candidate must sit within `window` of EVERY
+    * previously chosen position (each level captures the whole chosen
+    * prefix). The matched DOC SET is symmetric in the terms
+    * (spec-pinned); anchors — and therefore `n_anchors`/`first_pos` —
+    * are counted on the FIRST LISTED term's occurrences, the documented
+    * convention. Duplicate terms are refused (one occurrence would
+    * satisfy two slots — use [[queryPhrase]]/[[queryProximity]], whose
+    * ordered `q > prev` makes duplicates well-defined). Output:
+    * (doc_id, n_anchors, first_pos), 1-based, ordered by doc_id. */
+  def queryNear(spark: SparkSession, path: String, terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.length >= 2, "NEAR needs at least two terms")
+    require(terms.distinct.length == terms.length,
+      "NEAR terms must be distinct (a duplicate would match one " +
+        "occurrence twice — use queryPhrase/queryProximity for ordered " +
+        "duplicate-word queries)")
+    require(window >= terms.length - 1,
+      s"window $window cannot fit ${terms.length} distinct positions")
+    ArtifactStore.serving(spark, path) { ctx =>
+      requirePositional(ctx, "queryNear")
+      val (pruned, _, _) = servedTermSlice(spark, ctx, terms.distinct)
+      val slots = terms.zipWithIndex.map { case (w, j) =>
+        pruned.filter(col("token") === w)
+          .select(col("doc_id"), col("pos").as(s"pos_$j"))
+      }
+      val joined = slots.reduce((a, b) => a.join(b, Seq("doc_id")))
+      def chain(j: Int,
+          chosen: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+        if (j == terms.length) lit(true)
+        else exists(col(s"pos_$j"), q =>
+          chosen.map(c => abs(q - c) <= window).reduce(_ && _) &&
+            chain(j + 1, chosen :+ q))
+      val anchors = filter(col("pos_0"), p => chain(1, Seq(p)))
+      joined.select(col("doc_id"), anchors.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("doc_id"),
+          size(col("ps")).cast("long").as("n_anchors"),
+          element_at(col("ps"), 1).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Serve MANY phrase queries from the positional postings in ONE pass —
     * [[queryBm25Batch]]'s eval-set shape on the phrase axis, completing
     * the batch-serving matrix ([[IvfIndexStore.queryBatch]] dense,

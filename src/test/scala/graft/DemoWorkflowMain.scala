@@ -255,6 +255,12 @@ object DemoWorkflowMain {
           Seq((9L, Seq("fast", "table"), 1)).toDF("query_id", "terms", "window"))
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       println(s"[probe-tidx-proximity-batch] agreesWithSingle=${proxb == prox} (expect true)")
+      // unordered NEAR (r13): doc set contains the ordered chain's
+      val nearDocs = graft.sinks.TextIndexStore.queryNear(spark, tidxDir,
+          Seq("fast", "table"), 4).collect().map(_.getLong(0)).toSet
+      val ordDocs = graft.sinks.TextIndexStore.queryProximity(spark, tidxDir,
+          Seq("fast", "table"), 4).collect().map(_.getLong(0)).toSet
+      println(s"[probe-tidx-near] containsOrdered=${ordDocs.subsetOf(nearDocs)} (expect true)")
       // operational health: the delete above left a tombstone pending
       val hm = graft.sinks.TextIndexStore.health(spark, tidxDir)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1203,6 +1203,52 @@ class StoreHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("text store: NEAR (unordered proximity) contains the ordered chain; doc set is term-order invariant") {
+    // the two algebraic pins tying queryNear to queryProximity: every
+    // ordered chain within a window is also an unordered one (NEAR's doc
+    // set ⊇ proximity's at the same terms/window), and NEAR's matched
+    // DOC SET is symmetric in the terms (anchors count on the first
+    // listed term, so n_anchors/first_pos legitimately differ — only the
+    // doc_id set is order-free)
+    val idx = tmp("graft-tidx-near")
+    TextIndexStore.build(QueryHelpers.table(spark, dir, "documents"),
+      buckets = 64, idx)
+    for ((terms, w) <- Seq((Seq("fast", "table"), 4),
+        (Seq("stream", "table", "hash"), 5))) {
+      val near = TextIndexStore.queryNear(spark, idx, terms, w)
+        .collect().map(_.getLong(0)).toSet
+      val ordered = TextIndexStore.queryProximity(spark, idx, terms, w)
+        .collect().map(_.getLong(0)).toSet
+      assert(ordered.subsetOf(near),
+        s"every ordered chain is an unordered one: $terms ~$w")
+      spark.catalog.clearCache()
+      val reversed = TextIndexStore.queryNear(spark, idx, terms.reverse, w)
+        .collect().map(_.getLong(0)).toSet
+      assert(near == reversed,
+        s"NEAR's doc set must be symmetric in the terms: $terms ~$w")
+      spark.catalog.clearCache()
+    }
+    // the gated pair finds STRICTLY more docs than the ordered chain
+    // (reversed-order hits) — the fixture property the qt36 comment cites
+    val near = TextIndexStore.queryNear(spark, idx, Seq("fast", "table"), 4)
+      .collect().map(_.getLong(0)).toSet
+    val ordered = TextIndexStore
+      .queryProximity(spark, idx, Seq("fast", "table"), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(ordered.size < near.size,
+      "fixture sanity: NEAR must find reversed-order docs the chain misses")
+    spark.catalog.clearCache()
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryNear(spark, idx, Seq("table", "table"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryNear(spark, idx, Seq("fast"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryNear(spark, idx, Seq("fast", "table", "scan"), 1)
+    }
+  }
+
   test("store health surface tracks the mutation state machine") {
     // the when-to-compact observability table (ArtifactStore.health via
     // per-store wrappers): every signal a deploy on its own maintenance
