@@ -241,9 +241,11 @@ object GraphIndexStore {
         // The vector rows carry meta (the filtered fold's audit column);
         // unfiltered query/queryBatch on a scoped store seed from EVERY
         // label's entries and search the disjoint subgraphs in parallel
-        // (beam attention shared across labels — global recall on a
-        // scoped store is a documented tradeoff; build an unscoped store
-        // for global-first workloads).
+        // (beam attention shared across labels — MEASURED global recall
+        // on a scoped store at sf0.1: 0.73 avg @ beam 32 / 0.89 @ 64 vs
+        // 0.99 on an unscoped store, GraphScopedProbeMain §C; scoped
+        // stores are for scoped queries — build an unscoped store for
+        // global-first workloads).
         val vm = v.join(
           e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
           .persist()

@@ -338,6 +338,75 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "filtered serving must be identical across a compact (meta carried)")
   }
 
+  test("scoped store: appending a NEVER-SEEN label bootstraps its subgraph; absent labels serve empty") {
+    // the r13 new-label path: rows of a label the store has never seen
+    // cannot walk (no entries) — they bootstrap the label's subgraph
+    // (in-batch exact kNN + the group's lowest ids become entries,
+    // appended BEFORE edges and vectors), after which both filtered
+    // paths serve the label like any other
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-boot").toString
+    val e = embeddings
+    val heldOut = "0"
+    GraphIndexStore.build(e.filter(col("label").cast("string") =!= heldOut),
+      idx, degree = Degree, assign = 2, nEntries = 4, buckets = Buckets,
+      metaCol = Some("label"))
+    val held = e.filter(col("label").cast("string") === heldOut)
+    val heldIds = held.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val qHeld = held
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+      .filter(col("query_id") < 1000000L + 200L)
+    // before the append: the label is ABSENT — filtered serving is empty
+    // through both paths, not an error
+    assert(GraphIndexStore.queryFiltered(spark, idx, qHeld, 16, 3, TopK)
+      .collect().isEmpty, "an absent label must serve empty (driver fold)")
+    val preBatch = GraphIndexStore.queryFilteredBatch(spark, idx, qHeld, 16, 3, TopK)
+    assert(preBatch.collect().isEmpty,
+      "an absent label must serve empty (distributed walk)")
+    spark.catalog.clearCache()
+    // bootstrap: append the whole held-out label in one batch
+    GraphIndexStore.append(held, idx, beam = 16, hops = 3)
+    spark.catalog.clearCache()
+    // entries now exist for the label, and every query's own vector is
+    // its rank-1 same-label neighbour (reachable through the in-batch
+    // kNN edges + per-label entries)
+    val got = GraphIndexStore.queryFiltered(spark, idx, qHeld, 16, 3, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got.nonEmpty, "the bootstrapped label must serve")
+    val rank1 = got.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    qHeld.select(col("query_id")).collect().map(_.getLong(0)).foreach { qid =>
+      assert(rank1.get(qid).contains(qid - 1000000L),
+        s"bootstrapped vector ${qid - 1000000L} must be its own query's rank-1")
+    }
+    assert(got.forall(t => heldIds(t._3)),
+      "bootstrapped-label serving must stay label-exact")
+    // batch path identity on the bootstrapped label
+    val viaBatch = GraphIndexStore.queryFilteredBatch(spark, idx, qHeld, 16, 3, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(viaBatch.sorted == got.sorted,
+      "distributed and driver folds must agree on a bootstrapped label")
+    // a replayed bootstrap batch is an exact no-op (vector-row markers)
+    GraphIndexStore.append(held, idx, beam = 16, hops = 3)
+    spark.catalog.clearCache()
+    val afterReplay = GraphIndexStore.queryFiltered(spark, idx, qHeld, 16, 3, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(afterReplay == got, "a replayed bootstrap batch must change nothing")
+    // compact preserves the per-label entry plane: serving identical after
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    val afterCompact = GraphIndexStore.queryFiltered(spark, idx, qHeld, 16, 3, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(afterCompact == got,
+      "scoped serving must be identical across compact (entries per label)")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the walks must release their checkpoint state")
+  }
+
   test("query batches beyond the walk-slice bound serve by internal chunking; appends stay capped") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-bnd").toString

@@ -4,25 +4,24 @@ import graft.relational.QueryHelpers
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Probe: the r12-verdict #2 question — for FILTERED graph serving,
-  * does a per-meta SCOPED subgraph (one NSW graph per label over that
-  * label's vectors only) beat the current rank-filter design (one
-  * unscoped graph, beam-64 oversampled walk, meta filter at rank time)?
+/** Probe: the r12-verdict #2 decision measurement (now the scoped-store
+  * TRADEOFF monitor). Pre-r13 it compared the rank-filter design against
+  * hand-built per-label subgraph stores and the subgraphs won decisively
+  * (recall 1.000/1.000 at beam 16 with ~6× fewer visited candidates vs
+  * 0.91/0.80 at beam 64) — that design is NOW the scoped store itself,
+  * so section A measures today's `queryFiltered` (note its
+  * visitedCandidates cost is an OVERcount: the unfiltered
+  * visited surface seeds from every label's entries, while the filtered
+  * path seeds one label) and section B the hand-built per-label stores
+  * (the historical control; should track A's recall).
   *
-  * Measures, per SF, against the exact same-label brute-force truth:
-  *   A) current `GraphIndexStore.queryFiltered` on the scoped-meta store
-  *      at beam ∈ {32, 64} — recall and walk cost (visited candidates
-  *      per query, the unit per-hop I/O and compute scale with);
-  *   B) per-label subgraph stores (vectors re-id'd densely per label so
-  *      build seeding and self-exclusion work on the sub-corpus; results
-  *      translated back) served with the plain `query` at
-  *      beam ∈ {16, 32} — same recall and cost metrics.
-  * A scoped subgraph turns the filtered problem into an unfiltered one
-  * on a corpus L× smaller, so its walk never scores a cross-label
-  * candidate; the structural risks are per-label build cost (L builds)
-  * and losing cross-label navigation (irrelevant here by construction —
-  * every answer is same-label). Decision metric: recall at matched
-  * visited cost. */
+  * Section C is the live measurement: GLOBAL (unfiltered) recall on a
+  * scoped store — beam attention split across L disjoint subgraphs —
+  * vs an unscoped store at the same beam, against the global
+  * brute-force truth. r13 readings at sf0.1: scoped 0.730/0.500 at
+  * beam 32 and 0.890/0.700 at beam 64 vs unscoped 0.990/0.900 at both —
+  * the class-doc tradeoff is real and measured: scoped stores are for
+  * scoped queries; global-first workloads build an unscoped store. */
 object GraphScopedProbeMain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[30]")
@@ -125,6 +124,42 @@ object GraphScopedProbeMain {
         val (avg, mn) = recallOf(got)
         println(f"$sf B scoped-subgraph beam=$beam avg=$avg%.3f min=$mn%.3f " +
           f"visited/q=${visited / NQ} serve=$sec%.2f s (builds=$buildSec%.1f s for ${labels.length})")
+      }
+      // ---- C: the documented tradeoff — GLOBAL (unfiltered) search on
+      // the scoped store (seeds from every label's entries, beam shared
+      // across L disjoint subgraphs) vs an unscoped store at the same
+      // beam, recall vs the GLOBAL brute-force truth ----
+      val globalTruth: Set[(Long, Long)] = ev.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _) /
+            (sqrt(aggregate(zip_with(col("qv"), col("qv"), _ * _), lit(0.0), _ + _)) *
+             sqrt(aggregate(zip_with(col("v"), col("v"), _ * _), lit(0.0), _ + _)))).as("cosine"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("cosine"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top.vec_id")).as("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gTruthN = globalTruth.groupBy(_._1).view.mapValues(_.size).toMap
+      def gRecall(got: Seq[(Long, Long)]): (Double, Double) = {
+        val byQ = got.groupBy(_._1)
+        val rs = gTruthN.map { case (q, n) =>
+          byQ.getOrElse(q, Seq.empty).count(globalTruth.contains).toDouble / n }
+        (rs.sum / rs.size, rs.min)
+      }
+      val plainIdx = java.nio.file.Files
+        .createTempDirectory("graft-gsp-c").toString
+      graft.sinks.GraphIndexStore.build(e, plainIdx, degree = 12, assign = 2,
+        nEntries = 4)
+      spark.catalog.clearCache()
+      for (beam <- Seq(32, 64); (name, dir2) <- Seq(
+          ("scoped-store", scopedIdx), ("unscoped-store", plainIdx))) {
+        val got = graft.sinks.GraphIndexStore.query(spark, dir2,
+            queries.select(col("query_id"), col("qv")), beam, Hops, TopK)
+          .select(col("query_id"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val (avg, mn) = gRecall(got)
+        println(f"$sf C global-on-$name beam=$beam avg=$avg%.3f min=$mn%.3f")
+        spark.catalog.clearCache()
       }
       queries.unpersist()
       spark.catalog.clearCache()
