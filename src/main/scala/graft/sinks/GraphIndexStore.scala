@@ -935,9 +935,14 @@ object GraphIndexStore {
                 grp.map(_._1).sorted.take(nEntries).map(id => (id, l))
               }.toDF("vec_id", "meta")
                 .coalesce(1).write.mode("append").parquet(ctx.dir("entries"))
-              // exact in-batch kNN per new label: bounded
-              // (|group|² ≤ append-cap²), scored via the shared cosine
-              // kernels — a broadcast self-join, never a corpus scan
+              // exact in-batch kNN per new label: the |group|² pair
+              // relation (≤ append-cap² rows) is scored via the shared
+              // cosine kernels — a broadcast self-join, never a corpus
+              // scan — and TRUNCATED to each src's best `degree` IN SPARK
+              // (the shared Ranking order, identical to the driver fold
+              // below) so only ≤ |group| × degree rows ever reach the
+              // driver; collecting the raw pairs would be a 16M-row
+              // driver load at the cap
               val freshDf = fresh.toSeq.toDF("vec_id", "v", "meta")
               val lh = freshDf
                 .select(col("meta"), col("vec_id").as("query_id"),
@@ -946,9 +951,11 @@ object GraphIndexStore {
               val rh = freshDf
                 .select(col("meta"), col("vec_id"), col("v"))
                 .withColumn("vnorm", normExpr(col("v")))
-              lh.join(broadcast(rh), Seq("meta"))
+              val pairs = lh.join(broadcast(rh), Seq("meta"))
                 .filter(col("query_id") =!= col("vec_id"))
                 .select(col("query_id"), col("vec_id"), cosineExpr)
+              topPerKey(pairs, "query_id", degree, "vec_id")
+                .select(col("query_id"), col("vec_id"), col("cosine"))
                 .as[(Long, Long, Double)].collect()
             }
           walked ++ bootstrapped
