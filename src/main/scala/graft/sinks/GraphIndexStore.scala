@@ -150,6 +150,21 @@ object GraphIndexStore {
   private def bucketOf(id: Long, buckets: Int): Long =
     java.lang.Math.floorMod(id, buckets.toLong)
 
+  /** Refuse metadata-scoped stores that predate the r13 label-disjoint
+    * layout (no `"labeldisjoint":1` in manifest.json — their edge plane
+    * crosses labels and their entry rows carry no meta): the scoped
+    * serve paths would read entry meta as null and silently serve EMPTY,
+    * and a scoped append would splice per-label edges into a cross-label
+    * graph — a wrong answer, not an error, without this guard (the
+    * TextIndexStore `"positional"` discipline). */
+  private def requireLabelDisjoint(ctx: ArtifactStore.Ctx, what: String): Unit =
+    require(""""labeldisjoint":1""".r.findFirstIn(ArtifactStore.readString(
+        ctx.fs, new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
+        .isDefined,
+      s"metadata-scoped store at ${ctx.root} predates the label-disjoint " +
+        s"layout — $what needs per-label subgraphs and (vec_id, meta) " +
+        "entries; rebuild the index with build()")
+
   /** True when serving may read the stored edge/vector planes VERBATIM —
     * [[ArtifactStore.isClean]]'s certificate (the marker state machine and
     * writer ordering live there since r12, shared by all five stores).
@@ -258,11 +273,19 @@ object GraphIndexStore {
         val kDf = broadcast(kOf.toSeq.toDF("meta", "klim"))
         val byLabel = org.apache.spark.sql.expressions.Window
           .partitionBy(col("meta")).orderBy(col("vec_id"))
-        val ranked = vm.withColumn("rnk", row_number().over(byLabel))
+        // rank on a SLIM (vec_id, meta) projection — the per-label sort
+        // ships 16-byte rows, never the embedding payloads (ranking the
+        // full vm would shuffle+sort every vector into one task per
+        // label, twice); the centroid rows join their vectors back KEYED
+        val ranked = vm.select(col("vec_id"), col("meta"))
+          .withColumn("rnk", row_number().over(byLabel))
+          .persist() // centroid filter + entries write read it
         // per-label centroids = each label's k_l lowest-id members (the
         // per-label transpose of the `vec_id < k` convention)
         val cents = ranked.join(kDf, Seq("meta"))
           .filter(col("rnk") <= col("klim"))
+          .select(col("meta"), col("vec_id"))
+          .join(vm.select(col("vec_id"), col("v")), Seq("vec_id"))
           .select(col("meta"), col("vec_id"), col("v"))
         writeEdges(KnnGraph.buildScoped(vm, cents, assign, degree))
         vm.withColumn("vnorm", normExpr(col("v")))
@@ -275,9 +298,14 @@ object GraphIndexStore {
         ranked.filter(col("rnk") <= nEntries)
           .select(col("vec_id"), col("meta"))
           .coalesce(1).write.mode("overwrite").parquet(ctx.dir("entries"))
+        ranked.unpersist()
         vm.unpersist()
     }
-    val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
+    // "labeldisjoint":1 records the r13 scoped FORMAT (per-label
+    // subgraphs + (vec_id, meta) entries) — the scoped serve/append
+    // paths require it ([[requireLabelDisjoint]])
+    val metaField = metaCol
+      .map(m => s""","meta":"$m","labeldisjoint":1""").getOrElse("")
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
       s"""{"degree":$degree,"dim":$dim,"buckets":$buckets,"entries":$nEntries$metaField}""")
@@ -641,6 +669,7 @@ object GraphIndexStore {
       require(manifestMeta(ctx).nonEmpty,
         s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
           "to enable queryFiltered")
+      requireLabelDisjoint(ctx, "queryFiltered")
       import scala.jdk.CollectionConverters._
       // batch streams to the driver one partition at a time (the
       // queryChunked memory discipline)
@@ -710,6 +739,7 @@ object GraphIndexStore {
       require(manifestMeta(ctx).nonEmpty,
         s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
           "to enable queryFilteredBatch")
+      requireLabelDisjoint(ctx, "queryFilteredBatch")
       distributedWalkServe(spark, ctx, queries, beam, hops,
         filtered = true) { visited =>
         graft.functions.Ranking.rankTopK(
@@ -878,6 +908,9 @@ object GraphIndexStore {
     val freshIds = batchIds.filterNot(present)
     // all ids replayed ⇒ nothing writes ⇒ a clean store STAYS clean
     if (freshIds.isEmpty) return
+    // format guard BEFORE the clean revoke: refusing a pre-r13 scoped
+    // store must leave it untouched
+    manifestMeta(ctx).foreach(_ => requireLabelDisjoint(ctx, "append"))
     // about to mutate the planes: revoke the clean certificate BEFORE the
     // first data write, so a crash mid-append (orphan edges, inflated
     // neighbourhoods) can never serve verbatim (the marker ordering
@@ -919,7 +952,21 @@ object GraphIndexStore {
           // loudly inside the walk (run compact() first).
           val rows = newVecs.select(col("vec_id"), col("v"), col("meta"))
             .as[(Long, Seq[Double], String)].collect()
-          val knownLabels = entryRowsScoped(spark, ctx).map(_._2).toSet
+          // a label counts as KNOWN only when at least one of its entry
+          // ids has a LANDED vector row — entry rows write first, so a
+          // bootstrap that crashed before its vector write leaves
+          // all-orphan entries, and classifying on entry EXISTENCE would
+          // make the retry walk a vector-less subgraph (visited empty, no
+          // edges written: the label would serve its nEntries ids forever).
+          // The presence probe is one vbucket-pruned point read over the
+          // bounded entry-id set; all-orphan labels re-bootstrap (replayed
+          // entry rows dedup at read, compact sweeps the orphans)
+          val entryRows = entryRowsScoped(spark, ctx)
+          val landed: Set[Long] =
+            if (entryRows.isEmpty) Set.empty
+            else vectorSlice(spark, ctx, entryRows.map(_._1).distinct, buckets)
+              .select(col("vec_id")).as[Long].collect().toSet
+          val knownLabels = entryRows.filter(r => landed(r._1)).map(_._2).toSet
           val (existing, fresh) = rows.partition(r => knownLabels(r._3))
           val walked =
             if (existing.isEmpty) Array.empty[(Long, Long, Double)]
@@ -1088,12 +1135,17 @@ object GraphIndexStore {
       case Some(_) =>
         // scoped store: entries fold PER LABEL — keep the surviving
         // (vec_id, meta) rows (dedup'd: crashed new-label appends may
-        // have replayed entry rows) and re-derive for any label that
-        // still has vectors but lost EVERY entry to tombstones (the
-        // per-label transpose of the unscoped re-derivation)
+        // have replayed entry rows; ORPHAN entries — ids whose bootstrap
+        // crashed before the vector write — are swept by the keptVecs
+        // semi-join, and the re-derivation below restores entries for
+        // any label that kept vectors) and re-derive for any label that
+        // still has vectors but lost EVERY entry to tombstones or
+        // orphanhood (the per-label transpose of the unscoped
+        // re-derivation)
         val keptEntries = dropIds(
           spark.read.schema("vec_id BIGINT, meta STRING")
             .parquet(ctx.dir("entries")).distinct(), "vec_id")
+          .join(keptVecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
         val byLabel = org.apache.spark.sql.expressions.Window
           .partitionBy(col("meta")).orderBy(col("vec_id"))
         val rederived = keptVecs

@@ -162,6 +162,21 @@ object IvfPqIndexStore {
         new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
       .map(_.group(1))
 
+  /** Refuse metadata-scoped stores that predate the r13 (cell, meta)
+    * hot-plane layout (no `"scopedcodes":1` in manifest.json — their
+    * code rows carry no meta partition column): the filtered paths'
+    * declared-schema read would see meta = null and the (cell, meta)
+    * join would silently serve EMPTY, and a scoped append would mix
+    * partition layouts — wrong answers, not errors, without this guard
+    * (the TextIndexStore `"positional"` discipline). */
+  private def requireScopedCodes(ctx: ArtifactStore.Ctx, what: String): Unit =
+    require(""""scopedcodes":1""".r.findFirstIn(ArtifactStore.readString(
+        ctx.fs, new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
+        .isDefined,
+      s"metadata-scoped store at ${ctx.root} predates the (cell, meta) " +
+        s"hot-plane layout — $what needs the scoped code partitions; " +
+        "rebuild the index with build()")
+
   private def collectBounded[T](ds: org.apache.spark.sql.Dataset[T],
       what: String): Array[T] =
     ArtifactStore.collectBounded(ds, MaxAdcBatch, what,
@@ -292,7 +307,11 @@ object IvfPqIndexStore {
         yield (s0, j, cbs(s0)(j).toSeq))
         .toDF("sub", "code", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-      val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
+      // "scopedcodes":1 records the r13 scoped FORMAT ((cell, meta)
+      // hot-plane partitions) — the filtered paths and scoped appends
+      // require it ([[requireScopedCodes]])
+      val metaField = metaCol
+        .map(m => s""","meta":"$m","scopedcodes":1""").getOrElse("")
       ArtifactStore.writeString(ctx.fs,
         new org.apache.hadoop.fs.Path(path, "manifest.json"),
         s"""{"k":$k,"dim":$dim,"nsub":$nSub,"subk":$subK,"vbuckets":$vbuckets$metaField}""")
@@ -424,9 +443,12 @@ object IvfPqIndexStore {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
       val (_, _, nSub, subK, vbuckets) = manifest(ctx)
-      if (filtered) require(manifestMeta(ctx).nonEmpty,
-        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
-          "to enable queryFiltered")
+      if (filtered) {
+        require(manifestMeta(ctx).nonEmpty,
+          s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+            "to enable queryFiltered")
+        requireScopedCodes(ctx, "queryFiltered")
+      }
       val cents = loadCentroids(spark, path)
       val cbs = loadCodebooks(spark, path, nSub, subK)
       val qs: Array[(Long, Seq[Double], String)] =
@@ -449,9 +471,13 @@ object IvfPqIndexStore {
       val probeCells = probes.map(_._2).distinct.sorted
       // filtered: the scan prunes to the batch's meta domain AND the
       // probe join keys on (cell, meta) — candidates are within-scope
-      // before any ADC score computes
+      // before any ADC score computes. A NULL meta query matches no
+      // partition value (SQL null-key join semantics) and serves empty —
+      // it is dropped from the filter domain, never crashed on
       val metaFilter =
-        if (filtered) Some(probes.map(_._3).distinct.sorted) else None
+        if (filtered)
+          Some(probes.map(_._3).filter(_ != null).distinct.sorted)
+        else None
       val postings = servedPostings(spark, ctx, probeCells, metaFilter)
       val probeDf =
         if (filtered) probes.toDF("query_id", "cell", "meta")
@@ -536,9 +562,12 @@ object IvfPqIndexStore {
     import spark.implicits._
     ArtifactStore.serving(spark, path) { ctx =>
       val (_, _, nSub, subK, vbuckets) = manifest(ctx)
-      if (filtered) require(manifestMeta(ctx).nonEmpty,
-        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
-          "to enable queryFilteredBatch")
+      if (filtered) {
+        require(manifestMeta(ctx).nonEmpty,
+          s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+            "to enable queryFilteredBatch")
+        requireScopedCodes(ctx, "queryFilteredBatch")
+      }
       val bcC = spark.sparkContext.broadcast(loadCentroids(spark, path))
       val bcCb = spark.sparkContext.broadcast(loadCodebooks(spark, path, nSub, subK))
       val q = (if (filtered)
@@ -566,8 +595,11 @@ object IvfPqIndexStore {
         // join key alone carries the predicate (never a driver OOM)
         val MaxMetaFilter = 1024
         val metaFilter = if (!filtered) None else {
+          // null metas drop out of the filter domain (their queries serve
+          // empty through the null-key join, never a crash)
           val ms = posted.select(col("meta")).distinct()
             .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
+            .filter(_ != null)
           if (ms.length > MaxMetaFilter) None else Some(ms.sorted.toSeq)
         }
         // NOTE (r11, measured): joining the tables into the (query,
@@ -818,9 +850,12 @@ object IvfPqIndexStore {
     try {
       // a metadata-scoped store's appends must carry the manifest's meta
       // column through BOTH planes (the hot plane's (cell, meta)
-      // partition key and the cold plane's stored column)
+      // partition key and the cold plane's stored column); the format
+      // guard fires BEFORE any write (refusing a pre-r13 scoped store
+      // must leave it untouched)
       val metaOpt = manifestMeta(ctx)
       metaOpt.foreach { m =>
+        requireScopedCodes(ctx, "appendBatch")
         require(batch.columns.contains(m),
           s"store at $path is metadata-scoped on '$m'; append batches " +
             s"must carry that column")

@@ -407,6 +407,60 @@ class GraphIndexStoreSpec extends AnyFunSuite {
       "the walks must release their checkpoint state")
   }
 
+  test("scoped store: a bootstrap append that crashed after its entry write heals on retry") {
+    // the crash window the entries-first write order opens: a new-label
+    // bootstrap lands its entry rows, then dies before edges/vectors.
+    // The retry MUST NOT classify the label as known off entry existence
+    // (it would walk a vector-less subgraph, write zero edges, and serve
+    // only the nEntries ids forever) — known means at least one entry id
+    // has a LANDED vector row, so all-orphan labels re-bootstrap.
+    val idx = java.nio.file.Files.createTempDirectory("graft-gidx-bcrash").toString
+    val e = embeddings
+    val heldOut = "0"
+    GraphIndexStore.build(e.filter(col("label").cast("string") =!= heldOut),
+      idx, degree = Degree, assign = 2, nEntries = 4, buckets = Buckets,
+      metaCol = Some("label"))
+    // dirty the store through a REAL mutator first (a real crashed append
+    // always revoked the clean marker before its first write — storage
+    // injection must only ever model states reachable that way)
+    GraphIndexStore.delete(spark, idx,
+      Seq(e.filter(col("label").cast("string") =!= heldOut)
+        .agg(max(col("vec_id"))).head().getLong(0)))
+    val held = e.filter(col("label").cast("string") === heldOut)
+    val heldIds = held.select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    // inject the crashed bootstrap's footprint: entry rows only
+    val ctx = ArtifactStore.open(spark, idx)
+    heldIds.take(4).toSeq.map(id => (id, heldOut)).toDF("vec_id", "meta")
+      .coalesce(1).write.mode("append").parquet(ctx.dir("entries"))
+    // the retry (the at-least-once redelivery) must re-bootstrap
+    GraphIndexStore.append(held, idx, beam = 16, hops = 3)
+    spark.catalog.clearCache()
+    val qHeld = held
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    val got = GraphIndexStore.queryFiltered(spark, idx, qHeld, 16, 3, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    val rank1 = got.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    heldIds.foreach { id =>
+      assert(rank1.get(id + 1000000L).contains(id),
+        s"after the heal, vector $id must be its own query's rank-1 — " +
+          "an entry-existence classification would strand the label")
+    }
+    // and the label serves MORE than its entry ids (edges exist)
+    assert(got.map(_._3).distinct.length > 4,
+      "the healed label must serve beyond its entry points")
+    // compact sweeps any duplicate/orphan entry rows; serving unchanged
+    GraphIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    val afterCompact = GraphIndexStore.queryFiltered(spark, idx, qHeld, 16, 3, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(afterCompact == got, "serving must be identical across compact")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("query batches beyond the walk-slice bound serve by internal chunking; appends stay capped") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft-gidx-bnd").toString
