@@ -4492,6 +4492,61 @@ object PipelineQueries {
       FROM hh WHERE len(anch) >= 1
       ORDER BY query, doc_id""")),
 
+    CatalogQuery("qt37_index_near_batch", (s, d) => {
+      // MANY unordered-proximity (NEAR) queries served from the
+      // positional index in ONE pass — the batch-serving matrix's last
+      // positional axis (qt33 phrase batch / qt35 ordered-chain batch /
+      // HERE order-free): TextIndexStore.queryNearBatch decides each
+      // anchor by the CANDIDATE-WINDOW cover check (a span-≤-w choice
+      // containing anchor p exists iff some window [m, m+w] with
+      // m ∈ {p} ∪ occurrences∩[p−w, p] covers every slot — a valid
+      // choice's minimum is such an m, and a covering window yields the
+      // choice), while the oracle is qt36's SYMMETRIZED nested-lambda
+      // formulation per query — two independent decision procedures, so
+      // the hash match proves the window-min equivalence on data. Query
+      // set = qt36's three rows batched under one slot-map fold.
+      import s.implicits._
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt37-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir)
+      val queries = Seq(
+        (0L, Seq("fast", "table"), 4),
+        (1L, Seq("stream", "hash"), 6),
+        (2L, Seq("fast", "table", "scan"), 6)).toDF("query_id", "terms", "window")
+      graft.sinks.TextIndexStore.queryNearBatch(s, idxDir, queries)
+    }, Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+                 FROM documents),
+      pos AS (SELECT doc_id,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'fast') AS f,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'table') AS tb,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'scan') AS sc,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'stream') AS st,
+          list_filter(range(1, len(a) + 1), i -> a[i] = 'hash') AS h
+        FROM t),
+      hh AS (
+        SELECT 0 AS query_id, doc_id,
+          list_filter(f, p ->
+            len(list_filter(tb, q -> abs(q - p) <= 4)) > 0) AS anch
+        FROM pos
+        UNION ALL
+        SELECT 1, doc_id,
+          list_filter(st, p ->
+            len(list_filter(h, q -> abs(q - p) <= 6)) > 0)
+        FROM pos
+        UNION ALL
+        SELECT 2, doc_id,
+          list_filter(f, p ->
+            len(list_filter(tb, q -> abs(q - p) <= 6
+              AND len(list_filter(sc, r -> abs(r - p) <= 6
+                AND abs(r - q) <= 6)) > 0)) > 0)
+        FROM pos)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        CAST(len(anch) AS BIGINT) AS n_anchors,
+        CAST(anch[1] AS BIGINT) AS first_pos
+      FROM hh WHERE len(anch) >= 1
+      ORDER BY query_id, doc_id""")),
+
     CatalogQuery("qt33_index_phrase_batch", (s, d) => {
       // MANY phrase queries served from the positional index in ONE
       // pass — qt30's eval-set shape on the phrase axis, completing the

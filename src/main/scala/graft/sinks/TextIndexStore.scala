@@ -719,6 +719,79 @@ object TextIndexStore {
     }
   }
 
+  /** Serve MANY unordered-proximity (NEAR) queries from the positional
+    * postings in ONE pass — [[queryPhraseBatch]]'s eval-set shape on the
+    * NEAR axis. Per-query term counts vary, so the standalone path's
+    * compile-time-nested pairwise lambdas cannot apply; instead each
+    * anchor checks a CANDIDATE-WINDOW set: a choice with span ≤ window
+    * containing anchor p exists iff some window [m, m+window] with
+    * m ∈ {p} ∪ (any slot's occurrences ∩ [p−window, p]) holds ≥ 1
+    * occurrence of EVERY other slot. Equivalence is exact: a valid
+    * choice's minimum μ satisfies μ ≤ p ≤ μ+window, and μ is either p or
+    * an occurrence in [p−window, p] — so μ is in the candidate set and
+    * its window covers every slot; conversely a covering window yields
+    * the choice directly. Cost per anchor is |candidates| × L × |posⱼ|
+    * lambda steps — eval-set-sized by construction. Same slot-map fold,
+    * input contract (distinct terms per query, ≥ 2 terms, window ≥ L−1,
+    * unique query_id) and output conventions as the standalone
+    * [[queryNear]] (anchors on the first LISTED term; TextIndexSpec pins
+    * batch == standalone per query). `queries` must have
+    * (query_id: bigint, terms: array<string>, window: int). Output:
+    * (query_id, doc_id, n_anchors, first_pos) ordered by
+    * (query_id, doc_id). */
+  def queryNearBatch(spark: SparkSession, path: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      requirePositional(ctx, "queryNearBatch")
+      val qs: Array[(Long, Seq[String], Int)] = ArtifactStore.collectBounded(
+        queries.select(col("query_id"), col("terms"),
+          col("window").cast("int")).as[(Long, Seq[String], Int)],
+        65536, "NEAR query batch", "split the eval set")
+      require(qs.map(_._1).distinct.length == qs.length,
+        "NEAR query batch: query_id values must be unique")
+      qs.foreach { case (qid, ts, w) =>
+        require(ts.length >= 2, s"query $qid: NEAR needs at least two terms")
+        require(ts.distinct.length == ts.length,
+          s"query $qid: NEAR terms must be distinct")
+        require(w >= ts.length - 1,
+          s"query $qid: window $w cannot fit ${ts.length} distinct positions")
+      }
+      val termUnion = qs.flatMap(_._2).distinct.toSeq.sorted
+      val (pruned, _, _) = servedTermSlice(spark, ctx, termUnion)
+      val slots = qs.toSeq.flatMap { case (qid, ts, w) =>
+        ts.zipWithIndex.map { case (t, j) => (qid, j, t, ts.length, w) } }
+        .toDF("query_id", "slot", "token", "plen", "w")
+      val pm = pruned.select(col("token"), col("doc_id"), col("pos"))
+        .join(broadcast(slots), Seq("token"))
+        .groupBy(col("query_id"), col("doc_id"), col("plen"), col("w"))
+        .agg(map_from_entries(collect_list(
+          struct(col("slot"), col("pos")))).as("pm"))
+        .filter(size(col("pm")) === col("plen"))
+      // candidate window minimums per anchor: p itself plus every stored
+      // occurrence (any slot) in [p−w, p]; a slot j is covered by window
+      // [m, m+w] when it holds an occurrence in that range
+      def covered(j: org.apache.spark.sql.Column,
+          m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        exists(element_at(col("pm"), j.cast("int")),
+          q => q >= m && q <= m + col("w"))
+      val anchors = filter(element_at(col("pm"), lit(0)), p => {
+        val cands = concat(array(p),
+          filter(flatten(map_values(col("pm"))),
+            q => q >= p - col("w") && q <= p))
+        exists(cands, m =>
+          aggregate(sequence(lit(1), col("plen") - 1), lit(true),
+            (acc, j) => acc && covered(j, m)))
+      })
+      pm.select(col("query_id"), col("doc_id"), anchors.as("ps"))
+        .filter(size(col("ps")) >= 1)
+        .select(col("query_id"), col("doc_id"),
+          size(col("ps")).cast("long").as("n_anchors"),
+          element_at(col("ps"), 1).cast("long").as("first_pos"))
+        .orderBy(col("query_id"), col("doc_id"))
+    }
+  }
+
   /** Serve MANY ordered-proximity queries from the positional postings in
     * ONE pass — [[queryPhraseBatch]]'s eval-set shape on the proximity
     * axis: one posting-slice open for the union of every query's terms,

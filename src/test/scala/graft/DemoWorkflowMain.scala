@@ -261,6 +261,10 @@ object DemoWorkflowMain {
       val ordDocs = graft.sinks.TextIndexStore.queryProximity(spark, tidxDir,
           Seq("fast", "table"), 4).collect().map(_.getLong(0)).toSet
       println(s"[probe-tidx-near] containsOrdered=${ordDocs.subsetOf(nearDocs)} (expect true)")
+      val nearB = graft.sinks.TextIndexStore.queryNearBatch(spark, tidxDir,
+          Seq((11L, Seq("fast", "table"), 4)).toDF("query_id", "terms", "window"))
+        .collect().map(_.getLong(1)).toSet
+      println(s"[probe-tidx-near-batch] agreesWithSingle=${nearB == nearDocs} (expect true)")
       // operational health: the delete above left a tombstone pending
       val hm = graft.sinks.TextIndexStore.health(spark, tidxDir)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

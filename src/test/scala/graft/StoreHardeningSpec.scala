@@ -1249,6 +1249,48 @@ class StoreHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("text store: batch NEAR serving equals standalone queryNear per query (window cover == nested pairwise)") {
+    // the equivalence pin: queryNearBatch decides anchors by the
+    // candidate-window-min cover check while the standalone path nests
+    // pairwise lambdas — independent decision procedures that must agree
+    // anchor-for-anchor (the window-min argument: a valid choice's
+    // minimum is the anchor or an occurrence within [p−w, p], and its
+    // w-window covers every slot)
+    import spark.implicits._
+    val idx = tmp("graft-tidx-nearb")
+    TextIndexStore.build(QueryHelpers.table(spark, dir, "documents"),
+      buckets = 64, idx)
+    val queries = Seq(
+      (0L, Seq("fast", "table"), 4),
+      (1L, Seq("stream", "hash"), 6),
+      (2L, Seq("fast", "table", "scan"), 6),
+      (3L, Seq("stream", "table", "hash"), 2)) // window = L-1, the tightest
+    val batch = TextIndexStore
+      .queryNearBatch(spark, idx, queries.toDF("query_id", "terms", "window"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.groupBy(_._1)
+    spark.catalog.clearCache()
+    queries.foreach { case (qid, ts, w) =>
+      val single = TextIndexStore.queryNear(spark, idx, ts, w)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"batch NEAR path diverges from standalone for $ts N$w")
+      spark.catalog.clearCache()
+    }
+    assert(queries.take(3).map(_._1)
+      .forall(q => batch.getOrElse(q, Seq.empty).nonEmpty),
+      "fixture sanity: the gated NEAR queries must actually match docs")
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryNearBatch(spark, idx,
+        Seq((0L, Seq("table", "table"), 4)).toDF("query_id", "terms", "window"))
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.queryNearBatch(spark, idx,
+        Seq((0L, Seq("fast", "table"), 4), (0L, Seq("stream", "hash"), 6))
+          .toDF("query_id", "terms", "window"))
+    }
+  }
+
   test("store health surface tracks the mutation state machine") {
     // the when-to-compact observability table (ArtifactStore.health via
     // per-store wrappers): every signal a deploy on its own maintenance
