@@ -200,7 +200,12 @@ object KnnGraph {
     * per-(label, seed) group sizes — never anything corpus-proportional.
     * Each label's subgraph is EXACTLY what [[build]] would produce on
     * that label's sub-corpus with its sub-centroids (the per-label
-    * stages read only same-label rows). */
+    * stages read only same-label rows).
+    *
+    * CONTRACT: every `e` row's meta must appear in `cents` (in particular
+    * no NULL metas — the centroid equi-joins drop null keys, leaving the
+    * row's per-label seed lookup empty). [[graft.sinks.GraphIndexStore]]
+    * enforces this loudly at build/append entry. */
   def buildScoped(e: DataFrame, cents: DataFrame, assign: Int,
       degree: Int): DataFrame = {
     val spark = e.sparkSession

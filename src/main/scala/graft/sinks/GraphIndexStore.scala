@@ -270,6 +270,14 @@ object GraphIndexStore {
           .as[(String, Long)].collect()
           .map { case (l, nl) => l -> math.min(nl, math.max(16L, nl / 400L)) }
           .toMap
+        // the scoped build requires a TOTAL label assignment: a null meta
+        // would silently fall out of the centroid equi-joins below and
+        // then hit [[KnnGraph.buildScoped]]'s per-label seed lookup as an
+        // opaque executor-side NoSuchElementException (r13 advice) — fail
+        // loudly on the driver instead, off the count we already collect
+        require(!kOf.contains(null),
+          s"metaCol '$m' has NULL values; a scoped graph store needs every " +
+            "row labelled — filter or fill nulls before build")
         val kDf = broadcast(kOf.toSeq.toDF("meta", "klim"))
         val byLabel = org.apache.spark.sql.expressions.Window
           .partitionBy(col("meta")).orderBy(col("vec_id"))
@@ -952,6 +960,12 @@ object GraphIndexStore {
           // loudly inside the walk (run compact() first).
           val rows = newVecs.select(col("vec_id"), col("v"), col("meta"))
             .as[(Long, Seq[Double], String)].collect()
+          // total-label contract (build's twin): a null label would
+          // "bootstrap" a null subgraph whose pair join drops every row —
+          // edgeless, unreachable vectors. Fail loudly instead.
+          require(rows.forall(_._3 != null),
+            s"append batch has NULL '${manifestMeta(ctx).get}' values; a " +
+              "scoped graph store needs every row labelled")
           // a label counts as KNOWN only when at least one of its entry
           // ids has a LANDED vector row — entry rows write first, so a
           // bootstrap that crashed before its vector write leaves
@@ -1148,7 +1162,12 @@ object GraphIndexStore {
           .join(keptVecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
         val byLabel = org.apache.spark.sql.expressions.Window
           .partitionBy(col("meta")).orderBy(col("vec_id"))
-        val rederived = keptVecs
+        // rank a SLIM (vec_id, meta) projection — build's discipline: the
+        // per-label window sorts one task per dead label, and shipping
+        // the v/vnorm payloads through that sort would make a single
+        // all-tombstoned label sort its full embeddings in one task at
+        // scale (r13 advice)
+        val rederived = keptVecs.select(col("vec_id"), col("meta"))
           .join(keptEntries.select(col("meta")).distinct(), Seq("meta"), "left_anti")
           .withColumn("rnk", row_number().over(byLabel))
           .filter(col("rnk") <= nEntries)

@@ -596,10 +596,14 @@ object IvfPqIndexStore {
         val MaxMetaFilter = 1024
         val metaFilter = if (!filtered) None else {
           // null metas drop out of the filter domain (their queries serve
-          // empty through the null-key join, never a crash)
-          val ms = posted.select(col("meta")).distinct()
+          // empty through the null-key join, never a crash) — filtered
+          // BEFORE the limit: filtering the collected sample instead
+          // could count a null toward the cap and shrink ms under
+          // MaxMetaFilter while real labels were never sampled, silently
+          // partition-pruning those labels' rows away (r13 advice)
+          val ms = posted.filter(col("meta").isNotNull)
+            .select(col("meta")).distinct()
             .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
-            .filter(_ != null)
           if (ms.length > MaxMetaFilter) None else Some(ms.sorted.toSeq)
         }
         // NOTE (r11, measured): joining the tables into the (query,
