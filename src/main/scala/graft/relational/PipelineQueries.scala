@@ -83,6 +83,18 @@ object PipelineQueries {
         (2L, Seq("table")),
         (3L, Seq("table", "table"))).toDF("query_id", "phrase"))
     }
+    /** qt35's exact eval set served from a pre-built store — the
+      * proximity/NEAR folds share qt33's slice machinery but add the
+      * greedy-chain fold; this row (qt35_batch_only) gives that fold its
+      * own serve baseline (r13 verdict #4). */
+    def queryTextProximityBatch(s: SparkSession, idxDir: String): DataFrame = {
+      import s.implicits._
+      graft.sinks.TextIndexStore.queryProximityBatch(s, idxDir, Seq(
+        (0L, Seq("fast", "table"), 4),
+        (1L, Seq("fast", "table", "scan"), 5),
+        (2L, Seq("stream", "hash"), 8),
+        (3L, Seq("table", "table"), 3)).toDF("query_id", "terms", "window"))
+    }
     def buildGraphIndex(s: SparkSession, d: String): String = {
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs28-gidx").toString
@@ -152,6 +164,27 @@ object PipelineQueries {
       graft.sinks.IvfPqIndexStore.queryFilteredBatch(s, idxDir,
         corpusBatchMeta(s, d), nProbe = 16, topK = AnnTopK,
         candK = 24 * AnnTopK)
+    def buildMaxSimIndex(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs40-msidx").toString
+      graft.sinks.MaxSimIndexStore.build(table(s, d, "embeddings"),
+        k = 16, subs = 4, subDim = 16, idxDir)
+      idxDir
+    }
+    def queryMaxSimIndex(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      // nProbe = K: EXACT serving (class doc — on this corpus no smaller
+      // probe is lossless, measured by MaxSimProbeMain), so qs19's
+      // brute-force oracle grades the store bit-exactly
+      graft.sinks.MaxSimIndexStore.query(s, idxDir, queries,
+        nProbe = 16, topK = AnnTopK)
+    }
+    def queryMaxSimBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
+      graft.sinks.MaxSimIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
+        nProbe = 16, topK = AnnTopK)
     def queryIvfBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
       graft.sinks.IvfIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
         nProbe = 4, topK = 3)
@@ -435,6 +468,38 @@ object PipelineQueries {
       ORDER BY query_id, rank"""
 
   private val oIvfTopkSql: String = oIvfTopkSqlWhere("TRUE")
+
+  /** The multi-vector MaxSim oracle (qs19's brute-force late-interaction
+    * scoring: 4×16 sub-vector slices, score = Σᵢ round(maxⱼ cos(qᵢ,dⱼ),
+    * 12), 5 queries, top-10) — shared by qs19 (in-query plan) and qs40
+    * (the same answer served from the persistent MaxSimIndexStore
+    * artifact at nProbe=K, which is EXACT by construction: probing every
+    * pooled cell is the brute-force scan, so the store's hoisted-norm
+    * scorer must reproduce these rank rows bit-exactly at any SF). */
+  private val oMaxSimSql: String = {
+    def oSub(arr: String, i: Int): String =
+      s"$arr[${i * 16 + 1}:${i * 16 + 16}]"
+    def oCos(i: Int, j: Int): String = {
+      val (a, b) = (oSub("q.qv", i), oSub("e.v", j))
+      s"list_dot_product($a, $b) / (sqrt(greatest(list_dot_product($a, $a), 1e-30))" +
+        s" * sqrt(greatest(list_dot_product($b, $b), 1e-30)))"
+    }
+    val terms = (0 until 4).map { i =>
+      s"round(greatest(${(0 until 4).map(j => oCos(i, j)).mkString(", ")}), 12)"
+    }.mkString(" + ")
+    s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT q.query_id, e.vec_id, ($terms) AS cosine
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      ranked AS (
+        SELECT query_id, vec_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+  }
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
     * nprobe=4 geometry, EVERY vector as a query, k=3) — shared by qs04
@@ -6847,30 +6912,29 @@ object PipelineQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"), maxsim.as("cosine"))
       topkRanked(scored)
-    }, Some {
-      def oSub(arr: String, i: Int): String =
-        s"$arr[${i * 16 + 1}:${i * 16 + 16}]"
-      def oCos(i: Int, j: Int): String = {
-        val (a, b) = (oSub("q.qv", i), oSub("e.v", j))
-        s"list_dot_product($a, $b) / (sqrt(greatest(list_dot_product($a, $a), 1e-30))" +
-          s" * sqrt(greatest(list_dot_product($b, $b), 1e-30)))"
-      }
-      val terms = (0 until 4).map { i =>
-        s"round(greatest(${(0 until 4).map(j => oCos(i, j)).mkString(", ")}), 12)"
-      }.mkString(" + ")
-      s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-      scored AS (
-        SELECT q.query_id, e.vec_id, ($terms) AS cosine
-        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-      ranked AS (
-        SELECT query_id, vec_id,
-          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        FROM scored)
-      SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank"""
-    }),
+    }, Some(oMaxSimSql)),
+
+    CatalogQuery("qs40_maxsim_index_serve", (s, d) => {
+      // The persistent MULTI-VECTOR serving path under the correctness
+      // gate — the last retrieval paradigm (dense/compressed/graph/
+      // sparse+positional/multi-vector) to get a build-once/serve-many
+      // store: build the MaxSimIndexStore artifact (pooled-space
+      // centroids + cell-partitioned postings carrying HOISTED per-sub
+      // norms) and answer qs19's standard batch FROM THE ARTIFACT. The
+      // oracle is qs19's brute-force SQL verbatim: nProbe = K probes
+      // every pooled cell, which IS the brute-force scan, so serving is
+      // exact BY CONSTRUCTION — the gate grades the whole
+      // build→persist→prune→serve path (posting layout, stored-norm
+      // bit-identity, replay dedup, rank order) at any SF, robust to
+      // testdata regeneration. nProbe < K is the measured approximate
+      // knob (MaxSimProbeMain: on these near-random synthetics recall
+      // needs a 60-90% scan under ANY proxy — the qs32 story on the
+      // multi-vector axis; real clustered corpora prune) and the store's
+      // standing FLOP win is norm hoisting: 16 dots per candidate vs the
+      // in-query plan's 48. Partition pruning is spec-pinned
+      // (PlanQualitySpec: PartitionFilters on cell at nProbe < K).
+      Serve.queryMaxSimIndex(s, d, Serve.buildMaxSimIndex(s, d))
+    }, Some(oMaxSimSql), headline = true),
 
     CatalogQuery("qs17_nprobe_curve", (s, d) => {
       // The IVF operating curve: recall vs nprobe from ONE assignment

@@ -414,6 +414,48 @@ object DemoWorkflowMain {
       spark.catalog.clearCache()
     }
 
+    locally {
+      // persistent multi-vector MaxSim index (r14): build, exact serve at
+      // nProbe=K, distributed-batch identity, append-then-find, tombstone
+      import org.apache.spark.sql.functions.{col, transform}
+      val msDir = java.nio.file.Files.createTempDirectory("demo-msidx").toString
+      val e = graft.relational.QueryHelpers
+        .table(spark, "/root/testdata/sf0.001", "embeddings")
+      graft.sinks.MaxSimIndexStore.build(e.filter(col("vec_id") >= 3),
+        k = 16, subs = 4, subDim = 16, msDir,
+        centroids = Some(e.filter(col("vec_id") < 16)
+          .select(transform(col("embedding"), _.cast("double")).as("v"))
+          .collect().map { r =>
+            val v = r.getSeq[Double](0)
+            (0 until 16).map(t => (0 until 4).map(i => v(i * 16 + t)).sum / 4).toArray
+          }))
+      val q0 = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val served = graft.sinks.MaxSimIndexStore.query(spark, msDir, q0,
+        nProbe = 16, topK = 5).collect()
+      println(s"[probe-msidx] rows=${served.length} queries=" +
+        s"${served.map(_.getLong(0)).distinct.length} (expect 15, 3)")
+      val batched = graft.sinks.MaxSimIndexStore.queryBatch(spark, msDir, q0,
+        nProbe = 16, topK = 5).collect()
+      val agree = batched.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq ==
+        served.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      println(s"[probe-msidx-batch] rows=${batched.length} agreesWithDriverPath=$agree (expect true)")
+      graft.sinks.MaxSimIndexStore.appendBatch(e.filter(col("vec_id") === 0L), msDir)
+      val self = e.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 100L).as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val found = graft.sinks.MaxSimIndexStore.query(spark, msDir, self,
+        nProbe = 16, topK = 3).collect()
+      println(s"[probe-msidx-ins] rank1=${found.head.getLong(2)} (expect 0)")
+      graft.sinks.MaxSimIndexStore.delete(spark, msDir, Seq(0L))
+      val afterDel = graft.sinks.MaxSimIndexStore.query(spark, msDir, self,
+        nProbe = 16, topK = 3).collect()
+      val gone = !afterDel.exists(_.getLong(2) == 0L)
+      println(s"[probe-msidx-del] goneFromRanks=$gone (expect true)")
+      spark.catalog.clearCache()
+    }
+
     spark.stop()
   }
 }

@@ -359,6 +359,84 @@ class StoreHardeningSpec extends AnyFunSuite {
       "valve compactions must not change serving")
   }
 
+  test("MaxSim store: append pressure valve bounds per-cell file counts; serving unchanged") {
+    import graft.sinks.MaxSimIndexStore
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val valved = tmp("graft-ms-valve"); val control = tmp("graft-ms-ctl")
+    Seq(valved, control).foreach(p =>
+      MaxSimIndexStore.build(e, k = 16, subs = 4, subDim = 16, p))
+    val batch = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L as "vec_id", col("embedding"))
+    val Factor = 2
+    (1 to 6).foreach { _ =>
+      MaxSimIndexStore.appendBatch(batch, valved, compactFactor = Factor)
+      MaxSimIndexStore.appendBatch(batch, control, compactFactor = 0)
+      val ctx = ArtifactStore.open(spark, valved)
+      val maxFiles = ArtifactStore.maxPartitionFiles(ctx, "postings",
+        (0 until 16).map(c => s"cell=$c"))
+      assert(maxFiles <= Factor.toLong,
+        s"valve must keep per-cell file counts <= $Factor (got $maxFiles)")
+      spark.catalog.clearCache()
+    }
+    assert(ArtifactStore.open(spark, valved).epoch >= 1L,
+      "the valve must actually have compacted")
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+      .filter(col("query_id") < 4)
+    def serve(p: String) = {
+      val rows = MaxSimIndexStore.query(spark, p, q, nProbe = 16, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    assert(serve(valved) == serve(control),
+      "valve compactions must not change serving")
+  }
+
+  test("MaxSim appendStream self-heals a crashed valve compaction; one-shot mutators stay loud") {
+    import graft.sinks.MaxSimIndexStore
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = QueryHelpers.table(spark, dir, "embeddings")
+    val idx = tmp("graft-ms-heal"); val ckpt = tmp("graft-ms-hck")
+    MaxSimIndexStore.build(e, k = 16, subs = 4, subDim = 16, idx)
+    spark.catalog.clearCache()
+    val ctx = ArtifactStore.open(spark, idx)
+    ArtifactStore.writeString(ctx.fs, new Path(idx, "_COMPACTING"),
+      ctx.epoch.toString)
+    intercept[IllegalStateException] {
+      MaxSimIndexStore.appendBatch(e.filter(col("vec_id") < 2), idx)
+    }
+    val arrivals = e.filter(col("vec_id") < 3)
+      .select(col("vec_id") + 1000L, transform(col("embedding"), _.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val sq = MaxSimIndexStore.appendStream(
+      stream.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      stream.addData(arrivals.toSeq)
+      sq.processAllAvailable() // completes the crashed compact, then appends
+    } finally sq.stop()
+    spark.catalog.clearCache()
+    assert(ArtifactStore.open(spark, idx).epoch > 0L,
+      "the stream must have completed the crashed compaction (epoch flip)")
+    assert(!ctx.fs.exists(new Path(idx, "_COMPACTING")),
+      "the guard must be gone after the healed fold")
+    // the appended ids duplicate corpus vectors: MaxSim of an identical
+    // vector is the 4.0 ceiling, a TIE with the original — assert the
+    // insert serves in the top ranks, not that it wins the tie
+    val probe = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 2000000L).as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    val served = MaxSimIndexStore.query(spark, idx, probe, nProbe = 16, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q0, arr) => q0 -> arr.map(_._2).toSet }
+    spark.catalog.clearCache()
+    (0L until 3L).foreach { id =>
+      assert(served.get(id + 2000000L).exists(_.contains(id + 1000L)),
+        s"the healed stream's insert must serve (got ${served.get(id + 2000000L)})")
+    }
+  }
+
   test("PQ store: append pressure valve bounds per-cell file counts; serving unchanged") {
     val e = QueryHelpers.table(spark, dir, "embeddings")
     val valved = tmp("graft-pq-valve"); val control = tmp("graft-pq-ctl")
