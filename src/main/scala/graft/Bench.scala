@@ -185,6 +185,7 @@ object Bench {
       val graphScopedIdx = PipelineQueries.Serve.buildGraphIndexScoped(spark, sfDir)
       val pqScopedIdx = PipelineQueries.Serve.buildPqIndexScoped(spark, sfDir)
       val maxsimIdx = PipelineQueries.Serve.buildMaxSimIndex(spark, sfDir)
+      val maxsimScopedIdx = PipelineQueries.Serve.buildMaxSimIndexScoped(spark, sfDir)
       spark.catalog.clearCache()
       Seq(
         "qd17_probe_only" -> (() => PipelineQueries.Serve.probeBandIndex(spark, sfDir, bandIdx)),
@@ -214,7 +215,10 @@ object Bench {
         // at their pinned margins) — metadata-scoped stores built once
         // untimed like the rest; r12 establishes their baselines
         "qs35_batch_only" -> (() => PipelineQueries.Serve.queryGraphFilteredBatch(spark, sfDir, graphScopedIdx)),
-        "qs36_batch_only" -> (() => PipelineQueries.Serve.queryPqFilteredBatch(spark, sfDir, pqScopedIdx)))
+        "qs36_batch_only" -> (() => PipelineQueries.Serve.queryPqFilteredBatch(spark, sfDir, pqScopedIdx)),
+        // the FILTERED multi-vector corpus batch (r14): qs41's kernel at
+        // corpus scale over the metadata-scoped MaxSim store
+        "qs41_batch_only" -> (() => PipelineQueries.Serve.queryMaxSimFilteredBatch(spark, sfDir, maxsimScopedIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
       servePaths.map { case (n, _) =>

@@ -185,6 +185,26 @@ object PipelineQueries {
     def queryMaxSimBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
       graft.sinks.MaxSimIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
         nProbe = 16, topK = AnnTopK)
+    def buildMaxSimIndexScoped(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs41-msidx").toString
+      graft.sinks.MaxSimIndexStore.build(table(s, d, "embeddings"),
+        k = 16, subs = 4, subDim = 16, idxDir, metaCol = Some("label"))
+      idxDir
+    }
+    def queryMaxSimFiltered(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+        .filter(col("query_id") < 5)
+      graft.sinks.MaxSimIndexStore.queryFiltered(s, idxDir, queries,
+        nProbe = 16, topK = AnnTopK)
+    }
+    def queryMaxSimFilteredBatch(s: SparkSession, d: String,
+        idxDir: String): DataFrame =
+      graft.sinks.MaxSimIndexStore.queryFilteredBatch(s, idxDir,
+        corpusBatchMeta(s, d), nProbe = 16, topK = AnnTopK)
     def queryIvfBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
       graft.sinks.IvfIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
         nProbe = 4, topK = 3)
@@ -476,7 +496,7 @@ object PipelineQueries {
     * artifact at nProbe=K, which is EXACT by construction: probing every
     * pooled cell is the brute-force scan, so the store's hoisted-norm
     * scorer must reproduce these rank rows bit-exactly at any SF). */
-  private val oMaxSimSql: String = {
+  private def oMaxSimSqlFrom(fromClause: String): String = {
     def oSub(arr: String, i: Int): String =
       s"$arr[${i * 16 + 1}:${i * 16 + 16}]"
     def oCos(i: Int, j: Int): String = {
@@ -488,11 +508,11 @@ object PipelineQueries {
       s"round(greatest(${(0 until 4).map(j => oCos(i, j)).mkString(", ")}), 12)"
     }.mkString(" + ")
     s"""
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv, label FROM e WHERE vec_id < 5),
       scored AS (
         SELECT q.query_id, e.vec_id, ($terms) AS cosine
-        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        $fromClause),
       ranked AS (
         SELECT query_id, vec_id,
           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
@@ -500,6 +520,16 @@ object PipelineQueries {
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
   }
+
+  private val oMaxSimSql: String =
+    oMaxSimSqlFrom("FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id")
+
+  /** qs41: qs19's scoring restricted to the query's own label — the
+    * label-scoped brute force the filtered store path must reproduce
+    * verbatim at nProbe=K (every cell probed ⇒ the (cell, meta)-pruned
+    * candidate set IS the label's sub-corpus). */
+  private val oMaxSimFilteredSql: String =
+    oMaxSimSqlFrom("FROM e JOIN q ON e.label = q.label WHERE e.vec_id <> q.query_id")
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
     * nprobe=4 geometry, EVERY vector as a query, k=3) — shared by qs04
@@ -6935,6 +6965,24 @@ object PipelineQueries {
       // (PlanQualitySpec: PartitionFilters on cell at nProbe < K).
       Serve.queryMaxSimIndex(s, d, Serve.buildMaxSimIndex(s, d))
     }, Some(oMaxSimSql), headline = true),
+
+    CatalogQuery("qs41_maxsim_filtered_serve", (s, d) => {
+      // FILTERED multi-vector serving under the correctness gate — the
+      // last cell of the (paradigm × filtered) matrix: build the
+      // MaxSimIndexStore metadata-scoped on label ((cell, meta)
+      // partition key — the IvfIndexStore posting-key recipe), serve the
+      // standard batch restricted to each query's own label. The oracle
+      // is the label-scoped brute force: at nProbe=K every cell is
+      // probed, so the (cell, meta)-pruned candidate set IS the label's
+      // sub-corpus and serving is exact BY CONSTRUCTION (qs40's argument
+      // on the filtered axis — no recall pin to maintain, robust at any
+      // SF). Scale shape: scan bytes track the tenant, not the corpus
+      // (meta partition dirs prune before any sub-cosine computes), the
+      // candidate join keys on (cell, meta), and the batch's meta domain
+      // enumerates with nulls excluded BEFORE the cap (the r13 advice
+      // class, applied from birth).
+      Serve.queryMaxSimFiltered(s, d, Serve.buildMaxSimIndexScoped(s, d))
+    }, Some(oMaxSimFilteredSql)),
 
     CatalogQuery("qs17_nprobe_curve", (s, d) => {
       // The IVF operating curve: recall vs nprobe from ONE assignment

@@ -261,6 +261,25 @@ object GraphIndexStore {
         // 0.99 on an unscoped store, GraphScopedProbeMain §C; scoped
         // stores are for scoped queries — build an unscoped store for
         // global-first workloads).
+        //
+        // MIXED-WORKLOAD DECISION (r14, the dual-plane question): a
+        // deploy needing BOTH scoped and global queries on one corpus
+        // could (a) build two stores — today's answer — or (b) carry an
+        // optional second, GLOBAL edge plane in this artifact (the walk
+        // picks its plane). The arithmetic: per node, vectors cost
+        // dim·8 + 8 B (520 B at dim 64) and an edge plane costs
+        // degree·24 B (288 B at degree 12), so (b) saves the duplicated
+        // vector plane — ~39% of the two-store footprint here, less as
+        // dim grows. Against that, (b) doubles EVERY mutator's work and
+        // its crash surface: append must walk and truncate two planes
+        // (two valve domains, two orphan-repair folds), compact rewrites
+        // both behind one marker, and the two workloads' maintenance
+        // cadences become coupled. Storage is the cheap axis at 100 TB
+        // (object-store bytes) and mutator complexity is the expensive
+        // one (every r11-r13 hardening class would need re-proving per
+        // plane), so TWO STORES stays the answer; revisit only if a
+        // deploy demonstrates the duplicated vector plane is its actual
+        // bottleneck.
         val vm = v.join(
           e.select(col("vec_id"), col(m).cast("string").as("meta")), Seq("vec_id"))
           .persist()

@@ -135,6 +135,14 @@ object MaxSimIndexStore {
     (field("k"), field("dim"), field("subs"), field("subdim"))
   }
 
+  /** The meta column a metadata-scoped store was built with, if any —
+    * appends and compact must carry the (cell, meta) layout through. */
+  private def manifestMeta(ctx: ArtifactStore.Ctx): Option[String] =
+    """"meta":"([^"]+)"""".r
+      .findFirstMatchIn(ArtifactStore.readString(ctx.fs,
+        new org.apache.hadoop.fs.Path(ctx.root, "manifest.json")))
+      .map(_.group(1))
+
   private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
     spark.read.parquet(s"$path/centroids")
@@ -148,8 +156,10 @@ object MaxSimIndexStore {
     * lowest-k vec_ids (the deterministic oracle-mirrorable convention);
     * a KMeans fit over pooled views slots in via `centroids`. */
   def build(e: DataFrame, k: Int, subs: Int, subDim: Int, path: String,
-      centroids: Option[Array[Array[Double]]] = None): Unit = {
+      centroids: Option[Array[Array[Double]]] = None,
+      metaCol: Option[String] = None): Unit = {
     require(k > 0 && subs > 0 && subDim > 0)
+    ArtifactStore.requireValidMetaCol(metaCol)
     val spark = e.sparkSession
     import spark.implicits._
     val ctx = ArtifactStore.open(spark, path)
@@ -168,21 +178,43 @@ object MaxSimIndexStore {
     }
     val dim = subs * subDim
     val bc = spark.sparkContext.broadcast(cents)
-    v.map { case (id, vec) =>
-      require(vec.length == dim,
-        s"vector $id has dim ${vec.length}, store needs $dim")
-      (id, vec, KMeans.nearest(bc.value, pooled(vec, subs, subDim)).toLong)
-    }.toDF("vec_id", "v", "cell")
-      .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
-      .select(col("vec_id"), col("v"), col("sn"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
-      .parquet(ctx.dir("postings"))
+    metaCol match {
+      case None =>
+        v.map { case (id, vec) =>
+          require(vec.length == dim,
+            s"vector $id has dim ${vec.length}, store needs $dim")
+          (id, vec, KMeans.nearest(bc.value, pooled(vec, subs, subDim)).toLong)
+        }.toDF("vec_id", "v", "cell")
+          .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
+          .select(col("vec_id"), col("v"), col("sn"), col("cell"))
+          .write.partitionBy("cell").mode("overwrite")
+          .parquet(ctx.dir("postings"))
+      case Some(m) =>
+        // metadata-scoped store (tenant/label/language retrieval): the
+        // predicate value joins the PARTITION KEY, so filtered serving
+        // prunes on (cell, meta) — the IvfIndexStore posting-key recipe
+        // on the multi-vector paradigm
+        e.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"),
+            col(m).cast("string").as("meta"))
+          .as[(Long, Seq[Double], String)]
+          .map { case (id, vec, mv) =>
+            require(vec.length == dim,
+              s"vector $id has dim ${vec.length}, store needs $dim")
+            (id, vec, KMeans.nearest(bc.value, pooled(vec, subs, subDim)).toLong, mv)
+          }.toDF("vec_id", "v", "cell", "meta")
+          .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
+          .select(col("vec_id"), col("v"), col("sn"), col("cell"), col("meta"))
+          .write.partitionBy("cell", "meta").mode("overwrite")
+          .parquet(ctx.dir("postings"))
+    }
     cents.zipWithIndex.map { case (cv, cid) => (cid.toLong, cv.toSeq) }
       .toSeq.toDF("cid", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val metaField = metaCol.map(m => s""","meta":"$m"""").getOrElse("")
     ArtifactStore.writeString(ctx.fs,
       new org.apache.hadoop.fs.Path(path, "manifest.json"),
-      s"""{"k":$k,"dim":$dim,"subs":$subs,"subdim":$subDim}""")
+      s"""{"k":$k,"dim":$dim,"subs":$subs,"subdim":$subDim$metaField}""")
     // old-corpus tombstones die with the corpus they described — cleared
     // LAST so a crashed build can only over-suppress, never resurrect
     ArtifactStore.resetMutationPlane(ctx)
@@ -203,20 +235,43 @@ object MaxSimIndexStore {
     ArtifactStore.assertNotCompacting(ctx)
     val (_, dim, subs, subDim) = manifest(ctx)
     val bc = spark.sparkContext.broadcast(loadCentroids(spark, path))
-    val assigned = batch.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, vec) =>
-        require(vec.length == dim,
-          s"vector $id has dim ${vec.length}, store needs $dim")
-        (id, vec, KMeans.nearest(bc.value, pooled(vec, subs, subDim)).toLong)
-      }.toDF("vec_id", "v", "cell")
-      .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
-      .select(col("vec_id"), col("v"), col("sn"), col("cell"))
-      .persist() // written once, then the valve reads the touched cells
+    // a metadata-scoped store's postings live under (cell, meta) — the
+    // append must carry the same column or the mixed layout would break
+    // partition discovery for every later serve
+    val assigned = (manifestMeta(ctx) match {
+      case None =>
+        batch.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, vec) =>
+            require(vec.length == dim,
+              s"vector $id has dim ${vec.length}, store needs $dim")
+            (id, vec, KMeans.nearest(bc.value, pooled(vec, subs, subDim)).toLong)
+          }.toDF("vec_id", "v", "cell")
+          .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
+          .select(col("vec_id"), col("v"), col("sn"), col("cell"))
+      case Some(m) =>
+        require(batch.columns.contains(m),
+          s"store at $path is metadata-scoped on '$m'; the append batch " +
+            "must carry that column (appending without it would corrupt " +
+            "the (cell, meta) partition layout)")
+        batch.select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"),
+            col(m).cast("string").as("meta"))
+          .as[(Long, Seq[Double], String)]
+          .map { case (id, vec, mv) =>
+            require(vec.length == dim,
+              s"vector $id has dim ${vec.length}, store needs $dim")
+            (id, vec, KMeans.nearest(bc.value, pooled(vec, subs, subDim)).toLong, mv)
+          }.toDF("vec_id", "v", "cell", "meta")
+          .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
+          .select(col("vec_id"), col("v"), col("sn"), col("cell"), col("meta"))
+    }).persist() // written once, then the valve reads the touched cells
     try {
+      val partCols = if (manifestMeta(ctx).isEmpty) Seq("cell")
+        else Seq("cell", "meta")
       ArtifactStore.revokeClean(ctx)
-      assigned.write.partitionBy("cell").mode("append")
+      assigned.write.partitionBy(partCols: _*).mode("append")
         .parquet(ctx.dir("postings"))
       if (compactFactor > 0) {
         val touched = assigned.select(col("cell")).distinct()
@@ -245,8 +300,15 @@ object MaxSimIndexStore {
         broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
       case None => live
     }
-    kept.select(col("vec_id"), col("v"), col("sn"), col("cell"))
-      .write.partitionBy("cell").mode("overwrite")
+    // metadata-scoped stores carry the meta PARTITION key through the
+    // rewrite — dropping it would destroy the (cell, meta) layout and
+    // break filtered serving (the peer stores' advice-class bug)
+    val (cols, parts) = manifestMeta(ctx) match {
+      case Some(_) => (Seq("vec_id", "v", "sn", "cell", "meta"), Seq("cell", "meta"))
+      case None => (Seq("vec_id", "v", "sn", "cell"), Seq("cell"))
+    }
+    kept.select(cols.map(col): _*)
+      .write.partitionBy(parts: _*).mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     ArtifactStore.stageCleanMarker(ctx)
     ArtifactStore.commitCompact(ctx, names)
@@ -272,14 +334,20 @@ object MaxSimIndexStore {
     * declared schema (footer inference would read unprobed cells), clean
     * fast path skipping the fold wholesale. */
   private[graft] def servedPostings(spark: SparkSession, ctx: ArtifactStore.Ctx,
-      probeCells: Seq[Long]): DataFrame = {
-    val base = spark.read
-      .schema("vec_id BIGINT, v ARRAY<DOUBLE>, sn ARRAY<DOUBLE>, cell BIGINT")
+      probeCells: Seq[Long],
+      metaFilter: Option[Seq[String]] = None): DataFrame = {
+    val schema = "vec_id BIGINT, v ARRAY<DOUBLE>, sn ARRAY<DOUBLE>, cell BIGINT" +
+      manifestMeta(ctx).map(_ => ", meta STRING").getOrElse("")
+    val base = spark.read.schema(schema)
       .parquet(ctx.dir("postings"))
       .filter(col("cell").isInCollection(probeCells))
-    if (ArtifactStore.isClean(ctx)) base
+    val scoped = metaFilter match {
+      case Some(ms) => base.filter(col("meta").isInCollection(ms))
+      case None => base
+    }
+    if (ArtifactStore.isClean(ctx)) scoped
     else {
-      val pruned = base.dropDuplicates("cell", "vec_id")
+      val pruned = scoped.dropDuplicates("cell", "vec_id")
       ArtifactStore.readTombstones(spark, ctx) match {
         case Some(t) => pruned.join(
           broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
@@ -354,4 +422,92 @@ object MaxSimIndexStore {
         graft.functions.Ranking.rankTopK(scored, topK)
       } catch { case e: Throwable => posted.unpersist(); throw e }
     }
+
+  /** FILTERED serving from a metadata-scoped store (built with
+    * `metaCol = Some(...)`): MaxSim top-`topK` per query over the probed
+    * cells' postings RESTRICTED to the query's own metadata value — the
+    * predicate prunes at the PARTITION level ((cell, meta) directories)
+    * and joins the key, so candidates are within-scope before any
+    * sub-cosine computes. At nProbe = K this is EXACT within the label
+    * (every cell probed ⇒ the candidate set IS the label's sub-corpus),
+    * so a brute-force label-scoped oracle grades it verbatim — the qs40
+    * argument carried onto the filtered axis. `queries` must have
+    * (query_id: bigint, qv: array<double>, meta: string). */
+  def queryFiltered(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (_, _, subs, subDim) = manifest(ctx)
+      require(manifestMeta(ctx).nonEmpty,
+        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+          "to serve filtered queries")
+      val cents = loadCentroids(spark, path)
+      val qs: Array[(Long, Seq[Double], String)] = collectBounded(queries
+        .select(col("query_id"), col("qv"), col("meta"))
+        .as[(Long, Seq[Double], String)], "query batch")
+      val probes: Seq[(Long, Seq[Double], Long, String)] =
+        qs.toSeq.flatMap { case (id, qv, mv) =>
+          KMeans.nearestK(cents, pooled(qv, subs, subDim), nProbe)
+            .map(c => (id, qv, c.toLong, mv))
+        }
+      val probeCells = probes.map(_._3).distinct.sorted
+      val probeMetas = probes.map(_._4).filter(_ != null).distinct.sorted
+      val postings = servedPostings(spark, ctx, probeCells, Some(probeMetas))
+      val probeDf = probes.toDF("query_id", "qv", "cell", "meta")
+        .withColumn("qn", subNormsExpr(col("qv"), subs, subDim))
+      val scored = postings.join(broadcast(probeDf), Seq("cell", "meta"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          maxsimExpr(subs, subDim).as("cosine"))
+      graft.functions.Ranking.rankTopK(scored, topK)
+    }
+  }
+
+  /** DISTRIBUTED FILTERED serving for LARGE batches — [[queryBatch]]'s
+    * discipline with the predicate IN THE JOIN KEY: each query posts to
+    * (cell, its own meta value) map-side and joins the postings on BOTH
+    * axes. Partition pruning uses the probed-cell domain and, when the
+    * batch's distinct metas enumerate (≤1024, nulls excluded BEFORE the
+    * limit — the r13 advice discipline), the meta axis too; a larger
+    * domain falls back to cell-only directory pruning with the predicate
+    * still in the join key. Bit-identical rows to [[queryFiltered]]. */
+  def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, topK: Int): DataFrame = {
+    val MaxMetaFilter = 1024
+    ArtifactStore.serving(spark, path) { ctx =>
+      import spark.implicits._
+      val (_, _, subs, subDim) = manifest(ctx)
+      require(manifestMeta(ctx).nonEmpty,
+        s"store at $path is not metadata-scoped; build(metaCol = Some(...)) " +
+          "to serve filtered queries")
+      val bc = spark.sparkContext.broadcast(loadCentroids(spark, path))
+      val posted = queries.select(col("query_id"), col("qv"), col("meta"))
+        .as[(Long, Seq[Double], String)]
+        .flatMap { case (id, qv, mv) =>
+          KMeans.nearestK(bc.value, pooled(qv, subs, subDim), nProbe)
+            .map(c => (id, qv, c.toLong, mv))
+        }.toDF("query_id", "qv", "cell", "meta")
+        .withColumn("qn", subNormsExpr(col("qv"), subs, subDim))
+        .persist() // probed-cell domain + meta domain + candidate join
+      try {
+        val probeCells = posted.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq // ≤ K values
+        // null metas drop out of the filter domain BEFORE the limit (a
+        // sampled null must never shrink the domain under the cap while
+        // real labels go unsampled — the r13 advice class); their
+        // queries serve empty through the null-key join, never a crash
+        val ms = posted.filter(col("meta").isNotNull)
+          .select(col("meta")).distinct()
+          .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
+        val metaFilter =
+          if (ms.length > MaxMetaFilter) None else Some(ms.sorted.toSeq)
+        val postings = servedPostings(spark, ctx, probeCells, metaFilter)
+        val scored = postings.join(posted, Seq("cell", "meta")) // keyed
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            maxsimExpr(subs, subDim).as("cosine"))
+        graft.functions.Ranking.rankTopK(scored, topK)
+      } catch { case e: Throwable => posted.unpersist(); throw e }
+    }
+  }
 }

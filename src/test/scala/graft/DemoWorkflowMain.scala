@@ -453,6 +453,26 @@ object DemoWorkflowMain {
         nProbe = 16, topK = 3).collect()
       val gone = !afterDel.exists(_.getLong(2) == 0L)
       println(s"[probe-msidx-del] goneFromRanks=$gone (expect true)")
+      // metadata-scoped variant: filtered serving is label-exact, batch
+      // path identical
+      val mfDir = java.nio.file.Files.createTempDirectory("demo-msidx-f").toString
+      graft.sinks.MaxSimIndexStore.build(e, k = 16, subs = 4, subDim = 16,
+        mfDir, metaCol = Some("label"))
+      val mq = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"),
+          col("label").cast("string").as("meta"))
+      val mGot = graft.sinks.MaxSimIndexStore.queryFiltered(spark, mfDir, mq,
+        nProbe = 16, topK = 5).collect()
+      val mLbl = e.select(col("vec_id"), col("label").cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val mExact = mGot.forall(r => mLbl(r.getLong(2)) == mLbl(r.getLong(0)))
+      val mBatch = graft.sinks.MaxSimIndexStore.queryFilteredBatch(spark, mfDir,
+        mq, nProbe = 16, topK = 5).collect()
+      val mAgree = mBatch.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+        mGot.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      println(s"[probe-msidx-filtered] rows=${mGot.length} labelExact=$mExact " +
+        s"batchAgrees=$mAgree (expect 15, true, true)")
       spark.catalog.clearCache()
     }
 

@@ -185,6 +185,92 @@ class MaxSimIndexStoreSpec extends AnyFunSuite {
       "compaction dedups replayed postings")
   }
 
+  test("metadata-scoped store: filtered serving is label-exact; meta survives append and compact") {
+    // qs41's mechanics: label exactness, two-axis partition pruning,
+    // driver/batch path identity, loud rejection on an unscoped store /
+    // meta-less append, and the meta column surviving append + compact
+    // (the peer stores' advice-class bug)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ms-meta").toString
+    val e = embeddings
+    MaxSimIndexStore.build(e, K, Subs, SubDim, idx, metaCol = Some("label"))
+    spark.catalog.clearCache()
+    val labels = e.select(col("vec_id"), col("label").cast("string").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    def servedFiltered(): Seq[(Long, Int, Long)] = {
+      val rows = MaxSimIndexStore.queryFiltered(spark, idx, queries, K, TopK)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val got = servedFiltered()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, _, vid) =>
+      assert(labels(vid) == labels(qid),
+        s"filtered serving must be label-exact: query $qid (${labels(qid)}) " +
+          s"got $vid (${labels(vid)})")
+    }
+    // two-axis partition pruning on the scoped plane
+    val ctx = ArtifactStore.open(spark, idx)
+    val plan = MaxSimIndexStore.servedPostings(spark, ctx, Seq(0L, 3L),
+        Some(Seq("1", "2"))).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*meta".r.findFirstIn(plan).isDefined
+      || "PartitionFilters: \\[[^\\]]*meta[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"scoped serve must prune BOTH partition axes:\n${plan.take(1500)}")
+    // the distributed filtered path returns the identical row set
+    val viaBatch = MaxSimIndexStore.queryFilteredBatch(spark, idx, queries, K, TopK)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(viaBatch == got.toSet,
+      "queryFilteredBatch must match the driver filtered path row-for-row")
+    // an unscoped store rejects filtered queries loudly (both paths)
+    val plain = java.nio.file.Files.createTempDirectory("graft-ms-plain").toString
+    MaxSimIndexStore.build(e, K, Subs, SubDim, plain)
+    spark.catalog.clearCache()
+    Seq(
+      () => MaxSimIndexStore.queryFiltered(spark, plain, queries, K, TopK),
+      () => MaxSimIndexStore.queryFilteredBatch(spark, plain, queries, K, TopK)
+    ).foreach { f =>
+      val ex = intercept[IllegalArgumentException] { f() }
+      assert(ex.getMessage.contains("metadata-scoped"), ex.getMessage)
+    }
+    // append must carry the meta column — loudly without it, exactly with
+    val exApp = intercept[IllegalArgumentException] {
+      MaxSimIndexStore.appendBatch(e.filter(col("vec_id") < 2)
+        .select(col("vec_id") + 1000L as "vec_id", col("embedding")), idx)
+    }
+    assert(exApp.getMessage.contains("metadata-scoped"), exApp.getMessage)
+    MaxSimIndexStore.appendBatch(e.filter(col("vec_id") < 2)
+      .select(col("vec_id") + 1000L as "vec_id", col("embedding"), col("label")), idx)
+    spark.catalog.clearCache()
+    // an appended exact copy must take rank 1 for its same-label twin
+    // query (MaxSim ceiling 4.0; lower-id original ties behind? no — the
+    // original IS the query id and self-filters, so the copy wins)
+    val probe = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        transform(col("embedding"), _.cast("double")).as("qv"),
+        col("label").cast("string").as("meta"))
+    val rank1 = MaxSimIndexStore.queryFiltered(spark, idx, probe, K, TopK)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    spark.catalog.clearCache()
+    (0L until 2L).foreach { id =>
+      assert(rank1.get(id).contains(id + 1000L),
+        s"appended same-label copy must be query $id's rank-1 (got ${rank1.get(id)})")
+    }
+    // compact carries the meta partition axis through the epoch flip
+    val before = servedFiltered()
+    MaxSimIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    assert(servedFiltered() == before,
+      "filtered serving must be identical across a compact (meta carried)")
+    assert(spark.read.parquet(ArtifactStore.open(spark, idx).dir("postings"))
+      .columns.contains("meta"), "compact must keep the meta partition column")
+  }
+
   test("mutations fail loudly behind the compaction guard; batch cap routes loudly") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ms-grd").toString
     val e = embeddings
