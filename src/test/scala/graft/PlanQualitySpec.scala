@@ -191,6 +191,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"qt06 needs partial+final aggregation for count and max:\n${plan.take(1500)}")
   }
 
+  test("qs40 MaxSim store serving prunes cell partitions — no cartesian, no per-query window") {
+    // the multi-vector serve: probe table broadcast onto the pruned
+    // posting scan (cell equi-join), the fully codegen'd maxsim
+    // expression, and the bounded top-k aggregator as the finisher
+    val plan = planOf("qs40_maxsim_index_serve")
+    assert(plan.contains("cell"), "candidate join must be keyed by cell")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"MaxSim serving must never go cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      "ranking must be the bounded top-k aggregator, not a per-query window")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "the probe-cell filter must prune partitions")
+  }
+
+  test("qs41 filtered MaxSim serving prunes BOTH partition axes and joins both keys") {
+    val plan = planOf("qs41_maxsim_filtered_serve")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"filtered MaxSim serving must never go cartesian:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"),
+      "ranking must be the bounded top-k aggregator, not a per-query window")
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*meta".r.findFirstIn(plan).isDefined
+      || "PartitionFilters: \\[[^\\]]*meta[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"the scoped plane must prune cell AND meta partitions:\n${plan.take(1500)}")
+  }
+
   test("qd08 span dedup keys everything by span hash — never cartesian, never a window") {
     // span-level exact dedup must stay in the qd02 row class: positions
     // become (doc_id, hash60) pairs via explode, the duplicate set is a
