@@ -408,6 +408,16 @@ object MaxSimIndexStore {
             .map(c => (id, qv, c.toLong))
         }.toDF("query_id", "qv", "cell")
         .withColumn("qn", subNormsExpr(col("qv"), subs, subDim))
+        // SPREAD TO SCHEDULER WIDTH (measured, MaxSimTimeMain): when the
+        // posting side broadcasts (it is the SMALLER relation whenever
+        // the batch is corpus-scale), the S²-deep pair scoring pipelines
+        // onto THIS relation's partitions — and a batch arriving as one
+        // parquet split would cap the whole compute at ~1 task (13.6 s →
+        // 1.7 s at the sf0.1 corpus batch from this line alone). One
+        // round-robin shuffle of the slim probe rows is batch-
+        // proportional and buys full-width scoring; under a keyed join
+        // (both sides huge) the join re-shuffles anyway and this is noise
+        .repartition(spark.sparkContext.defaultParallelism)
         .persist() // probed-cell domain scan + the candidate join read it
       // serving() may retry at a new epoch: a failed attempt must not
       // leak its posted cache (the shared *Batch contract)
@@ -488,6 +498,10 @@ object MaxSimIndexStore {
             .map(c => (id, qv, c.toLong, mv))
         }.toDF("query_id", "qv", "cell", "meta")
         .withColumn("qn", subNormsExpr(col("qv"), subs, subDim))
+        // spread to scheduler width — [[queryBatch]]'s measured fix; the
+        // scoring stage pipelines onto this relation's partitions when
+        // the pruned posting side broadcasts
+        .repartition(spark.sparkContext.defaultParallelism)
         .persist() // probed-cell domain + meta domain + candidate join
       try {
         val probeCells = posted.select(col("cell")).distinct()
