@@ -119,7 +119,16 @@ object IvfIndexStore {
           .flatMap { case (id, qv) =>
             KMeans.nearestK(bc.value, qv, nProbe).map(c => (id, qv, c.toLong)) }
           .toDF("query_id", "qv", "cell")
-    posted.withColumn("qnorm", normExpr(col("qv"))).persist()
+    // SPREAD TO SCHEDULER WIDTH (r14, measured — IvfBatchTimeMain): when
+    // the posting side broadcasts (it is the smaller relation for
+    // corpus-scale batches at gate SFs), the cosine stage pipelines onto
+    // THIS relation's partitions, and a batch arriving as one parquet
+    // split caps the compute at its split count (qs24 kernel 1.94 →
+    // 1.35 s; the MaxSim twin measured 13.6 → 2.3 s). One round-robin
+    // shuffle of the probe rows is batch-proportional; under a keyed
+    // join both sides re-shuffle anyway and this is noise.
+    posted.withColumn("qnorm", normExpr(col("qv")))
+      .repartition(spark.sparkContext.defaultParallelism).persist()
   }
 
   /** The probed cell domain of a posted batch — ≤ K values whatever the
