@@ -211,6 +211,7 @@ object Bench {
         // eval set over the same pre-built text store — the greedy-chain
         // fold is the one positional kernel qt33_batch_only doesn't reach
         "qt35_batch_only" -> (() => PipelineQueries.Serve.queryTextProximityBatch(spark, textIdx)),
+        "qt37_batch_only" -> (() => PipelineQueries.Serve.queryTextNearBatch(spark, textIdx)),
         // the FILTERED distributed corpus-batch serves (qs35/qs36 kernels
         // at their pinned margins) — metadata-scoped stores built once
         // untimed like the rest; r12 establishes their baselines

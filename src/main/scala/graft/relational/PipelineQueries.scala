@@ -95,6 +95,16 @@ object PipelineQueries {
         (2L, Seq("stream", "hash"), 8),
         (3L, Seq("table", "table"), 3)).toDF("query_id", "terms", "window"))
     }
+    /** qt37's exact eval set served from a pre-built store — the NEAR
+      * (order-free) fold's serve baseline, completing the positional
+      * plane's bench coverage (phrase qt33 / ordered-chain qt35 / HERE). */
+    def queryTextNearBatch(s: SparkSession, idxDir: String): DataFrame = {
+      import s.implicits._
+      graft.sinks.TextIndexStore.queryNearBatch(s, idxDir, Seq(
+        (0L, Seq("fast", "table"), 4),
+        (1L, Seq("stream", "hash"), 6),
+        (2L, Seq("fast", "table", "scan"), 6)).toDF("query_id", "terms", "window"))
+    }
     def buildGraphIndex(s: SparkSession, d: String): String = {
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs28-gidx").toString
