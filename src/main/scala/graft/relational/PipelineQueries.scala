@@ -195,6 +195,14 @@ object PipelineQueries {
     def queryMaxSimBatch(s: SparkSession, d: String, idxDir: String): DataFrame =
       graft.sinks.MaxSimIndexStore.queryBatch(s, idxDir, corpusBatch(s, d),
         nProbe = 16, topK = AnnTopK)
+    def queryMaxSimRange(s: SparkSession, d: String, idxDir: String): DataFrame = {
+      val queries = table(s, d, "embeddings")
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .filter(col("query_id") < 5)
+      graft.sinks.MaxSimIndexStore.rangeQuery(s, idxDir, queries,
+        nProbe = 16, radius = MaxSimRangeRadius)
+    }
     def buildMaxSimIndexScoped(s: SparkSession, d: String): String = {
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-qs41-msidx").toString
@@ -236,6 +244,9 @@ object PipelineQueries {
   private val SimhashBits = 16
 
   private val AnnTopK = 10
+  // qs42: MaxSim radius — measured non-trivial at every SF (163/262/933
+  // answer rows at sf0.01/0.001/0.1; max score ~2.0-2.5 on 4 subspaces)
+  private val MaxSimRangeRadius = 1.5
   // qt13: RE2-compatible subset (no lookaround/backrefs) so the Java and
   // DuckDB regex engines agree match-for-match
   private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -540,6 +551,22 @@ object PipelineQueries {
     * candidate set IS the label's sub-corpus). */
   private val oMaxSimFilteredSql: String =
     oMaxSimSqlFrom("FROM e JOIN q ON e.label = q.label WHERE e.vec_id <> q.query_id")
+
+  /** qs42: the MaxSim RANGE sweep's brute force — same scored relation,
+    * stateless `cosine >= radius` cut on the UNROUNDED score, rounded to
+    * 6 for output (qs20's mirror conventions on the multi-vector axis).
+    * Radius 1.5 measured non-trivial at every SF (163/262/933 answer
+    * rows — driver-side duckdb sweep, r14). */
+  private def oMaxSimRangeSql(radius: Double): String = {
+    val full = oMaxSimSqlFrom("FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id")
+    // reuse the shared scored CTE; swap the rank finish for the filter
+    val upToScored = full.substring(0, full.indexOf("ranked AS ("))
+    s"""$upToScored sweep AS (
+        SELECT query_id, vec_id, round(cosine, 6) AS cosine
+        FROM scored WHERE cosine >= $radius)
+      SELECT query_id, vec_id, cosine FROM sweep
+      ORDER BY query_id, vec_id"""
+  }
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
     * nprobe=4 geometry, EVERY vector as a query, k=3) — shared by qs04
@@ -6993,6 +7020,21 @@ object PipelineQueries {
       // class, applied from birth).
       Serve.queryMaxSimFiltered(s, d, Serve.buildMaxSimIndexScoped(s, d))
     }, Some(oMaxSimFilteredSql)),
+
+    CatalogQuery("qs42_maxsim_range_serve", (s, d) => {
+      // RANGE search on the multi-vector axis — the radius primitive
+      // next to top-k (qs20/qs21/qs25 on IVF, qs39 on PQ, HERE on
+      // MaxSim): every posting whose late-interaction score reaches the
+      // radius, however many there are — the recall-critical sweep shape
+      // (takedown, contamination audit around a known-bad exemplar)
+      // where a k cut-off silently drops qualifying neighbors. Serving
+      // is [[MaxSimIndexStore.rangeQuery]]'s stateless filter finish at
+      // nProbe=K (exact by construction — qs40's argument), so the
+      // oracle is the brute-force sweep verbatim: filter on the
+      // UNROUNDED score, round 6 for output, (query_id, vec_id) order —
+      // qs20's mirror conventions.
+      Serve.queryMaxSimRange(s, d, Serve.buildMaxSimIndex(s, d))
+    }, Some(oMaxSimRangeSql(MaxSimRangeRadius))),
 
     CatalogQuery("qs17_nprobe_curve", (s, d) => {
       // The IVF operating curve: recall vs nprobe from ONE assignment

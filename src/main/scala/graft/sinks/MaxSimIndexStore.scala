@@ -433,6 +433,77 @@ object MaxSimIndexStore {
       } catch { case e: Throwable => posted.unpersist(); throw e }
     }
 
+  /** RANGE (radius) serving — the takedown-sweep / contamination-audit
+    * primitive on the multi-vector axis ([[IvfIndexStore.rangeQuery]]'s
+    * semantics): every posting whose MaxSim score reaches `radius`,
+    * however many there are. Identical probe pruning, replay dedup and
+    * tombstone semantics to [[query]]; the finish is a STATELESS filter
+    * (no per-query sort, no top-k state), so output volume is exactly
+    * the answer set. At nProbe = K the sweep is EXACT (the qs40
+    * argument), so a brute-force oracle grades it verbatim. Output:
+    * (query_id, vec_id, cosine rounded to 6) ordered by (query_id,
+    * vec_id) — the qs20 conventions. */
+  def rangeQuery(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, radius: Double): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      val (_, _, subs, subDim) = manifest(ctx)
+      val cents = loadCentroids(spark, path)
+      val qs: Array[(Long, Seq[Double])] = collectBounded(
+        queries.select(col("query_id"), col("qv")).as[(Long, Seq[Double])],
+        "query batch")
+      val probes: Seq[(Long, Seq[Double], Long)] = qs.toSeq.flatMap {
+        case (id, qv) =>
+          KMeans.nearestK(cents, pooled(qv, subs, subDim), nProbe)
+            .map(c => (id, qv, c.toLong))
+      }
+      val probeCells = probes.map(_._3).distinct.sorted
+      val postings = servedPostings(spark, ctx, probeCells)
+      val probeDf = probes.toDF("query_id", "qv", "cell")
+        .withColumn("qn", subNormsExpr(col("qv"), subs, subDim))
+      postings.join(broadcast(probeDf), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          maxsimExpr(subs, subDim).as("cosine"))
+        .filter(col("cosine") >= radius)
+        .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("vec_id"))
+    }
+  }
+
+  /** DISTRIBUTED RANGE serving for LARGE batches — [[queryBatch]]'s
+    * discipline (map-side cell posting, spread to scheduler width, keyed
+    * cell join) with [[rangeQuery]]'s stateless filter finish;
+    * bit-identical rows to the driver path on the same batch. */
+  def rangeQueryBatch(spark: SparkSession, path: String, queries: DataFrame,
+      nProbe: Int, radius: Double): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      import spark.implicits._
+      val (_, _, subs, subDim) = manifest(ctx)
+      val bc = spark.sparkContext.broadcast(loadCentroids(spark, path))
+      val posted = queries.select(col("query_id"), col("qv"))
+        .as[(Long, Seq[Double])]
+        .flatMap { case (id, qv) =>
+          KMeans.nearestK(bc.value, pooled(qv, subs, subDim), nProbe)
+            .map(c => (id, qv, c.toLong))
+        }.toDF("query_id", "qv", "cell")
+        .withColumn("qn", subNormsExpr(col("qv"), subs, subDim))
+        .repartition(spark.sparkContext.defaultParallelism) // [[queryBatch]]'s measured fix
+        .persist()
+      try {
+        val probeCells = posted.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)).sorted.toSeq // ≤ K values
+        val postings = servedPostings(spark, ctx, probeCells)
+        postings.join(posted, Seq("cell")) // keyed, NOT broadcast
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            maxsimExpr(subs, subDim).as("cosine"))
+          .filter(col("cosine") >= radius)
+          .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("query_id"), col("vec_id"))
+      } catch { case e: Throwable => posted.unpersist(); throw e }
+    }
+
   /** FILTERED serving from a metadata-scoped store (built with
     * `metaCol = Some(...)`): MaxSim top-`topK` per query over the probed
     * cells' postings RESTRICTED to the query's own metadata value — the

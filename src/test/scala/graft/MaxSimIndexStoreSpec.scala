@@ -185,6 +185,40 @@ class MaxSimIndexStoreSpec extends AnyFunSuite {
       "compaction dedups replayed postings")
   }
 
+  test("rangeQueryBatch is bit-identical to the driver range path; tombstones exclude; stateless finish") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ms-range").toString
+    val e = embeddings
+    MaxSimIndexStore.build(e, K, Subs, SubDim, idx)
+    spark.catalog.clearCache()
+    val q = e.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    def serve(f: => org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+      val rows = f.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      spark.catalog.clearCache()
+      rows
+    }
+    val Radius = 1.5
+    val viaDriver = serve(
+      MaxSimIndexStore.rangeQuery(spark, idx, q.filter(col("query_id") < 5), K, Radius))
+    assert(viaDriver.nonEmpty, "the measured radius must yield answers at this SF")
+    val viaBatch = serve(
+      MaxSimIndexStore.rangeQueryBatch(spark, idx, q.filter(col("query_id") < 5), K, Radius))
+    assert(viaBatch == viaDriver,
+      s"distributed and driver range paths diverge (${viaBatch.length} vs ${viaDriver.length} rows)")
+    // a tombstoned id never answers; the surviving rows are exactly the
+    // control minus the victim's rows (stateless finish — no rank shifts)
+    val victim = viaDriver.head._2
+    MaxSimIndexStore.delete(spark, idx, Seq(victim))
+    val after = serve(
+      MaxSimIndexStore.rangeQuery(spark, idx, q.filter(col("query_id") < 5), K, Radius))
+    assert(!after.exists(_._2 == victim), "tombstoned id must never answer")
+    assert(after == viaDriver.filterNot(_._2 == victim),
+      "surviving rows must be exactly the control minus the victim")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "range serving must release its posted cache")
+  }
+
   test("metadata-scoped store: filtered serving is label-exact; meta survives append and compact") {
     // qs41's mechanics: label exactness, two-axis partition pruning,
     // driver/batch path identity, loud rejection on an unscoped store /
