@@ -198,6 +198,20 @@ object ArtifactStore {
     rows
   }
 
+  /** Cap on the ENUMERABLE query-batch meta domain for filtered batch
+    * serving — while the batch's distinct (non-null) meta values fit,
+    * they drive a partition filter on the meta axis; past the cap the
+    * serve falls back to cell-only directory pruning with the predicate
+    * still carried by the (cell, meta) join key (graceful degradation,
+    * never a driver OOM, never an incomplete prune). ONE definition
+    * across the three meta-scoped stores (IVF / IVF-PQ / MaxSim) so the
+    * threshold and its fallback semantics cannot drift per store — the
+    * [[collectBounded]] rationale on the meta axis. Conf-overridable so
+    * specs can pin the >cap fallback with a handful of labels instead
+    * of materializing 1025 partition directories. */
+  def maxMetaFilter(spark: SparkSession): Int =
+    spark.conf.get("graft.store.maxMetaFilter", "1024").toInt
+
   /** PRESSURE-VALVE metric shared by the appendStream family — the
     * file-count sibling of [[graft.sinks.GraphIndexStore]]'s per-src
     * row-count valve: every appendBatch adds files under its touched

@@ -492,11 +492,19 @@ object IvfIndexStore {
     * Bit-identical rows to [[queryFiltered]] on the same batch. */
   def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
-    val MaxMetaFilter = 1024
+    val MaxMetaFilter = ArtifactStore.maxMetaFilter(spark)
     ArtifactStore.serving(spark, path) { ctx =>
       val posted = postQueries(spark, path, queries, nProbe, withMeta = true)
       try {
-        val probeMetas = posted.select(col("meta")).distinct()
+        // Nulls are excluded BEFORE the cap (the r13 advice class, same
+        // two lines as IvfPqIndexStore/MaxSimIndexStore): a sampled null
+        // must never shrink the domain under MaxMetaFilter while real
+        // labels go unsampled — that would silently partition-prune
+        // those labels' postings away instead of falling back to
+        // cell-only pruning. Null-meta queries serve empty through the
+        // null-key (cell, meta) join, never a crash.
+        val probeMetas = posted.filter(col("meta").isNotNull)
+          .select(col("meta")).distinct()
           .limit(MaxMetaFilter + 1).collect().map(_.getString(0))
         val metaFilter =
           if (probeMetas.length > MaxMetaFilter) None
@@ -565,7 +573,10 @@ object IvfIndexStore {
           KMeans.nearestK(cents, qv, nProbe).map(c => (id, qv, c.toLong, mv))
         }
       val probeCells = probes.map(_._3).distinct.sorted
-      val probeMetas = probes.map(_._4).distinct.sorted
+      // Nulls dropped before the sort (Ordering.String NPEs on null —
+      // the r13 advice class); a null-meta query row still posts, and
+      // serves empty through the null-key (cell, meta) join.
+      val probeMetas = probes.map(_._4).filter(_ != null).distinct.sorted
       val postings = servedPostings(spark, ctx, probeCells, Some(probeMetas))
       val probeDf = probes.toDF("query_id", "qv", "cell", "meta")
         .withColumn("qnorm", normExpr(col("qv")))

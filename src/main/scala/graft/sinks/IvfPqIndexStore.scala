@@ -593,7 +593,7 @@ object IvfPqIndexStore {
         // the batch's meta domain prunes the scoped hot plane's (cell,
         // meta) directories while it stays enumerable; past the cap the
         // join key alone carries the predicate (never a driver OOM)
-        val MaxMetaFilter = 1024
+        val MaxMetaFilter = ArtifactStore.maxMetaFilter(spark)
         val metaFilter = if (!filtered) None else {
           // null metas drop out of the filter domain (their queries serve
           // empty through the null-key join, never a crash) — filtered

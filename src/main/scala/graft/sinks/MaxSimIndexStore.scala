@@ -554,7 +554,7 @@ object MaxSimIndexStore {
     * still in the join key. Bit-identical rows to [[queryFiltered]]. */
   def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
-    val MaxMetaFilter = 1024
+    val MaxMetaFilter = ArtifactStore.maxMetaFilter(spark)
     ArtifactStore.serving(spark, path) { ctx =>
       import spark.implicits._
       val (_, _, subs, subDim) = manifest(ctx)
