@@ -70,6 +70,39 @@ object PipelineQueries {
     def queryTextIndex(s: SparkSession, idxDir: String): DataFrame =
       graft.sinks.TextIndexStore.queryBm25(s, idxDir,
         Seq("spark", "join", "window"), AnnTopK)
+    /** qs43: qs37's RRF fusion with BOTH legs served from pre-built
+      * artifacts — sparse from [[graft.sinks.TextIndexStore.queryBm25]]
+      * (qt23's store, 6-decimal-quantized scores in (score DESC, doc_id)
+      * order), dense from [[graft.sinks.IvfIndexStore.query]] at
+      * nProbe = K = 16 (every cell probed ⇒ brute force, exact by
+      * construction — the qs40 argument), fused by qs37's exact
+      * arithmetic. Ranks: the lexical leg re-ranks its collected top-K
+      * under the SAME (score DESC, doc_id) order the store sorts by
+      * (driver-side, so no dependence on collect() row-order
+      * guarantees); the dense leg's ranks come straight off the store's
+      * shared Ranking finish. */
+    def queryRrfIndexFusion(s: SparkSession, d: String,
+        lexIdx: String, denseIdx: String): DataFrame = {
+      import s.implicits._
+      val K = 20; val RrfK = 60
+      val lr: Map[Long, Int] = graft.sinks.TextIndexStore
+        .queryBm25(s, lexIdx, Seq("spark", "join", "window"), K)
+        .select(col("doc_id"), col("score")).as[(Long, Double)].collect()
+        .sortBy { case (id, sc) => (-sc, id) }
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val q0 = table(s, d, "embeddings").filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val dr: Map[Long, Int] = graft.sinks.IvfIndexStore
+        .query(s, denseIdx, q0, nProbe = 16, topK = K)
+        .select(col("vec_id"), col("rank")).as[(Long, Int)].collect().toMap
+      val fused = (lr.keySet ++ dr.keySet).toSeq.map { id =>
+        (id,
+          lr.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0) +
+          dr.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0))
+      }.sortBy { case (id, sc) => (-sc, id) }.take(AnnTopK)
+      fused.toDF("doc_id", "rrf_score")
+    }
     /** qt33's exact eval set served from a pre-built store — the
       * POSITIONAL plane's bench row (qt33_batch_only): phrase serving is
       * the one store plane the serve_only list didn't time through r12,
@@ -517,7 +550,7 @@ object PipelineQueries {
     * artifact at nProbe=K, which is EXACT by construction: probing every
     * pooled cell is the brute-force scan, so the store's hoisted-norm
     * scorer must reproduce these rank rows bit-exactly at any SF). */
-  private def oMaxSimSqlFrom(fromClause: String): String = {
+  private def oMaxSimScoredCte(fromClause: String): String = {
     def oSub(arr: String, i: Int): String =
       s"$arr[${i * 16 + 1}:${i * 16 + 16}]"
     def oCos(i: Int, j: Int): String = {
@@ -533,14 +566,21 @@ object PipelineQueries {
       q AS (SELECT vec_id AS query_id, v AS qv, label FROM e WHERE vec_id < 5),
       scored AS (
         SELECT q.query_id, e.vec_id, ($terms) AS cosine
-        $fromClause),
+        $fromClause)"""
+  }
+
+  /** The rank finisher over [[oMaxSimScoredCte]] — composed as CTE
+    * prefix + finisher (never substring surgery on a rendered string,
+    * which would break silently, and only at gate time, under any
+    * reformatting — r14 advice). */
+  private def oMaxSimSqlFrom(fromClause: String): String =
+    s"""${oMaxSimScoredCte(fromClause)},
       ranked AS (
         SELECT query_id, vec_id,
           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
         FROM scored)
       SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
-  }
 
   private val oMaxSimSql: String =
     oMaxSimSqlFrom("FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id")
@@ -557,16 +597,58 @@ object PipelineQueries {
     * 6 for output (qs20's mirror conventions on the multi-vector axis).
     * Radius 1.5 measured non-trivial at every SF (163/262/933 answer
     * rows — driver-side duckdb sweep, r14). */
-  private def oMaxSimRangeSql(radius: Double): String = {
-    val full = oMaxSimSqlFrom("FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id")
-    // reuse the shared scored CTE; swap the rank finish for the filter
-    val upToScored = full.substring(0, full.indexOf("ranked AS ("))
-    s"""$upToScored sweep AS (
+  private def oMaxSimRangeSql(radius: Double): String =
+    s"""${oMaxSimScoredCte("FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id")},
+      sweep AS (
         SELECT query_id, vec_id, round(cosine, 6) AS cosine
         FROM scored WHERE cosine >= $radius)
       SELECT query_id, vec_id, cosine FROM sweep
       ORDER BY query_id, vec_id"""
-  }
+
+  /** qs37's RRF-fusion oracle — rank-domain fusion of the qt12 BM25
+    * ranking and the qs01 brute-force cosine ranking, each top-20,
+    * fused by Σ 1/(60+rank) with ::DOUBLE-cast reciprocal adds. Shared
+    * by qs37 (in-query legs) and qs43 (both legs served from the
+    * persistent TextIndexStore + IvfIndexStore artifacts, exact by
+    * construction at nProbe=K) — one definition so the two rows cannot
+    * drift. */
+  private val oRrfSql: String = s"""
+      WITH f AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
+             WHERE token IN ('spark', 'join', 'window')
+             GROUP BY doc_id, dl, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
+        FROM documents),
+      sc AS (SELECT tf.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
+            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tf JOIN df USING (token), stats),
+      lex AS (SELECT doc_id,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+        FROM (SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS score
+              FROM sc GROUP BY doc_id)
+        ORDER BY score DESC, doc_id LIMIT 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      dense AS (SELECT doc_id,
+          row_number() OVER (ORDER BY cosine DESC, doc_id) AS dr
+        FROM (SELECT vec_id AS doc_id,
+            list_dot_product(qv, v) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+          FROM e CROSS JOIN q WHERE vec_id <> 0)
+        ORDER BY cosine DESC, doc_id LIMIT 20),
+      fused AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+          coalesce((1.0::DOUBLE) / ((60 + lr)::DOUBLE), 0.0::DOUBLE)
+            + coalesce((1.0::DOUBLE) / ((60 + dr)::DOUBLE), 0.0::DOUBLE) AS rrf_score
+        FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
+      SELECT doc_id, rrf_score FROM fused
+      ORDER BY rrf_score DESC, doc_id LIMIT 10"""
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
     * nprobe=4 geometry, EVERY vector as a query, k=3) — shared by qs04
@@ -2903,43 +2985,29 @@ object PipelineQueries {
           dr.get(id).map(r => 1.0 / (RrfK + r)).getOrElse(0.0))
       }.sortBy { case (id, sc) => (-sc, id) }.take(AnnTopK)
       fused.toDF("doc_id", "rrf_score")
-    }, Some(s"""
-      WITH f AS (SELECT doc_id,
-          length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
-          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
-        FROM documents),
-      tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
-             WHERE token IN ('spark', 'join', 'window')
-             GROUP BY doc_id, dl, token),
-      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-          CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
-        FROM documents),
-      sc AS (SELECT tf.doc_id,
-          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tf.tf) * 2.2)
-            / (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
-            AS DECIMAL(20,6)) AS sc
-        FROM tf JOIN df USING (token), stats),
-      lex AS (SELECT doc_id,
-          row_number() OVER (ORDER BY score DESC, doc_id) AS lr
-        FROM (SELECT doc_id, CAST(sum(sc) AS DOUBLE) AS score
-              FROM sc GROUP BY doc_id)
-        ORDER BY score DESC, doc_id LIMIT 20),
-      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-      dense AS (SELECT doc_id,
-          row_number() OVER (ORDER BY cosine DESC, doc_id) AS dr
-        FROM (SELECT vec_id AS doc_id,
-            list_dot_product(qv, v) /
-              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
-          FROM e CROSS JOIN q WHERE vec_id <> 0)
-        ORDER BY cosine DESC, doc_id LIMIT 20),
-      fused AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
-          coalesce((1.0::DOUBLE) / ((60 + lr)::DOUBLE), 0.0::DOUBLE)
-            + coalesce((1.0::DOUBLE) / ((60 + dr)::DOUBLE), 0.0::DOUBLE) AS rrf_score
-        FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
-      SELECT doc_id, rrf_score FROM fused
-      ORDER BY rrf_score DESC, doc_id LIMIT 10""")),
+    }, Some(oRrfSql)),
+
+    CatalogQuery("qs43_rrf_index_serve", (s, d) => {
+      // qs37's RRF fusion with BOTH legs served FROM PRE-BUILT
+      // ARTIFACTS — the shape hybrid deploys actually run (r14 verdict
+      // #2): the sparse leg from TextIndexStore.queryBm25 (qt23's
+      // store), the dense leg from IvfIndexStore.query at nProbe = K
+      // (probing every cell IS the brute-force scan — the qs40
+      // exact-by-construction argument on the dense axis), fused by the
+      // identical Σ 1/(60+rank) arithmetic. The oracle is qs37's SQL
+      // VERBATIM, which gates that the two stores' serving conventions
+      // COMPOSE without drift: the text store's 6-decimal-quantized
+      // per-term BM25 scores and (score DESC, doc_id) order, the IVF
+      // store's hoisted-norm cosine (bit-identical to the inline
+      // expression) and the shared Ranking (cosine DESC, vec_id ASC)
+      // rank rows, and the fusion's exact-integer-denominator IEEE
+      // double adds must all reproduce the in-query qs37 plan's hash.
+      // Scale shape: each leg opens only its pruned slice (query-term
+      // bucket partitions / probed-cell directories), and the fusion is
+      // driver arithmetic over ≤ 2K collected (id, rank) rows.
+      Serve.queryRrfIndexFusion(s, d,
+        Serve.buildTextIndex(s, d), Serve.buildIvfIndex(s, d))
+    }, Some(oRrfSql)),
 
     CatalogQuery("qs38_graph_beam_curve", (s, d) => {
       // The GRAPH store's operating curve — qs34's tuning-table story on
