@@ -156,7 +156,10 @@ object Bench {
     }
     def uncorroborated(name: String): Boolean = {
       val s = samples(name).map(_._2).sorted
-      s.length < 2 || s(1) > s(0) * 1.5
+      // zero successes after the full sweeps = BROKEN, not noisy — it
+      // emits the -1 sentinel; extra sweeps target only noisy-but-
+      // working rows, never a known-failing path (r14 advice)
+      s.nonEmpty && (s.length < 2 || s(1) > s(0) * 1.5)
     }
     var extra = 0
     while (extra < 3 && benched.exists(q => uncorroborated(q.name))) {
@@ -257,7 +260,10 @@ object Bench {
     // interleaved, up to three more times.
     def serveUncorroborated(name: String): Boolean = {
       val s = serveSamples(name).map(_._2).sorted
-      s.length < 2 || s(1) > s(0) * 1.5
+      // zero successes after the full sweeps = BROKEN, not noisy (the
+      // headline loop's rule): it emits the -1 sentinel instead of
+      // soaking all 3 extra sweeps re-running a failing path
+      s.nonEmpty && (s.length < 2 || s(1) > s(0) * 1.5)
     }
     var serveExtra = 0
     while (serveExtra < 3 && servePaths.exists(p => serveUncorroborated(p._1))) {

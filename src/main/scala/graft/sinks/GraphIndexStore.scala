@@ -82,6 +82,31 @@ import org.apache.spark.sql.functions._
   * entry; if EVERY entry is tombstoned, serving fails loudly and
   * [[compact]] re-derives entries from the surviving corpus.
   *
+  * RANGE SEARCH IS A NON-GOAL ON THIS PARADIGM (r15 decision — the gap
+  * in the range matrix is deliberate, not an omission). The other
+  * paradigms certify radius completeness from a property of their
+  * CANDIDATE GENERATION: IVF at nProbe=K scans everything
+  * ([[IvfIndexStore.rangeQuery]], qs20/21/25), PQ cuts on a LOSSLESS
+  * ADC margin — a provable bound between compressed and exact scores
+  * ([[IvfPqIndexStore.rangeQueryBatch]], qs39) — and MaxSim at
+  * nProbe=K is again a full scan ([[MaxSimIndexStore.rangeQuery]],
+  * qs42). A beam walk has no analogous certificate: its candidate set
+  * is the VISITED FRONTIER, whose membership depends on graph
+  * connectivity and entry placement, not on any score bound — a
+  * qualifying node is reachable only through neighbours that may all
+  * score below the radius, so no walk parameter (beam, hops) can prove
+  * "every node ≥ radius was visited" short of walking the whole
+  * component, which is the brute-force scan the store exists to avoid.
+  * A lossy "range-ish" filter over the visited set would be strictly
+  * worse than honest alternatives, and unlike
+  * [[MaxSimIndexStore.rangeQuery]]'s documented nProbe knob there is
+  * no exact operating point to pin a gate to. Callers needing radius
+  * sweeps over graph-indexed vectors should serve them from an
+  * [[IvfIndexStore]]/[[IvfPqIndexStore]] on the same corpus (stores
+  * compose — the qs43 pattern); [[visitedCandidates]] exposes the raw
+  * walk relation for diagnostics if a bounded-effort, explicitly
+  * uncertified sweep is genuinely wanted.
+  *
   * Reference behaviour mirrored: none — deisa-ray has no ANN surface;
   * this is part of the training-data-pipeline extension (SURVEY §2's
   * pipeline families), completing the persistent-store matrix on the

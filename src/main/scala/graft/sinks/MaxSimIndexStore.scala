@@ -234,11 +234,12 @@ object MaxSimIndexStore {
     val ctx = ArtifactStore.open(spark, path)
     ArtifactStore.assertNotCompacting(ctx)
     val (_, dim, subs, subDim) = manifest(ctx)
+    val metaColName = manifestMeta(ctx) // parsed ONCE per append (r14 advice)
     val bc = spark.sparkContext.broadcast(loadCentroids(spark, path))
     // a metadata-scoped store's postings live under (cell, meta) — the
     // append must carry the same column or the mixed layout would break
     // partition discovery for every later serve
-    val assigned = (manifestMeta(ctx) match {
+    val assigned = (metaColName match {
       case None =>
         batch.select(col("vec_id"),
             transform(col("embedding"), _.cast("double")).as("v"))
@@ -268,7 +269,7 @@ object MaxSimIndexStore {
           .select(col("vec_id"), col("v"), col("sn"), col("cell"), col("meta"))
     }).persist() // written once, then the valve reads the touched cells
     try {
-      val partCols = if (manifestMeta(ctx).isEmpty) Seq("cell")
+      val partCols = if (metaColName.isEmpty) Seq("cell")
         else Seq("cell", "meta")
       ArtifactStore.revokeClean(ctx)
       assigned.write.partitionBy(partCols: _*).mode("append")
@@ -394,7 +395,16 @@ object MaxSimIndexStore {
     * join against the pruned postings (both sides shuffle on cell), and
     * the only collect is the ≤K probed-cell domain. Bit-identical rows to
     * [[query]] on the same batch (same assignment, scoring and rank
-    * conventions). */
+    * conventions).
+    *
+    * CACHE CONTRACT (all `*Batch` paths here and in the peer stores):
+    * the posted probe rows stay cached after a SUCCESSFUL serve — both
+    * the probed-cell domain scan and the candidate join read them, and
+    * unpersisting before the caller materializes the result would
+    * recompute the posting pass. A long-lived session issuing many
+    * batch serves must `spark.catalog.clearCache()` between them
+    * (Verify/Bench already do); the exception path unpersists eagerly
+    * per [[ArtifactStore.serving]]'s retry contract. */
   def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
@@ -439,10 +449,23 @@ object MaxSimIndexStore {
     * however many there are. Identical probe pruning, replay dedup and
     * tombstone semantics to [[query]]; the finish is a STATELESS filter
     * (no per-query sort, no top-k state), so output volume is exactly
-    * the answer set. At nProbe = K the sweep is EXACT (the qs40
-    * argument), so a brute-force oracle grades it verbatim. Output:
-    * (query_id, vec_id, cosine rounded to 6) ordered by (query_id,
-    * vec_id) — the qs20 conventions. */
+    * the answer set.
+    *
+    * WARNING — nProbe < K range serving is LOSSY, unlike
+    * [[IvfPqIndexStore.rangeQueryBatch]]: the PQ path's ADC-margin cut
+    * certifies completeness at any nProbe, but here a qualifying
+    * posting whose pooled cell is not probed is SILENTLY DROPPED from
+    * the sweep — there is no completeness mechanism below nProbe = K.
+    * Range semantics are exact ONLY at nProbe = K (probing every
+    * pooled cell IS the brute-force scan — the qs40 argument; qs42
+    * gates that point verbatim). The measured answer-loss curve vs
+    * nProbe lives in MaxSimProbeMain's range grid — at the qs42 radius
+    * on the synthetic corpora it reads 36-54% of the answer set LOST at
+    * nProbe=4, 13-16% at 8, 3-4% at 12 (r15) — real, not theoretical,
+    * loss. Callers needing a
+    * certified-complete sweep below a full probe should use the PQ
+    * range path. Output: (query_id, vec_id, cosine rounded to 6)
+    * ordered by (query_id, vec_id) — the qs20 conventions. */
   def rangeQuery(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, radius: Double): DataFrame = {
     import spark.implicits._
@@ -473,8 +496,11 @@ object MaxSimIndexStore {
 
   /** DISTRIBUTED RANGE serving for LARGE batches — [[queryBatch]]'s
     * discipline (map-side cell posting, spread to scheduler width, keyed
-    * cell join) with [[rangeQuery]]'s stateless filter finish;
-    * bit-identical rows to the driver path on the same batch. */
+    * cell join) with [[rangeQuery]]'s stateless filter finish — AND its
+    * nProbe < K WARNING: completeness is certified only at nProbe = K.
+    * Bit-identical rows to the driver path on the same batch. Caches
+    * the posted probe rows until the caller's `clearCache()` (the
+    * [[queryBatch]] contract). */
   def rangeQueryBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, radius: Double): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
@@ -551,7 +577,9 @@ object MaxSimIndexStore {
     * batch's distinct metas enumerate (≤1024, nulls excluded BEFORE the
     * limit — the r13 advice discipline), the meta axis too; a larger
     * domain falls back to cell-only directory pruning with the predicate
-    * still in the join key. Bit-identical rows to [[queryFiltered]]. */
+    * still in the join key. Bit-identical rows to [[queryFiltered]].
+    * Caches the posted probe rows until the caller's `clearCache()`
+    * (the [[queryBatch]] contract). */
   def queryFilteredBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame = {
     val MaxMetaFilter = ArtifactStore.maxMetaFilter(spark)

@@ -69,7 +69,29 @@ object MaxSimProbeMain {
         spark.catalog.clearCache()
         e.persist(); truth.persist(); truth.count()
       }
-      e.unpersist(); truth.unpersist()
+      truth.unpersist()
+      // RANGE ANSWER LOSS vs nProbe (r15 — the curve behind
+      // [[MaxSimIndexStore.rangeQuery]]'s WARNING): unlike the PQ range
+      // path's lossless ADC-margin cut, a sub-K probe here silently
+      // drops qualifying answers whose pooled cell went unprobed — this
+      // measures exactly how many, at the qs42 gate radius. Truth = the
+      // nProbe=K sweep (exact by construction).
+      val Radius = 1.5
+      val sweepTruth = graft.sinks.MaxSimIndexStore
+        .rangeQuery(spark, idx, q, K, Radius)
+        .select(col("query_id"), col("vec_id")).persist()
+      val nTruth = sweepTruth.count()
+      for (nProbe <- Seq(4, 8, 12)) {
+        val got = graft.sinks.MaxSimIndexStore
+          .rangeQuery(spark, idx, q, nProbe, Radius)
+          .select(col("query_id"), col("vec_id"))
+        val kept = sweepTruth.join(got, Seq("query_id", "vec_id"), "left_semi").count()
+        val loss = if (nTruth == 0) 0.0 else 1.0 - kept.toDouble / nTruth
+        println(f"$sf range nprobe=$nProbe%2d kept=$kept/$nTruth loss=$loss%.3f")
+        spark.catalog.clearCache()
+        e.persist(); sweepTruth.persist(); sweepTruth.count()
+      }
+      e.unpersist(); sweepTruth.unpersist()
     }
     spark.stop()
   }
