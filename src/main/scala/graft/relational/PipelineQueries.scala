@@ -103,6 +103,41 @@ object PipelineQueries {
       }.sortBy { case (id, sc) => (-sc, id) }.take(AnnTopK)
       fused.toDF("doc_id", "rrf_score")
     }
+    /** qs44: the EVAL-SET sibling of [[queryRrfIndexFusion]] — many
+      * hybrid queries at once, each leg served from its store's batch
+      * path ([[graft.sinks.TextIndexStore.queryBm25Batch]] /
+      * [[graft.sinks.IvfIndexStore.query]] at nProbe = K), and the
+      * fusion itself DISTRIBUTED: a full-outer join of the two
+      * (query_id, doc_id, rank) leg relations keyed on BOTH columns,
+      * the reciprocal adds as codegen'd column arithmetic, and the
+      * shared bounded [[graft.functions.Ranking.rankTopKScored]]
+      * finish — no driver arithmetic, so the shape holds when the eval
+      * set is millions of queries (each leg's output is batch × topK
+      * rows, never corpus-sized). */
+    def queryRrfBatchFusion(s: SparkSession, d: String,
+        lexIdx: String, denseIdx: String): DataFrame = {
+      import s.implicits._
+      val K = 20; val RrfK = 60
+      val lex = graft.sinks.TextIndexStore.queryBm25Batch(s, lexIdx, Seq(
+          (0L, Seq("spark", "join", "window")),
+          (1L, Seq("merge", "column")),
+          (2L, Seq("scan", "filter", "hash"))).toDF("query_id", "terms"), K)
+        .select(col("query_id"), col("doc_id"), col("rank").as("lr"))
+      val qd = table(s, d, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+      val den = graft.sinks.IvfIndexStore.query(s, denseIdx, qd, nProbe = 16, topK = K)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("dr"))
+      // 1/(60+rank): exact-integer denominator cast once to double — the
+      // same IEEE op both engines run (oracle: (1.0::DOUBLE)/((60+r)::DOUBLE));
+      // an absent leg contributes 0.0 through the null-propagating add
+      def leg(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        coalesce(lit(1.0) / (r + lit(RrfK)).cast("double"), lit(0.0))
+      val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (leg(col("lr")) + leg(col("dr"))).as("rrf_score"))
+      graft.functions.Ranking.rankTopKScored(fused, AnnTopK, "doc_id", "rrf_score")
+    }
     /** qt33's exact eval set served from a pre-built store — the
       * POSITIONAL plane's bench row (qt33_batch_only): phrase serving is
       * the one store plane the serve_only list didn't time through r12,
@@ -649,6 +684,64 @@ object PipelineQueries {
         FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
       SELECT doc_id, rrf_score FROM fused
       ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+  /** qs44: the BATCH hybrid-fusion oracle — qs37's RRF conventions per
+    * query over a 3-query hybrid eval set (per-query keyword legs from
+    * a VALUES term table, per-query dense legs from vec_id < 3), each
+    * leg top-20 by row_number under the engines' shared deterministic
+    * orders, fused by the identical ::DOUBLE reciprocal adds, top-10
+    * per query. df is GLOBAL per token (derived from the term-union
+    * slice, independent of which query asked) — exactly
+    * TextIndexStore.queryBm25Batch's documented df convention, so the
+    * store leg is bit-identical to a standalone queryBm25 per query. */
+  private val oRrfBatchSql: String = s"""
+      WITH qt(query_id, token) AS (VALUES
+          (0, 'spark'), (0, 'join'), (0, 'window'),
+          (1, 'merge'), (1, 'column'),
+          (2, 'scan'), (2, 'filter'), (2, 'hash')),
+      f AS (SELECT doc_id,
+          length(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+          unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents),
+      tft AS (SELECT doc_id, dl, token, count(*) AS tf FROM f
+             WHERE token IN (SELECT token FROM qt)
+             GROUP BY doc_id, dl, token),
+      df AS (SELECT token, count(*) AS df FROM tft GROUP BY token),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sumdl
+        FROM documents),
+      sc AS (SELECT qt.query_id, tft.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tft.tf) * 2.2)
+            / (tft.tf + 1.2 * (0.25 + (0.75 * tft.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tft JOIN df USING (token) JOIN qt USING (token) CROSS JOIN stats),
+      lex AS (SELECT query_id, doc_id, lr FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lr
+          FROM (SELECT query_id, doc_id, CAST(sum(sc) AS DOUBLE) AS score
+                FROM sc GROUP BY query_id, doc_id))
+        WHERE lr <= 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+      dense AS (SELECT query_id, doc_id, dr FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS dr
+          FROM (SELECT q.query_id, e.vec_id AS doc_id,
+              list_dot_product(q.qv, e.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+            FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id))
+        WHERE dr <= 20),
+      fused AS (SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+          coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+          coalesce((1.0::DOUBLE) / ((60 + lr)::DOUBLE), 0.0::DOUBLE)
+            + coalesce((1.0::DOUBLE) / ((60 + dr)::DOUBLE), 0.0::DOUBLE) AS rrf_score
+        FROM lex FULL JOIN dense
+          ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+      ranked AS (SELECT query_id, doc_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf_score FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
     * nprobe=4 geometry, EVERY vector as a query, k=3) — shared by qs04
@@ -3008,6 +3101,35 @@ object PipelineQueries {
       Serve.queryRrfIndexFusion(s, d,
         Serve.buildTextIndex(s, d), Serve.buildIvfIndex(s, d))
     }, Some(oRrfSql)),
+
+    CatalogQuery("qs44_rrf_batch_serve", (s, d) => {
+      // The EVAL-SET shape of hybrid retrieval — qs43 fuses ONE hybrid
+      // query with driver arithmetic (qs37's ≤2K-row bounded-assembly
+      // license); this row serves MANY hybrid queries with the fusion
+      // DISTRIBUTED, the shape an offline relevance sweep or an online
+      // hybrid endpoint actually runs at scale: the sparse legs from
+      // TextIndexStore.queryBm25Batch (ONE pruned posting-slice pass for
+      // the term union, per-query scoring through the broadcast
+      // (query_id, token) join), the dense legs from IvfIndexStore.query
+      // at nProbe=K (exact by construction), and the fusion as a
+      // full-outer join of the two (query_id, doc_id, rank) relations
+      // keyed on BOTH columns + codegen'd reciprocal adds + the shared
+      // bounded rankTopKScored finish — no per-query window, nothing
+      // about the eval set on the driver past the bounded keyword
+      // collect, so the plan survives a million-query eval set (leg
+      // volume = batch × topK, never corpus-sized).
+      //
+      // MIRROR CONTRACT: both legs' ranks are the engines' shared
+      // deterministic orders (BM25 (score DESC, doc_id) with 6-decimal
+      // per-term quantization; cosine (DESC, vec_id)); df is GLOBAL per
+      // token (the batch path's documented convention — derived from
+      // the term-union slice, independent of which query asked);
+      // rrf = 1/(60+rank) with exact-integer denominators cast once to
+      // DOUBLE and one commutative add, absent legs contributing 0.0 —
+      // hash-identical to the oracle's ::DOUBLE arithmetic.
+      Serve.queryRrfBatchFusion(s, d,
+        Serve.buildTextIndex(s, d), Serve.buildIvfIndex(s, d))
+    }, Some(oRrfBatchSql)),
 
     CatalogQuery("qs38_graph_beam_curve", (s, d) => {
       // The GRAPH store's operating curve — qs34's tuning-table story on

@@ -216,6 +216,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the scoped plane must prune cell AND meta partitions:\n${plan.take(1500)}")
   }
 
+  test("qs44 distributed RRF fusion is window-free and never cartesian") {
+    // the eval-set hybrid: both store legs finish through the bounded
+    // top-k aggregator, the fusion is a keyed (query_id, doc_id)
+    // full-outer join of batch×topK-row relations, and the final rank
+    // is again the bounded aggregator — a million-query eval set must
+    // never hit a per-query window or an all-pairs form
+    val plan = planOf("qs44_rrf_batch_serve")
+    assert(!plan.contains("Window"),
+      s"fusion ranking must be the bounded top-k aggregator:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fusion must stay keyed on (query_id, doc_id):\n${plan.take(1500)}")
+  }
+
   test("qd08 span dedup keys everything by span hash — never cartesian, never a window") {
     // span-level exact dedup must stay in the qd02 row class: positions
     // become (doc_id, hash60) pairs via explode, the duplicate set is a
