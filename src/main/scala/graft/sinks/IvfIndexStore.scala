@@ -436,7 +436,12 @@ object IvfIndexStore {
     * pruning still applies: the probed-cell set is a ≤K-value domain
     * whatever the batch size, so the one bounded collect here is over
     * cells, never queries. Tombstones and at-least-once appends are
-    * absorbed exactly as in [[query]]. */
+    * absorbed exactly as in [[query]]. CACHE CONTRACT (every `*Batch`
+    * path here and in the peer stores): the posted probe rows stay
+    * cached after a successful serve — a long-lived session issuing
+    * many batch serves must `spark.catalog.clearCache()` between them
+    * (Verify/Bench already do); the exception path unpersists eagerly
+    * per [[ArtifactStore.serving]]'s retry contract. */
   def queryBatch(spark: SparkSession, path: String, queries: DataFrame,
       nProbe: Int, topK: Int): DataFrame =
     ArtifactStore.serving(spark, path) { ctx =>
