@@ -1,7 +1,7 @@
 package graft
 
 import graft.relational.QueryHelpers
-import graft.sinks.{IvfIndexStore, IvfPqIndexStore, MaxSimIndexStore}
+import graft.sinks.{GraphIndexStore, IvfIndexStore, IvfPqIndexStore, MaxSimIndexStore}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -62,10 +62,21 @@ class FilteredNullMetaSpec extends AnyFunSuite {
       (idx, q) => MaxSimIndexStore.queryFiltered(spark, idx, q, nProbe = 16, topK = 3),
       (idx, q) => MaxSimIndexStore.queryFilteredBatch(spark, idx, q, nProbe = 16, topK = 3)))
 
+  // the graph paradigm's scoped serving is structural (label-disjoint
+  // subgraphs, per-label seeding) rather than meta-domain-pruned, so the
+  // over-cap contract does not apply — but the null-meta contract does:
+  // a null label finds no entry set (driver fold) / joins no seed row
+  // (distributed walk) and must serve empty, never crash
+  private val graphStore = ScopedStore("graph",
+    (e, idx) => GraphIndexStore.build(e, idx,
+      degree = 12, assign = 2, nEntries = 4, metaCol = Some("label")),
+    (idx, q) => GraphIndexStore.queryFiltered(spark, idx, q, beam = 16, hops = 3, topK = 3),
+    (idx, q) => GraphIndexStore.queryFilteredBatch(spark, idx, q, beam = 16, hops = 3, topK = 3))
+
   /** Build each store once; both tests serve from the same artifacts. */
   private lazy val builtAt: Map[String, String] = {
     val e = QueryHelpers.table(spark, dir, "embeddings")
-    stores.map { s =>
+    (stores :+ graphStore).map { s =>
       val idx = java.nio.file.Files.createTempDirectory(s"graft-nullmeta-${s.name}").toString
       s.build(e, idx)
       spark.catalog.clearCache()
@@ -86,12 +97,12 @@ class FilteredNullMetaSpec extends AnyFunSuite {
     out
   }
 
-  test("null-meta query rows serve empty — never crash, never perturb peers (all three scoped paradigms)") {
+  test("null-meta query rows serve empty — never crash, never perturb peers (all four scoped paradigms)") {
     val withNull = queriesUpTo(6)
       .withColumn("meta",
         when(col("query_id") === 0, lit(null).cast("string")).otherwise(col("meta")))
     val control = queriesUpTo(6).filter(col("query_id") =!= 0)
-    stores.foreach { s =>
+    (stores :+ graphStore).foreach { s =>
       val idx = builtAt(s.name)
       Seq("driver" -> s.driver, "batch" -> s.batch).foreach { case (path, serve) =>
         val got = rows(serve(idx, withNull)) // pre-fix: NPE on IVF, both paths
