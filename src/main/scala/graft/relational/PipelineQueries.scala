@@ -70,6 +70,26 @@ object PipelineQueries {
     def queryTextIndex(s: SparkSession, idxDir: String): DataFrame =
       graft.sinks.TextIndexStore.queryBm25(s, idxDir,
         Seq("spark", "join", "window"), AnnTopK)
+    /** qt38: the tenant-scoped text store — built once on `lang`, the
+      * per-language retrieval shape. */
+    def buildTextIndexScoped(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qt38-tidx").toString
+      graft.sinks.TextIndexStore.build(table(s, d, "documents"), 64, idxDir,
+        metaCol = Some("lang"))
+      idxDir
+    }
+    /** qt38's eval set: three keyword queries over three language
+      * scopes — three distinct per-label stat sets through one slice
+      * pass (hits at every SF, measured before pinning). */
+    def queryTextFilteredBatch(s: SparkSession, idxDir: String): DataFrame = {
+      import s.implicits._
+      graft.sinks.TextIndexStore.queryBm25FilteredBatch(s, idxDir, Seq(
+        (0L, Seq("spark", "join", "window"), "en"),
+        (1L, Seq("merge", "column"), "fr"),
+        (2L, Seq("scan", "filter", "hash"), "zh"))
+        .toDF("query_id", "terms", "meta"), AnnTopK)
+    }
     /** qs43: qs37's RRF fusion with BOTH legs served from pre-built
       * artifacts — sparse from [[graft.sinks.TextIndexStore.queryBm25]]
       * (qt23's store, 6-decimal-quantized scores in (score DESC, doc_id)
@@ -741,6 +761,42 @@ object PipelineQueries {
           row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
         FROM fused)
       SELECT query_id, rank, doc_id, rrf_score FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+
+  /** qt38: the TENANT-SCOPED BM25 oracle — qt12's exact scoring
+    * conventions evaluated per label (each label is its own corpus: df
+    * per (lang, token), N and Σdl per lang), three keyword queries over
+    * three language scopes from a VALUES table. The store's filtered
+    * batch path must reproduce these rank rows verbatim — gating the
+    * whole scoped plane: (bucket, meta) layout, per-label labelstats
+    * fold, per-slice df, and the shared rank order. */
+  private val oBm25FilteredSql: String = s"""
+      WITH qt(query_id, token, lang) AS (VALUES
+          (0, 'spark', 'en'), (0, 'join', 'en'), (0, 'window', 'en'),
+          (1, 'merge', 'fr'), (1, 'column', 'fr'),
+          (2, 'scan', 'zh'), (2, 'filter', 'zh'), (2, 'hash', 'zh')),
+      d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS a
+            FROM documents),
+      f AS (SELECT doc_id, lang, length(a) AS dl, unnest(a) AS token FROM d),
+      tft AS (SELECT doc_id, lang, dl, token, count(*) AS tf FROM f
+             WHERE token IN (SELECT token FROM qt)
+             GROUP BY doc_id, lang, dl, token),
+      df AS (SELECT lang, token, count(*) AS df FROM tft GROUP BY lang, token),
+      stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(a)) AS BIGINT) AS sumdl FROM d GROUP BY lang),
+      sc AS (SELECT qt.query_id, tft.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tft.tf) * 2.2)
+            / (tft.tf + 1.2 * (0.25 + (0.75 * tft.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tft
+        JOIN qt ON tft.token = qt.token AND tft.lang = qt.lang
+        JOIN df ON df.token = tft.token AND df.lang = tft.lang
+        JOIN stats ON stats.lang = tft.lang),
+      ranked AS (SELECT query_id, doc_id, score,
+          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        FROM (SELECT query_id, doc_id, CAST(sum(sc) AS DOUBLE) AS score
+              FROM sc GROUP BY query_id, doc_id))
+      SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
@@ -4919,6 +4975,33 @@ object PipelineQueries {
         CAST(len(ps) AS BIGINT) AS n_hits, CAST(ps[1] AS BIGINT) AS first_pos
       FROM h WHERE len(ps) >= 1
       ORDER BY query_id, doc_id""")),
+
+    CatalogQuery("qt38_bm25_filtered_serve", (s, d) => {
+      // TENANT-SCOPED BM25 from the persistent text index — the SPARSE
+      // paradigm's cell of the (paradigm × filtered) matrix, and the one
+      // where scoping changes the SCORES, not just the candidates: each
+      // label is its own corpus, so df, N, and avgdl all come from the
+      // label's sub-corpus (a per-language index genuinely needs this —
+      // 'the' is rare in the de sub-corpus and a global idf would
+      // mis-rank every non-majority language). The store's scoped
+      // layout makes that structural: postings partition by
+      // (bucket, meta) — the scan prunes to (query terms' buckets × the
+      // batch's labels) before any score computes — per-(token, label)
+      // df derives from exactly that slice, and (n, sumdl) come from
+      // the labelstats plane (per-label base + batch increments behind
+      // the folded watermark; build/append/delete/compact all carry it,
+      // spec-pinned).
+      //
+      // MIRROR CONTRACT: qt12's exact scoring conventions (pre-folded
+      // constants, 6-decimal DECIMAL(20,6) per-term quantization, sum
+      // cast DOUBLE, (score DESC, doc_id) rank order) evaluated at each
+      // label's (n, sumdl, df) — lit-vs-column stats take the same
+      // type-promotion path, so the oracle is the per-label qt12
+      // formulation verbatim. Three queries over three labels exercise
+      // three distinct stat sets (hits at every SF — driver-side duckdb
+      // sweep, r15).
+      Serve.queryTextFilteredBatch(s, Serve.buildTextIndexScoped(s, d))
+    }, Some(oBm25FilteredSql)),
 
     CatalogQuery("qt30_index_bm25_batch", (s, d) => {
       // MANY keyword queries served from the persistent inverted index

@@ -72,25 +72,46 @@ object TextIndexStore {
     * writes instead of being recomputed per component; MEMORY_AND_DISK,
     * so an over-memory corpus spills rather than re-tokenizes).
     * `docs` must have (doc_id: bigint, text: string). */
-  def build(docs: DataFrame, buckets: Int, path: String): Unit = {
+  def build(docs: DataFrame, buckets: Int, path: String,
+      metaCol: Option[String] = None): Unit = {
     require(buckets > 0)
+    ArtifactStore.requireValidMetaCol(metaCol)
     val ctx = ArtifactStore.open(docs.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
     // a rebuild-in-place must not leave the OLD epoch's clean marker
     // certifying half-overwritten planes ([[ArtifactStore]]'s marker
     // ordering): drop it before the first write, re-create it last
     ArtifactStore.revokeClean(ctx)
-    val toks = tokenized(docs).persist()
+    val toks = tokenized(docs, metaCol).persist()
     try {
-      writePostings(toks, buckets, ctx.dir("postings"), "overwrite")
-      writeDoclens(toks, buckets, ctx.dir("doclens"), "overwrite", batchId = -1L)
+      // a scoped build requires a TOTAL label assignment (the graph
+      // store's discipline): a null label would land in a null partition
+      // directory and fall out of every per-label stat key — fail loudly
+      // on the driver before any write
+      metaCol.foreach { m =>
+        require(toks.filter(col("meta").isNull).isEmpty,
+          s"metaCol '$m' has NULL values; a scoped text index needs every " +
+            "row labelled — filter or fill nulls before build")
+      }
+      writePostings(toks, buckets, ctx.dir("postings"), "overwrite",
+        scoped = metaCol.nonEmpty)
+      writeDoclens(toks, buckets, ctx.dir("doclens"), "overwrite",
+        batchId = -1L, scoped = metaCol.nonEmpty)
+      metaCol.foreach { _ =>
+        writeLabelStats(toks, ctx.dir("labelstats"), "overwrite", batchId = -1L)
+      }
       // "positional":1 records the posting FORMAT (r12+: rows carry the
       // pos array): the phrase/proximity serve paths require it loudly
       // (a pre-positional store's declared-schema read yields pos = null,
       // which would silently serve zero matches), and appends into a
-      // pre-positional store are refused before they mix schemas
+      // pre-positional store are refused before they mix schemas.
+      // "scopedtext":1 records the SCOPED layout ((bucket, meta)
+      // postings + labelstats plane) the same way — the filtered serve
+      // paths require it loudly, and appends must carry the meta column
+      val metaJson = metaCol
+        .map(m => s""","meta":"$m","scopedtext":1""").getOrElse("")
       ArtifactStore.writeString(ctx.fs, new Path(path, "manifest.json"),
-        s"""{"buckets":$buckets,"positional":1}""")
+        s"""{"buckets":$buckets,"positional":1$metaJson}""")
       // the mutation plane resets LAST, after every data write has
       // succeeded: old tombstones must not delete fresh docs reusing an
       // id, and stale per-batch stats files must not double-count on top
@@ -140,15 +161,38 @@ object TextIndexStore {
     // existing postings lack the pos column would mix schemas (compact's
     // declared-pos read then throws far from the cause) — refuse here
     requirePositional(ctx, "appendBatch")
-    val toks = tokenized(batch).persist() // one tokenize pass per batch
+    // a metadata-scoped store's postings live under (bucket, meta) and
+    // its labelstats plane keys on the label — the append must carry the
+    // same column (loudly) and keep the total-labelling invariant
+    val metaName = manifestMetaText(ctx)
+    metaName.foreach { m =>
+      require(batch.columns.contains(m),
+        s"store at $path is metadata-scoped on '$m'; the append batch " +
+          "must carry that column (appending without it would corrupt " +
+          "the (bucket, meta) partition layout)")
+    }
+    val toks = tokenized(batch, metaName).persist() // one tokenize pass per batch
     try {
+      metaName.foreach { m =>
+        require(toks.filter(col("meta").isNull).isEmpty,
+          s"metaCol '$m' has NULL values in the append batch; a scoped " +
+            "text index needs every row labelled")
+      }
       // appended rows may duplicate stored ones (at-least-once replays):
       // revoke the clean certificate BEFORE the first write
       // ([[ArtifactStore]]'s marker ordering) — even an inert post-compact
       // replay (batch id at or below the watermark) revokes, conservative
       ArtifactStore.revokeClean(ctx)
-      writePostings(toks, buckets, ctx.dir("postings"), "append")
-      writeDoclens(toks, buckets, ctx.dir("doclens"), "append", batchId)
+      writePostings(toks, buckets, ctx.dir("postings"), "append",
+        scoped = metaName.nonEmpty)
+      writeDoclens(toks, buckets, ctx.dir("doclens"), "append", batchId,
+        scoped = metaName.nonEmpty)
+      metaName.foreach { _ =>
+        // replays re-append byte-identical rows; the serve-time
+        // distinct() absorbs them, and the watermark keeps post-compact
+        // replays inert — the labelstats twin of the stats-file rules
+        writeLabelStats(toks, ctx.dir("labelstats"), "append", batchId)
+      }
       writeStats(toks, ctx, s"batch-$batchId.json", foldedUpto = None)
     } finally toks.unpersist()
     // PRESSURE VALVE (the shared appendStream discipline): this store's
@@ -195,20 +239,29 @@ object TextIndexStore {
     * window with zero stats files. */
   def compact(spark: SparkSession, path: String): Unit = {
     val ctx = ArtifactStore.open(spark, path)
-    ArtifactStore.beginCompact(ctx, Components)
+    val metaName = manifestMetaText(ctx)
+    // a scoped store's labelstats plane is a fourth epoched component —
+    // staged and committed behind the SAME atomic marker, so no crash
+    // point leaves per-label stats from one epoch serving another's
+    // postings
+    val names =
+      if (metaName.nonEmpty) Components :+ "labelstats" else Components
+    ArtifactStore.beginCompact(ctx, names)
     val (_, n0, sumdl0) = readMeta(ctx)
     // replayed appends fold even when NO tombstones exist — the posting
     // and doclen dedups below are exactly what serving pays per query
     // until compact buys them back, and the stats fold collapses the
     // batch-file directory either way
     val tombOpt = ArtifactStore.readTombstones(spark, ctx)
+    val scopedCols = if (metaName.nonEmpty) Seq(col("meta")) else Nil
     val liveLens = spark.read.parquet(ctx.dir("doclens"))
-      .select(col("doc_id"), col("dl"), col("batch_id"), col("dbucket"))
+      .select(Seq(col("doc_id"), col("dl"), col("batch_id"),
+        col("dbucket")) ++ scopedCols: _*)
       .distinct() // absorbs replayed appends (stats counted those once)
     val livePostings = spark.read.parquet(ctx.dir("postings"))
       .dropDuplicates("token", "doc_id")
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("pos"),
-        col("bucket"))
+      .select(Seq(col("token"), col("doc_id"), col("tf"), col("dl"), col("pos"),
+        col("bucket")) ++ scopedCols: _*)
     val (keptPostings, keptLens, deadC, deadS) = tombOpt match {
       case None => (livePostings, liveLens, 0L, 0L)
       case Some(tomb) =>
@@ -219,10 +272,40 @@ object TextIndexStore {
           deadRow.getLong(0),
           if (deadRow.isNullAt(1)) 0L else deadRow.getLong(1))
     }
-    keptPostings.write.partitionBy("bucket").mode("overwrite")
+    val postingParts =
+      if (metaName.nonEmpty) Seq("bucket", "meta") else Seq("bucket")
+    keptPostings.write.partitionBy(postingParts: _*).mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     keptLens.write.partitionBy("dbucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "doclens"))
+    // fold the labelstats plane to fresh base rows: live increments
+    // (replays absorbed by distinct, absorbed batches behind the
+    // watermark) minus each label's tombstoned (count, Σdl) — derived
+    // from the SAME distinct liveLens relation the global adjustment
+    // uses, so the two stat planes can never drift
+    metaName.foreach { _ =>
+      val upto0 = foldedUpto(ctx)
+      val liveStats = spark.read.parquet(ctx.dir("labelstats"))
+        .filter(col("batch_id") === -1L || col("batch_id") > upto0)
+        .distinct()
+        .groupBy(col("meta"))
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      val folded = tombOpt match {
+        case None => liveStats
+        case Some(tomb) =>
+          val dead = liveLens.join(broadcast(tomb), Seq("doc_id"), "left_semi")
+            .groupBy(col("meta"))
+            .agg(count(lit(1)).as("dc"), sum(col("dl")).as("ds"))
+          liveStats.join(dead, Seq("meta"), "left_outer")
+            .select(col("meta"),
+              (col("n") - coalesce(col("dc"), lit(0L))).as("n"),
+              (col("sumdl") - coalesce(col("ds"), lit(0L))).as("sumdl"))
+      }
+      folded.select(col("meta"), col("n"), col("sumdl"),
+          lit(-1L).as("batch_id"))
+        .write.mode("overwrite")
+        .parquet(ArtifactStore.stagingDir(ctx, "labelstats"))
+    }
     // fold every live stats file into the next epoch's base, advancing
     // the folded-batch WATERMARK so a post-compact replay of any absorbed
     // batch stays inert (ids are monotone per checkpoint, so "≤ max
@@ -235,7 +318,7 @@ object TextIndexStore {
     // the rewrite above IS the serve-view fold: stage epoch+1's clean
     // marker (inert until the commit), commit, GC the old epoch's marker
     ArtifactStore.stageCleanMarker(ctx)
-    ArtifactStore.commitCompact(ctx, Components)
+    ArtifactStore.commitCompact(ctx, names)
     ArtifactStore.retireCleanMarker(ctx)
   }
 
@@ -262,9 +345,15 @@ object TextIndexStore {
     * doclens, and stats stay bit-identical to the old three-pass form —
     * including zero-token docs, which keep their (doc_id, dl=0) doclen
     * row and stats contribution while contributing no postings. */
-  private def tokenized(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("long"))
+  private def tokenized(docs: DataFrame,
+      metaCol: Option[String] = None): DataFrame = {
+    val base = metaCol match {
+      case None => docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      case Some(m) => docs.select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"), col(m).cast("string").as("meta"))
+    }
+    base.withColumn("dl", size(col("toks")).cast("long"))
+  }
 
   /** Postings are POSITIONAL (r12): each (token, doc) row carries the
     * token's sorted 1-based occurrence positions, the plane
@@ -276,29 +365,71 @@ object TextIndexStore {
     * column costs it nothing beyond storage (~one int per token
     * occurrence — the standard positional-index trade). */
   private def writePostings(toks: DataFrame, buckets: Int, dir: String,
-      mode: String): Unit =
-    toks.select(col("doc_id"), col("dl"),
-        posexplode(col("toks")).as(Seq("p0", "token")))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
+      mode: String, scoped: Boolean = false): Unit = {
+    // a scoped store's postings carry the label as a SECOND partition
+    // axis — (bucket, meta) — so filtered serving prunes the scan to the
+    // batch's labels before any score computes (IvfIndexStore's
+    // posting-key recipe on the token axis); meta is functionally
+    // dependent on doc_id, so adding it to the grouping changes nothing
+    val keyed =
+      if (scoped) toks.select(col("doc_id"), col("dl"), col("meta"),
+          posexplode(col("toks")).as(Seq("p0", "token")))
+        .groupBy(col("doc_id"), col("dl"), col("meta"), col("token"))
+      else toks.select(col("doc_id"), col("dl"),
+          posexplode(col("toks")).as(Seq("p0", "token")))
+        .groupBy(col("doc_id"), col("dl"), col("token"))
+    val rows = keyed
       .agg(count(lit(1)).as("tf"),
         sort_array(collect_list(col("p0") + 1)).as("pos"))
       .withColumn("bucket", pmod(TextOps.hash60(col("token")), lit(buckets.toLong)))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("pos"),
-        col("bucket"))
-      .write.partitionBy("bucket").mode(mode)
+    val (cols, parts) =
+      if (scoped) (Seq("token", "doc_id", "tf", "dl", "pos", "bucket", "meta"),
+        Seq("bucket", "meta"))
+      else (Seq("token", "doc_id", "tf", "dl", "pos", "bucket"), Seq("bucket"))
+    // repartition by the partition key before the partitioned write (the
+    // graph store's measured rule): the scoped layout has buckets ×
+    // labels leaf directories, and without this every task writes a
+    // sliver into every directory it touches — tasks × dirs small files
+    // that every later serve pays to open (measured 42 → 9 s on the
+    // qt38 build+serve gate row at sf0.001)
+    val placed =
+      if (scoped) rows.repartition(parts.map(col): _*) else rows
+    placed.select(cols.map(col): _*)
+      .write.partitionBy(parts: _*).mode(mode)
       .parquet(dir)
+  }
 
   /** Per-doc length map (the takedown side table): one (doc_id, dl,
     * batch_id) row per stats contribution, partitioned by the doc-id
     * hash so a tombstone fold opens only the deleted ids' buckets. */
   private def writeDoclens(toks: DataFrame, buckets: Int, dir: String,
-      mode: String, batchId: Long): Unit =
-    toks.select(col("doc_id"), col("dl"),
-        lit(batchId).as("batch_id"),
+      mode: String, batchId: Long, scoped: Boolean = false): Unit = {
+    // scoped stores carry the label on the doclen row too (NOT a
+    // partition axis — pruning stays by id-hash): the tombstone fold
+    // needs per-label dead (count, Σdl) to adjust the labelstats plane
+    val base = toks.select(
+      (Seq(col("doc_id"), col("dl"), lit(batchId).as("batch_id"),
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
-          .as("dbucket"))
-      .write.partitionBy("dbucket").mode(mode)
-      .parquet(dir)
+          .as("dbucket")) ++ (if (scoped) Seq(col("meta")) else Nil)): _*)
+    base.write.partitionBy("dbucket").mode(mode).parquet(dir)
+  }
+
+  /** The PER-LABEL stats plane of a metadata-scoped store — (meta, n,
+    * sumdl, batch_id) rows, the per-tenant twin of the global stats
+    * directory: build writes the base rows (batch_id = −1), every append
+    * appends its per-label increments keyed by the batch id, and serving
+    * folds base + not-yet-absorbed increments (batch_id > the
+    * folded-batch watermark) with replayed rows absorbed by `distinct()`
+    * — a replayed batch writes byte-identical rows, the doclens
+    * discipline. Compact folds everything back to base rows at epoch+1.
+    * Small by construction: labels × live batches rows, bounded by the
+    * same pressure valve that folds the global stats files. */
+  private def writeLabelStats(toks: DataFrame, dir: String, mode: String,
+      batchId: Long): Unit =
+    toks.groupBy(col("meta"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .select(col("meta"), col("n"), col("sumdl"), lit(batchId).as("batch_id"))
+      .write.mode(mode).parquet(dir)
 
   private def statsJson(n: Long, sumdl: Long, foldedUpto: Option[Long]): String = {
     val f = foldedUpto.map(u => s""","folded_upto":$u""").getOrElse("")
@@ -339,6 +470,26 @@ object TextIndexStore {
       s"store at ${ctx.root} predates positional postings — $what needs " +
         "per-occurrence position arrays; rebuild the index with build() " +
         "(BM25 serving remains available on the old store)")
+  }
+
+  /** The metadata column a scoped store was built on (None = unscoped) —
+    * parsed from manifest.json, the [[IvfIndexStore]] convention. */
+  private def manifestMetaText(ctx: ArtifactStore.Ctx): Option[String] =
+    """"meta":"([^"]+)"""".r
+      .findFirstMatchIn(ArtifactStore.readString(ctx.fs,
+        new Path(ctx.root, "manifest.json")))
+      .map(_.group(1))
+
+  /** Refuse loudly when the store lacks the scoped layout (no
+    * `"scopedtext":1` format marker): a declared-schema read of a
+    * missing meta column would yield nulls and filtered serving would
+    * silently return EMPTY — a wrong answer, not an error (the r13
+    * format-marker discipline). */
+  private def requireScopedText(ctx: ArtifactStore.Ctx, what: String): Unit = {
+    val m = ArtifactStore.readString(ctx.fs, new Path(ctx.root, "manifest.json"))
+    require(""""scopedtext":1""".r.findFirstIn(m).isDefined,
+      s"store at ${ctx.root} is not metadata-scoped; build(metaCol = " +
+        s"Some(...)) to enable $what")
   }
 
   /** Ids of the live per-batch stats files. */
@@ -421,20 +572,10 @@ object TextIndexStore {
     // instead of inferring: no footer reads outside the probed slice (on
     // a million-file index, schema inference alone would touch unprobed
     // buckets — TextIndexSpec pins that corrupting them cannot matter)
-    val postingSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("token",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("tf",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("dl",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("pos",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.IntegerType)),
-      org.apache.spark.sql.types.StructField("bucket",
-        org.apache.spark.sql.types.LongType)))
+    // a scoped store's layout adds the meta partition column — declare
+    // it too (the slice carries it harmlessly for unfiltered callers;
+    // the filtered paths prune and score on it)
+    val postingSchema = postingSchemaOf(manifestMetaText(ctx).nonEmpty)
     // dedup AFTER pruning absorbs at-least-once appends (replayed
     // posting rows are byte-identical) over the probed slice only —
     // IvfIndexStore's serve-time discipline on the token axis
@@ -452,13 +593,111 @@ object TextIndexStore {
     (pruned, n, sumdl)
   }
 
+  /** The declared posting-read schema (no footer inference — on a
+    * million-file index, schema inference alone would touch unprobed
+    * buckets); scoped stores append the meta partition column. */
+  private def postingSchemaOf(scoped: Boolean): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("token", StringType),
+      StructField("doc_id", LongType),
+      StructField("tf", LongType),
+      StructField("dl", LongType),
+      StructField("pos", ArrayType(IntegerType)),
+      StructField("bucket", LongType)) ++
+      (if (scoped) Seq(StructField("meta", StringType)) else Nil))
+  }
+
+  /** The (bucket, meta)-pruned posting slice + PER-LABEL corpus stats
+    * every FILTERED BM25 serve starts from — [[servedTermSlice]]'s twin
+    * on the scoped layout. `labels = Some(ls)` prunes the meta partition
+    * axis to the batch's label domain (the filtered caller caps it at
+    * [[ArtifactStore.maxMetaFilter]] and passes None past the cap —
+    * bucket-only pruning, the peers' graceful degradation, while scoring
+    * still keys on meta). The stats side folds the labelstats plane
+    * (base rows + not-yet-absorbed increments, replays absorbed by
+    * distinct) and subtracts tombstoned docs per label via the
+    * meta-carrying doc-length map — so every (n, sumdl) pair is exactly
+    * what a from-scratch build of the surviving label corpus would
+    * record (spec-pinned). */
+  private def servedScopedSlice(spark: SparkSession, ctx: ArtifactStore.Ctx,
+      terms: Seq[String], labels: Option[Seq[String]]): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val (buckets, _, _) = readMeta(ctx)
+    val clean = ArtifactStore.isClean(ctx)
+    val tomb: Option[DataFrame] =
+      if (clean) None else ArtifactStore.readTombstones(spark, ctx)
+    val termBuckets = terms
+      .map(t => graft.functions.CountMin.hash60(t) % buckets)
+      .distinct.sorted
+    val slice0 = spark.read.schema(postingSchemaOf(scoped = true))
+      .parquet(ctx.dir("postings"))
+      .filter(col("bucket").isInCollection(termBuckets))
+      .filter(col("token").isin(terms: _*))
+    val slice1 = labels match {
+      case Some(ls) => slice0.filter(col("meta").isInCollection(ls))
+      case None => slice0
+    }
+    val live = if (clean) slice1 else slice1.dropDuplicates("token", "doc_id")
+    val pruned = tomb match {
+      case Some(t) => live.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => live
+    }
+    // per-label stats: labelstats fold (watermark keeps post-compact
+    // replays inert; base rows are batch_id = −1 and always count)
+    val lsSchema = StructType(Seq(
+      StructField("meta", StringType), StructField("n", LongType),
+      StructField("sumdl", LongType), StructField("batch_id", LongType)))
+    val upto = foldedUpto(ctx)
+    val raw = spark.read.schema(lsSchema).parquet(ctx.dir("labelstats"))
+      .filter(col("batch_id") === -1L || col("batch_id") > upto)
+    val rawAbsorbed = if (clean) raw else raw.distinct()
+    val base = rawAbsorbed.groupBy(col("meta"))
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+    val stats = tomb match {
+      case None => base
+      case Some(t) =>
+        val tombBuckets = t
+          .select(pmod(TextOps.hash60(col("doc_id").cast("string")),
+            lit(buckets.toLong)).as("dbucket"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val dead = spark.read.schema(StructType(Seq(
+            StructField("doc_id", LongType), StructField("dl", LongType),
+            StructField("batch_id", LongType), StructField("dbucket", LongType),
+            StructField("meta", StringType))))
+          .parquet(ctx.dir("doclens"))
+          .filter(col("dbucket").isInCollection(tombBuckets))
+          .join(broadcast(t), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("dl"), col("batch_id"), col("meta"))
+          .distinct()
+          .groupBy(col("meta"))
+          .agg(count(lit(1)).as("dc"), sum(col("dl")).as("ds"))
+        base.join(dead, Seq("meta"), "left_outer")
+          .select(col("meta"),
+            (col("n") - coalesce(col("dc"), lit(0L))).as("n"),
+            (col("sumdl") - coalesce(col("ds"), lit(0L))).as("sumdl"))
+    }
+    (pruned, stats)
+  }
+
   /** qt12's pre-folded Okapi BM25 per-(posting) score expression — 6-
     * decimal quantized so the per-doc sum is exact decimal arithmetic
     * (the one definition both serve paths score with). */
-  private def bm25Sc(n: Long, sumdl: Long): org.apache.spark.sql.Column = {
-    val avgdl = lit(sumdl).cast("double") / lit(n)
+  private def bm25Sc(n: Long, sumdl: Long): org.apache.spark.sql.Column =
+    bm25ScFrom(lit(n), lit(sumdl))
+
+  /** The SAME expression with (n, sumdl) as COLUMNS — the filtered
+    * paths score each posting against ITS label's stats through a
+    * broadcast join. lit(n: Long) and a LongType column take the same
+    * type-promotion path through every op (long subtraction, one cast
+    * to double per term), so the per-posting score is bit-identical to
+    * the global form evaluated at the label's values — the one-scoring-
+    * definition discipline. */
+  private def bm25ScFrom(n: org.apache.spark.sql.Column,
+      sumdl: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val avgdl = sumdl.cast("double") / n
     val idf = log(lit(1.0) +
-      (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (n - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = col("tf") +
       lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / avgdl)
     round(((idf * col("tf")) * lit(2.2)) / norm, 6)
@@ -520,6 +759,85 @@ object TextIndexStore {
         .groupBy(col("query_id"), col("doc_id"))
         .agg(sum(col("sc")).cast("double").as("score"))
       // the single (score DESC, id ASC) truncation contract
+      graft.functions.Ranking.rankTopKScored(scored, topK, "doc_id", "score")
+    }
+  }
+
+  /** TENANT-SCOPED BM25 from a metadata-scoped index — each label is its
+    * OWN corpus: df, N, and avgdl all come from the label's sub-corpus
+    * (a per-language index genuinely needs this — document frequencies
+    * differ wildly across languages, and a global idf would mis-rank
+    * every non-majority label), which is what makes the scoped layout
+    * pay: the scan prunes to (query terms' buckets × the query's label),
+    * df derives from exactly that slice, and (n, sumdl) come from the
+    * labelstats plane — serve cost tracks the tenant, not the corpus.
+    * Contrast the ANN stores' filtered serving, where scoring is
+    * pairwise and scoping only restricts candidates. Output: (doc_id,
+    * n_terms_hit, score) in qt12's (score DESC, doc_id) order. A null
+    * `meta` matches no label and serves empty (the peers' contract). */
+  def queryBm25Filtered(spark: SparkSession, path: String, terms: Seq[String],
+      meta: String, topK: Int): DataFrame =
+    ArtifactStore.serving(spark, path) { ctx =>
+      requireScopedText(ctx, "queryBm25Filtered")
+      val (pruned, stats) = servedScopedSlice(spark, ctx, terms.distinct,
+        Some(Option(meta).toSeq))
+      val df = pruned.groupBy(col("token"), col("meta"))
+        .agg(count(lit(1)).as("df"))
+      pruned.join(broadcast(df), Seq("token", "meta"))
+        .join(broadcast(stats), Seq("meta"))
+        .select(col("doc_id"),
+          bm25ScFrom(col("n"), col("sumdl")).as("sc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          sum(col("sc")).cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(topK)
+    }
+
+  /** Serve MANY tenant-scoped keyword queries in ONE pass —
+    * [[queryBm25Batch]]'s shape on the scoped layout: the posting slice
+    * opens once for (term union × the batch's label domain), per-(token,
+    * label) df derives from that slice (independent of which query
+    * asked, so every per-posting score is bit-identical to a standalone
+    * [[queryBm25Filtered]] of the same query — spec-pinned), each query
+    * scores only its own (term, label) pairs through a broadcast join,
+    * and ranking is the bounded top-k aggregator. Label domains past
+    * [[ArtifactStore.maxMetaFilter]] fall back to bucket-only partition
+    * pruning with the label still in the join key; null-meta query rows
+    * serve empty. `queries` must have (query_id: bigint, terms:
+    * array<string>, meta: string). Output: (query_id, rank, doc_id,
+    * score). */
+  def queryBm25FilteredBatch(spark: SparkSession, path: String,
+      queries: DataFrame, topK: Int): DataFrame = {
+    import spark.implicits._
+    ArtifactStore.serving(spark, path) { ctx =>
+      requireScopedText(ctx, "queryBm25FilteredBatch")
+      val q: Array[(Long, Seq[String], String)] =
+        ArtifactStore.collectBounded(
+          queries.select(col("query_id"), col("terms"), col("meta"))
+            .as[(Long, Seq[String], String)],
+          65536, "keyword query batch", "split the eval set")
+      val termUnion = q.flatMap(_._2).distinct.toSeq.sorted
+      // nulls excluded BEFORE the cap (the r13 advice class — a null
+      // must never shrink the domain under the cap while real labels go
+      // unpruned... unsampled); null-meta rows serve empty via the join
+      val labels = q.map(_._3).filter(_ != null).distinct.toSeq.sorted
+      val labelFilter =
+        if (labels.length > ArtifactStore.maxMetaFilter(spark)) None
+        else Some(labels)
+      val (pruned, stats) = servedScopedSlice(spark, ctx, termUnion, labelFilter)
+      val df = pruned.groupBy(col("token"), col("meta"))
+        .agg(count(lit(1)).as("df"))
+      val qx = q.toSeq
+        .flatMap { case (qid, ts, mv) => ts.distinct.map(t => (qid, t, mv)) }
+        .toDF("query_id", "token", "meta")
+      val scored = pruned.join(broadcast(df), Seq("token", "meta"))
+        .join(broadcast(qx), Seq("token", "meta"))
+        .join(broadcast(stats), Seq("meta"))
+        .select(col("query_id"), col("doc_id"),
+          bm25ScFrom(col("n"), col("sumdl")).as("sc"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("sc")).cast("double").as("score"))
       graft.functions.Ranking.rankTopKScored(scored, topK, "doc_id", "score")
     }
   }

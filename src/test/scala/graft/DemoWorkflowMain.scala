@@ -213,6 +213,26 @@ object DemoWorkflowMain {
     }
 
     locally {
+      // tenant-scoped BM25: a lang-scoped store scores each query inside
+      // its OWN label corpus (per-label df/N/avgdl from the labelstats
+      // plane) — served docs are label-exact by construction
+      import spark.implicits._
+      val tidxDir = java.nio.file.Files.createTempDirectory("demo-tidx-scoped").toString
+      val docs = graft.relational.QueryHelpers.table(spark, "/root/testdata/sf0.001", "documents")
+      graft.sinks.TextIndexStore.build(docs, 64, tidxDir, metaCol = Some("lang"))
+      val got = graft.sinks.TextIndexStore.queryBm25FilteredBatch(spark, tidxDir,
+          Seq((0L, Seq("spark", "join", "window"), "en"),
+            (1L, Seq("merge", "column"), "fr")).toDF("query_id", "terms", "meta"), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      val langOf = docs.select("doc_id", "lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val exact = got.forall { case (qid, did) =>
+        langOf(did) == (if (qid == 0L) "en" else "fr") }
+      println(s"[probe-tidx-filtered] rows=${got.length} labelExact=$exact (expect 10, true)")
+    }
+
+    locally {
       // persistent inverted text index: build, serve a BM25 query from
       // the bucket-pruned postings
       val tidxDir = java.nio.file.Files.createTempDirectory("demo-tidx").toString
