@@ -189,6 +189,7 @@ object Bench {
       val pqScopedIdx = PipelineQueries.Serve.buildPqIndexScoped(spark, sfDir)
       val maxsimIdx = PipelineQueries.Serve.buildMaxSimIndex(spark, sfDir)
       val maxsimScopedIdx = PipelineQueries.Serve.buildMaxSimIndexScoped(spark, sfDir)
+      val textScopedIdx = PipelineQueries.Serve.buildTextIndexScoped(spark, sfDir)
       spark.catalog.clearCache()
       Seq(
         "qd17_probe_only" -> (() => PipelineQueries.Serve.probeBandIndex(spark, sfDir, bandIdx)),
@@ -222,7 +223,12 @@ object Bench {
         "qs36_batch_only" -> (() => PipelineQueries.Serve.queryPqFilteredBatch(spark, sfDir, pqScopedIdx)),
         // the FILTERED multi-vector corpus batch (r14): qs41's kernel at
         // corpus scale over the metadata-scoped MaxSim store
-        "qs41_batch_only" -> (() => PipelineQueries.Serve.queryMaxSimFilteredBatch(spark, sfDir, maxsimScopedIdx)))
+        "qs41_batch_only" -> (() => PipelineQueries.Serve.queryMaxSimFilteredBatch(spark, sfDir, maxsimScopedIdx)),
+        // the TENANT-SCOPED text serve (r15): qt38's eval set over the
+        // pre-built lang-scoped store — the per-label BM25 kernel
+        // (labelstats fold + (bucket, meta)-pruned slice + per-(token,
+        // label) df) gets its own baseline like every other store plane
+        "qt38_batch_only" -> (() => PipelineQueries.Serve.queryTextFilteredBatch(spark, textScopedIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
       servePaths.map { case (n, _) =>
