@@ -79,6 +79,57 @@ object PipelineQueries {
         metaCol = Some("lang"))
       idxDir
     }
+    /** qs45: the dense leg's lang-scoped store — embeddings share the
+      * documents id domain (the qs37 premise), so each vector inherits
+      * its document's language and the IVF store scopes on it. */
+    def buildIvfIndexLangScoped(s: SparkSession, d: String): String = {
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-qs45-ivf").toString
+      val langs = table(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      graft.sinks.IvfIndexStore.build(
+        table(s, d, "embeddings").join(langs, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("lang")),
+        16, idxDir, metaCol = Some("lang"))
+      idxDir
+    }
+    /** qs45: qs44's eval-set fusion WITHIN each query's own language —
+      * both legs from lang-scoped stores ([[graft.sinks.TextIndexStore
+      * .queryBm25FilteredBatch]] per-label BM25 + [[graft.sinks
+      * .IvfIndexStore.queryFiltered]] at nProbe = K, exact within the
+      * label), the query's language derived from ITS OWN document row
+      * (regeneration-robust — no hardcoded lang constants), fusion
+      * distributed exactly as qs44. */
+    def queryRrfFilteredBatch(s: SparkSession, d: String,
+        lexIdx: String, denseIdx: String): DataFrame = {
+      import s.implicits._
+      val K = 20; val RrfK = 60
+      val langs = table(s, d, "documents")
+        .select(col("doc_id").as("query_id"), col("lang"))
+      val tq = Seq(
+          (0L, Seq("spark", "join", "window")),
+          (1L, Seq("merge", "column")),
+          (2L, Seq("scan", "filter", "hash"))).toDF("query_id", "terms")
+        .join(langs, Seq("query_id"))
+        .select(col("query_id"), col("terms"), col("lang").as("meta"))
+      val lex = graft.sinks.TextIndexStore
+        .queryBm25FilteredBatch(s, lexIdx, tq, K)
+        .select(col("query_id"), col("doc_id"), col("rank").as("lr"))
+      val qd = table(s, d, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .join(langs, Seq("query_id"))
+        .select(col("query_id"), col("qv"), col("lang").as("meta"))
+      val den = graft.sinks.IvfIndexStore
+        .queryFiltered(s, denseIdx, qd, nProbe = 16, topK = K)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("dr"))
+      def leg(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        coalesce(lit(1.0) / (r + lit(RrfK)).cast("double"), lit(0.0))
+      val fused = lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (leg(col("lr")) + leg(col("dr"))).as("rrf_score"))
+      graft.functions.Ranking.rankTopKScored(fused, AnnTopK, "doc_id", "rrf_score")
+    }
     /** qt38's eval set: three keyword queries over three language
       * scopes — three distinct per-label stat sets through one slice
       * pass (hits at every SF, measured before pinning). */
@@ -797,6 +848,69 @@ object PipelineQueries {
         FROM (SELECT query_id, doc_id, CAST(sum(sc) AS DOUBLE) AS score
               FROM sc GROUP BY query_id, doc_id))
       SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank"""
+
+  /** qs45: the MULTI-TENANT hybrid-fusion oracle — qs44's RRF
+    * conventions with both legs scoped to each query's own language
+    * (derived from the query doc's row): the sparse leg is the
+    * per-label BM25 formulation (qt38's oracle machinery — df per
+    * (lang, token), N/Σdl per lang), the dense leg restricts candidates
+    * to docs sharing the query's lang (the vectors inherit their doc's
+    * language through the shared id domain). Both scoped store paths
+    * must compose into these exact rank rows. */
+  private val oRrfFilteredSql: String = s"""
+      WITH qt(query_id, token) AS (VALUES
+          (0, 'spark'), (0, 'join'), (0, 'window'),
+          (1, 'merge'), (1, 'column'),
+          (2, 'scan'), (2, 'filter'), (2, 'hash')),
+      ql AS (SELECT doc_id AS query_id, lang FROM documents WHERE doc_id < 3),
+      qtl AS (SELECT qt.query_id, qt.token, ql.lang FROM qt JOIN ql USING (query_id)),
+      d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS a
+            FROM documents),
+      f AS (SELECT doc_id, lang, length(a) AS dl, unnest(a) AS token FROM d),
+      tft AS (SELECT doc_id, lang, dl, token, count(*) AS tf FROM f
+             WHERE token IN (SELECT token FROM qt)
+             GROUP BY doc_id, lang, dl, token),
+      df AS (SELECT lang, token, count(*) AS df FROM tft GROUP BY lang, token),
+      stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(length(a)) AS BIGINT) AS sumdl FROM d GROUP BY lang),
+      sc AS (SELECT qtl.query_id, tft.doc_id,
+          CAST(round(((ln(1.0 + ((n - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5)) * tft.tf) * 2.2)
+            / (tft.tf + 1.2 * (0.25 + (0.75 * tft.dl) / (CAST(sumdl AS DOUBLE) / n))), 6)
+            AS DECIMAL(20,6)) AS sc
+        FROM tft
+        JOIN qtl ON tft.token = qtl.token AND tft.lang = qtl.lang
+        JOIN df ON df.token = tft.token AND df.lang = tft.lang
+        JOIN stats ON stats.lang = tft.lang),
+      lex AS (SELECT query_id, doc_id, lr FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lr
+          FROM (SELECT query_id, doc_id, CAST(sum(sc) AS DOUBLE) AS score
+                FROM sc GROUP BY query_id, doc_id))
+        WHERE lr <= 20),
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT e.vec_id AS query_id, e.v AS qv, d2.lang
+            FROM e JOIN documents d2 ON e.vec_id = d2.doc_id WHERE e.vec_id < 3),
+      dense AS (SELECT query_id, doc_id, dr FROM (
+          SELECT query_id, doc_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS dr
+          FROM (SELECT q.query_id, e.vec_id AS doc_id,
+              list_dot_product(q.qv, e.v) /
+                (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cosine
+            FROM e JOIN documents dd ON e.vec_id = dd.doc_id
+            JOIN q ON dd.lang = q.lang
+            WHERE e.vec_id <> q.query_id))
+        WHERE dr <= 20),
+      fused AS (SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+          coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+          coalesce((1.0::DOUBLE) / ((60 + lr)::DOUBLE), 0.0::DOUBLE)
+            + coalesce((1.0::DOUBLE) / ((60 + dr)::DOUBLE), 0.0::DOUBLE) AS rrf_score
+        FROM lex FULL JOIN dense
+          ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+      ranked AS (SELECT query_id, doc_id, rrf_score,
+          row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+        FROM fused)
+      SELECT query_id, rank, doc_id, rrf_score FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank"""
 
   /** The many-query BATCH ANN oracle (qs02's deterministic vec_id<16 /
@@ -3186,6 +3300,25 @@ object PipelineQueries {
       Serve.queryRrfBatchFusion(s, d,
         Serve.buildTextIndex(s, d), Serve.buildIvfIndex(s, d))
     }, Some(oRrfBatchSql)),
+
+    CatalogQuery("qs45_rrf_filtered_serve", (s, d) => {
+      // MULTI-TENANT HYBRID retrieval — qs44's eval-set fusion WITHIN
+      // each query's own language, both legs served from lang-scoped
+      // stores: the enterprise-search shape (every tenant/language gets
+      // its own ranking universe) and the row that gates the two NEW
+      // filtered planes COMPOSING. The sparse leg is qt38's
+      // tenant-scoped BM25 (per-label df/N/avgdl — scoping changes the
+      // scores); the dense leg is a lang-scoped IvfIndexStore
+      // (embeddings inherit their document's language through the
+      // shared id domain — the qs37 premise) served at nProbe = K,
+      // exact within the label by the qs41 argument; the fusion is
+      // qs44's distributed full-outer join + bounded rank finish.
+      // Each query's language derives from ITS OWN document row on
+      // both engines — no hardcoded lang constants, robust to testdata
+      // regeneration.
+      Serve.queryRrfFilteredBatch(s, d,
+        Serve.buildTextIndexScoped(s, d), Serve.buildIvfIndexLangScoped(s, d))
+    }, Some(oRrfFilteredSql)),
 
     CatalogQuery("qs38_graph_beam_curve", (s, d) => {
       // The GRAPH store's operating curve — qs34's tuning-table story on

@@ -60,8 +60,13 @@ object TextIndexStore {
     * maintenance cadence (immutable unepoched components are excluded;
     * they never grow). */
   def health(spark: org.apache.spark.sql.SparkSession,
-      path: String): org.apache.spark.sql.DataFrame =
-    ArtifactStore.health(spark, path, Components)
+      path: String): org.apache.spark.sql.DataFrame = {
+    // a scoped store's labelstats plane is a fourth epoched component —
+    // its footprint belongs in the when-to-compact table too
+    val scoped = manifestMetaText(ArtifactStore.open(spark, path)).nonEmpty
+    ArtifactStore.health(spark, path,
+      if (scoped) Components :+ "labelstats" else Components)
+  }
 
 
   private val Components = Seq("postings", "doclens", "stats")

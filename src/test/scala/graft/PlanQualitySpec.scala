@@ -229,6 +229,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"fusion must stay keyed on (query_id, doc_id):\n${plan.take(1500)}")
   }
 
+  test("qs45 filtered hybrid fusion is window-free and never cartesian") {
+    // the multi-tenant hybrid: tenant-scoped BM25 leg + lang-scoped IVF
+    // leg + distributed fusion — three bounded top-k aggregations and
+    // keyed joins end to end; a window or an all-pairs form anywhere
+    // would break the million-query eval-set story
+    val plan = planOf("qs45_rrf_filtered_serve")
+    assert(!plan.contains("Window"),
+      s"every ranking must be the bounded top-k aggregator:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fusion must stay keyed:\n${plan.take(1500)}")
+  }
+
   test("qd08 span dedup keys everything by span hash — never cartesian, never a window") {
     // span-level exact dedup must stay in the qd02 row class: positions
     // become (doc_id, hash60) pairs via explode, the duplicate set is a
