@@ -162,6 +162,30 @@ class TextScopedSpec extends AnyFunSuite {
     assert(servedBatch(idx) == want, "tombstoning the new doc must restore the rebuild rows")
   }
 
+  test("scoped append stream valve: labelstats fold through mid-stream compactions, filtered serving unchanged") {
+    // the unscoped valve test's twin on the scoped layout — what it
+    // additionally proves is the labelstats plane surviving VALVE
+    // compactions interleaved with appends (base rows re-folded at each
+    // epoch flip, later increments landing on top) with per-label
+    // scores unchanged vs a never-compacted control
+    val valved = tmp("graft-tsc-valve"); val control = tmp("graft-tsc-ctl")
+    val base = docs.limit(40)
+    Seq(valved, control).foreach(p =>
+      TextIndexStore.build(base, 64, p, metaCol = Some("lang")))
+    val langs = Seq("en", "fr", "zh", "de", "es")
+    (1 to 6).foreach { i =>
+      val batch = Seq((10000L + i, s"spark join window batch $i content",
+        langs((i - 1) % langs.length))).toDF("doc_id", "text", "lang")
+      TextIndexStore.appendBatch(batch, valved, i.toLong, compactFactor = 2)
+      TextIndexStore.appendBatch(batch, control, i.toLong, compactFactor = 0)
+      spark.catalog.clearCache()
+    }
+    assert(graft.sinks.ArtifactStore.open(spark, valved).epoch >= 1L,
+      "the valve must actually have compacted")
+    assert(servedBatch(valved) == servedBatch(control),
+      "valve compactions must not change tenant-scoped BM25 serving")
+  }
+
   test("filtered scan prunes bucket AND meta; over-cap label domains fall back; null metas serve empty") {
     val idx = tmp("graft-tscoped-pf")
     TextIndexStore.build(docs, buckets = 64, idx, metaCol = Some("lang"))
