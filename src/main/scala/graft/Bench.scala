@@ -228,7 +228,7 @@ object Bench {
         // pre-built lang-scoped store — the per-label BM25 kernel
         // (labelstats fold + (bucket, meta)-pruned slice + per-(token,
         // label) df) gets its own baseline like every other store plane
-        "qt38_batch_only" -> (() => PipelineQueries.Serve.queryTextFilteredBatch(spark, textScopedIdx)))
+        "qt38_batch_only" -> (() => PipelineQueries.Serve.queryTextFilteredBatch(spark, sfDir, textScopedIdx)))
     }
     val serveSamples = scala.collection.mutable.LinkedHashMap(
       servePaths.map { case (n, _) =>

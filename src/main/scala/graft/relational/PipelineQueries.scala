@@ -132,14 +132,22 @@ object PipelineQueries {
     }
     /** qt38's eval set: three keyword queries over three language
       * scopes — three distinct per-label stat sets through one slice
-      * pass (hits at every SF, measured before pinning). */
-    def queryTextFilteredBatch(s: SparkSession, idxDir: String): DataFrame = {
+      * pass. The scopes are the 3 lexicographically-first languages IN
+      * THE DATA (both engines derive them the same way — no hardcoded
+      * lang constants, so a testdata regeneration that changes the
+      * label domain cannot make the row pass vacuously on 0 == 0 rows;
+      * r15 review finding, the qs45 lang-derivation discipline). */
+    def queryTextFilteredBatch(s: SparkSession, d: String,
+        idxDir: String): DataFrame = {
       import s.implicits._
-      graft.sinks.TextIndexStore.queryBm25FilteredBatch(s, idxDir, Seq(
-        (0L, Seq("spark", "join", "window"), "en"),
-        (1L, Seq("merge", "column"), "fr"),
-        (2L, Seq("scan", "filter", "hash"), "zh"))
-        .toDF("query_id", "terms", "meta"), AnnTopK)
+      val langs = table(s, d, "documents").select(col("lang")).distinct()
+        .orderBy(col("lang")).limit(3).collect().map(_.getString(0))
+      val terms = Seq(Seq("spark", "join", "window"), Seq("merge", "column"),
+        Seq("scan", "filter", "hash"))
+      val queries = langs.toSeq.zipWithIndex
+        .map { case (l, i) => (i.toLong, terms(i), l) }
+        .toDF("query_id", "terms", "meta")
+      graft.sinks.TextIndexStore.queryBm25FilteredBatch(s, idxDir, queries, AnnTopK)
     }
     /** qs43: qs37's RRF fusion with BOTH legs served from pre-built
       * artifacts — sparse from [[graft.sinks.TextIndexStore.queryBm25]]
@@ -822,15 +830,20 @@ object PipelineQueries {
     * whole scoped plane: (bucket, meta) layout, per-label labelstats
     * fold, per-slice df, and the shared rank order. */
   private val oBm25FilteredSql: String = s"""
-      WITH qt(query_id, token, lang) AS (VALUES
-          (0, 'spark', 'en'), (0, 'join', 'en'), (0, 'window', 'en'),
-          (1, 'merge', 'fr'), (1, 'column', 'fr'),
-          (2, 'scan', 'zh'), (2, 'filter', 'zh'), (2, 'hash', 'zh')),
+      WITH qt0(query_id, token) AS (VALUES
+          (0, 'spark'), (0, 'join'), (0, 'window'),
+          (1, 'merge'), (1, 'column'),
+          (2, 'scan'), (2, 'filter'), (2, 'hash')),
+      ql AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS query_id
+             FROM (SELECT DISTINCT lang FROM documents)
+             ORDER BY lang LIMIT 3),
+      qt AS (SELECT qt0.query_id, qt0.token, ql.lang
+             FROM qt0 JOIN ql USING (query_id)),
       d AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS a
             FROM documents),
       f AS (SELECT doc_id, lang, length(a) AS dl, unnest(a) AS token FROM d),
       tft AS (SELECT doc_id, lang, dl, token, count(*) AS tf FROM f
-             WHERE token IN (SELECT token FROM qt)
+             WHERE token IN (SELECT token FROM qt0)
              GROUP BY doc_id, lang, dl, token),
       df AS (SELECT lang, token, count(*) AS df FROM tft GROUP BY lang, token),
       stats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
@@ -5133,7 +5146,7 @@ object PipelineQueries {
       // formulation verbatim. Three queries over three labels exercise
       // three distinct stat sets (hits at every SF — driver-side duckdb
       // sweep, r15).
-      Serve.queryTextFilteredBatch(s, Serve.buildTextIndexScoped(s, d))
+      Serve.queryTextFilteredBatch(s, d, Serve.buildTextIndexScoped(s, d))
     }, Some(oBm25FilteredSql)),
 
     CatalogQuery("qt30_index_bm25_batch", (s, d) => {

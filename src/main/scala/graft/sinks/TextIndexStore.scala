@@ -83,21 +83,24 @@ object TextIndexStore {
     ArtifactStore.requireValidMetaCol(metaCol)
     val ctx = ArtifactStore.open(docs.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
-    // a rebuild-in-place must not leave the OLD epoch's clean marker
-    // certifying half-overwritten planes ([[ArtifactStore]]'s marker
-    // ordering): drop it before the first write, re-create it last
-    ArtifactStore.revokeClean(ctx)
     val toks = tokenized(docs, metaCol).persist()
     try {
       // a scoped build requires a TOTAL label assignment (the graph
       // store's discipline): a null label would land in a null partition
       // directory and fall out of every per-label stat key — fail loudly
-      // on the driver before any write
+      // on the driver before any write, and BEFORE revoking the clean
+      // certificate (the validation is write-free; a rejected rebuild
+      // must not downgrade an intact certified-clean store to dirty-fold
+      // serving — r15 review finding)
       metaCol.foreach { m =>
         require(toks.filter(col("meta").isNull).isEmpty,
           s"metaCol '$m' has NULL values; a scoped text index needs every " +
             "row labelled — filter or fill nulls before build")
       }
+      // a rebuild-in-place must not leave the OLD epoch's clean marker
+      // certifying half-overwritten planes ([[ArtifactStore]]'s marker
+      // ordering): drop it before the first write, re-create it last
+      ArtifactStore.revokeClean(ctx)
       writePostings(toks, buckets, ctx.dir("postings"), "overwrite",
         scoped = metaCol.nonEmpty)
       writeDoclens(toks, buckets, ctx.dir("doclens"), "overwrite",
@@ -279,22 +282,50 @@ object TextIndexStore {
     }
     val postingParts =
       if (metaName.nonEmpty) Seq("bucket", "meta") else Seq("bucket")
-    keptPostings.write.partitionBy(postingParts: _*).mode("overwrite")
+    // repartition by the partition key first (writePostings' measured
+    // rule): a scoped store has buckets × labels leaf dirs, and the
+    // dedup shuffle above spreads keptPostings across every task —
+    // without this the COMPACTED store gains tasks × dirs small files,
+    // inverting compact's purpose (r15 review finding)
+    val placedPostings =
+      if (metaName.nonEmpty) keptPostings.repartition(postingParts.map(col): _*)
+      else keptPostings
+    placedPostings.write.partitionBy(postingParts: _*).mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "postings"))
     keptLens.write.partitionBy("dbucket").mode("overwrite")
       .parquet(ArtifactStore.stagingDir(ctx, "doclens"))
-    // fold the labelstats plane to fresh base rows: live increments
-    // (replays absorbed by distinct, absorbed batches behind the
-    // watermark) minus each label's tombstoned (count, Σdl) — derived
-    // from the SAME distinct liveLens relation the global adjustment
-    // uses, so the two stat planes can never drift
+    // the new folded-batch WATERMARK — computed from the STATS FILES
+    // (the global plane's absorbed set), shared by both stat planes so
+    // they advance in lockstep (ids are monotone per checkpoint;
+    // recording the max keeps the manifest O(1))
+    val upto = (foldedUpto(ctx) +: batchIds(ctx)).max
+    // fold the labelstats plane: absorb into fresh base rows ONLY the
+    // increments the global watermark also absorbs (batch_id ≤ upto —
+    // their stats files landed, so a post-compact replay stays inert on
+    // BOTH planes), minus each label's tombstoned (count, Σdl) —
+    // derived from the SAME distinct liveLens relation the global
+    // adjustment uses. An increment whose stats file never landed
+    // (crashed append: labelstats written, batch-N.json not) has
+    // batch_id > upto: folding it into base would DOUBLE-COUNT when
+    // the at-least-once replay re-appends it, so it is CARRIED FORWARD
+    // verbatim instead — the replay's byte-identical rows dedup
+    // against it at serve time exactly as they would have pre-compact,
+    // and the NEXT compact (after the replay lands the stats file)
+    // absorbs it normally (r15 review finding; spec-pinned through the
+    // full crash+replay sequence).
     metaName.foreach { _ =>
       val upto0 = foldedUpto(ctx)
-      val liveStats = spark.read.parquet(ctx.dir("labelstats"))
+      val liveRows = spark.read.parquet(ctx.dir("labelstats"))
         .filter(col("batch_id") === -1L || col("batch_id") > upto0)
         .distinct()
+      val liveStats = liveRows
+        .filter(col("batch_id") === -1L || col("batch_id") <= upto)
         .groupBy(col("meta"))
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      // the tombstone adjustment subtracts ALL dead contributions from
+      // the base — correct even when a dead doc's increment is in a
+      // carried row: total = (base − dead) + carried counts the doc
+      // zero times, matching its removal from postings/doclens
       val folded = tombOpt match {
         case None => liveStats
         case Some(tomb) =>
@@ -306,17 +337,17 @@ object TextIndexStore {
               (col("n") - coalesce(col("dc"), lit(0L))).as("n"),
               (col("sumdl") - coalesce(col("ds"), lit(0L))).as("sumdl"))
       }
+      val carried = liveRows.filter(col("batch_id") > upto)
+        .select(col("meta"), col("n"), col("sumdl"), col("batch_id"))
       folded.select(col("meta"), col("n"), col("sumdl"),
           lit(-1L).as("batch_id"))
+        .unionByName(carried)
         .write.mode("overwrite")
         .parquet(ArtifactStore.stagingDir(ctx, "labelstats"))
     }
-    // fold every live stats file into the next epoch's base, advancing
-    // the folded-batch WATERMARK so a post-compact replay of any absorbed
-    // batch stays inert (ids are monotone per checkpoint, so "≤ max
-    // folded id" identifies exactly the absorbed set — recording the max
-    // keeps the manifest O(1) instead of growing per batch forever)
-    val upto = (foldedUpto(ctx) +: batchIds(ctx)).max
+    // fold every live stats file into the next epoch's base behind the
+    // watermark computed above — a post-compact replay of any absorbed
+    // batch stays inert
     ArtifactStore.writeString(ctx.fs,
       new Path(ArtifactStore.stagingDir(ctx, "stats"), "base.json"),
       statsJson(n0 - deadC, sumdl0 - deadS, Some(upto)))

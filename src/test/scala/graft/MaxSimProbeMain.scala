@@ -77,21 +77,28 @@ object MaxSimProbeMain {
       // measures exactly how many, at the qs42 gate radius. Truth = the
       // nProbe=K sweep (exact by construction).
       val Radius = 1.5
-      val sweepTruth = graft.sinks.MaxSimIndexStore
+      // the exact sweep's (query_id, vec_id) pairs collect ONCE (answer
+      // sets are radius-bounded and small here) — re-persisting through
+      // the clearCache cycle would re-run the brute-force sweep per
+      // grid point (r15 review finding)
+      val sweepTruth: Set[(Long, Long)] = graft.sinks.MaxSimIndexStore
         .rangeQuery(spark, idx, q, K, Radius)
-        .select(col("query_id"), col("vec_id")).persist()
-      val nTruth = sweepTruth.count()
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache(); e.persist()
+      val nTruth = sweepTruth.size
       for (nProbe <- Seq(4, 8, 12)) {
         val got = graft.sinks.MaxSimIndexStore
           .rangeQuery(spark, idx, q, nProbe, Radius)
           .select(col("query_id"), col("vec_id"))
-        val kept = sweepTruth.join(got, Seq("query_id", "vec_id"), "left_semi").count()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val kept = (got & sweepTruth).size
         val loss = if (nTruth == 0) 0.0 else 1.0 - kept.toDouble / nTruth
         println(f"$sf range nprobe=$nProbe%2d kept=$kept/$nTruth loss=$loss%.3f")
         spark.catalog.clearCache()
-        e.persist(); sweepTruth.persist(); sweepTruth.count()
+        e.persist()
       }
-      e.unpersist(); sweepTruth.unpersist()
+      e.unpersist()
     }
     spark.stop()
   }

@@ -162,6 +162,44 @@ class TextScopedSpec extends AnyFunSuite {
     assert(servedBatch(idx) == want, "tombstoning the new doc must restore the rebuild rows")
   }
 
+  test("crashed append (labelstats landed, stats file not) compacted before its replay stays exactly-once") {
+    // the r15 review's double-count sequence: an append crashes between
+    // writeLabelStats and writeStats (stats is written LAST, so this is
+    // exactly the at-least-once window), compact runs BEFORE the replay,
+    // then the replay lands. The labelstats increment's batch id sits
+    // ABOVE the global watermark (its stats file never landed), so
+    // compact must CARRY it forward — folding it into base would count
+    // the replayed rows on top of it forever. Storage-layer injection is
+    // valid here: a real mutator (appendBatch) dirtied the store first;
+    // deleting its last-written file reproduces the crash prefix.
+    val idx = tmp("graft-tsc-crash")
+    val base = docs.limit(60).select(col("doc_id"), col("text"), col("lang"))
+    TextIndexStore.build(base, 64, idx, metaCol = Some("lang"))
+    val batch = Seq(
+      (20001L, "spark join window crash batch content", "en"),
+      (20002L, "merge column crash batch content", "fr")).toDF("doc_id", "text", "lang")
+    TextIndexStore.appendBatch(batch, idx, batchId = 5L)
+    val ctx = graft.sinks.ArtifactStore.open(spark, idx)
+    assert(ctx.fs.delete(
+      new org.apache.hadoop.fs.Path(ctx.dir("stats"), "batch-5.json"), false))
+    TextIndexStore.compact(spark, idx)
+    TextIndexStore.appendBatch(batch, idx, batchId = 5L) // the replay
+    spark.catalog.clearCache()
+    val truthIdx = tmp("graft-tsc-crash-truth")
+    TextIndexStore.build(base.unionByName(batch), 64, truthIdx,
+      metaCol = Some("lang"))
+    spark.catalog.clearCache()
+    val want = servedBatch(truthIdx)
+    assert(servedBatch(idx) == want,
+      "per-label stats must count the crashed-then-replayed batch exactly once")
+    // a second compact (the stats file has landed now) absorbs the
+    // carried increment into base — serving unchanged across it
+    TextIndexStore.compact(spark, idx)
+    spark.catalog.clearCache()
+    assert(servedBatch(idx) == want,
+      "absorbing the carried increment must not change serving")
+  }
+
   test("scoped append stream valve: labelstats fold through mid-stream compactions, filtered serving unchanged") {
     // the unscoped valve test's twin on the scoped layout — what it
     // additionally proves is the labelstats plane surviving VALVE
