@@ -34,6 +34,24 @@ final class WalkScope {
     cp
   }
 
+  /** LAZY localCheckpoint with the checkpoint RDD registered for release:
+    * the caller's next job materializes the blocks (one job per step — the
+    * Bpe.train discipline) while the returned plan is already an O(1)
+    * LogicalRDD. Same release contract as [[checkpoint]]. */
+  def checkpointLazy(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    GraftSqlShim.checkpointedRdd(cp)
+      .foreach(r => tracked += (() => r.unpersist(blocking = false)))
+    cp
+  }
+
+  /** Release ONE tracked table's blocks before the scope ends — the
+    * rolling-release shape of sequential trainers (step k−1 frees once
+    * step k is materialized). Idempotent with [[release]]. */
+  def releaseEarly(df: DataFrame): Unit =
+    GraftSqlShim.checkpointedRdd(df)
+      .foreach(_.unpersist(blocking = false))
+
   /** CacheManager-level persist registered for release (idempotent with a
     * caller's own `clearCache()`). */
   def persist(df: DataFrame): DataFrame = {

@@ -72,22 +72,40 @@ object Bpe {
     seg
   }
 
+  /** Release a `localCheckpoint`ed table's RDD-level blocks (checkpoint
+    * persistence bypasses the CacheManager, so `clearCache()` never frees
+    * it — the [[graft.core.WalkScope]] rationale, inlined here because the
+    * trainer's release points interleave with the step loop). */
+  private def releaseCp(ds: Dataset[_]): Unit =
+    org.apache.spark.sql.GraftSqlShim.checkpointedRdd(ds)
+      .foreach(_.unpersist(blocking = false))
+
   /** Train `nMerges` merges from a (word, freq) table. Requires enough
     * adjacent pairs to supply every step (hard-fails otherwise rather
     * than silently returning a short vocabulary).
     *
     * Cache discipline: ONE job per merge step. The step-k argmax job
-    * reads (and thereby materializes) the step-k word table's cache
+    * reads (and thereby materializes) the step-k word table's blocks
     * while the step-(k−1) table is still cached one level below it, so
     * no lineage ever recomputes; the (k−1) table is released only after
     * that job returns. A separate materialize-then-unpersist count()
     * per step would double the job count of an inherently sequential
-    * trainer — pure scheduler overhead at any scale. */
+    * trainer — pure scheduler overhead at any scale.
+    *
+    * Lineage discipline (the KnnGraph.search rule, measured here too): each
+    * step's table is a LAZY `localCheckpoint`, not a `persist` — a persist
+    * keeps the full map-chain in every step's logical plan, so per-action
+    * Catalyst re-analysis grows with the step count and the trainer spends
+    * more driver time planning than its jobs spend running (measured ~5.4 s
+    * of a 7.8 s qp08 outside all jobs at sf0.1). The lazy checkpoint
+    * rebases each step on an O(1) LogicalRDD while the step's argmax job
+    * still materializes the blocks — one job per step, plans that stop
+    * growing. */
   def train(words: Dataset[(String, Long)], nMerges: Int): Seq[Merge] = {
     val spark = words.sparkSession
     import spark.implicits._
     var ds: Dataset[(IndexedSeq[String], Long)] =
-      words.map { case (w, f) => (charSeg(w), f) }.persist()
+      words.map { case (w, f) => (charSeg(w), f) }.localCheckpoint(false)
     var prev: Dataset[(IndexedSeq[String], Long)] = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
@@ -106,21 +124,22 @@ object Bpe {
             org.apache.spark.sql.functions.col("_1"),
             org.apache.spark.sql.functions.col("_2"))
           .head(1)
-        // the argmax job just materialized ds's cache — the level below
+        // the argmax job just materialized ds's blocks — the level below
         // is now safe to release
-        if (prev != null) { prev.unpersist(); prev = null }
+        if (prev != null) { releaseCp(prev); prev = null }
         require(best.nonEmpty, s"BPE ran out of pairs at step $step/$nMerges")
         val (l, r, c) = best(0)
         merges += Merge(step, l, r, c)
         if (step < nMerges) {
-          val next = ds.map { case (seg, f) => (applyMerge(seg, l, r), f) }.persist()
+          val next = ds.map { case (seg, f) => (applyMerge(seg, l, r), f) }
+            .localCheckpoint(false)
           prev = ds
           ds = next
         }
       }
     } finally {
-      if (prev != null) prev.unpersist()
-      ds.unpersist()
+      if (prev != null) releaseCp(prev)
+      releaseCp(ds)
     }
     merges.toSeq
   }

@@ -5921,39 +5921,50 @@ object PipelineQueries {
         .as[(String, Long)]
         .persist()
       val merges = Bpe.train(words, BpeMerges)
-      var segDf = words.map { case (w, f) => (w, Bpe.charSeg(w), f) }
-        .toDF("word", "seg", "freq").persist()
-      var prevSeg: DataFrame = null
-      var allArgmax = true
-      for ((m, idx) <- merges.zipWithIndex) {
-        val top = segDf.select(col("freq"),
-            explode(arrays_zip(
-              slice(col("seg"), lit(1), size(col("seg")) - 1),
-              slice(col("seg"), lit(2), size(col("seg")) - 1))).as("p"))
-          .groupBy(col("p").getField("0").as("l"), col("p").getField("1").as("r"))
-          .agg(sum(col("freq")).as("c"))
-          .orderBy(desc("c"), col("l"), col("r"))
-          .head(1)
-        if (prevSeg != null) { prevSeg.unpersist(); prevSeg = null }
-        allArgmax &&= top.headOption.exists(row =>
-          row.getString(0) == m.left && row.getString(1) == m.right &&
-            row.getLong(2) == m.count)
-        if (idx < merges.length - 1) {
-          val next = segDf.as[(String, Seq[String], Long)]
-            .map { case (w, seg, f) =>
-              (w, Bpe.applyMerge(seg.toIndexedSeq, m.left, m.right), f)
-            }
-            .toDF("word", "seg", "freq").persist()
-          prevSeg = segDf
-          segDf = next
+      // per-step lineage truncation (Bpe.train's lazy-localCheckpoint
+      // discipline; the step's argmax job materializes the blocks): a
+      // chained persist left every step's plan embedding the whole
+      // map-history, and the verify loop's driver-side re-analysis cost
+      // grew with the step index — measured as the dominant qp08 cost.
+      // RDD-level checkpoint blocks are invisible to clearCache(), so the
+      // scope releases them even when a step throws.
+      val scope = new graft.core.WalkScope
+      try {
+        var segDf = scope.checkpointLazy(
+          words.map { case (w, f) => (w, Bpe.charSeg(w), f) }
+            .toDF("word", "seg", "freq"))
+        var prevSeg: DataFrame = null
+        var allArgmax = true
+        for ((m, idx) <- merges.zipWithIndex) {
+          val top = segDf.select(col("freq"),
+              explode(arrays_zip(
+                slice(col("seg"), lit(1), size(col("seg")) - 1),
+                slice(col("seg"), lit(2), size(col("seg")) - 1))).as("p"))
+            .groupBy(col("p").getField("0").as("l"), col("p").getField("1").as("r"))
+            .agg(sum(col("freq")).as("c"))
+            .orderBy(desc("c"), col("l"), col("r"))
+            .head(1)
+          // the argmax job just materialized segDf's blocks — the level
+          // below is now safe to free (rolling release, the train shape)
+          if (prevSeg != null) { scope.releaseEarly(prevSeg); prevSeg = null }
+          allArgmax &&= top.headOption.exists(row =>
+            row.getString(0) == m.left && row.getString(1) == m.right &&
+              row.getLong(2) == m.count)
+          if (idx < merges.length - 1) {
+            val next = scope.checkpointLazy(segDf.as[(String, Seq[String], Long)]
+              .map { case (w, seg, f) =>
+                (w, Bpe.applyMerge(seg.toIndexedSeq, m.left, m.right), f)
+              }
+              .toDF("word", "seg", "freq"))
+            prevSeg = segDf
+            segDf = next
+          }
         }
-      }
-      if (prevSeg != null) prevSeg.unpersist()
-      segDf.unpersist()
-      val nWords = words.count()
-      words.unpersist()
-      Seq((BpeMerges, nWords, allArgmax))
-        .toDF("n_merges", "n_words", "argmax_verified")
+        val nWords = words.count()
+        words.unpersist()
+        Seq((BpeMerges, nWords, allArgmax))
+          .toDF("n_merges", "n_words", "argmax_verified")
+      } finally scope.release()
     }, Some(s"""
       WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
                     FROM documents)

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Probe: per-Spark-job wall-time attribution for a store BUILD or serve
+  * path — prints every job's duration, callsite and stage/task shape so a
+  * multi-second phase decomposes into the jobs that actually spend it
+  * (regression triage; not part of the gate). Args: target [sfdir] [runs]
+  * where target ∈ {graphbuild, pqbuild, bandbuild, textbuild, ivfbuild,
+  * maxsimbuild, bandprobe, qp08, qm05, qd02}. */
+object JobTimeMain {
+  def main(args: Array[String]): Unit = {
+    val target = args(0)
+    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder().master("local[30]")
+      .config("spark.sql.shuffle.partitions", "30")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = js.stageInfos.map(si => s"${si.name.take(48)}(${si.numTasks}t)")
+          .mkString(" | ")
+        jobStart.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        stageTasks.put(si.stageId,
+          f"stage${si.stageId}%-4d ${si.numTasks}%4d tasks ${si.name.take(60)}")
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(jobStart.get(je.jobId)).foreach { case (t0, site) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms > 20)
+            System.err.println(f"[job] ${je.jobId}%4d ${ms / 1000}%8.3f s  $site")
+        }
+      }
+    })
+
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[phase] $name%-14s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    import graft.relational.PipelineQueries.Serve
+    for (r <- 1 to runs) {
+      System.err.println(s"=== run $r ===")
+      target match {
+        case "graphbuild" => t("graphbuild") { Serve.buildGraphIndex(spark, d) }
+        case "pqbuild" => t("pqbuild") { Serve.buildPqIndex(spark, d) }
+        case "bandbuild" => t("bandbuild") { Serve.buildBandIndex(spark, d) }
+        case "textbuild" => t("textbuild") { Serve.buildTextIndex(spark, d) }
+        case "ivfbuild" => t("ivfbuild") { Serve.buildIvfIndex(spark, d) }
+        case "maxsimbuild" => t("maxsimbuild") { Serve.buildMaxSimIndex(spark, d) }
+        case "bandprobe" =>
+          val idx = t("bandbuild") { Serve.buildBandIndex(spark, d) }
+          spark.catalog.clearCache()
+          t("bandprobe") { Serve.probeBandIndex(spark, d, idx).count() }
+        case "shingletest" =>
+          import graft.functions.expressions.ShingleExpressions._
+          import org.apache.spark.sql.functions._
+          val docs = spark.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), col("text"))
+          t("serial") {
+            docs.select(shingleHash60(col("text"), 4).as("hs"))
+              .select(sum(org.apache.spark.sql.functions.size(col("hs")))).collect()
+          }
+          t("repart30") {
+            docs.repartition(30)
+              .select(shingleHash60(col("text"), 4).as("hs"))
+              .select(sum(org.apache.spark.sql.functions.size(col("hs")))).collect()
+          }
+        case q =>
+          t(q) { graft.relational.QueryCatalog.byName(q).build(spark, d).count() }
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
