@@ -103,8 +103,11 @@ object BandIndexStore {
     // certifying half-overwritten planes ([[ArtifactStore]]'s marker
     // ordering): drop it before the first write, re-create it last
     ArtifactStore.revokeClean(ctx)
-    val shingled = docs
-      .filter(length(col("text")) >= shingleN)
+    // widen the scan before the MD5-per-gram shingle stage (the CPU-heavy
+    // per-row kernel of this build): an under-split input otherwise runs
+    // it near-serially — identity at production split counts
+    val shingled = graft.core.Parallelism.widen(
+        docs.filter(length(col("text")) >= shingleN))
       .select(col("doc_id"), shingleHash60(col("text"), shingleN).as("hs"))
       .persist() // grouping + the member map both read it
     // NOT persisted (measured, r9): both the posting write and the
@@ -116,12 +119,17 @@ object BandIndexStore {
     val grouped = shingled
       .groupBy(col("hs"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+    // cluster each bucket into ONE file before the partitioned write (the
+    // graph/text stores' measured rule): without the repartition every
+    // write task opens a file in every bucket dir it touches — tasks ×
+    // buckets small files that every probe's pruned scan pays to open
     grouped
       .select(col("rep_id"), col("hs"), col("grp_n"),
         explode(TextOps.bandKeys(minhashSig(col("hs"), numPerms),
           numPerms, rowsPerBand)).as("band"))
       .withColumn("bucket", pmod(TextOps.hash60(col("band")), lit(buckets.toLong)))
       .select(col("band"), col("rep_id"), col("hs"), col("grp_n"), col("bucket"))
+      .repartition(buckets, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite")
       .parquet(ctx.dir("postings"))
     // member map (doc → its group's representative), partitioned by the
@@ -131,6 +139,7 @@ object BandIndexStore {
       .select(col("rep_id"), col("doc_id"),
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
           .as("mbucket"))
+      .repartition(buckets, col("mbucket"))
       .write.partitionBy("mbucket").mode("overwrite")
       .parquet(ctx.dir("members"))
     shingled.unpersist()

@@ -83,7 +83,10 @@ object TextIndexStore {
     ArtifactStore.requireValidMetaCol(metaCol)
     val ctx = ArtifactStore.open(docs.sparkSession, path)
     ArtifactStore.assertNotCompacting(ctx)
-    val toks = tokenized(docs, metaCol).persist()
+    // widen the scan before the tokenize pass (the CPU-heavy per-row
+    // stage every downstream plane reads): an under-split corpus
+    // otherwise tokenizes near-serially — identity at production splits
+    val toks = tokenized(graft.core.Parallelism.widen(docs), metaCol).persist()
     try {
       // a scoped build requires a TOTAL label assignment (the graph
       // store's discipline): a null label would land in a null partition
@@ -427,9 +430,10 @@ object TextIndexStore {
     // labels leaf directories, and without this every task writes a
     // sliver into every directory it touches — tasks × dirs small files
     // that every later serve pays to open (measured 42 → 9 s on the
-    // qt38 build+serve gate row at sf0.001)
-    val placed =
-      if (scoped) rows.repartition(parts.map(col): _*) else rows
+    // qt38 build+serve gate row at sf0.001). The unscoped write follows
+    // the same rule (r16): one balanced task per bucket instead of every
+    // task writing into all 64 directories
+    val placed = rows.repartition(parts.map(col): _*)
     placed.select(cols.map(col): _*)
       .write.partitionBy(parts: _*).mode(mode)
       .parquet(dir)
@@ -465,6 +469,10 @@ object TextIndexStore {
     toks.groupBy(col("meta"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .select(col("meta"), col("n"), col("sumdl"), lit(batchId).as("batch_id"))
+      // labels-count rows by construction: one file per write (the other
+      // small planes' discipline) instead of up to shuffle-partitions
+      // slivers that every scoped serve's labelstats fold pays to open
+      .coalesce(1)
       .write.mode(mode).parquet(dir)
 
   private def statsJson(n: Long, sumdl: Long, foldedUpto: Option[Long]): String = {

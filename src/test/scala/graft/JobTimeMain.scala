@@ -30,6 +30,11 @@ object JobTimeMain {
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
+        val ms = (for (a <- si.completionTime; b <- si.submissionTime)
+          yield a - b).getOrElse(0L)
+        if (ms > 100)
+          System.err.println(f"[stage] ${si.stageId}%4d ${ms / 1000.0}%8.3f s " +
+            f"${si.numTasks}%4d tasks ${si.name.take(60)}")
         stageTasks.put(si.stageId,
           f"stage${si.stageId}%-4d ${si.numTasks}%4d tasks ${si.name.take(60)}")
       }
@@ -61,6 +66,36 @@ object JobTimeMain {
           val idx = t("bandbuild") { Serve.buildBandIndex(spark, d) }
           spark.catalog.clearCache()
           t("bandprobe") { Serve.probeBandIndex(spark, d, idx).count() }
+        case "textwrite" =>
+          // A/B: the unscoped postings write with and without the
+          // repartition-by-bucket, from one persisted toks relation,
+          // interleaved so a host-stall window cannot bias one arm
+          import org.apache.spark.sql.functions._
+          val toks = spark.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id"), graft.pipeline.TextOps.tokens(col("text")).as("toks"))
+            .withColumn("dl", org.apache.spark.sql.functions.size(col("toks")).cast("long"))
+            .persist()
+          toks.count()
+          val rows = toks.select(col("doc_id"), col("dl"),
+              posexplode(col("toks")).as(Seq("p0", "token")))
+            .groupBy(col("doc_id"), col("dl"), col("token"))
+            .agg(count(lit(1)).as("tf"),
+              sort_array(collect_list(col("p0") + 1)).as("pos"))
+            .withColumn("bucket",
+              pmod(graft.pipeline.TextOps.hash60(col("token")), lit(64L)))
+          def tmp() = java.nio.file.Files.createTempDirectory("tw").toString
+          t("write-old") {
+            rows.write.partitionBy("bucket").mode("overwrite").parquet(tmp())
+          }
+          t("write-repart") {
+            rows.repartition(col("bucket"))
+              .write.partitionBy("bucket").mode("overwrite").parquet(tmp())
+          }
+          t("write-repart64") {
+            rows.repartition(64, col("bucket"))
+              .write.partitionBy("bucket").mode("overwrite").parquet(tmp())
+          }
+          toks.unpersist()
         case "shingletest" =>
           import graft.functions.expressions.ShingleExpressions._
           import org.apache.spark.sql.functions._
