@@ -30,8 +30,22 @@ object Ranking {
     * Input needs (key, idCol, scoreCol); output is (key, idCol, scoreCol)
     * with ≤ k rows per key, ordered within each key by the contract. */
   def topPerKey(scored: DataFrame, key: String, k: Int, idCol: String,
-      scoreCol: String = "cosine"): DataFrame = {
-    val topk = TopKAggregator.topK(k)
+      scoreCol: String = "cosine"): DataFrame =
+    topPerKeyImpl(scored, key, k, idCol, scoreCol, dedup = false)
+
+  /** `scored.distinct()` then [[topPerKey]], fused into ONE aggregation —
+    * row-identical whenever duplicate (key, id) rows carry the identical
+    * score bits (replays of one deterministic expression — the KnnGraph
+    * build's contract), and one full shuffle of the candidate relation
+    * cheaper: the aggregator's map-side partial truncates to ≤ k rows per
+    * key before the exchange ([[TopKByScore]]'s dedup doc). */
+  def topPerKeyDistinct(scored: DataFrame, key: String, k: Int, idCol: String,
+      scoreCol: String = "cosine"): DataFrame =
+    topPerKeyImpl(scored, key, k, idCol, scoreCol, dedup = true)
+
+  private def topPerKeyImpl(scored: DataFrame, key: String, k: Int,
+      idCol: String, scoreCol: String, dedup: Boolean): DataFrame = {
+    val topk = TopKAggregator.topK(k, dedup)
     scored.groupBy(col(key))
       .agg(topk(col(scoreCol), col(idCol)).as("top"))
       .select(col(key), explode(col("top")).as("hit"))

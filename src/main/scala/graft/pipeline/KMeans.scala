@@ -25,14 +25,23 @@ object KMeans {
   def fit(e: Dataset[(Long, Seq[Double])], k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0 && iters >= 0)
     val spark: SparkSession = e.sparkSession
-    import spark.implicits._
     var cents: Array[Array[Double]] = e.filter(_._1 < k).collect()
       .sortBy(_._1).map(_._2.toArray)
     require(cents.length == k, s"need vec_ids 0..${k - 1} for deterministic init")
+    // the iteration runs on the RDD view: every Lloyd step used to build a
+    // fresh Dataset plan (typed mapPartitions → groupByKey → reduceGroups),
+    // paying Catalyst analysis + encoder codegen per iteration for math
+    // that takes milliseconds — a pure-RDD reduceByKey keeps the identical
+    // per-partition accumulation with map-side combine and zero per-step
+    // planning. (Float-sum association changes with merge arrival order,
+    // exactly as reduceGroups' did — the documented ~1e-9 reassociation
+    // tolerance; centroids feed recall contracts, never oracle hashes.)
+    val rdd = e.rdd
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      // one pass per partition: assign + accumulate partial sums locally
-      val partials = e.mapPartitions { it =>
+      // one pass per partition: assign + accumulate partial sums locally;
+      // the shuffle then carries at most numPartitions × K tiny rows
+      val reduced = rdd.mapPartitions { it =>
         val c = bc.value
         val dim = c(0).length
         val sums = Array.fill(c.length)(new Array[Double](dim))
@@ -55,18 +64,16 @@ object KMeans {
         }
         (0 until c.length).iterator
           .filter(counts(_) > 0)
-          .map(j => (j, sums(j).toSeq, counts(j)))
-      }
-      // driver-side reduce: at most numPartitions × K tiny rows
-      val reduced = partials.groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          (a._1, a._2.lazyZip(b._2).map(_ + _), a._3 + b._3)
-        }
-        .map(_._2)
-        .collect()
+          .map(j => (j, (sums(j), counts(j))))
+      }.reduceByKey { (a, b) =>
+        val s = new Array[Double](a._1.length)
+        var i = 0
+        while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+        (s, a._2 + b._2)
+      }.collect()
       val next = cents.map(_.clone())
-      reduced.foreach { case (j, s, n) =>
-        next(j) = s.map(_ / n).toArray // empty clusters keep their centroid
+      reduced.foreach { case (j, (s, n)) =>
+        next(j) = s.map(_ / n) // empty clusters keep their centroid
       }
       cents = next
       bc.unpersist()
@@ -93,7 +100,6 @@ object KMeans {
       initVecs: Option[Array[Array[Double]]] = None): Array[Array[Array[Double]]] = {
     require(nSub > 0 && k > 0 && iters >= 0)
     val spark: SparkSession = e.sparkSession
-    import spark.implicits._
     val init = initVecs.getOrElse(
       e.filter(_._1 < k).collect().sortBy(_._1).map(_._2.toArray))
     require(init.length == k,
@@ -105,10 +111,12 @@ object KMeans {
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(nSub, k) { (s0, j) =>
       java.util.Arrays.copyOfRange(init(j), s0 * subDim, (s0 + 1) * subDim)
     }
+    // RDD-level iteration, [[fit]]'s rationale: zero per-step Catalyst work
+    val rdd = e.rdd
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cbs)
       val (ns, kk, sd) = (nSub, k, subDim)
-      val partials = e.mapPartitions { it =>
+      val reduced = rdd.mapPartitions { it =>
         val c = bc.value
         val sums = Array.fill(ns, kk)(new Array[Double](sd))
         val counts = Array.fill(ns)(new Array[Long](kk))
@@ -137,17 +145,16 @@ object KMeans {
           s0 <- (0 until ns).iterator
           j <- (0 until kk).iterator
           if counts(s0)(j) > 0
-        } yield (s0 * kk + j, sums(s0)(j).toSeq, counts(s0)(j))
-      }
-      val reduced = partials.groupByKey(_._1)
-        .reduceGroups { (a, b) =>
-          (a._1, a._2.lazyZip(b._2).map(_ + _), a._3 + b._3)
-        }
-        .map(_._2)
-        .collect()
+        } yield (s0 * kk + j, (sums(s0)(j), counts(s0)(j)))
+      }.reduceByKey { (a, b) =>
+        val s = new Array[Double](a._1.length)
+        var i = 0
+        while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+        (s, a._2 + b._2)
+      }.collect()
       val next = cbs.map(_.map(_.clone()))
-      reduced.foreach { case (key, s, n) =>
-        next(key / k)(key % k) = s.map(_ / n).toArray // empty clusters keep their centroid
+      reduced.foreach { case (key, (s, n)) =>
+        next(key / k)(key % k) = s.map(_ / n) // empty clusters keep their centroid
       }
       cbs = next
       bc.unpersist()

@@ -303,39 +303,52 @@ object KnnGraph {
     val posted = hoist(
       e.select(col("vec_id"), col("v")).join(cells, Seq("vec_id"))
         .select(col("vec_id"), col("v"), col("cell")), "v", "vnorm")
-      .persist() // both sides of the in-cell pair join + the rescore side
+      .persist() // both sides of the in-cell pair join
     posted.count() // materialize: downstream plans read the cached relation
     fine.unpersist() // consumed by the assignment join above
     val left = posted.select(col("cell"), col("vec_id").as("src"),
       col("v").as("qv"), col("vnorm").as("qnorm"))
     val right = posted.select(col("cell"), col("vec_id").as("dst"),
       col("v"), col("vnorm"))
-    // in-cell candidates, scored in the join, then collapsed: a pair that
-    // met in both shared cells carries the identical deterministic cosine,
-    // so distinct() dedups exactly
+    // in-cell candidates, scored in the join, truncated with the dedup
+    // FUSED into the aggregation (topPerKeyDistinct): a pair that met in
+    // both shared cells carries the identical deterministic cosine, so
+    // the fused dedup is row-identical to the old distinct()-then-topK —
+    // minus a full shuffle of the pair relation (the build's largest),
+    // since the aggregator's map-side partial truncates each partition to
+    // ≤ degree rows per src before the exchange
     val cellCand = left.join(right, Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), cosineHoisted.as("cosine"))
-      .distinct()
-    val edges0 = topPerKey(cellCand, "src", degree, "dst").persist()
+    val edges0 = graft.functions.Ranking
+      .topPerKeyDistinct(cellCand, "src", degree, "dst").persist()
     edges0.count() // materialize before the two self-join uses below
     // one NN-descent round: src→mid→dst two-hop candidates, rescored via
-    // keyed joins against the posted vectors (vnorm rides along — never
-    // recomputed per pair), unioned with the round-0 scores, re-truncated
+    // keyed joins against the corpus vectors (vnorm hoisted once — never
+    // recomputed per pair), unioned with the round-0 scores, re-truncated.
+    // The two-hop relation KEEPS its pre-join distinct: a pair reachable
+    // via several mids would otherwise replicate through the rescore joins
+    // — which carry the vector payload and are not broadcasts at corpus
+    // scale — so deduping the 16-byte pair rows first shuffles strictly
+    // fewer bytes (a union-side dup, by contrast, costs nothing extra: it
+    // dies in the fused aggregation below)
     val twoHop = edges0.select(col("src"), col("dst").as("mid"))
       .join(edges0.select(col("src").as("mid"), col("dst")), Seq("mid"))
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst")).distinct()
-    val vecs = posted.select(col("vec_id"), col("v"), col("vnorm")).distinct()
+    // one exact row per vec_id straight off the corpus relation (e is
+    // unique by vec_id by the build contract): the old posted.distinct()
+    // paid a shuffle to recover exactly this, with the identical v and
+    // the identical hoisted-vnorm expression
+    val vecs = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
     val rescored = twoHop
       .join(vecs.select(col("vec_id").as("src"), col("v").as("qv"),
         col("vnorm").as("qnorm")), Seq("src"))
       .join(vecs.select(col("vec_id").as("dst"), col("v"), col("vnorm")),
         Seq("dst"))
       .select(col("src"), col("dst"), cosineHoisted.as("cosine"))
-    val refined = topPerKey(
-      edges0.select(col("src"), col("dst"), col("cosine")).union(rescored)
-        .distinct(), // a two-hop pair may already be an edge: same cosine
+    val refined = graft.functions.Ranking.topPerKeyDistinct(
+      edges0.select(col("src"), col("dst"), col("cosine")).union(rescored),
       "src", degree, "dst")
     refined
   }

@@ -51,6 +51,42 @@ class KnnGraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("fused dedup-truncate equals distinct() then truncate (r16 shuffle fusion)") {
+    // the build replaced its distinct()-then-topPerKey stages with the
+    // dedup-fused aggregator (Ranking.topPerKeyDistinct) — valid ONLY
+    // because duplicate candidate rows replay one deterministic score
+    // expression. Pin the equivalence on a relation with genuine
+    // duplicates and score ties: duplicates must collapse to one slot,
+    // non-duplicates with TIED scores must each keep their slot, and the
+    // result must equal the unfused formulation row for row.
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 10L, 0.9), // exact replays
+      (1L, 11L, 0.9), (1L, 12L, 0.9),                 // tied, distinct ids
+      (1L, 13L, 0.8), (1L, 14L, 0.7), (1L, 15L, 0.6),
+      (2L, 10L, 0.5), (2L, 10L, 0.5)
+    ).toDF("src", "dst", "cosine")
+    for (k <- Seq(1, 2, 3, 4, 8)) {
+      val fused = graft.functions.Ranking
+        .topPerKeyDistinct(rows, "src", k, "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val unfused = graft.functions.Ranking
+        .topPerKey(rows.distinct(), "src", k, "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fused == unfused,
+        s"k=$k fused dedup-truncate must match distinct-then-truncate")
+    }
+    // NaN replays collapse like distinct() collapses them (null-safe double
+    // equality); no truncation pressure here — with NaN in a buffer the
+    // insertion order is not a total order, so ranking UNDER truncation is
+    // arrival-dependent in the unfused form too (real inputs are NaN-free
+    // by the normalization guards)
+    val nanDups = Seq((2L, 16L, Double.NaN), (2L, 16L, Double.NaN))
+      .toDF("src", "dst", "cosine")
+    assert(graft.functions.Ranking
+      .topPerKeyDistinct(nanDups, "src", 8, "dst").count() == 1L,
+      "NaN duplicates collapse to one slot")
+  }
+
   test("build and search are bit-identical across input partitionings") {
     val e1 = vecs(1).persist()
     val e7 = vecs(7).persist()
