@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions.udaf
   * ANN queries' `row_number` window used. */
 final case class ScoredHit(cosine: Double, vec_id: Long)
 
+/** The top-k aggregation buffer: parallel primitive arrays holding the
+  * current best `n ≤ k` hits in [[ScoredHit]] order, MUTATED IN PLACE by
+  * reduce/merge (the Aggregator contract allows it). `hasNaN` guards the
+  * O(1) tail-skip: a NaN score breaks the total order, so a buffer that
+  * ever absorbed one falls back to the exact prefix-scan semantics. */
+final case class TopKBuf(scores: Array[Double], ids: Array[Long],
+    var n: Int, var hasNaN: Boolean)
+
 /** Bounded per-partition top-k: the scale-safe replacement for
   * `row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC)` over a
   * scored candidate set.
@@ -23,8 +31,19 @@ final case class ScoredHit(cosine: Double, vec_id: Long)
   * O(queries-per-task × k) everywhere; nothing ever holds, or sorts, the
   * full candidate set.
   *
-  * The buffer is a ≤k list kept sorted by [[ScoredHit]] order, so insert
-  * and merge are O(k) per element — k is small (10 here) by construction.
+  * The buffer ([[TopKBuf]]) is a pair of primitive arrays kept in
+  * [[ScoredHit]] order and mutated in place. The previous immutable-List
+  * buffer allocated and traversed O(k) cells per INPUT ROW, which at the
+  * rerank-candidate widths (candK = 240) made buffer churn the dominant
+  * cost of the PQ batch serve (measured: the candK axis of
+  * PqBatchTimeMain's sensitivity grid). Now a row that does not beat the
+  * current k-th hit is rejected in O(1) against the buffer tail (valid
+  * exactly when the buffer is NaN-free — the order is total, so "doesn't
+  * beat the last" ⟺ "beaten by, or equal to, all k"); qualifying rows pay
+  * one short prefix scan plus an arraycopy shift, no allocation. The
+  * result multiset is IDENTICAL to the List form's on every input,
+  * including NaN scores (which disable the fast path and replay the exact
+  * takeWhile insertion).
   *
   * `dedup = true` fuses an upstream `.distinct()` into the aggregation:
   * an incoming hit equal to a buffered one (same id, same score — NaN
@@ -38,34 +57,65 @@ final case class ScoredHit(cosine: Double, vec_id: Long)
   * exchange, so the shuffle carries the survivors only.
   */
 final class TopKByScore(k: Int, dedup: Boolean = false)
-    extends Aggregator[ScoredHit, List[ScoredHit], Seq[ScoredHit]] {
+    extends Aggregator[ScoredHit, TopKBuf, Seq[ScoredHit]] {
   require(k > 0)
 
-  private def beats(a: ScoredHit, b: ScoredHit): Boolean =
-    a.cosine > b.cosine || (a.cosine == b.cosine && a.vec_id < b.vec_id)
+  private def beats(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =
+    aScore > bScore || (aScore == bScore && aId < bId)
 
   /** distinct()'s equality on (cosine, vec_id): doubles compare NaN == NaN
     * (SQL null-safe/binary row equality), ids exactly. Equal elements are
-    * adjacent in the buffer order, so checking the insertion point's
-    * successor is a complete duplicate test. */
-  private def sameHit(a: ScoredHit, b: ScoredHit): Boolean =
-    a.vec_id == b.vec_id &&
-      (a.cosine == b.cosine || (a.cosine.isNaN && b.cosine.isNaN))
+    * adjacent in the buffer order, so checking the insertion point is a
+    * complete duplicate test. */
+  private def sameHit(aScore: Double, aId: Long, bScore: Double, bId: Long): Boolean =
+    aId == bId && (aScore == bScore || (aScore.isNaN && bScore.isNaN))
 
-  private def insert(buf: List[ScoredHit], in: ScoredHit): List[ScoredHit] = {
-    val (pre, post) = buf.span(beats(_, in))
-    if (pre.length >= k) buf
-    else if (dedup && post.headOption.exists(sameHit(_, in))) buf
-    else pre ::: in :: post.take(k - pre.length - 1)
+  private def insert(b: TopKBuf, score: Double, id: Long): TopKBuf = {
+    val nanIn = score.isNaN
+    // O(1) rejection of the common case (full buffer, hit below the k-th):
+    // sound only under the total order — any NaN (incoming or buffered)
+    // takes the exact path below
+    if (b.n == k && !b.hasNaN && !nanIn &&
+        !beats(score, id, b.scores(k - 1), b.ids(k - 1))) {
+      // content-equivalent to the insertion semantics: an incoming hit
+      // equal to the k-th would displace-and-drop its own duplicate
+      return b
+    }
+    // exact takeWhile(beats(_, in)) prefix — the List form's insertion
+    // point, valid sorted or not (NaN buffers are arrival-ordered)
+    var i = 0
+    while (i < b.n && beats(b.scores(i), b.ids(i), score, id)) i += 1
+    if (i >= k) return b
+    if (dedup && i < b.n && sameHit(b.scores(i), b.ids(i), score, id)) return b
+    val end = math.min(b.n, k - 1) // the element at k-1 (if full) falls off
+    if (end > i) {
+      System.arraycopy(b.scores, i, b.scores, i + 1, end - i)
+      System.arraycopy(b.ids, i, b.ids, i + 1, end - i)
+    }
+    b.scores(i) = score
+    b.ids(i) = id
+    if (b.n < k) b.n += 1
+    if (nanIn) b.hasNaN = true
+    b
   }
 
-  def zero: List[ScoredHit] = Nil
-  def reduce(buf: List[ScoredHit], in: ScoredHit): List[ScoredHit] = insert(buf, in)
-  def merge(a: List[ScoredHit], b: List[ScoredHit]): List[ScoredHit] =
-    b.foldLeft(a)(insert)
-  def finish(buf: List[ScoredHit]): Seq[ScoredHit] = buf
+  def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0, false)
+  def reduce(buf: TopKBuf, in: ScoredHit): TopKBuf =
+    insert(buf, in.cosine, in.vec_id)
+  def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    var i = 0
+    var acc = a
+    while (i < b.n) { acc = insert(acc, b.scores(i), b.ids(i)); i += 1 }
+    acc
+  }
+  def finish(buf: TopKBuf): Seq[ScoredHit] = {
+    val out = new Array[ScoredHit](buf.n)
+    var i = 0
+    while (i < buf.n) { out(i) = ScoredHit(buf.scores(i), buf.ids(i)); i += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
 
-  def bufferEncoder: Encoder[List[ScoredHit]] = ExpressionEncoder()
+  def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
   def outputEncoder: Encoder[Seq[ScoredHit]] = ExpressionEncoder()
 }
 

@@ -1238,12 +1238,9 @@ object PipelineQueries {
       // graft.functions.expressions) — semantically identical to the
       // higher-order-function formulation, ~5x cheaper per row.
       import graft.functions.expressions.ShingleExpressions._
-      val raw = table(s, d, "documents")
-      val spread =
-        if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-          raw.repartition(s.sparkContext.defaultParallelism)
-        else raw
-      val docs0 = spread
+      // widen before the MD5-per-gram shingle stage (the shared
+      // graft.core.Parallelism rule: identity at production split counts)
+      val docs0 = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
       // scale shape: exact-content pre-collapse (identical shingle sets →
@@ -1363,7 +1360,7 @@ object PipelineQueries {
       // (bucket >= 90 arrives — qd10's eval-split choice), so membership
       // is stateless and replay-safe on both engines.
       import graft.functions.expressions.ShingleExpressions._
-      val docs = table(s, d, "documents")
+      val docs = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), splitBucket.as("bucket"),
           shingleHash60(col("text"), ShingleN).as("hs"))
@@ -1458,7 +1455,7 @@ object PipelineQueries {
       // equivalence LshSkewSpec pins.
       import graft.functions.expressions.ShingleExpressions._
       import s.implicits._
-      val docs0 = table(s, d, "documents")
+      val docs0 = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
       val (reps, memb, cand) = collapsedLshCandidates(docs0)
@@ -1803,7 +1800,7 @@ object PipelineQueries {
       // expressions; the oracle mirrors the banding through the shared
       // CTE chain so the blocking can never drift from qd02's.
       import graft.functions.expressions.ShingleExpressions._
-      val docs0 = table(s, d, "documents")
+      val docs0 = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
       val (reps, memb, cand) = collapsedLshCandidates(docs0)
@@ -1858,7 +1855,7 @@ object PipelineQueries {
       // further but any fixed total order preserves completeness.
       import graft.functions.expressions.ShingleExpressions._
       val tNum = math.round(NgramThreshold * 100).toInt // t as an exact rational tNum/100
-      val docs = table(s, d, "documents")
+      val docs = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), col("source"),
           TextOps.charShingles(col("text"), ShingleN).as("sh"),
@@ -6926,12 +6923,9 @@ object PipelineQueries {
       // to member pairs (identical shingle sets ⇒ identical signatures ⇒
       // scores inherit verbatim; intra-group pairs sit at exactly 1.0).
       import graft.functions.expressions.ShingleExpressions._
-      val raw = table(s, d, "documents")
-      val spread =
-        if (raw.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-          raw.repartition(s.sparkContext.defaultParallelism)
-        else raw
-      val docs0 = spread
+      // widen before the MD5-per-gram shingle stage (the shared
+      // graft.core.Parallelism rule: identity at production split counts)
+      val docs0 = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
       val (reps, memb, cand) = collapsedLshCandidates(docs0)
@@ -6993,7 +6987,7 @@ object PipelineQueries {
       import s.implicits._
       val Ks = Seq(2, 4, 8)
       val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
-      val docs0 = table(s, d, "documents")
+      val docs0 = graft.core.Parallelism.widen(table(s, d, "documents"))
         .filter(length(col("text")) >= ShingleN)
         .select(col("doc_id"), shingleHash60(col("text"), ShingleN).as("hs"))
       val (reps, memb, cand) = collapsedLshCandidates(docs0)

@@ -196,11 +196,14 @@ object StatefulOps {
 
   def runningTopK(
       scored: Dataset[(Long, Double, Long)], k: Int): Dataset[(Long, Seq[graft.functions.ScoredHit])] = {
-    import graft.functions.{ScoredHit, TopKByScore}
+    import graft.functions.{ScoredHit, TopKBuf, TopKByScore}
     import scored.sparkSession.implicits._
     val agg = new TopKByScore(k)
     scored.groupByKey(_._1)
-      .flatMapGroupsWithState[List[ScoredHit], (Long, Seq[ScoredHit])](
+      // state = the aggregator's own buffer type (TopKBuf since r16's
+      // array-buffer rewrite) — the online operator stays the batch
+      // aggregator applied incrementally, so parity holds by construction
+      .flatMapGroupsWithState[TopKBuf, (Long, Seq[ScoredHit])](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key, rows, state) =>
           var buf = state.getOption.getOrElse(agg.zero)
