@@ -1113,14 +1113,17 @@ object PipelineQueries {
   private def bm25DocScores(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("spark", "join", "window")
     val toksAll = TextOps.tokens(col("text"))
-    val tf = table(s, d, "documents")
+    // widen before the two tokenize passes (the CPU-heavy per-row stage;
+    // identity at production split counts — graft.core.Parallelism)
+    val docs = graft.core.Parallelism.widen(table(s, d, "documents"))
+    val tf = docs
       .select(col("doc_id"), size(toksAll).as("dl"),
         explode(toksAll).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val stats = table(s, d, "documents")
+    val stats = docs
       .agg(count(lit(1)).as("n"), sum(size(toksAll)).as("sumdl"))
     val avgdl = col("sumdl").cast("double") / col("n")
     val idf = log(lit(1.0) +
@@ -5912,7 +5915,7 @@ object PipelineQueries {
       // Bpe.train's discipline); argmaxes are TakeOrdered(1), never a
       // global sort collect; adjacency needs no join at all.
       import s.implicits._
-      val words = table(s, d, "documents")
+      val words = graft.core.Parallelism.widen(table(s, d, "documents"))
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .as[(String, Long)]
@@ -6080,7 +6083,7 @@ object PipelineQueries {
       //  - vocab_ok: every emitted token is a base character or a learned
       //    merge product (nothing outside the trained vocabulary).
       import s.implicits._
-      val words = table(s, d, "documents")
+      val words = graft.core.Parallelism.widen(table(s, d, "documents"))
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .as[(String, Long)]

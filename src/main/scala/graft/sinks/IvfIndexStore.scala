@@ -171,10 +171,15 @@ object IvfIndexStore {
     val bc = spark.sparkContext.broadcast(cents)
     metaCol match {
       case None =>
+        // cluster each cell into ONE file before the partitioned write
+        // (the store-wide measured rule): without the repartition every
+        // map task writes a sliver into every cell dir it touches —
+        // tasks × cells small files every probed scan pays to open
         v.map { case (id, vec) => (id, vec, KMeans.nearest(bc.value, vec).toLong) }
           .toDF("vec_id", "v", "cell")
           .withColumn("vnorm", normExpr(col("v")))
           .select(col("vec_id"), col("v"), col("vnorm"), col("cell"))
+          .repartition(k, col("cell"))
           .write.partitionBy("cell").mode("overwrite")
           .parquet(ctx.dir("postings"))
       case Some(m) =>
@@ -191,6 +196,7 @@ object IvfIndexStore {
           .toDF("vec_id", "v", "cell", "meta")
           .withColumn("vnorm", normExpr(col("v")))
           .select(col("vec_id"), col("v"), col("vnorm"), col("cell"), col("meta"))
+          .repartition(col("cell"), col("meta")) // one file per leaf dir
           .write.partitionBy("cell", "meta").mode("overwrite")
           .parquet(ctx.dir("postings"))
     }

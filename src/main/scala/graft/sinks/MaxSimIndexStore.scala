@@ -187,6 +187,7 @@ object MaxSimIndexStore {
         }.toDF("vec_id", "v", "cell")
           .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
           .select(col("vec_id"), col("v"), col("sn"), col("cell"))
+          .repartition(k, col("cell")) // one file per cell (store-wide rule)
           .write.partitionBy("cell").mode("overwrite")
           .parquet(ctx.dir("postings"))
       case Some(m) =>
@@ -205,6 +206,7 @@ object MaxSimIndexStore {
           }.toDF("vec_id", "v", "cell", "meta")
           .withColumn("sn", subNormsExpr(col("v"), subs, subDim))
           .select(col("vec_id"), col("v"), col("sn"), col("cell"), col("meta"))
+          .repartition(col("cell"), col("meta")) // one file per leaf dir
           .write.partitionBy("cell", "meta").mode("overwrite")
           .parquet(ctx.dir("postings"))
     }

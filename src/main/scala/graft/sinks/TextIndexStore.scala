@@ -62,8 +62,13 @@ object TextIndexStore {
   def health(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.spark.sql.DataFrame = {
     // a scoped store's labelstats plane is a fourth epoched component —
-    // its footprint belongs in the when-to-compact table too
-    val scoped = manifestMetaText(ArtifactStore.open(spark, path)).nonEmpty
+    // its footprint belongs in the when-to-compact table too. A missing
+    // or unreadable manifest (a build that crashed before the manifest
+    // write) degrades to the unscoped component list instead of throwing:
+    // observability is most wanted exactly on damaged stores
+    val scoped =
+      try manifestMetaText(ArtifactStore.open(spark, path)).nonEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
     ArtifactStore.health(spark, path,
       if (scoped) Components :+ "labelstats" else Components)
   }
