@@ -120,8 +120,12 @@ object PipelineQueries {
           transform(col("embedding"), _.cast("double")).as("qv"))
         .join(langs, Seq("query_id"))
         .select(col("query_id"), col("qv"), col("lang").as("meta"))
+      // the DISTRIBUTED filtered batch path (bit-identical to
+      // queryFiltered, spec-pinned): qs44's nothing-about-the-batch-on-
+      // the-driver contract now holds on BOTH legs, so this shape serves
+      // a million-query tenant sweep unchanged (r15 review finding)
       val den = graft.sinks.IvfIndexStore
-        .queryFiltered(s, denseIdx, qd, nProbe = 16, topK = K)
+        .queryFilteredBatch(s, denseIdx, qd, nProbe = 16, topK = K)
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank").as("dr"))
       def leg(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         coalesce(lit(1.0) / (r + lit(RrfK)).cast("double"), lit(0.0))
