@@ -456,7 +456,12 @@ object TextIndexStore {
       (Seq(col("doc_id"), col("dl"), lit(batchId).as("batch_id"),
         pmod(TextOps.hash60(col("doc_id").cast("string")), lit(buckets.toLong))
           .as("dbucket")) ++ (if (scoped) Seq(col("meta")) else Nil)): _*)
-    base.write.partitionBy("dbucket").mode(mode).parquet(dir)
+    // one file per bucket dir (the store-wide rule): without this every
+    // input task writes a sliver into every dbucket dir it touches —
+    // tasks × buckets small files (measured: the widened tokenize's 30
+    // partitions turned this into 1920 files and DOUBLED the build)
+    base.repartition(buckets, col("dbucket"))
+      .write.partitionBy("dbucket").mode(mode).parquet(dir)
   }
 
   /** The PER-LABEL stats plane of a metadata-scoped store — (meta, n,
