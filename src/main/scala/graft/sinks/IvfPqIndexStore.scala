@@ -622,10 +622,18 @@ object IvfPqIndexStore {
           if (filtered) posted // joins on (cell, meta) — within-scope candidates
           else posted.select(col("query_id"), col("cell"))
         val joinKeys = if (filtered) Seq("cell", "meta") else Seq("cell")
+        // SHUFFLE_HASH on both keyed joins (r16, guide §3.1 "pick the
+        // strategy deliberately"): the planner's default sort-merge pays
+        // a full sort of the candidate relation (batch × nProbe × cell
+        // rows) on each join key for joins whose build sides — the
+        // (query, probed-cell) posting and the per-query 2 KB tables —
+        // are batch-bounded and hash comfortably per partition; the hint
+        // keeps the identical keyed-join shape (same partitioning, same
+        // rows) minus the two sorts
         val adc = servedPostings(spark, ctx, probeCells, metaFilter)
-          .join(postedKeyed, joinKeys) // keyed, NOT broadcast
+          .join(postedKeyed.hint("shuffle_hash"), joinKeys) // keyed, NOT broadcast
           .filter(col("vec_id") =!= col("query_id"))
-          .join(tables, Seq("query_id")) // keyed: one table copy per query
+          .join(tables.hint("shuffle_hash"), Seq("query_id")) // keyed: one table copy per query
           .select(col("query_id"), col("vec_id"),
             graft.functions.expressions.VectorExpressions
               .pqAdc(col("codes"), col("tbl")).as("adc"))
