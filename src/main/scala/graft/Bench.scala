@@ -323,7 +323,28 @@ object Bench {
     // the LAST stdout line gets a fully parseable JSON object, and a
     // fixed-size tail window over the whole stream still lands on it —
     // the stall-attribution arrays live only in the full line above
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"serve_only":$serveJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"sf":"$sfDir"}""")
+    val compactLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"serve_only":$serveJson,"canary_cpu":$canaryJson,"canary_sched":$schedJson,"sf":"$sfDir"}"""
+    println(compactLine)
+    // ADDITIONS (r17) — no prior round's BENCH capture ever parsed
+    // ("parsed": null in r14-r16): sbt appends "[success] Total time…"
+    // as the true last stdout line, defeating last-line parsers, and
+    // Spark's stop() chatter buries mid-stream lines. Two extra
+    // emission channels, additions-only (both prior lines stay):
+    //  - the compact line lands in bench_result.json next to the cwd
+    //    (a well-known file a parser can read without scraping stdout);
+    //  - a JVM shutdown hook re-prints it AFTER main returns — the
+    //    forked JVM's final stdout write, below all Spark shutdown
+    //    output, so only sbt's own epilogue can follow it.
+    try {
+      val w = new java.io.PrintWriter("bench_result.json", "UTF-8")
+      try w.println(compactLine) finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_result.json write failed: ${e.getMessage}") }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(compactLine)
+      System.out.flush()
+    }))
     spark.stop()
   }
 }

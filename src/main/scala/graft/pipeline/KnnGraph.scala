@@ -368,14 +368,15 @@ object KnnGraph {
     * GC-driven ContextCleaner once the result's references drop. */
   def search(e: DataFrame, edges: DataFrame, queries: DataFrame,
       entries: Seq[Long], beam: Int, hops: Int,
-      scope: graft.core.WalkScope = new graft.core.WalkScope): DataFrame = {
+      scope: graft.core.WalkScope = new graft.core.WalkScope,
+      width: Int = 0): DataFrame = {
     val ev = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
     val q = hoist(queries.select(col("query_id"), col("qv")), "qv", "qnorm")
     // entry scoring: |entries| × |queries| rows — bounded, broadcast side
     val entryScored = ev.filter(col("vec_id").isInCollection(entries))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
-    walkFrom(ev, edges, q, entryScored, beam, hops, scope)
+    walkFrom(ev, edges, q, entryScored, beam, hops, scope, width)
   }
 
   /** [[search]] with PER-QUERY entry points: `seeds` is a
@@ -390,21 +391,45 @@ object KnnGraph {
     * store's contract). */
   def searchSeeded(e: DataFrame, edges: DataFrame, queries: DataFrame,
       seeds: DataFrame, beam: Int, hops: Int,
-      scope: graft.core.WalkScope = new graft.core.WalkScope): DataFrame = {
+      scope: graft.core.WalkScope = new graft.core.WalkScope,
+      width: Int = 0): DataFrame = {
     val ev = hoist(e.select(col("vec_id"), col("v")), "v", "vnorm")
     val q = hoist(queries.select(col("query_id"), col("qv")), "qv", "qnorm")
     val entryScored = ev
       .join(broadcast(seeds.select(col("query_id"), col("vec_id"))), Seq("vec_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
-    walkFrom(ev, edges, q, entryScored, beam, hops, scope)
+    walkFrom(ev, edges, q, entryScored, beam, hops, scope, width)
   }
 
   /** The shared hop loop behind [[search]] / [[searchSeeded]] — takes the
-    * already-scored entry frame and walks. */
-  private def walkFrom(ev: DataFrame, edges: DataFrame, q: DataFrame,
+    * already-scored entry frame and walks.
+    *
+    * `width` > 0 pins the per-hop SCORE join to that many partitions on
+    * the join key (r17): the candidate pairs are KB-scale slim rows, so
+    * AQE's bytes-based coalescing folds their exchange to ONE partition —
+    * and the expensive stage downstream (the cosine projection over
+    * candidates × vector payloads) then runs on one task whatever the
+    * cluster width (measured: ~0.9 s serial per hop on the sf0.1 corpus
+    * batch). Callers size `width` to the BATCH (rows-per-task floor, the
+    * r16-verdict lesson: blanket core-count widening just buys scheduler
+    // overhead on small inputs) and pre-partition the vector/edge
+    * relations by the same (key, width) so the per-hop joins reuse the
+    * cached partitioning — see [[graft.sinks.GraphIndexStore]]'s
+    * distributedWalkServe. `width` = 0 (the default — small driver-side
+    * walks, specs) keeps AQE's own sizing; rows are identical either way
+    * (partitioning never changes values; ranking is total-order
+    * deterministic). */
+  private def walkFrom(ev: DataFrame, edges: DataFrame, q0: DataFrame,
       entryScored: DataFrame, beam: Int, hops: Int,
-      scope: graft.core.WalkScope): DataFrame = {
+      scope: graft.core.WalkScope, width: Int): DataFrame = {
+    // the query table is BROADCAST-joined once per hop, and each hop is a
+    // separate action — without a persist each hop's broadcast build
+    // re-runs the query-side scan + norm projection from scratch
+    // (measured: ~0.1-0.2 s × (hops+1) extra jobs on the corpus batch).
+    // CacheManager-level persist: a caller's clearCache() or the scope's
+    // release() frees it
+    val q = scope.persist(q0)
     val edgeTab = edges.select(col("src"), col("dst"))
     var visited = scope.checkpoint(entryScored
       ) // TRUNCATE lineage, not just cache it: each
@@ -420,15 +445,39 @@ object KnnGraph {
     // queries × beam × degree per hop at ANY corpus size
     var frontier = visited.select(col("query_id"), col("vec_id"))
     for (_ <- 1 to hops) {
-      val cand = frontier
+      // join strategies stay UNHINTED deliberately (measured, r17): the
+      // planner/AQE broadcast the frontier / vector / visited sides when
+      // their runtime sizes are small and fall back to shuffle joins past
+      // the threshold — forcing SHUFFLE_HASH here regressed the sf0.1
+      // corpus batch (it turned cheap broadcasts into per-hop shuffles)
+      // while buying nothing at scale that the planner would not choose
+      // itself.
+      val cand0 = frontier
         .join(edgeTab, frontier("vec_id") === edgeTab("src"))
         .select(col("query_id"), col("dst").as("vec_id"))
+      // width-pinned: ONE user exchange per hop establishes
+      // (query_id, vec_id) × width and the dedup AND the visited
+      // anti-join both ride it (grouping/join keys == partitioning keys,
+      // so no further exchange) — the per-hop candidate relation is
+      // KB-scale slim rows, so AQE's bytes-based coalescing would
+      // otherwise fold the stage to ONE task and the downstream cosine
+      // projection (the hop's CPU cost) would run serially whatever the
+      // cluster width (measured ~0.9 s/hop at sf0.1). `width` is
+      // batch-adaptive (caller doc above), which AQE respects.
+      val cand =
+        (if (width > 0) cand0.repartition(width, col("query_id"), col("vec_id"))
+         else cand0)
         .distinct()
         .join(visited.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_anti")
-      val scored = scope.checkpoint(cand.join(ev, Seq("vec_id"))
+      val scoredPlan = cand
+        .join(ev, Seq("vec_id"))
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("vec_id"), cosineHoisted.as("cosine"))
+      // plan-skeleton debug hook (probe mains only; unset in Bench/Verify)
+      if (sys.env.contains("GRAFT_WALK_EXPLAIN"))
+        System.err.println("[walk-hop-plan]\n" + scoredPlan.queryExecution.executedPlan)
+      val scored = scope.checkpoint(scoredPlan
         ) // lineage cut per hop — see the entry note
       // visited stays a LAZY union of the checkpointed per-hop relations:
       // each child is already materialized, so downstream reads hit

@@ -875,13 +875,32 @@ object GraphIndexStore {
       else vectorBase(spark, ctx)
         .select(col("vec_id"), col("v"))
         .dropDuplicates("vec_id")
+    // r17: BOTH corpus-side relations the walk joins every hop are cached
+    // PRE-PARTITIONED BY THEIR JOIN KEY at the width the walk's candidate
+    // repartition pins (KnnGraph.walkFrom) — the per-hop keyed joins then
+    // reuse the cached partitioning instead of re-shuffling the corpus
+    // vectors (payload rows!) and the edge table once per hop (guide
+    // §2.4: operations keyed the same way share one exchange). The width
+    // is BATCH-ADAPTIVE, never a constant: per-hop work is bounded by
+    // batch × beam × degree candidate rows, so the rows-per-task floor
+    // (~8k frontier rows per task — ≥ tens of ms of cosine work against
+    // ~ms of task dispatch) sizes small batches to few chunky tasks and
+    // saturates the cluster (capped at defaultParallelism) as the batch
+    // grows. Blanket core-count widening measurably REGRESSED this serve
+    // at sf0.1 (scheduler overhead on near-empty tasks — the r16-verdict
+    // c8-beats-c32 signature); the one count() job pricing the batch is
+    // a scan of the slim query relation.
+    val nQ = queries.count()
+    val wide = math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      ((nQ * beam + 8191) / 8192).toInt))
     val liveVecs = (tomb match {
       case Some(t) => liveVecs0.join(
         broadcast(t.withColumnRenamed("doc_id", "vec_id")), Seq("vec_id"), "left_anti")
       case None => liveVecs0
-    }).persist()
+    }).repartition(wide, col("vec_id")).persist()
+    var foldedEdges: DataFrame = null
     try {
-      val foldedEdges =
+      foldedEdges = (
         if (clean)
           // the stored plane IS the serve view: ≤ degree rows per src, no
           // duplicates, no orphan/tombstoned endpoints — read it verbatim
@@ -892,6 +911,7 @@ object GraphIndexStore {
             .join(liveVecs.select(col("vec_id").as("dst")), Seq("dst"), "left_semi"),
           "src", degree, "dst")
           .select(col("src"), col("dst"))
+        ).repartition(wide, col("src")).persist()
       val scope = new graft.core.WalkScope
       try {
         // qv upcast to double like the driver path's typed encoder — a
@@ -901,10 +921,10 @@ object GraphIndexStore {
         val visited = seeding match {
           case Right(seeds) =>
             KnnGraph.searchSeeded(liveVecs, foldedEdges, qDf, seeds,
-              beam, hops, scope)
+              beam, hops, scope, width = wide)
           case Left(entryIds) =>
             KnnGraph.search(liveVecs, foldedEdges, qDf, entryIds,
-              beam, hops, scope)
+              beam, hops, scope, width = wide)
         }
         val out = finish(visited).persist()
         try {
@@ -912,7 +932,10 @@ object GraphIndexStore {
           out
         } catch { case e: Throwable => out.unpersist(); throw e }
       } finally scope.release()
-    } finally liveVecs.unpersist()
+    } finally {
+      liveVecs.unpersist()
+      if (foldedEdges != null) foldedEdges.unpersist()
+    }
   }
 
   /** Navigable-small-world insertion of one batch (vec_id, embedding):

@@ -66,6 +66,25 @@ object JobTimeMain {
           val idx = t("bandbuild") { Serve.buildBandIndex(spark, d) }
           spark.catalog.clearCache()
           t("bandprobe") { Serve.probeBandIndex(spark, d, idx).count() }
+        // r17: serve-only corpus-batch kernels (store built once untimed on
+        // run 1, reused by later runs) — the per-hop / per-stage job
+        // attribution behind the qs33/qs35/qs40/qs32 serve rows
+        case "graphbatch" =>
+          val idx = t("graphbuild") { Serve.buildGraphIndex(spark, d) }
+          spark.catalog.clearCache()
+          t("graphbatch") { Serve.queryGraphBatch(spark, d, idx).count() }
+        case "graphfilteredbatch" =>
+          val idx = t("graphbuildScoped") { Serve.buildGraphIndexScoped(spark, d) }
+          spark.catalog.clearCache()
+          t("graphfilteredbatch") { Serve.queryGraphFilteredBatch(spark, d, idx).count() }
+        case "maxsimbatch" =>
+          val idx = t("maxsimbuild") { Serve.buildMaxSimIndex(spark, d) }
+          spark.catalog.clearCache()
+          t("maxsimbatch") { Serve.queryMaxSimBatch(spark, d, idx).count() }
+        case "pqbatch" =>
+          val idx = t("pqbuild") { Serve.buildPqIndex(spark, d) }
+          spark.catalog.clearCache()
+          t("pqbatch") { Serve.queryPqBatch(spark, d, idx).count() }
         case "textwrite" =>
           // A/B: the unscoped postings write with and without the
           // repartition-by-bucket, from one persisted toks relation,
