@@ -82,6 +82,17 @@ object MaxSimIndexStore {
   private def vdot(a: Column, b: Column): Column =
     graft.functions.expressions.VectorExpressions.vecDot(a, b)
 
+  /** The posting/probe sides of every pair-scoring join, pre-sliced
+    * ([[subsExpr]] doc): the full vector column is REPLACED by its S
+    * sub-vector views before the join, so per-candidate-pair work is the
+    * S² dots alone — no per-pair slicing — and the broadcast/shuffled
+    * relation carries the same payload bytes, one column over. */
+  private def slicedPostings(postings: DataFrame, subs: Int, subDim: Int): DataFrame =
+    postings.withColumn("vsub", subsExpr(col("v"), subs, subDim)).drop("v")
+
+  private def slicedProbes(probes: DataFrame, subs: Int, subDim: Int): DataFrame =
+    probes.withColumn("qsub", subsExpr(col("qv"), subs, subDim)).drop("qv")
+
   /** Sub-vector i of a flat vector column — qs19's 1-based slice. */
   private def subCol(v: Column, i: Int, subDim: Int): Column =
     slice(v, i * subDim + 1, subDim)
@@ -96,17 +107,29 @@ object MaxSimIndexStore {
   private def subNormsExpr(v: Column, subs: Int, subDim: Int): Column =
     array((0 until subs).map(i => subNormExpr(v, i, subDim)): _*)
 
-  /** The MaxSim scoring expression over (qv, qn) × (v, sn) — qs19's
+  /** All S sub-vector views of a flat vector as ONE array<array<double>>
+    * column — projected on each join side BEFORE the pair join (r17), so
+    * the S slice copies happen once per ROW instead of once per candidate
+    * PAIR inside [[maxsimExpr]] (the batch kernel scores |queries| ×
+    * |cell postings| pairs; the per-pair slices were the measured bulk of
+    * its CPU). The slices are the identical [[subCol]] expressions, just
+    * hoisted — the doubles [[maxsimExpr]] consumes are bit-identical. */
+  private def subsExpr(v: Column, subs: Int, subDim: Int): Column =
+    array((0 until subs).map(i => subCol(v, i, subDim)): _*)
+
+  /** The MaxSim scoring expression over (qsub, qn) × (vsub, sn) — qs19's
     * exact construction (per-(i,j) cosine → 4-way greatest → round 12 →
-    * left-assoc sum) with the norm product read from the hoisted arrays:
-    * `dot/(qnᵢ·snⱼ)` is the same Divide-of-Multiply node over the same
-    * doubles as qs19's `dot/(sqrt(g(aa))·sqrt(g(bb)))`, so scores are
+    * left-assoc sum) with the sub-vectors AND norms read from hoisted
+    * arrays ([[subsExpr]]/[[subNormsExpr]], projected once per row before
+    * the pair join): `dot/(qnᵢ·snⱼ)` is the same Divide-of-Multiply node
+    * over the same doubles as qs19's inline
+    * `dot(slice,slice)/(sqrt(g(aa))·sqrt(g(bb)))`, so scores are
     * bit-identical and the shared (score DESC, vec_id ASC) rank order
     * reproduces the oracle's row_number exactly. */
-  private def maxsimExpr(subs: Int, subDim: Int): Column =
+  private def maxsimExpr(subs: Int): Column =
     (0 until subs).map { i =>
       round(greatest((0 until subs).map { j =>
-        vdot(subCol(col("qv"), i, subDim), subCol(col("v"), j, subDim)) /
+        vdot(element_at(col("qsub"), i + 1), element_at(col("vsub"), j + 1)) /
           (element_at(col("qn"), i + 1) * element_at(col("sn"), j + 1))
       }: _*), 12)
     }.reduce(_ + _)
